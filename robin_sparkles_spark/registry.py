@@ -1,0 +1,75 @@
+"""Central query registry.
+
+Every implemented operator from SURVEY.md §2 (and the EXT LLM-pipeline
+surface) registers here as a named query:
+
+    name -> (spark_fn(spark, sf_dir) -> DataFrame, oracle_sql | None)
+
+The driver's correctness gate runs the Spark side and the DuckDB oracle
+side-by-side at sf0.01 and hash-compares (row count + schema +
+order-insensitive value hash). Oracle-parity rules used throughout:
+
+- Alias every computed column identically in both dialects.
+- No raw timestamps in outputs (mixed ns/ms parquet units + tz rules
+  differ) — emit epoch seconds or formatted strings instead.
+- No direct double SUMs (accumulation order differs across engines and
+  partitions) — sum exact DECIMALs, then cast to double.
+- No engine-native hash functions in value-bearing positions — use the
+  arithmetic hashes in ``functions.hashing`` (same result both sides).
+- Spark ``round`` is HALF_UP, DuckDB HALF_EVEN: only round values that
+  cannot land on exact .5 boundaries (doubles effectively never do).
+
+Queries whose semantics SQL can't express (streaming state, iterative
+algorithms) register with ``oracle=None`` → the driver records a
+rows-only check.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from typing import NamedTuple
+
+from pyspark.sql import DataFrame, SparkSession
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+
+class QuerySpec(NamedTuple):
+    fn: QueryFn
+    oracle: str | None
+
+
+def _collect() -> dict[str, QuerySpec]:
+    # Imported lazily so a syntax error in one operator module is easy
+    # to localize, and so pyspark import cost is paid once.
+    from .operators import wordcount_queries
+
+    registry: dict[str, QuerySpec] = {}
+    for module in (wordcount_queries,):
+        for name, spec in module.QUERIES.items():
+            if name in registry:
+                raise ValueError(f"duplicate query name {name!r}")
+            registry[name] = QuerySpec(*spec)
+    return registry
+
+
+_REGISTRY: dict[str, QuerySpec] | None = None
+
+
+def all_queries() -> dict[str, QuerySpec]:
+    global _REGISTRY
+    if _REGISTRY is None:
+        _REGISTRY = _collect()
+    return _REGISTRY
+
+
+def spark_queries() -> dict[str, QueryFn]:
+    return {name: spec.fn for name, spec in all_queries().items()}
+
+
+def oracle_queries() -> dict[str, str]:
+    return {
+        name: spec.oracle
+        for name, spec in all_queries().items()
+        if spec.oracle is not None
+    }

@@ -1,0 +1,65 @@
+"""SparkSession factory for the engine.
+
+Defaults chosen for oracle parity and scale behavior:
+
+- AQE on (runtime partition coalescing, skew-join splitting) — this is
+  the *within-query* half of what the reference's cross-run tuner does
+  (SURVEY.md §4); the tuner supplies the cross-run half.
+- UTC session timezone — DuckDB timestamps are UTC-naive; without this
+  every timestamp comparison in the oracle gate would be off by the
+  local zone.
+- Arrow enabled — vectorized pandas_udf / toPandas transfers.
+- Shuffle partitions default to the local core budget, not Spark's 200:
+  on local[N] anything above N just adds scheduling overhead, and at
+  cluster scale the tuner (robin_sparkles_spark.tuner) recommends the
+  real value from recorded run history.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def default_parallelism() -> int:
+    """Core budget for local runs: $SPARK_GRAFT_CPUS, else 32."""
+    try:
+        return max(1, int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
+    except ValueError:
+        return 32
+
+
+def get_spark(
+    app_name: str = "robin_sparkles_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or get) the engine's SparkSession.
+
+    ``shuffle_partitions`` may be overridden by the tuner's
+    recommendation (see ``tuner.recommend``); like the reference's
+    ``spark.default.parallelism`` write (CountingApp.scala:77) this is
+    plain conf injection, not a planner hook — Spark SQL makes it
+    session-mutable, so re-tuning between queries needs no restart.
+    """
+    cores = default_parallelism()
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master or f"local[{cores}]")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions or cores))
+        .config("spark.default.parallelism", str(shuffle_partitions or cores))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.showConsoleProgress", "false")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

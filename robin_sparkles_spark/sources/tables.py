@@ -1,0 +1,59 @@
+"""Fixture-table registry and scan helpers.
+
+The driver generates a TPC-H-ish star schema plus ``events`` /
+``documents`` / ``embeddings`` at /root/testdata/sf*/ (TESTDATA.md).
+Everything reads through ``spark.read.parquet`` so Catalyst gets
+column pruning + predicate pushdown for free — the reference's
+``sc.textFile`` scan (CountingApp.scala:97) maps to ``spark.read.text``
+for raw corpora and to the ``documents`` parquet for fixture queries.
+
+At 100 TB these helpers are unchanged: parquet scans scale by adding
+files/partitions; nothing here collects to the driver.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+# All fixture tables (TESTDATA.md); one parquet file/dir per table.
+TABLES: tuple[str, ...] = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Scan one fixture table. S9 in SURVEY.md §2.1."""
+    if name not in TABLES:
+        raise KeyError(f"unknown fixture table {name!r}; known: {TABLES}")
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def register_views(spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES) -> None:
+    """Register fixture tables as temp views for spark.sql queries."""
+    for name in names:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def text_corpus_df(spark: SparkSession, lines: list[str]) -> DataFrame:
+    """In-memory text corpus (S2) — the reference test's
+    ``sc.parallelize(Seq(...))`` (WordCountTest.scala:15-17), as a
+    single-column DataFrame ``value: string`` matching what
+    ``spark.read.text`` (S1) would produce.
+    """
+    return spark.createDataFrame([(line,) for line in lines], schema="value string")
+
+
+def read_text(spark: SparkSession, path: str) -> DataFrame:
+    """S1: newline-delimited text scan → ``value: string``."""
+    return spark.read.text(path)
