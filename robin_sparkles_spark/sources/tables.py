@@ -33,10 +33,28 @@ TABLES: tuple[str, ...] = (
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Scan one fixture table. S9 in SURVEY.md §2.1."""
+    """Scan one fixture table. S9 in SURVEY.md §2.1.
+
+    ``events.ts`` is parquet TIMESTAMP(NANOS), which Spark's vectorized
+    reader rejects outright (PARQUET_TYPE_ILLEGAL). We read nanos as
+    long (legacy conf, runtime-settable, set defensively here because
+    the driver harness supplies its own session) and rebuild a
+    microsecond timestamp with exact integer division — ``div``, not
+    ``/``: epoch-nanos exceed 2^53, so double division would corrupt
+    low-order digits. Truncation to µs matches DuckDB's own
+    parquet-ns handling, keeping oracle parity.
+    """
     if name not in TABLES:
         raise KeyError(f"unknown fixture table {name!r}; known: {TABLES}")
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        from pyspark.sql import functions as F
+
+        return spark.read.parquet(path).withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000"))
+        )
+    return spark.read.parquet(path)
 
 
 def register_views(spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES) -> None:

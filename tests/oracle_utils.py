@@ -56,6 +56,13 @@ def assert_query_matches_oracle(spark_df, oracle_sql: str, sf_dir: str) -> None:
 
     a, e = _normalize(actual), _normalize(expected)
     for c in a.columns:
+        ak, ek = a[c].dtype.kind, e[c].dtype.kind
+        # int-vs-float drift (e.g. DuckDB HUGEINT → pandas float64)
+        # breaks the driver's value hash even when values are equal
+        assert ak == ek or {ak, ek} <= {"O", "U"}, (
+            f"col {c} dtype kind mismatch: spark={a[c].dtype} oracle={e[c].dtype}"
+        )
+    for c in a.columns:
         av, ev = a[c].tolist(), e[c].tolist()
         for i, (x, y) in enumerate(zip(av, ev)):
             if isinstance(x, float) and isinstance(y, float):

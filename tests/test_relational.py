@@ -1,0 +1,41 @@
+"""Oracle-parity checks for the relational surface at sf0.001 —
+the local replica of the driver's gate (every registered query with an
+oracle must hash-match)."""
+
+from __future__ import annotations
+
+import pytest
+
+from robin_sparkles_spark.operators import relational
+
+from .oracle_utils import assert_query_matches_oracle
+
+
+@pytest.mark.parametrize("name", sorted(relational.QUERIES))
+def test_oracle_parity(spark, sf_dir, name):
+    fn, oracle = relational.QUERIES[name]
+    assert_query_matches_oracle(fn(spark, sf_dir), oracle, sf_dir)
+
+
+def test_q1_shape(spark, sf_dir):
+    rows = relational.q1_pricing_summary(spark, sf_dir).collect()
+    # returnflag × linestatus combos; every aggregate positive
+    assert 0 < len(rows) <= 9
+    for r in rows:
+        assert r.sum_qty > 0 and r.count_order > 0
+        assert abs(r.avg_qty - r.sum_qty / r.count_order) < 1e-9
+
+
+def test_top_customers_is_sorted(spark, sf_dir):
+    rows = relational.top_customers_revenue(spark, sf_dir).collect()
+    assert len(rows) == 10
+    spent = [r.total_spent for r in rows]
+    assert spent == sorted(spent, reverse=True)
+
+
+def test_rollup_grand_total(spark, sf_dir):
+    rows = relational.orders_rollup(spark, sf_dir).collect()
+    grand = [r for r in rows if r.year == "ALL" and r.priority == "ALL"]
+    assert len(grand) == 1
+    per_year = sum(r.n_orders for r in rows if r.year != "ALL" and r.priority == "ALL")
+    assert grand[0].n_orders == per_year
