@@ -24,6 +24,19 @@ sys.path.insert(0, REPO_ROOT)
 # families; extended as phases land).
 HEADLINE = [
     "wordcount_stopword",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_region_revenue",
+    "top_customers_revenue",
+    "order_lineitem_rollup",
+    "window_running_user_spend",
+    "events_user_stats",
+    "text_quality",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "ann_bruteforce_topk",
+    "ann_lsh_topk",
 ]
 
 

@@ -1,0 +1,99 @@
+"""Batch twins of the streaming aggregations (SURVEY.md §7 Phase 4).
+
+Each function applies the *same* window expressions as
+``streaming.events`` to the batch events scan — DuckDB oracles check
+these, and tests/test_streaming.py asserts stream output == batch
+output, so the streaming operators are transitively oracle-checked
+(DuckDB can't stream; this is the strongest check available, and the
+driver sees full hash-matches for the batch twins).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
+
+from ..sources import load_table
+from ..streaming.events import (
+    session_window_stream,
+    sliding_counts_stream,
+    tumbling_counts_stream,
+)
+
+
+def events_tumbling_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1 h count/sum per event_type (batch twin of the
+    streaming tumbling aggregation — identical expressions)."""
+    return tumbling_counts_stream(load_table(spark, sf_dir, "events"))
+
+
+EVENTS_TUMBLING_SQL = """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M') AS window_start,
+       event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
+def events_sliding_30_15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding 30 min / 15 min windows (batch twin)."""
+    return sliding_counts_stream(load_table(spark, sf_dir, "events"))
+
+
+# A 30/15 sliding window assigns each event to exactly two windows:
+# the 15-min bucket it falls in and the previous one.
+EVENTS_SLIDING_SQL = """
+WITH buckets AS (
+  SELECT make_timestamp((epoch_us(ts) // 900000000) * 900000000) AS window_start, event_type FROM events
+  UNION ALL
+  SELECT make_timestamp((epoch_us(ts) // 900000000) * 900000000 - 900000000) AS window_start, event_type FROM events
+)
+SELECT strftime(window_start, '%Y-%m-%d %H:%M') AS window_start,
+       event_type,
+       COUNT(*) AS n_events
+FROM buckets
+GROUP BY 1, 2
+"""
+
+
+def user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user session windows, batch twin of session_window_stream.
+
+    Computed with the built-in ``session_window`` (works in batch
+    too); the oracle reproduces the sessions with gaps-and-islands
+    (lag + cumulative sum over the ≥gap breaks), which is also the
+    classic batch sessionization shape at scale — one window over
+    (user_id, ts), no state store."""
+    return session_window_stream(load_table(spark, sf_dir, "events"))
+
+
+USER_SESSIONS_SQL = """
+WITH marked AS (
+  SELECT user_id, ts, value,
+         CASE WHEN LAG(ts) OVER w IS NULL
+                OR epoch_us(ts) - epoch_us(LAG(ts) OVER w) >= 1800000000
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+islands AS (
+  SELECT user_id, ts, value,
+         SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                           ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM marked
+)
+SELECT user_id,
+       strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS session_value
+FROM islands
+GROUP BY user_id, session_id
+"""
+
+
+QUERIES = {
+    "events_tumbling_1h": (events_tumbling_1h, EVENTS_TUMBLING_SQL),
+    "events_sliding_30_15": (events_sliding_30_15, EVENTS_SLIDING_SQL),
+    "user_sessions": (user_sessions, USER_SESSIONS_SQL),
+}

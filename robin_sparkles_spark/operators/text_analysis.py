@@ -1,0 +1,179 @@
+"""Text-analysis operators over the documents corpus (EXT —
+BASELINE.json north star; SURVEY.md §7 Phase 3a): token counting,
+quality scoring, language-ID heuristic, document fingerprinting.
+
+Everything is built from Catalyst expressions (split / transform /
+aggregate / regexp) — zero Python on the data path, so at 100 TB these
+run inside whole-stage codegen with only a parquet scan + final
+(tiny) aggregation, or as pure per-row projections with no shuffle at
+all.
+
+Oracle-parity constraint shaping the design: no transcendental
+functions (libm results differ across engines) and no engine-native
+hash functions — quality scores are rational arithmetic, fingerprints
+are the polynomial hash from functions.hashing (bit-identical in
+DuckDB).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..functions.hashing import MERSENNE_P, POLY_BASE, poly_fingerprint, poly_fingerprint_sql
+from ..sources import load_table
+
+# A word-regex "BPE-ish" token estimate: letter runs, digit runs, or
+# single non-alphanumeric glyphs — the classic pre-tokenizer shape.
+TOKEN_REGEX = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+
+STOPWORDS = ("the", "a", "in", "was", "there", "she", "he", "and", "of", "to", "is")
+_STOP_SQL = ", ".join(f"'{w}'" for w in STOPWORDS)
+
+
+# --- token counting ---------------------------------------------------------
+
+def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace tokens + regex (pre-tokenizer) token estimate per
+    document."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    return d.select(
+        "doc_id",
+        F.size(F.filter(toks, lambda t: F.length(t) > 0)).cast("long").alias("n_words"),
+        F.regexp_count(F.col("text"), F.lit(TOKEN_REGEX)).cast("long").alias("n_tokens_bpeish"),
+        F.col("n_chars"),
+    )
+
+
+TOKEN_COUNT_SQL = f"""
+SELECT doc_id,
+       CAST(len(list_filter(string_split(text, ' '), t -> len(t) > 0)) AS BIGINT) AS n_words,
+       CAST(len(regexp_extract_all(text, '{TOKEN_REGEX}')) AS BIGINT) AS n_tokens_bpeish,
+       n_chars
+FROM documents
+"""
+
+
+# --- quality scoring --------------------------------------------------------
+
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length / stopword / token-shape quality signals with a rational
+    composite score in [0,1] (no exp/log — libm parity trap)."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.col("text"), " "), lambda t: F.length(t) > 0)
+    n_words = F.size(toks).cast("double")
+    n_stop = F.size(F.filter(toks, lambda t: t.isin(list(STOPWORDS)))).cast("double")
+    sum_len = F.aggregate(toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t)).cast(
+        "double"
+    )
+    avg_word_len = sum_len / n_words
+    stop_ratio = n_stop / n_words
+    length_ok = F.col("n_chars").between(100, 2000).cast("double")
+    score = (
+        F.lit(0.5) * stop_ratio
+        + F.lit(0.3) * (F.least(avg_word_len, F.lit(8.0)) / F.lit(8.0))
+        + F.lit(0.2) * length_ok
+    )
+    return d.select(
+        "doc_id",
+        n_words.cast("long").alias("n_words"),
+        stop_ratio.alias("stop_ratio"),
+        avg_word_len.alias("avg_word_len"),
+        score.alias("quality_score"),
+    )
+
+
+TEXT_QUALITY_SQL = f"""
+WITH t AS (
+  SELECT doc_id, n_chars,
+         list_filter(string_split(text, ' '), x -> len(x) > 0) AS toks
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(toks) AS BIGINT) AS n_words,
+       CAST(len(list_filter(toks, x -> x IN ({_STOP_SQL}))) AS DOUBLE) / len(toks) AS stop_ratio,
+       CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(toks, x -> CAST(len(x) AS BIGINT))), (a, b) -> a + b) AS DOUBLE) / len(toks) AS avg_word_len,
+       0.5 * (CAST(len(list_filter(toks, x -> x IN ({_STOP_SQL}))) AS DOUBLE) / len(toks))
+       + 0.3 * (least(CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(toks, x -> CAST(len(x) AS BIGINT))), (a, b) -> a + b) AS DOUBLE) / len(toks), 8.0) / 8.0)
+       + 0.2 * (CASE WHEN n_chars BETWEEN 100 AND 2000 THEN 1.0 ELSE 0.0 END) AS quality_score
+FROM t
+"""
+
+
+# --- language-ID heuristic --------------------------------------------------
+
+# Tiny function-word profiles. NOTE: the fixture corpus is synthetic —
+# every doc draws from one English-ish vocabulary regardless of its
+# ``lang`` column — so this cannot (and does not try to) recover that
+# column; it is the *operator* (deterministic profile-scoring argmax),
+# exercised and oracle-checked on real columns.
+LANG_PROFILES: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "and", "of", "is"),
+    "es": ("el", "la", "de", "y", "que"),
+    "de": ("der", "die", "das", "und", "ist"),
+    "fr": ("le", "la", "de", "et", "est"),
+}
+
+
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Function-word-profile language guess: score = hits per profile,
+    argmax with fixed profile order as tie-break ('und' < 'unknown'
+    when all scores are 0 → 'unknown')."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.col("text")), " ")
+    scores = {
+        lang: F.size(F.filter(toks, lambda t: t.isin(list(words))))
+        for lang, words in LANG_PROFILES.items()
+    }
+    # argmax walk in profile order; strictly-greater replaces, so the
+    # FIRST profile reaching the max score wins ties ('unknown' if all 0)
+    expr = F.lit("unknown")
+    score_expr = F.lit(0)
+    for lang in LANG_PROFILES:
+        s = scores[lang]
+        expr = F.when(s > score_expr, F.lit(lang)).otherwise(expr)
+        score_expr = F.greatest(score_expr, s)
+    return d.select("doc_id", "lang", expr.alias("lang_guess"))
+
+
+def _langid_sql() -> str:
+    hits = {
+        lang: f"len(list_filter(toks, t -> t IN ({', '.join(repr(w) for w in words)})))"
+        for lang, words in LANG_PROFILES.items()
+    }
+    # same first-max-wins walk, unrolled
+    expr, score = "'unknown'", "0"
+    for lang, h in hits.items():
+        expr = f"CASE WHEN {h} > {score} THEN '{lang}' ELSE {expr} END"
+        score = f"greatest({score}, {h})"
+    return f"""
+WITH t AS (SELECT doc_id, lang, string_split(lower(text), ' ') AS toks FROM documents)
+SELECT doc_id, lang, {expr} AS lang_guess FROM t
+"""
+
+
+TEXT_LANGID_SQL = _langid_sql()
+
+
+# --- document fingerprinting ------------------------------------------------
+
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling polynomial hash of the full text (functions.hashing) —
+    an engine-portable content fingerprint; dedup_exact uses the same
+    primitive at shingle level."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id", poly_fingerprint("text").alias("fingerprint"))
+
+
+DOC_FINGERPRINT_SQL = f"""
+SELECT doc_id, {poly_fingerprint_sql('text', POLY_BASE, MERSENNE_P)} AS fingerprint
+FROM documents
+"""
+
+
+QUERIES = {
+    "text_token_count": (text_token_count, TOKEN_COUNT_SQL),
+    "text_quality": (text_quality, TEXT_QUALITY_SQL),
+    "text_langid": (text_langid, TEXT_LANGID_SQL),
+    "doc_fingerprint": (doc_fingerprint, DOC_FINGERPRINT_SQL),
+}

@@ -42,10 +42,26 @@ class QuerySpec(NamedTuple):
 def _collect() -> dict[str, QuerySpec]:
     # Imported lazily so a syntax error in one operator module is easy
     # to localize, and so pyspark import cost is paid once.
-    from .operators import relational, wordcount_queries
+    from .operators import (
+        dedup,
+        multimodal,
+        relational,
+        similarity,
+        streaming_queries,
+        text_analysis,
+        wordcount_queries,
+    )
 
     registry: dict[str, QuerySpec] = {}
-    for module in (wordcount_queries, relational):
+    for module in (
+        wordcount_queries,
+        relational,
+        text_analysis,
+        dedup,
+        similarity,
+        multimodal,
+        streaming_queries,
+    ):
         for name, spec in module.QUERIES.items():
             if name in registry:
                 raise ValueError(f"duplicate query name {name!r}")

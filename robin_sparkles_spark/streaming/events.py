@@ -1,0 +1,135 @@
+"""Structured Streaming over the events table.
+
+Batch/stream parity design: every streaming aggregation here has a
+batch twin in ``operators.streaming_queries`` (same expressions over
+the same table read as a batch DataFrame) — the batch twin is what the
+DuckDB oracle checks, and tests assert stream==batch on the fixture
+data, so the streaming path is transitively oracle-checked.
+
+Scale notes: file-source streams partition per file at 100 TB
+(maxFilesPerTrigger bounds micro-batch size); all aggregations are
+keyed by (window, …) so state is bounded by watermark horizon ×
+keyspace; ``dropDuplicatesWithinWatermark`` keeps dedup state bounded
+by the watermark too.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
+
+# events.ts is parquet TIMESTAMP(NANOS) → long under nanosAsLong
+# (see sources.tables.load_table); the stream reader needs the schema
+# up front, so declare ts as long and rebuild the µs timestamp.
+EVENTS_RAW_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType(), True),
+        T.StructField("ts", T.LongType(), True),
+        T.StructField("user_id", T.LongType(), True),
+        T.StructField("event_type", T.StringType(), True),
+        T.StructField("value", T.DoubleType(), True),
+        T.StructField("props", T.StringType(), True),
+    ]
+)
+
+
+def events_stream(spark: SparkSession, sf_dir: str, max_files_per_trigger: int = 1) -> DataFrame:
+    """File-source stream over the events parquet (readStream →
+    the same rows the batch scan sees, delivered in micro-batches)."""
+    import hashlib
+    import os
+    import tempfile
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # The file stream source needs a DIRECTORY to watch; the fixture is
+    # a single read-only file → stage a symlink dir (no data copied).
+    # In production this is simply the landing directory new files
+    # arrive into.
+    src = os.path.realpath(os.path.join(sf_dir, "events.parquet"))
+    tag = hashlib.sha1(src.encode()).hexdigest()[:12]
+    watch_dir = os.path.join(tempfile.gettempdir(), f"rss_stream_{tag}")
+    os.makedirs(watch_dir, exist_ok=True)
+    link = os.path.join(watch_dir, "events.parquet")
+    if not os.path.exists(link):
+        os.symlink(src, link)
+    raw = (
+        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(watch_dir)
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def tumbling_counts_stream(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Tumbling 1-hour windows per event_type: count + exact-decimal
+    value sum. Append-mode-compatible (watermarked window keys)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
+        )
+        .select(
+            F.date_format(F.col("win.start"), "yyyy-MM-dd HH:mm").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def sliding_counts_stream(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Sliding windows (30 min length, 15 min slide) per event_type."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "30 minutes", "15 minutes").alias("win"), "event_type")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.date_format(F.col("win.start"), "yyyy-MM-dd HH:mm").alias("window_start"),
+            "event_type",
+            "n_events",
+        )
+    )
+
+
+def session_window_stream(events: DataFrame, gap: str = "30 minutes", watermark: str = "1 hour") -> DataFrame:
+    """Per-user session windows (gap-based) — the built-in stateful
+    session operator; the batch twin computes identical sessions with
+    gaps-and-islands (operators.streaming_queries.user_sessions)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("win"), "user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("session_value"),
+        )
+        .select(
+            "user_id",
+            F.date_format(F.col("win.start"), "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            "n_events",
+            "session_value",
+        )
+    )
+
+
+def deduped_stream(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Late-data dedup: dropDuplicatesWithinWatermark on event_id —
+    state bounded by the watermark horizon (the 100 TB-safe dedup for
+    at-least-once sources)."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(["event_id"])
+
+
+def run_stream_to_memory(stream_df: DataFrame, name: str, output_mode: str = "complete"):
+    """Drive a streaming query to completion over the (finite) fixture
+    files via the memory sink; returns the bounded result table name.
+    Test/smoke harness — production sinks are parquet/Kafka via
+    writeStream as usual."""
+    q = (
+        stream_df.writeStream.outputMode(output_mode)
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return name

@@ -1,0 +1,52 @@
+"""Multimodal plumbing tests: schemas, Arrow batch shape, cardinality
+behavior of the stubbed decode kernels, and the oracle-checked
+metadata slice."""
+
+from __future__ import annotations
+
+import pytest
+
+from robin_sparkles_spark.operators import multimodal as mm
+
+from .oracle_utils import assert_query_matches_oracle
+
+
+def test_media_table_schema(spark, sf_dir):
+    df = mm.media_from_documents(spark, sf_dir)
+    assert [f.name for f in df.schema.fields] == ["media_id", "payload", "mime", "meta"]
+    row = df.first()
+    assert isinstance(row.payload, (bytes, bytearray))
+    assert row.meta["lang"]
+
+
+def test_decode_stub_shapes(spark, sf_dir):
+    media = mm.media_from_documents(spark, sf_dir)
+    decoded = mm.decode_media_stub(media)
+    assert decoded.schema == mm.DECODED_SCHEMA
+    rows = decoded.collect()
+    assert len(rows) == media.count()  # 1:1 decode
+    for r in rows[:10]:
+        assert 64 <= r.width < 64 + 512
+        assert r.n_bytes > 0
+        assert len(r.features) == 4
+
+
+def test_frame_sample_expands_cardinality(spark, sf_dir):
+    media = mm.media_from_documents(spark, sf_dir)
+    frames = mm.frame_sample_stub(media, every_n=2)
+    n_media = media.count()
+    n_frames = frames.count()
+    assert n_frames >= n_media  # ≥1 frame per media row
+    first = frames.where("frame_idx = 0").count()
+    assert first == n_media
+
+
+def test_audio_stub_raises_cleanly(spark, sf_dir):
+    media = mm.media_from_documents(spark, sf_dir)
+    with pytest.raises(Exception, match="NotImplementedError|audio decode"):
+        mm.audio_features_stub(media).collect()
+
+
+def test_multimodal_meta_oracle(spark, sf_dir):
+    fn, oracle = mm.QUERIES["multimodal_meta"]
+    assert_query_matches_oracle(fn(spark, sf_dir), oracle, sf_dir)

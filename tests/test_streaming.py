@@ -1,0 +1,65 @@
+"""Structured Streaming tests: batch/stream parity (the streaming
+operators must produce exactly the batch twins' results on the finite
+fixture), plus oracle parity for the batch twins."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+from robin_sparkles_spark.operators import streaming_queries as sq
+from robin_sparkles_spark.streaming import events as se
+
+from .oracle_utils import assert_query_matches_oracle
+
+
+@pytest.mark.parametrize("name", sorted(sq.QUERIES))
+def test_batch_twin_oracle_parity(spark, sf_dir, name):
+    fn, oracle = sq.QUERIES[name]
+    assert_query_matches_oracle(fn(spark, sf_dir), oracle, sf_dir)
+
+
+def _sorted_pdf(df) -> pd.DataFrame:
+    pdf = df.toPandas()
+    cols = sorted(pdf.columns)
+    return pdf[cols].sort_values(by=cols, kind="mergesort").reset_index(drop=True)
+
+
+def _assert_stream_equals_batch(spark, stream_df, batch_df, name):
+    se.run_stream_to_memory(stream_df, name, output_mode="complete")
+    got = _sorted_pdf(spark.sql(f"SELECT * FROM {name}"))
+    want = _sorted_pdf(batch_df)
+    pd.testing.assert_frame_equal(got, want)
+
+
+def test_tumbling_stream_equals_batch(spark, sf_dir):
+    stream = se.tumbling_counts_stream(se.events_stream(spark, sf_dir))
+    batch = sq.events_tumbling_1h(spark, sf_dir)
+    _assert_stream_equals_batch(spark, stream, batch, "t_tumbling")
+
+
+def test_sliding_stream_equals_batch(spark, sf_dir):
+    stream = se.sliding_counts_stream(se.events_stream(spark, sf_dir))
+    batch = sq.events_sliding_30_15(spark, sf_dir)
+    _assert_stream_equals_batch(spark, stream, batch, "t_sliding")
+
+
+def test_session_stream_equals_batch(spark, sf_dir):
+    stream = se.session_window_stream(se.events_stream(spark, sf_dir))
+    batch = sq.user_sessions(spark, sf_dir)
+    _assert_stream_equals_batch(spark, stream, batch, "t_sessions")
+
+
+def test_dedup_stream_drops_nothing_on_unique_ids(spark, sf_dir):
+    # event_id is unique in the fixture → dedup stream passes all rows
+    stream = se.deduped_stream(se.events_stream(spark, sf_dir)).select("event_id")
+    se.run_stream_to_memory(stream, "t_dedup", output_mode="append")
+    n_stream = spark.sql("SELECT count(*) AS n FROM t_dedup").collect()[0].n
+    from robin_sparkles_spark.sources import load_table
+
+    assert n_stream == load_table(spark, sf_dir, "events").count()
+
+
+def test_watermark_is_set(spark, sf_dir):
+    stream = se.tumbling_counts_stream(se.events_stream(spark, sf_dir))
+    assert stream.isStreaming
