@@ -37,6 +37,8 @@ HEADLINE = [
     "dedup_simhash",
     "ann_bruteforce_topk",
     "ann_lsh_topk",
+    "events_tumbling_1h",
+    "user_sessions",
 ]
 
 

@@ -65,41 +65,57 @@ GROUP BY sha256(text)
 
 # --- shared shingle machinery ----------------------------------------------
 
-def _shingle_hashes() -> F.Column:
-    """Distinct 3-word-shingle polynomial hashes of ``text`` — the
-    document's set representation for Jaccard/MinHash. Pure Catalyst:
-    split → slide (transform over sequence) → char-fold hash."""
-    return F.expr(
-        f"""
-        array_distinct(transform(
-          transform(
-            sequence(0, size(split(text, ' ')) - 3),
-            i -> concat_ws(' ', split(text, ' ')[i], split(text, ' ')[i+1], split(text, ' ')[i+2])
-          ),
-          s -> aggregate(filter(split(s, ''), c -> length(c) > 0),
-                         CAST(0 AS BIGINT),
-                         (acc, c) -> (acc * 31 + ascii(c)) % {MERSENNE_P})
-        ))
-        """
-    )
+# Word-level hashes first, shingle combine second (two projection
+# steps): char-fold each WORD once, then hash each 3-gram as
+# ((w1*31+w2)*31+w3) mod p -- exact in int64 (max ~ p*993 < 2^42).
+# Hashing words once and combining beats re-folding every character of
+# every 3-gram string ~6x (each char would otherwise be hashed three
+# times, plus concat allocations) -- higher-order-function lambdas run
+# interpreted, so this constant factor dominates the dedup family's
+# cost. The two-step projection matters: ``wh`` is referenced four
+# times by the shingle expression, and Catalyst's CollapseProject
+# keeps multiply-referenced non-trivial aliases materialized instead
+# of inlining (re-computing) them.
+_WORD_HASH_EXPR = f"""
+  transform(filter(split(text, ' '), w -> length(w) > 0),
+            w -> aggregate(filter(split(w, ''), c -> length(c) > 0),
+                           CAST(0 AS BIGINT),
+                           (acc, c) -> (acc * 31 + ascii(c)) % {MERSENNE_P}))
+"""
 
+# if-guard instead of a WHERE: sequence(0, n) with n<0 would produce a
+# DESCENDING sequence in Spark (not an empty array), and a separate
+# size filter would get pushed below the projection, duplicating wh.
+_SHINGLES_FROM_WH = f"""
+  if(size(wh) >= 3,
+     array_distinct(transform(sequence(0, size(wh) - 3),
+                    i -> ((wh[i] * 31 + wh[i+1]) * 31 + wh[i+2]) % {MERSENNE_P})),
+     array(CAST(NULL AS BIGINT)))
+"""
 
+_WORD_HASHES_SQL = f"""
+  list_transform(list_filter(string_split(text, ' '), w -> len(w) > 0),
+                 w -> {poly_fingerprint_sql('w')})
+"""
+
+# DuckDB generate_series(1, n) is empty for n < 1 -- no guard needed.
 _SHINGLE_SQL = f"""
   list_distinct(list_transform(
-    list_transform(generate_series(1, len(string_split(text, ' ')) - 2),
-      i -> concat_ws(' ', string_split(text, ' ')[i], string_split(text, ' ')[i+1], string_split(text, ' ')[i+2])),
-    s -> {poly_fingerprint_sql('s')}
+    generate_series(1, len(wh) - 2),
+    i -> ((wh[i] * 31 + wh[i+1]) * 31 + wh[i+2]) % {MERSENNE_P}
   ))
 """
 
 
 def _shingle_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exploded (doc_id, shingle-hash) rows — the normalized form all
-    dedup variants aggregate from."""
+    """Exploded (doc_id, shingle-hash) rows -- the normalized form all
+    dedup variants aggregate from. Docs with fewer than 3 words vanish
+    here (empty shingle array explodes to zero rows)."""
     return (
         load_table(spark, sf_dir, "documents")
-        .where(F.size(F.split(F.col("text"), " ")) >= 3)
-        .select("doc_id", F.explode(_shingle_hashes()).alias("h"))
+        .select("doc_id", F.expr(_WORD_HASH_EXPR).alias("wh"))
+        .select("doc_id", F.explode(F.expr(_SHINGLES_FROM_WH)).alias("h"))
+        .where(F.col("h").isNotNull())
     )
 
 
@@ -120,8 +136,8 @@ def _docs_with_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _DOCS_SHINGLES_SQL = f"""
   SELECT doc_id, {_SHINGLE_SQL} AS sh
-  FROM documents
-  WHERE len(string_split(text, ' ')) >= 3
+  FROM (SELECT doc_id, {_WORD_HASHES_SQL} AS wh FROM documents)
+  WHERE len(wh) >= 3
 """
 
 _JACCARD = (

@@ -1,0 +1,85 @@
+"""Plan-shape audits: prove the headline queries compile to the plans
+a 100 TB deployment needs (pushdown, pruning, broadcast, no Python in
+the data path)."""
+
+from __future__ import annotations
+
+import pytest
+
+from robin_sparkles_spark.operators import dedup, relational, similarity
+from robin_sparkles_spark.plans import audit_plan
+
+
+def test_part_filter_pushdown_and_pruning(spark, sf_dir):
+    a = audit_plan(relational.part_filter_projection(spark, sf_dir))
+    # filter reached the parquet reader
+    assert a.pushed_filters, a.formatted
+    assert any("p_size" in f for f in a.pushed_filters)
+    # column pruning: 2-of-6-column read, not SELECT *
+    cols = a.read_columns()
+    assert "p_retailprice" in cols
+    assert "p_name" in cols
+    assert "p_type" not in cols, f"column pruning failed: {cols}"
+
+
+def test_q1_scan_pruning_and_codegen(spark, sf_dir):
+    a = audit_plan(relational.q1_pricing_summary(spark, sf_dir), execute=True)
+    assert a.pushed_filters  # l_shipdate predicate at the scan
+    assert "l_orderkey" not in a.read_columns()  # unused column pruned
+    assert a.has_codegen
+    assert not a.has_python_eval
+
+
+def test_q3_broadcasts_dimensions(spark, sf_dir):
+    a = audit_plan(relational.q3_shipping_priority(spark, sf_dir))
+    assert a.broadcast_joins >= 1, a.formatted  # customer dim broadcast
+    assert not a.has_python_eval
+
+
+def test_q5_star_join_broadcasts(spark, sf_dir):
+    a = audit_plan(relational.q5_region_revenue(spark, sf_dir))
+    # supplier/customer/nation/region should all be broadcast
+    assert a.broadcast_joins >= 3, a.formatted
+    assert not a.has_python_eval
+
+
+def test_semi_anti_join_shapes(spark, sf_dir):
+    semi = audit_plan(relational.customers_with_big_orders(spark, sf_dir))
+    assert "LeftSemi" in semi.formatted
+    anti = audit_plan(relational.customers_without_orders(spark, sf_dir))
+    assert "LeftAnti" in anti.formatted
+
+
+def test_no_python_eval_anywhere_in_registry(spark, sf_dir):
+    """The UDF ban (SURVEY.md §2.10): every declared query is pure
+    Catalyst — Python appears in no plan."""
+    from robin_sparkles_spark import registry
+
+    for name, spec in registry.all_queries().items():
+        a = audit_plan(spec.fn(spark, sf_dir))
+        assert not a.has_python_eval, f"{name} has Python eval:\n{a.formatted}"
+
+
+def test_minhash_band_join_is_equi_join(spark, sf_dir):
+    """The LSH candidate join must be a hash/sort-merge EQUI join on
+    the band key — not a nested-loop pair scan."""
+    a = audit_plan(dedup.dedup_minhash_lsh(spark, sf_dir))
+    assert a.sortmerge_joins + a.broadcast_joins >= 1, a.formatted
+
+
+def test_ann_lsh_join_is_equi_join(spark, sf_dir):
+    a = audit_plan(similarity.ann_lsh_topk(spark, sf_dir))
+    assert a.sortmerge_joins + a.broadcast_joins >= 1, a.formatted
+
+
+def test_signature_barrier_survives(spark, sf_dir):
+    """Regression guard for the per-pair recompute bug: the simhash
+    pair scan's join predicate must reference plain attributes, i.e.
+    the expensive hash must sit below an Aggregate. If the barrier is
+    ever optimized away, the shingle expression ('ascii(' fold) shows
+    up inside the join node."""
+    a = audit_plan(dedup.dedup_simhash(spark, sf_dir))
+    join_lines = [
+        l for l in a.formatted.splitlines() if "Join" in l and "ascii" in l
+    ]
+    assert not join_lines, join_lines
