@@ -1,0 +1,201 @@
+"""Second relational batch: pivot/unpivot, grouping sets, exact
+quantiles, and an as-of join — rounding out the A8/F9/"common OLAP
+patterns" surface (SURVEY.md §2 EXT rows; the as-of join is the
+classic operator Spark lacks natively, composed from a window).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
+
+from ..sources import load_table
+from .relational import _dsum, _ddsum_sql
+
+ORDER_STATUSES = ("F", "O", "P")
+
+
+# --- pivot ------------------------------------------------------------------
+
+def orders_pivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot order counts: one row per priority, one column per status
+    (explicit value list — at scale an implicit pivot would scan once
+    just to enumerate values)."""
+    o = load_table(spark, sf_dir, "orders")
+    df = (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", list(ORDER_STATUSES))
+        .count()
+    )
+    # pivot leaves null where a (priority, status) combo is absent
+    return df.select(
+        F.col("o_orderpriority").alias("priority"),
+        *[F.coalesce(F.col(s), F.lit(0)).alias(f"n_{s}") for s in ORDER_STATUSES],
+    )
+
+
+ORDERS_PIVOT_SQL = f"""
+SELECT o_orderpriority AS priority,
+       {', '.join(f"COALESCE(COUNT(*) FILTER (WHERE o_orderstatus = '{s}'), 0) AS n_{s}" for s in ORDER_STATUSES)}
+FROM orders
+GROUP BY o_orderpriority
+"""
+
+
+# --- unpivot (melt) ---------------------------------------------------------
+
+def lineitem_unpivot_charges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot the lineitem price components into (measure, amount)
+    rows — `unpivot`/`stack`, the inverse of pivot. Aggregated per
+    measure so the output is small and exactly summable."""
+    l = load_table(spark, sf_dir, "lineitem")
+    melted = l.unpivot(
+        ids=["l_orderkey"],
+        values=["l_extendedprice", "l_discount", "l_tax"],
+        variableColumnName="measure",
+        valueColumnName="amount",
+    )
+    return melted.groupBy("measure").agg(
+        F.count("*").alias("n"),
+        _dsum(F.col("amount"), 4).alias("total_amount"),
+    )
+
+
+LINEITEM_UNPIVOT_SQL = f"""
+SELECT measure, COUNT(*) AS n, {_ddsum_sql('amount', 4)} AS total_amount
+FROM (
+  UNPIVOT (SELECT l_orderkey, l_extendedprice, l_discount, l_tax FROM lineitem)
+  ON l_extendedprice, l_discount, l_tax
+  INTO NAME measure VALUE amount
+)
+GROUP BY measure
+"""
+
+
+# --- grouping sets ----------------------------------------------------------
+
+def orders_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS ((status), (priority)) — finer control
+    than rollup/cube; one pass, two aggregation granularities."""
+    o = load_table(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("rs2_orders")
+    return spark.sql(
+        f"""
+        SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+               COALESCE(o_orderpriority, 'ALL') AS priority,
+               COUNT(*) AS n_orders,
+               {_ddsum_sql('o_totalprice')} AS total_price
+        FROM rs2_orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+        """
+    )
+
+
+ORDERS_GROUPING_SETS_SQL = f"""
+SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+       COALESCE(o_orderpriority, 'ALL') AS priority,
+       COUNT(*) AS n_orders,
+       {_ddsum_sql('o_totalprice')} AS total_price
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+"""
+
+
+# --- exact quantiles --------------------------------------------------------
+
+def orders_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated quantiles of order value per priority.
+    Spark `percentile` and DuckDB `quantile_cont` share the
+    linear-interpolation definition, so values match bit-for-bit.
+    (At 100 TB the knob is `percentile_approx` / t-digest — documented
+    accuracy trade, not oracle-checkable across engines.)"""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.expr("percentile(o_totalprice, 0.25)").alias("p25"),
+        F.expr("percentile(o_totalprice, 0.5)").alias("p50"),
+        F.expr("percentile(o_totalprice, 0.75)").alias("p75"),
+    )
+
+
+ORDERS_QUANTILES_SQL = """
+SELECT o_orderpriority,
+       quantile_cont(o_totalprice, 0.25) AS p25,
+       quantile_cont(o_totalprice, 0.5) AS p50,
+       quantile_cont(o_totalprice, 0.75) AS p75
+FROM orders
+GROUP BY o_orderpriority
+"""
+
+
+# --- as-of join -------------------------------------------------------------
+
+def orders_asof_last_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AS-OF join (Spark has no native one — composed per the classic
+    union+window recipe): for each order, the most recent event of
+    user ``o_custkey`` at or before the order date.
+
+    Shape: tag both sides, union on the shared (key, time) axis, one
+    window pass carrying the last event forward, keep the order rows.
+    One shuffle on (key), no range-explosion — the scalable batch
+    as-of; `pd.merge_asof` via applyInPandas is the per-group
+    alternative when the window state would be wide."""
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("k"),
+        F.col("o_orderdate").alias("t"),
+        F.col("o_orderkey").alias("orderkey"),
+        F.lit(None).cast("long").alias("event_id"),
+        F.lit(1).alias("is_order"),
+    )
+    e = load_table(spark, sf_dir, "events").select(
+        F.col("user_id").alias("k"),
+        F.col("ts").alias("t"),
+        F.lit(None).cast("long").alias("orderkey"),
+        "event_id",
+        F.lit(0).alias("is_order"),
+    )
+    # events sort before orders at identical t (is_order ASC) so an
+    # exactly-simultaneous event counts as "at or before"
+    w = (
+        W.partitionBy("k")
+        .orderBy(F.asc("t"), F.asc("is_order"), F.asc("event_id"))
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    return (
+        o.unionByName(e)
+        .withColumn("last_event_id", F.last("event_id", ignorenulls=True).over(w))
+        .where(F.col("is_order") == 1)
+        .select(
+            F.col("k").alias("custkey"),
+            "orderkey",
+            "last_event_id",
+        )
+    )
+
+
+# DuckDB has a native ASOF JOIN — the oracle uses it directly, which
+# cross-validates the union+window composition against an independent
+# implementation of as-of semantics. Events are deduped per
+# (user, ts) keeping max event_id — the same winner the window's
+# event_id tie-break picks — and ts is cast to µs TIMESTAMP because
+# the Spark side compares at µs while raw DuckDB would compare at the
+# parquet's ns precision.
+ORDERS_ASOF_SQL = """
+WITH e AS (
+  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, MAX(event_id) AS event_id
+  FROM events GROUP BY user_id, CAST(ts AS TIMESTAMP)
+)
+SELECT o.o_custkey AS custkey,
+       o.o_orderkey AS orderkey,
+       e.event_id AS last_event_id
+FROM orders o
+ASOF LEFT JOIN e
+  ON o.o_custkey = e.user_id AND e.ts <= o.o_orderdate
+"""
+
+
+QUERIES = {
+    "orders_pivot_status": (orders_pivot_status, ORDERS_PIVOT_SQL),
+    "lineitem_unpivot_charges": (lineitem_unpivot_charges, LINEITEM_UNPIVOT_SQL),
+    "orders_grouping_sets": (orders_grouping_sets, ORDERS_GROUPING_SETS_SQL),
+    "orders_price_quantiles": (orders_price_quantiles, ORDERS_QUANTILES_SQL),
+    "orders_asof_last_event": (orders_asof_last_event, ORDERS_ASOF_SQL),
+}

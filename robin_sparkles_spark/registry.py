@@ -46,6 +46,7 @@ def _collect() -> dict[str, QuerySpec]:
         dedup,
         multimodal,
         relational,
+        relational2,
         similarity,
         streaming_queries,
         text_analysis,
@@ -56,6 +57,7 @@ def _collect() -> dict[str, QuerySpec]:
     for module in (
         wordcount_queries,
         relational,
+        relational2,
         text_analysis,
         dedup,
         similarity,

@@ -1,0 +1,42 @@
+"""Streaming ingestion for the metrics store (EXT — SURVEY.md §1.1
+D3): "collect metrics as runs happen" is the natural streaming
+generalization of the reference's flight-recorder-then-read-back batch
+pattern (Listener.scala:51-57).
+
+A Structured Streaming file source watches the store's
+``stage_metrics`` directory; each new ``run=N`` partition that lands
+becomes a micro-batch, and the rolling per-run summary stays current
+without re-reading history. At cluster scale this is how a fleet of
+applications feeds one shared tuning store: every app writes its run
+partition; one streaming summarizer maintains the recommendation
+inputs."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..metrics.schema import STAGE_METRICS_SCHEMA
+from ..metrics.store import MetricsStore
+
+
+def stage_metrics_stream(spark: SparkSession, store: MetricsStore) -> DataFrame:
+    """Stream of stage-metric rows as run partitions land. The ``run``
+    partition column is recovered from the directory name via
+    ``basePath`` (Hive-style discovery works for file streams too)."""
+    return (
+        spark.readStream.schema(STAGE_METRICS_SCHEMA)
+        .option("basePath", store.stage_path)
+        .option("maxFilesPerTrigger", 16)
+        .parquet(store.stage_path + "/run=*")
+    )
+
+
+def rolling_run_summary(stage_stream: DataFrame) -> DataFrame:
+    """Rolling per-run rollup of the tuner's inputs: stage count,
+    total CPU, max shuffle write. Complete-mode aggregation keyed by
+    run — state is one row per run, bounded by run count."""
+    return stage_stream.groupBy("run").agg(
+        F.count("*").alias("n_stages"),
+        F.sum("executor_cpu_time_ms").alias("total_cpu_ms"),
+        F.max("shuffle_bytes_written").alias("max_shuffle_write"),
+    )

@@ -6,14 +6,16 @@ from __future__ import annotations
 
 import pytest
 
-from robin_sparkles_spark.operators import relational
+from robin_sparkles_spark.operators import relational, relational2
 
 from .oracle_utils import assert_query_matches_oracle
 
+ALL = {**relational.QUERIES, **relational2.QUERIES}
 
-@pytest.mark.parametrize("name", sorted(relational.QUERIES))
+
+@pytest.mark.parametrize("name", sorted(ALL))
 def test_oracle_parity(spark, sf_dir, name):
-    fn, oracle = relational.QUERIES[name]
+    fn, oracle = ALL[name]
     assert_query_matches_oracle(fn(spark, sf_dir), oracle, sf_dir)
 
 

@@ -1,0 +1,74 @@
+"""Skew-salting and streaming metrics ingestion tests."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from robin_sparkles_spark.functions.skew import salted_join
+from robin_sparkles_spark.metrics.store import MetricsStore
+from robin_sparkles_spark.sources import load_table
+from robin_sparkles_spark.streaming.metrics_ingest import (
+    rolling_run_summary,
+    stage_metrics_stream,
+)
+
+from .test_metrics_store import synthetic_run
+
+
+def test_salted_join_equals_plain_join(spark, sf_dir):
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
+
+    plain = (
+        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .groupBy("o_orderstatus")
+        .agg(F.count("*").alias("n"), F.sum("l_quantity").alias("q"))
+    )
+    salted = (
+        salted_join(
+            lineitem.withColumnRenamed("l_orderkey", "k"),
+            orders.withColumnRenamed("o_orderkey", "k"),
+            on=["k"],
+            n_salts=8,
+        )
+        .groupBy("o_orderstatus")
+        .agg(F.count("*").alias("n"), F.sum("l_quantity").alias("q"))
+    )
+    a = {r.o_orderstatus: (r.n, r.q) for r in plain.collect()}
+    b = {r.o_orderstatus: (r.n, r.q) for r in salted.collect()}
+    assert a == b
+
+
+def test_salted_join_spreads_keys(spark):
+    # a pathologically skewed fact: one key carries 90% of rows
+    fact = spark.range(10_000).selectExpr(
+        "IF(id < 9000, 1, id) AS k", "id AS payload"
+    )
+    dim = spark.range(10_000).selectExpr("id AS k", "id * 2 AS attr")
+    out = salted_join(fact, dim, on=["k"], n_salts=8)
+    assert out.count() == 10_000
+
+
+def test_streaming_metrics_ingest(spark, tmp_path):
+    """Write runs into the store, stream them back, check the rolling
+    summary matches the batch stage_summary rollup."""
+    store = MetricsStore(spark, str(tmp_path), "stream_app")
+    store.write_run(0, *synthetic_run(0, n_tasks=8, cpu_ms=105))
+    store.write_run(1, *synthetic_run(1, n_tasks=11, cpu_ms=90))
+
+    summary = rolling_run_summary(stage_metrics_stream(spark, store))
+    q = (
+        summary.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("t_metrics_ingest")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = {
+        r.run: (r.n_stages, r.total_cpu_ms)
+        for r in spark.sql("SELECT * FROM t_metrics_ingest").collect()
+    }
+    assert set(rows) == {0, 1}
+    assert rows[0][0] == 3  # 3 stages per run
+    assert rows[1][1] == 90 + 90 * 3 * 2  # dominant 90 + two others at 270
