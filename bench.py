@@ -39,6 +39,8 @@ HEADLINE = [
     "ann_lsh_topk",
     "events_tumbling_1h",
     "user_sessions",
+    "text_top_terms",
+    "orders_asof_last_event",
 ]
 
 

@@ -171,9 +171,68 @@ FROM documents
 """
 
 
+# --- TF-IDF-style top terms -------------------------------------------------
+
+TOP_TERMS_K = 3
+
+
+def text_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyword extraction: top-K terms per doc by tf·(N/df) — the
+    classic TF-IDF shape with a *rational* idf (N/df instead of
+    log(N/df)): log is libm territory where engines differ in the last
+    ulp, and the monotone transform doesn't change the ranking anyway.
+
+    Two shuffles: (doc, word) term counts, then word → document
+    frequency joined back (df table is |vocab|-sized — broadcastable
+    at any corpus scale)."""
+    d = load_table(spark, sf_dir, "documents")
+    words = d.select(
+        "doc_id",
+        F.explode(F.filter(F.split(F.col("text"), " "), lambda t: F.length(t) > 0)).alias(
+            "word"
+        ),
+    )
+    tf = words.groupBy("doc_id", "word").agg(F.count("*").alias("tf"))
+    df_ = words.groupBy("word").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = d.count()  # scalar; one tiny job
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("word"))
+    return (
+        tf.join(F.broadcast(df_), "word")
+        .withColumn("score", (F.col("tf") * F.lit(n_docs)).cast("double") / F.col("df"))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= TOP_TERMS_K)
+        .select("doc_id", "word", "score", F.col("rank").cast("long").alias("rank"))
+    )
+
+
+TEXT_TOP_TERMS_SQL = f"""
+WITH words AS (
+  SELECT doc_id, unnest(list_filter(string_split(text, ' '), t -> len(t) > 0)) AS word
+  FROM documents
+),
+tf AS (SELECT doc_id, word, COUNT(*) AS tf FROM words GROUP BY doc_id, word),
+df AS (SELECT word, COUNT(DISTINCT doc_id) AS df FROM words GROUP BY word),
+n AS (SELECT COUNT(*) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.word,
+         CAST(tf.tf * n.n_docs AS DOUBLE) / df.df AS score
+  FROM tf JOIN df USING (word) CROSS JOIN n
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, word ASC) AS rn
+  FROM scored
+)
+SELECT doc_id, word, score, CAST(rn AS BIGINT) AS rank
+FROM ranked WHERE rn <= {TOP_TERMS_K}
+"""
+
+
 QUERIES = {
     "text_token_count": (text_token_count, TOKEN_COUNT_SQL),
     "text_quality": (text_quality, TEXT_QUALITY_SQL),
     "text_langid": (text_langid, TEXT_LANGID_SQL),
     "doc_fingerprint": (doc_fingerprint, DOC_FINGERPRINT_SQL),
+    "text_top_terms": (text_top_terms, TEXT_TOP_TERMS_SQL),
 }

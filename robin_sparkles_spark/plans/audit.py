@@ -73,9 +73,16 @@ def audit_plan(df: DataFrame, execute: bool = False) -> PlanAudit:
                 audit.pushed_filters.append(payload)
         if stripped.startswith("ReadSchema:"):
             audit.read_schemas.append(stripped.split(":", 1)[1].strip())
-    audit.broadcast_joins = plan.count("BroadcastHashJoin")
-    audit.sortmerge_joins = plan.count("SortMergeJoin")
-    audit.bnl_joins = plan.count("BroadcastNestedLoopJoin")
+    # formatted mode prints each node twice (tree + "(n) Node" detail
+    # header); count the detail headers so node counts are exact
+    import re
+
+    def _nodes(name: str) -> int:
+        return len(re.findall(rf"^\(\d+\) {name}\b", plan, re.MULTILINE))
+
+    audit.broadcast_joins = _nodes("BroadcastHashJoin")
+    audit.sortmerge_joins = _nodes("SortMergeJoin")
+    audit.bnl_joins = _nodes("BroadcastNestedLoopJoin")
     audit.has_python_eval = ("BatchEvalPython" in plan) or ("ArrowEvalPython" in plan)
-    audit.exchanges = plan.count("Exchange")
+    audit.exchanges = _nodes("Exchange") + _nodes("BroadcastExchange") + _nodes("AQEShuffleRead")
     return audit

@@ -1,0 +1,73 @@
+"""Property-based invariants over the text operators (Hypothesis
+drives random corpora through the real Spark pipeline — SURVEY.md §5.3
+test plan; batched per-class so Spark jobs stay few)."""
+
+from __future__ import annotations
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from robin_sparkles_spark.functions.hashing import MERSENNE_P
+from robin_sparkles_spark.operators.wordcount import with_stop_words_filtered
+from robin_sparkles_spark.operators.wordcount_queries import REF_SEPARATORS, REF_STOP_WORDS
+from robin_sparkles_spark.sources import text_corpus_df
+
+# printable-ish corpus lines incl. separators and unicode noise
+line_st = st.text(
+    alphabet=st.characters(blacklist_categories=("Cs", "Cc")), max_size=80
+)
+
+
+@settings(max_examples=12, deadline=None)  # each example runs a Spark job
+@given(lines=st.lists(line_st, max_size=6))
+def test_wordcount_invariants(spark, lines):
+    counts = dict(
+        with_stop_words_filtered(
+            text_corpus_df(spark, lines),
+            separators=REF_SEPARATORS,
+            stop_words=REF_STOP_WORDS,
+        ).collect()
+    )
+    seps = set(REF_SEPARATORS)
+    for word, n in counts.items():
+        assert n >= 1
+        assert word == word.lower().strip()           # normalized (P2)
+        assert word not in REF_STOP_WORDS             # filtered (P3)
+        assert word != ""                             # no empties (P3)
+        assert not (set(word) & seps)                 # fully split (P1)
+    # conservation: total counted tokens ≤ total separator-split tokens
+    raw_tokens = sum(
+        len([t for t in _split(line, REF_SEPARATORS) if t.strip()]) for line in lines
+    )
+    assert sum(counts.values()) <= raw_tokens
+
+
+def _split(line: str, separators: str) -> list[str]:
+    out, cur = [], ""
+    for ch in line:
+        if ch in separators:
+            out.append(cur)
+            cur = ""
+        else:
+            cur += ch
+    out.append(cur)
+    return out
+
+
+@settings(max_examples=12, deadline=None)
+@given(texts=st.lists(st.text(max_size=60), min_size=1, max_size=5))
+def test_poly_fingerprint_bounds_and_determinism(spark, texts):
+    from pyspark.sql import functions as F
+
+    from robin_sparkles_spark.functions.hashing import poly_fingerprint
+
+    df = spark.createDataFrame([(t,) for t in texts], "text string").select(
+        poly_fingerprint("text").alias("fp"), "text"
+    )
+    rows = df.collect()
+    by_text = {}
+    for r in rows:
+        assert 0 <= r.fp < MERSENNE_P
+        by_text.setdefault(r.text, set()).add(r.fp)
+    # determinism: same text → same fingerprint
+    assert all(len(v) == 1 for v in by_text.values())
