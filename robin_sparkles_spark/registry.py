@@ -43,10 +43,12 @@ def _collect() -> dict[str, QuerySpec]:
     # Imported lazily so a syntax error in one operator module is easy
     # to localize, and so pyspark import cost is paid once.
     from .operators import (
+        clustering,
         dedup,
         multimodal,
         relational,
         relational2,
+        relational3,
         similarity,
         streaming_queries,
         text_analysis,
@@ -58,11 +60,13 @@ def _collect() -> dict[str, QuerySpec]:
         wordcount_queries,
         relational,
         relational2,
+        relational3,
         text_analysis,
         dedup,
         similarity,
         multimodal,
         streaming_queries,
+        clustering,
     ):
         for name, spec in module.QUERIES.items():
             if name in registry:

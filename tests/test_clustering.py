@@ -1,0 +1,71 @@
+"""k-means + IVF semantics (no SQL oracle exists for iterative ops —
+these tests are their correctness gate) and relational3 parity."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from robin_sparkles_spark.operators import clustering, relational3
+from robin_sparkles_spark.operators.similarity import ann_bruteforce_topk
+
+from .oracle_utils import assert_query_matches_oracle
+
+
+@pytest.mark.parametrize("name", sorted(relational3.QUERIES))
+def test_relational3_oracle_parity(spark, sf_dir, name):
+    fn, oracle = relational3.QUERIES[name]
+    assert_query_matches_oracle(fn(spark, sf_dir), oracle, sf_dir)
+
+
+def test_kmeans_assign_complete_and_valid(spark, sf_dir):
+    df = clustering.kmeans_assign(spark, sf_dir)
+    rows = df.collect()
+    n_vecs = spark.read.parquet(f"{sf_dir}/embeddings.parquet").count()
+    assert len(rows) == n_vecs                       # one row per vector
+    assert len({r.vec_id for r in rows}) == n_vecs   # no dup assignment
+    assert all(0 <= r.cluster < clustering.K_CLUSTERS for r in rows)
+    # clusters should be non-degenerate: more than one in use
+    assert df.select("cluster").distinct().count() > 1
+
+
+def test_kmeans_iterations_reduce_inertia(spark, sf_dir):
+    from robin_sparkles_spark.operators.clustering import (
+        _assign_expr,
+        _vectors,
+        kmeans_fit,
+    )
+
+    def inertia(centroids):
+        vecs = _vectors(spark, sf_dir).withColumn("cluster", _assign_expr(centroids))
+        dim = len(centroids[0])
+        dist = None
+        for i, c in enumerate(centroids):
+            d = sum(
+                (F.element_at("v", j + 1) - float(c[j])) ** 2 for j in range(dim)
+            )
+            dist = d if dist is None else F.when(F.col("cluster") == i, d).otherwise(dist)
+        return vecs.select(F.sum(dist).alias("s")).collect()[0].s
+
+    c1 = kmeans_fit(spark, sf_dir, n_iter=1)
+    c5 = kmeans_fit(spark, sf_dir, n_iter=5)
+    assert inertia(c5) <= inertia(c1) + 1e-9
+
+
+def test_ivf_subset_of_bruteforce_space(spark, sf_dir):
+    """IVF scores must agree exactly with brute force on shared
+    (query, neighbor) pairs; recall is partial by design (nprobe=1)."""
+    bf = {
+        (r.query_id, r.neighbor_id): r.cos_sim
+        for r in ann_bruteforce_topk(spark, sf_dir).collect()
+    }
+    ivf_rows = clustering.ann_ivf_topk(spark, sf_dir).collect()
+    assert ivf_rows
+    shared = 0
+    for r in ivf_rows:
+        key = (r.query_id, r.neighbor_id)
+        if key in bf:
+            shared += 1
+            assert abs(bf[key] - r.cos_sim) < 1e-12
+    assert shared > 0  # data-adaptive cells recover some true neighbors

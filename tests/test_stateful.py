@@ -1,0 +1,48 @@
+"""applyInPandasWithState operator: final state must equal the batch
+aggregation over the same data (micro-batched with maxFilesPerTrigger
+the fixture arrives as one batch; cents-state keeps sums exact
+regardless of batch split)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from robin_sparkles_spark.sources import load_table
+from robin_sparkles_spark.streaming.events import events_stream
+from robin_sparkles_spark.streaming.stateful import user_profile_stream
+
+
+def test_stateful_profile_equals_batch(spark, sf_dir):
+    out = user_profile_stream(events_stream(spark, sf_dir))
+    q = (
+        out.writeStream.format("memory")
+        .queryName("t_profiles")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # update mode can emit a row per key per batch — keep the last
+    got = {
+        r.user_id: (r.n_events, r.total_spend)
+        for r in spark.sql(
+            """SELECT user_id, n_events, total_spend FROM (
+                 SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY n_events DESC) rn
+                 FROM t_profiles) WHERE rn = 1"""
+        ).collect()
+    }
+    batch = {
+        r.user_id: (r.n, round(r.s, 2))
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("s"),
+        )
+        .collect()
+    }
+    assert got.keys() == batch.keys()
+    for uid, (n, spend) in batch.items():
+        g_n, g_spend = got[uid]
+        assert g_n == n
+        assert abs(g_spend - spend) < 0.005  # cents-exact
