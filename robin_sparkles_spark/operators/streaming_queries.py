@@ -10,7 +10,7 @@ driver sees full hash-matches for the batch twins).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
+from pyspark.sql import DataFrame, SparkSession
 
 from ..sources import load_table
 from ..streaming.events import (

@@ -229,10 +229,80 @@ FROM ranked WHERE rn <= {TOP_TERMS_K}
 """
 
 
+# --- repetition scoring -----------------------------------------------------
+
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition ratio per doc: 1 − distinct/total 3-gram shingles —
+    the standard boilerplate/degenerate-text signal in training-data
+    filtering (a doc that loops one phrase scores near 1)."""
+    from .dedup import _WORD_HASH_EXPR
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(_WORD_HASH_EXPR).alias("wh")
+    )
+    total = F.greatest(F.size("wh") - 2, F.lit(0))
+    distinct = F.expr(
+        f"size(array_distinct(transform(sequence(0, greatest(size(wh) - 3, -1)),"
+        f" i -> ((wh[i] * 31 + wh[i+1]) * 31 + wh[i+2]) % {MERSENNE_P})))"
+    )
+    return d.where(F.size("wh") >= 3).select(
+        "doc_id",
+        total.cast("long").alias("n_shingles"),
+        (F.lit(1.0) - distinct.cast("double") / total).alias("repetition_ratio"),
+    )
+
+
+def _text_repetition_sql() -> str:
+    from .dedup import _WORD_HASHES_SQL
+
+    return f"""
+WITH wh_docs AS (SELECT doc_id, {_WORD_HASHES_SQL} AS wh FROM documents)
+SELECT doc_id,
+       CAST(len(wh) - 2 AS BIGINT) AS n_shingles,
+       1.0 - CAST(len(list_distinct(list_transform(generate_series(1, len(wh) - 2),
+               i -> ((wh[i] * 31 + wh[i+1]) * 31 + wh[i+2]) % {MERSENNE_P}))) AS DOUBLE)
+             / (len(wh) - 2) AS repetition_ratio
+FROM wh_docs
+WHERE len(wh) >= 3
+"""
+
+
+# --- hash-stable stratified sampling ----------------------------------------
+
+# Per-language sampling rates (percent). Content-hash-based systematic
+# sampling: deterministic, reproducible across engines AND across
+# reprocessing runs — the property that matters for training-data
+# pipelines (a re-run must sample the same documents; rand(seed) ties
+# sampling to partitioning, a content hash doesn't).
+SAMPLE_RATES = {"en": 50, "de": 20, "es": 20, "fr": 20, "zh": 20}
+
+
+def docs_stable_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    bucket = poly_fingerprint("text") % 100
+    rate = F.lit(10)
+    for lang, r in SAMPLE_RATES.items():
+        rate = F.when(F.col("lang") == lang, F.lit(r)).otherwise(rate)
+    return d.where(bucket < rate).select("doc_id", "lang")
+
+
+def _docs_stable_sample_sql() -> str:
+    cases = " ".join(
+        f"WHEN lang = '{lang}' THEN {r}" for lang, r in SAMPLE_RATES.items()
+    )
+    return f"""
+SELECT doc_id, lang
+FROM documents
+WHERE {poly_fingerprint_sql('text')} % 100 < (CASE {cases} ELSE 10 END)
+"""
+
+
 QUERIES = {
     "text_token_count": (text_token_count, TOKEN_COUNT_SQL),
     "text_quality": (text_quality, TEXT_QUALITY_SQL),
     "text_langid": (text_langid, TEXT_LANGID_SQL),
     "doc_fingerprint": (doc_fingerprint, DOC_FINGERPRINT_SQL),
     "text_top_terms": (text_top_terms, TEXT_TOP_TERMS_SQL),
+    "text_repetition": (text_repetition, _text_repetition_sql()),
+    "docs_stable_sample": (docs_stable_sample, _docs_stable_sample_sql()),
 }
