@@ -87,7 +87,64 @@ GROUP BY label
 """
 
 
+def window_order_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution analytics windows: ntile quartiles + percent_rank
+    + cume_dist over order value per priority. A total order (price,
+    orderkey) makes ntile deterministic; percent_rank/cume_dist are
+    rational (rank arithmetic / row counts) — no float drift."""
+    from pyspark.sql import Window as W
+
+    o = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_orderpriority").orderBy(
+        F.asc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+    )
+
+
+WINDOW_ORDER_ANALYTICS_SQL = """
+SELECT o_orderkey, o_orderpriority,
+       CAST(NTILE(4) OVER w AS BIGINT) AS quartile,
+       PERCENT_RANK() OVER w AS pct_rank,
+       CUME_DIST() OVER w AS cume
+FROM orders
+WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice ASC, o_orderkey ASC)
+"""
+
+
+def part_string_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String-function surface (F8/F9): regexp_extract, substring,
+    upper, concat, levenshtein (identical DP algorithm both engines),
+    LIKE-style filtering."""
+    p = load_table(spark, sf_dir, "part")
+    return p.where(F.col("p_type").like("%a%")).select(
+        "p_partkey",
+        F.regexp_extract("p_brand", r"Brand#(\d+)", 1).cast("long").alias("brand_num"),
+        F.upper(F.substring("p_name", 1, 4)).alias("name_prefix"),
+        F.concat_ws("/", "p_brand", "p_type").alias("brand_type"),
+        F.levenshtein("p_name", F.lit("standard part")).cast("long").alias("lev_dist"),
+    )
+
+
+PART_STRING_SQL = """
+SELECT p_partkey,
+       CAST(regexp_extract(p_brand, 'Brand#(\\d+)', 1) AS BIGINT) AS brand_num,
+       upper(substring(p_name, 1, 4)) AS name_prefix,
+       concat_ws('/', p_brand, p_type) AS brand_type,
+       CAST(levenshtein(p_name, 'standard part') AS BIGINT) AS lev_dist
+FROM part
+WHERE p_type LIKE '%a%'
+"""
+
+
 QUERIES = {
     "q17_small_quantity_revenue": (q17_small_quantity_revenue, Q17_SQL),
     "embedding_array_stats": (embedding_array_stats, EMBEDDING_ARRAY_STATS_SQL),
+    "window_order_analytics": (window_order_analytics, WINDOW_ORDER_ANALYTICS_SQL),
+    "part_string_features": (part_string_features, PART_STRING_SQL),
 }
