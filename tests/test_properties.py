@@ -29,9 +29,15 @@ def test_wordcount_invariants(spark, lines):
         ).collect()
     )
     seps = set(REF_SEPARATORS)
+    # Java/Spark `trim` strips only codepoints ≤ U+0020 — NOT all
+    # Unicode whitespace (e.g. '\xa0' survives). The reference's
+    # String.trim behaves the same, so the engine is parity-correct;
+    # Python's .strip() would be the wrong invariant here.
+    java_ws = "".join(chr(c) for c in range(0x21))
     for word, n in counts.items():
         assert n >= 1
-        assert word == word.lower().strip()           # normalized (P2)
+        assert word == word.lower()                   # normalized (P2)
+        assert word == word.strip(java_ws)            # Java-trimmed (P2)
         assert word not in REF_STOP_WORDS             # filtered (P3)
         assert word != ""                             # no empties (P3)
         assert not (set(word) & seps)                 # fully split (P1)
