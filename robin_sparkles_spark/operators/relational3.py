@@ -241,7 +241,41 @@ WHERE l_shipdate >= TIMESTAMP '1997-06-01'
 """
 
 
+def events_props_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-type surface (F9): parse the props JSON into a typed map,
+    then aggregate over map_keys/map_values — schema'd `from_json`,
+    no inference pass."""
+    from pyspark.sql import types as T
+
+    e = load_table(spark, sf_dir, "events")
+    m = F.from_json(F.col("props"), T.MapType(T.StringType(), T.LongType()))
+    return (
+        e.select(
+            "event_type",
+            F.size(F.map_keys(m)).cast("long").alias("n_keys"),
+            F.element_at(m, "k").alias("k_val"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.sum("n_keys").alias("total_keys"),
+            F.min("k_val").alias("min_k"),
+            F.max("k_val").alias("max_k"),
+        )
+    )
+
+
+EVENTS_PROPS_MAP_SQL = """
+SELECT event_type,
+       CAST(SUM(len(json_keys(props))) AS BIGINT) AS total_keys,
+       MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+       MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+FROM events
+GROUP BY event_type
+"""
+
+
 QUERIES = {
+    "events_props_map": (events_props_map, EVENTS_PROPS_MAP_SQL),
     "q17_small_quantity_revenue": (q17_small_quantity_revenue, Q17_SQL),
     "embedding_array_stats": (embedding_array_stats, EMBEDDING_ARRAY_STATS_SQL),
     "window_order_analytics": (window_order_analytics, WINDOW_ORDER_ANALYTICS_SQL),
