@@ -274,8 +274,83 @@ GROUP BY event_type
 """
 
 
+def q10_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: revenue lost to returned items per customer,
+    top 20 — join + selective filter + top-k."""
+    l = load_table(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)"))
+            .cast("double")
+            .alias("lost_revenue"),
+            F.count("*").alias("n_returned_items"),
+        )
+        .orderBy(F.desc("lost_revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+Q10_SQL = f"""
+SELECT c_custkey, c_name, n_name,
+       {_ddsum_sql('l_extendedprice * (1 - l_discount)', 4)} AS lost_revenue,
+       COUNT(*) AS n_returned_items
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+GROUP BY c_custkey, c_name, n_name
+ORDER BY lost_revenue DESC, c_custkey ASC
+LIMIT 20
+"""
+
+
+def supplier_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Share-of-total analytics: each supplier's fraction of overall
+    revenue via a window SUM over the whole aggregate (ratio of two
+    exact decimal sums → deterministic doubles)."""
+    from pyspark.sql import Window as W
+
+    l = load_table(spark, sf_dir, "lineitem")
+    per_supp = (
+        l.groupBy("l_suppkey")
+        .agg(
+            F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)"))
+            .alias("rev_dec")
+        )
+    )
+    total = F.sum("rev_dec").over(W.partitionBy())
+    return per_supp.select(
+        F.col("l_suppkey").alias("suppkey"),
+        F.col("rev_dec").cast("double").alias("revenue"),
+        (F.col("rev_dec").cast("double") / total.cast("double")).alias("revenue_share"),
+    )
+
+
+SUPPLIER_SHARE_SQL = """
+WITH per_supp AS (
+  SELECT l_suppkey AS suppkey,
+         SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS rev_dec
+  FROM lineitem GROUP BY l_suppkey
+)
+SELECT suppkey,
+       CAST(rev_dec AS DOUBLE) AS revenue,
+       CAST(rev_dec AS DOUBLE) / CAST(SUM(rev_dec) OVER () AS DOUBLE) AS revenue_share
+FROM per_supp
+"""
+
+
 QUERIES = {
     "events_props_map": (events_props_map, EVENTS_PROPS_MAP_SQL),
+    "q10_returned_revenue": (q10_returned_revenue, Q10_SQL),
+    "supplier_revenue_share": (supplier_revenue_share, SUPPLIER_SHARE_SQL),
     "q17_small_quantity_revenue": (q17_small_quantity_revenue, Q17_SQL),
     "embedding_array_stats": (embedding_array_stats, EMBEDDING_ARRAY_STATS_SQL),
     "window_order_analytics": (window_order_analytics, WINDOW_ORDER_ANALYTICS_SQL),
