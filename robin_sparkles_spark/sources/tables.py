@@ -46,6 +46,12 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """
     if name not in TABLES:
         raise KeyError(f"unknown fixture table {name!r}; known: {TABLES}")
+    # Pin UTC defensively: the driver harness supplies its own session,
+    # and any epoch-instant column (events.ts via timestamp_micros)
+    # formats through the session zone — a non-UTC session would shift
+    # every window/date string 5h against the UTC-naive DuckDB oracle
+    # (measured). Runtime-settable, so safe to assert here.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -40,6 +40,7 @@ def events_stream(spark: SparkSession, sf_dir: str, max_files_per_trigger: int =
     import tempfile
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")  # see sources.tables
     # The file stream source needs a DIRECTORY to watch; the fixture is
     # a single read-only file → stage a symlink dir (no data copied).
     # In production this is simply the landing directory new files
