@@ -19,15 +19,19 @@ Usage:  python -m robin_sparkles_spark.app INPUT OUTPUT [METRICS_DIR]
 
 from __future__ import annotations
 
+import logging
 import sys
 
 from pyspark.sql import SparkSession
 
+from .metrics.collector import current_max_stage_id
 from .metrics.store import MetricsStore
 from .operators.wordcount import with_stop_words_filtered
 from .session import get_spark
 from .sources.tables import read_text
 from .tuner.recommend import apply_recommendation, recommend_partitions, record_run
+
+log = logging.getLogger(__name__)
 
 APP_NAME = "my_awesome_app"  # reference parity: CountingApp.scala:40
 
@@ -52,10 +56,15 @@ def run_counting_app(
         run_id = 0
         partitions = int(spark.conf.get("spark.sql.shuffle.partitions"))
 
+    # Recording window: only the workload's stages (not the tuner's
+    # store-read bookkeeping above) belong to this run — J2's
+    # positional alignment across runs depends on it.
+    since = current_max_stage_id(spark)
     counts = with_stop_words_filtered(read_text(spark, input_path))
     counts.write.mode("overwrite").parquet(output_path)
 
-    record_run(store, run_id)
+    if not record_run(store, run_id, since_stage_id=since):
+        log.warning("run %s not recorded; tuner history will not grow", run_id)
     return partitions
 
 

@@ -17,11 +17,15 @@ we convert to ms here so heuristic parity holds.
 from __future__ import annotations
 
 import json
+import logging
+import urllib.error
 import urllib.request
 from datetime import datetime
 from typing import Any
 
 from pyspark.sql import SparkSession
+
+log = logging.getLogger(__name__)
 
 _REST_DATE_FMTS = ("%Y-%m-%dT%H:%M:%S.%f%Z", "%Y-%m-%dT%H:%M:%S.%fGMT")
 
@@ -59,18 +63,28 @@ def collect_app_metrics(
     when the UI/REST endpoint is unavailable (spark.ui.enabled=false,
     headless CI, …) — callers treat that as "no recording this run",
     the same effective behavior as the reference when its listeners
-    were never registered.
+    were never registered. Unavailability is LOUD (warning log): a
+    production run that silently never feeds the tuner would freeze
+    the recommendation forever.
     """
+    base = spark.sparkContext.uiWebUrl
+    app_id = spark.sparkContext.applicationId
+    if not base:
+        log.warning(
+            "metrics not recorded: driver UI disabled (spark.ui.enabled=false). "
+            "Enable the UI or the tuner will never see run history."
+        )
+        return None
     try:
-        base = spark.sparkContext.uiWebUrl
-        app_id = spark.sparkContext.applicationId
-        if not base:
-            return None
         stages = _get_json(
             f"{base}/api/v1/applications/{app_id}/stages?details=true&status=complete",
             timeout,
         )
-    except Exception:
+    except (urllib.error.URLError, OSError, ValueError, KeyError) as exc:
+        log.warning(
+            "metrics not recorded: driver REST endpoint %s unavailable (%s). "
+            "The tuner will treat this run as unrecorded.", base, exc
+        )
         return None
 
     stage_rows: list[dict] = []
@@ -84,6 +98,7 @@ def collect_app_metrics(
         duration_ms = int((comp - sub) * 1000) if sub is not None and comp is not None else 0
         stage_rows.append(
             {
+                "app_id": app_id,
                 "stage_id": stage_id,
                 "stage_duration_ms": duration_ms,
                 # REST executorCpuTime is ns → ms
@@ -103,3 +118,32 @@ def collect_app_metrics(
                 }
             )
     return stage_rows, task_rows
+
+
+def current_max_stage_id(spark: SparkSession, timeout: float = 10.0) -> int:
+    """Highest stage id the current app has submitted so far (any
+    status), or -1 when none exist / the REST UI is unavailable.
+
+    This is the per-job recording window the reference got from fresh
+    flight-recorder instances (Listener.scala:85-92): callers snapshot
+    it immediately before launching the workload and pass it as
+    ``since_stage_id`` to ``collect_app_metrics``, so tuner bookkeeping
+    stages (store reads, history joins) and unrelated prior session
+    activity never pollute the recorded run — without the window, run
+    stage lists are not positionally comparable and the J2 max-shuffle
+    alignment can compare a bookkeeping stage in one run against the
+    workload shuffle in another.
+    """
+    base = spark.sparkContext.uiWebUrl
+    app_id = spark.sparkContext.applicationId
+    if not base:
+        return -1
+    try:
+        stages = _get_json(
+            f"{base}/api/v1/applications/{app_id}/stages", timeout
+        )
+    except (urllib.error.URLError, OSError, ValueError, KeyError) as exc:
+        log.warning("stage-id snapshot unavailable (%s); falling back to -1", exc)
+        return -1
+    ids = [int(s["stageId"]) for s in stages if "stageId" in s]
+    return max(ids, default=-1)

@@ -14,6 +14,10 @@ from pyspark.sql import types as T
 STAGE_METRICS_SCHEMA = T.StructType(
     [
         T.StructField("run", T.IntegerType(), False),
+        # Spark stage ids restart at 0 per application, so stage_id is
+        # only meaningful per app: the recording watermark must never
+        # compare stage ids across applications (see recommend.record_run).
+        T.StructField("app_id", T.StringType(), False),
         T.StructField("stage_id", T.IntegerType(), False),
         T.StructField("stage_duration_ms", T.LongType(), False),
         T.StructField("executor_cpu_time_ms", T.LongType(), False),

@@ -48,9 +48,13 @@ class MetricsStore:
     def write_run(self, run: int, stage_rows: list[dict], task_rows: list[dict]) -> None:
         """Persist one run's metrics. Rows come from the collector
         (driver-side listener/REST data — inherently small: one row per
-        stage/task, not per record)."""
+        stage/task, not per record). ``app_id`` (stamped by the
+        collector) records which Spark application produced each run —
+        stage ids restart per app, so cross-run stage comparisons are
+        only valid within one app_id."""
         stage_df = self.spark.createDataFrame(
-            [{**r, "run": run} for r in stage_rows], schema=STAGE_METRICS_SCHEMA
+            [{"app_id": "", **r, "run": run} for r in stage_rows],
+            schema=STAGE_METRICS_SCHEMA,
         )
         task_df = self.spark.createDataFrame(
             [{**r, "run": run} for r in task_rows], schema=TASK_METRICS_SCHEMA

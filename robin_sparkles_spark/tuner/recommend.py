@@ -15,13 +15,16 @@ via the REST collector.
 
 from __future__ import annotations
 
+import logging
 from dataclasses import dataclass
 
 from pyspark.sql import SparkSession
 
-from ..metrics.collector import collect_app_metrics
+from ..metrics.collector import collect_app_metrics, current_max_stage_id
 from ..metrics.store import MetricsStore
 from .heuristics import ComputePartitions, ConfView, stages_with_most_expensive_shuffle
+
+log = logging.getLogger(__name__)
 
 
 @dataclass
@@ -52,31 +55,52 @@ def apply_recommendation(spark: SparkSession, rec: Recommendation) -> None:
     spark.conf.set("spark.sql.shuffle.partitions", str(rec.partitions))
 
 
-def record_run(store: MetricsStore, run_id: int) -> bool:
+def record_run(
+    store: MetricsStore, run_id: int, since_stage_id: int | None = None
+) -> bool:
     """Post-job flight-record: pull this app's stage/task metrics over
-    REST and persist them as ``run=run_id``. Returns False when the
-    REST UI is unavailable (metrics simply not recorded, like an
-    unregistered listener in the reference).
+    REST and persist them as ``run=run_id``. Returns False (with a
+    warning) when nothing could be recorded.
 
-    Only stages newer than anything already in the store are recorded
-    — the REST stage list is cumulative for the app, and without the
-    watermark every run would re-record its predecessors' stages
-    (per-run disjointness is what the reference got from fresh
-    flight-recorder instances per run, Listener.scala:85-92).
+    Only stages newer than ``since_stage_id`` are recorded — the REST
+    stage list is cumulative for the app, and without a watermark every
+    run would re-record its predecessors' stages (per-run disjointness
+    is what the reference got from fresh flight-recorder instances per
+    run, Listener.scala:85-92). Callers on the tuned path pass the
+    stage-id snapshot taken right before the workload
+    (``collector.current_max_stage_id``) so only workload stages land
+    in the run.
+
+    When no snapshot is given, the watermark is the store's max
+    stage_id **for the current application only**: Spark stage ids
+    restart at 0 per app, so a store-wide max would filter out every
+    stage of a fresh app process (run history would freeze at run 0
+    across `python -m robin_sparkles_spark.app` invocations — the
+    reference's canonical lifecycle is one process per run).
     """
     from pyspark.sql import functions as F
 
-    watermark = -1
-    existing = store.stage_metrics()
-    if existing.isEmpty() is False:
-        row = existing.agg(F.max("stage_id")).collect()[0]
-        if row[0] is not None:
-            watermark = row[0]
-    collected = collect_app_metrics(store.spark, since_stage_id=watermark)
+    if since_stage_id is None:
+        since_stage_id = -1
+        existing = store.stage_metrics()
+        app_id = store.spark.sparkContext.applicationId
+        if "app_id" in existing.columns and not existing.isEmpty():
+            row = (
+                existing.where(F.col("app_id") == app_id)
+                .agg(F.max("stage_id"))
+                .collect()[0]
+            )
+            if row[0] is not None:
+                since_stage_id = row[0]
+    collected = collect_app_metrics(store.spark, since_stage_id=since_stage_id)
     if collected is None:
         return False
     stage_rows, task_rows = collected
     if not stage_rows:
+        log.warning(
+            "record_run(%s): no stages newer than stage_id=%s — run not recorded",
+            run_id, since_stage_id,
+        )
         return False
     store.write_run(run_id, stage_rows, task_rows)
     return True
@@ -90,6 +114,14 @@ def tuned_run(spark: SparkSession, metrics_root: str, app_name: str, job) -> Rec
     store = MetricsStore(spark, metrics_root, app_name)
     rec = recommend_partitions(store)
     apply_recommendation(spark, rec)
+    # Open the recording window AFTER the tuner's own bookkeeping jobs
+    # (store reads/joins above) and immediately before the workload, so
+    # the recorded run contains exactly the workload's stages.
+    since = current_max_stage_id(spark)
     job(spark)
-    record_run(store, rec.next_run_id)
+    if not record_run(store, rec.next_run_id, since_stage_id=since):
+        log.warning(
+            "tuned_run: run %s was not recorded; the next recommendation "
+            "will not see this run", rec.next_run_id,
+        )
     return rec
