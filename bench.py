@@ -21,7 +21,13 @@ REPO_ROOT = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, REPO_ROOT)
 
 # Headline queries (subset of the registry that spans the operator
-# families; extended as phases land).
+# families; extended as phases land). Scale rule (VERDICT r01 ask #4):
+# every headline plan is linear-shuffle shaped — the O(N²)/O(Q·N)
+# brute-force baselines live in pytest only and are never benchmarked.
+# dedup_simhash and dedup_ngram_jaccard stay headline because round 2
+# rebuilt them as blocked equi-joins (pigeonhole chunks / inverted
+# index); ann_bruteforce_topk was replaced by the LSH twin + the new
+# bucketed embedding_similar_pairs.
 HEADLINE = [
     "wordcount_stopword",
     "q1_pricing_summary",
@@ -35,7 +41,8 @@ HEADLINE = [
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_simhash",
-    "ann_bruteforce_topk",
+    "dedup_ngram_jaccard",
+    "embedding_similar_pairs",
     "ann_lsh_topk",
     "events_tumbling_1h",
     "user_sessions",
@@ -44,8 +51,29 @@ HEADLINE = [
 ]
 
 
+def _parse_sf(sf_dir: str) -> float | str:
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    return float(sf) if sf.replace(".", "").isdigit() else sf
+
+
+def _run_set(spark, specs, sf_dir: str) -> dict[str, float]:
+    times: dict[str, float] = {}
+    for name in (n for n in HEADLINE if n in specs):
+        t0 = time.perf_counter()
+        specs[name].fn(spark, sf_dir).count()
+        times[name] = round(time.perf_counter() - t0, 4)
+    return times
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    # Second, smaller scale factor: per-query ratios between the two
+    # SFs expose super-linear plans round-over-round (a linear-shuffle
+    # query scales ~data size; a quadratic one scales ~size²). Set
+    # SPARK_GRAFT_SCALE_CHECK_DIR="" to skip.
+    scale_dir = os.environ.get(
+        "SPARK_GRAFT_SCALE_CHECK_DIR", "/root/testdata/sf0.01"
+    )
     from robin_sparkles_spark.session import get_spark
     from robin_sparkles_spark import registry
 
@@ -57,24 +85,22 @@ def main() -> None:
     # measure the query, not session startup.
     specs[names[0]].fn(spark, sf_dir).count()
 
-    times: dict[str, float] = {}
-    for name in names:
-        t0 = time.perf_counter()
-        specs[name].fn(spark, sf_dir).count()
-        times[name] = round(time.perf_counter() - t0, 4)
-
-    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_wall_clock",
-                "value": round(sum(times.values()), 4),
-                "unit": "sec",
-                "queries": times,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
-    )
+    times = _run_set(spark, specs, sf_dir)
+    payload = {
+        "metric": "headline_queries_wall_clock",
+        "value": round(sum(times.values()), 4),
+        "unit": "sec",
+        "queries": times,
+        "sf": _parse_sf(sf_dir),
+    }
+    if scale_dir and os.path.isdir(scale_dir) and scale_dir != sf_dir:
+        small = _run_set(spark, specs, scale_dir)
+        payload["scale_check"] = {
+            "sf": _parse_sf(scale_dir),
+            "value": round(sum(small.values()), 4),
+            "queries": small,
+        }
+    print(json.dumps(payload))
 
 
 if __name__ == "__main__":

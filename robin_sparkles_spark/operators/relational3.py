@@ -120,9 +120,12 @@ WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice ASC, o_orderkey 
 def part_string_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """String-function surface (F8/F9): regexp_extract, substring,
     upper, concat, levenshtein (identical DP algorithm both engines),
-    LIKE-style filtering."""
+    LIKE-style filtering. The filter matches ~1/6 of parts: this
+    corpus's p_type values are all-uppercase tokens (STANDARD, LARGE,
+    …), so r01's lowercase '%a%' pattern matched nothing and the
+    green row was vacuous."""
     p = load_table(spark, sf_dir, "part")
-    return p.where(F.col("p_type").like("%a%")).select(
+    return p.where(F.col("p_type").like("%ARD%")).select(
         "p_partkey",
         F.regexp_extract("p_brand", r"Brand#(\d+)", 1).cast("long").alias("brand_num"),
         F.upper(F.substring("p_name", 1, 4)).alias("name_prefix"),
@@ -138,7 +141,7 @@ SELECT p_partkey,
        concat_ws('/', p_brand, p_type) AS brand_type,
        CAST(levenshtein(p_name, 'standard part') AS BIGINT) AS lev_dist
 FROM part
-WHERE p_type LIKE '%a%'
+WHERE p_type LIKE '%ARD%'
 """
 
 

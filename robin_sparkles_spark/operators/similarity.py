@@ -33,7 +33,10 @@ from ..sources import load_table
 
 TOP_K = 5
 N_QUERIES = 100  # query set: vec_id < 100
-SIGN_BITS = 8  # LSH bucket = sign pattern of the first 8 dims
+# Banded sign-LSH: 8 bands × 5 sign bits over the first 40 dims (see
+# _band_keys_expr for the recall math and the 100 TB tuning knob).
+SIGN_BANDS = 8
+SIGN_BAND_BITS = 5
 
 
 def _unit_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -91,44 +94,86 @@ FROM ranked WHERE rn <= {TOP_K}
 """
 
 
-def _bucket_expr_spark() -> F.Column:
-    """Sign-pattern bucket: bit i = 1 iff v[i] > 0, first SIGN_BITS
-    dims, packed msb-first via acc*2+bit (pure arithmetic — identical
-    in the SQL twin). Sign is normalization-invariant, so bucketing
-    the unit vectors matches bucketing the raw ones."""
-    return F.expr(
-        f"""
-        aggregate(slice(v, 1, {SIGN_BITS}), CAST(0 AS BIGINT),
-                  (acc, x) -> acc * 2 + (CASE WHEN x > 0 THEN 1 ELSE 0 END))
-        """
+def _band_keys_expr() -> F.Column:
+    """Banded sign-LSH keys (the MinHash-band structure applied to
+    random-hyperplane LSH): band t's key packs the sign bits of dims
+    [t·B+1 .. t·B+B] msb-first via acc*2+bit — pure arithmetic,
+    identical in the SQL twin. Sign is normalization-invariant, so
+    banding unit vectors matches banding raw ones.
+
+    Multiple independent bands are what make sign-LSH usable: one
+    K-bit table has per-pair recall p^K (p = 1 − θ/π), while T bands
+    give 1 − (1 − p^B)^T. At this corpus's weak τ=0.40 (p≈0.63) the
+    8×5 config measures ~0.6 recall at ~25% of all-pairs cost; at a
+    real dedup threshold (cos ≥ 0.9, p≈0.86) the same config gives
+    ~0.99. Bands/bits are the tunable recall/cost knobs — at 100 TB
+    you grow bits with corpus size so per-band buckets stay bounded."""
+    keys = [
+        F.expr(
+            f"""
+            aggregate(slice(v, {t * SIGN_BAND_BITS + 1}, {SIGN_BAND_BITS}),
+                      CAST(0 AS BIGINT),
+                      (acc, x) -> acc * 2 + (CASE WHEN x > 0 THEN 1 ELSE 0 END))
+            """
+        )
+        for t in range(SIGN_BANDS)
+    ]
+    return F.array(*keys)
+
+
+def sign_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, band_idx, band_key) rows — the LSH index side. The
+    vector itself is dropped before the explode so the 8× row blow-up
+    carries only (id, two small ints); candidate pairs join vectors
+    back from the aggregation-barriered _unit_vectors."""
+    e = _unit_vectors(spark, sf_dir)
+    return e.select(
+        "vec_id", F.posexplode(_band_keys_expr()).alias("band_idx", "band_key")
     )
 
 
-_BUCKET_SQL = f"""
-  list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(
-      list_slice(v, 1, {SIGN_BITS}), x -> CAST(CASE WHEN x > 0 THEN 1 ELSE 0 END AS BIGINT))),
-    (acc, b) -> acc * 2 + b)
+# DuckDB twin of sign_banded: band_idx from a generate_series lateral.
+_BANDS_SQL = f"""
+  SELECT vec_id, t.band_idx,
+         list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(
+             list_slice(v, t.band_idx * {SIGN_BAND_BITS} + 1,
+                           t.band_idx * {SIGN_BAND_BITS} + {SIGN_BAND_BITS}),
+             x -> CAST(CASE WHEN x > 0 THEN 1 ELSE 0 END AS BIGINT))),
+           (acc, b) -> acc * 2 + b) AS band_key
+  FROM e, (SELECT unnest(generate_series(0, {SIGN_BANDS - 1})) AS band_idx) t
 """
 
 
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sign-LSH approximate top-k: equi-join on the sign bucket, exact
-    cosine + rank within bucket only. Linear shuffle instead of a
-    quadratic pair scan — the 100 TB shape."""
-    vecs = _unit_vectors(spark, sf_dir).withColumn("bucket", _bucket_expr_spark())
-    q = vecs.where(F.col("vec_id") < N_QUERIES).alias("q")
-    c = vecs.alias("c")
-    w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
-    return (
+    """Banded sign-LSH approximate top-k: candidates are (query,
+    corpus) pairs sharing ≥1 of the 8 sign bands — an equi-join on
+    (band_idx, band_key), linear shuffle — then exact cosine + rank
+    on candidates only. No quadratic pair scan anywhere."""
+    e = _unit_vectors(spark, sf_dir)
+    banded = sign_banded(spark, sf_dir)
+    q = banded.where(F.col("vec_id") < N_QUERIES).alias("q")
+    c = banded.alias("c")
+    cands = (
         q.join(
             c,
-            (F.col("q.bucket") == F.col("c.bucket"))
+            (F.col("q.band_idx") == F.col("c.band_idx"))
+            & (F.col("q.band_key") == F.col("c.band_key"))
             & (F.col("q.vec_id") != F.col("c.vec_id")),
         )
         .select(
             F.col("q.vec_id").alias("query_id"),
             F.col("c.vec_id").alias("neighbor_id"),
-            dot(F.col("q.v"), F.col("c.v")).alias("cos_sim"),
+        )
+        .distinct()
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        cands.join(e.alias("eq"), F.col("query_id") == F.col("eq.vec_id"))
+        .join(e.alias("ec"), F.col("neighbor_id") == F.col("ec.vec_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            dot(F.col("eq.v"), F.col("ec.v")).alias("cos_sim"),
         )
         .withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= TOP_K)
@@ -137,13 +182,20 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ANN_LSH_SQL = f"""
-WITH e0 AS ({_UNIT_VECTORS_SQL}),
-e AS (SELECT vec_id, v, {_BUCKET_SQL} AS bucket FROM e0),
-scored AS (
-  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-         {dot_sql('q.v', 'c.v')} AS cos_sim
-  FROM e q JOIN e c ON q.bucket = c.bucket AND q.vec_id != c.vec_id
+WITH e AS ({_UNIT_VECTORS_SQL}),
+bands AS ({_BANDS_SQL}),
+cands AS (
+  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+  FROM bands q JOIN bands c
+    ON q.band_idx = c.band_idx AND q.band_key = c.band_key
+   AND q.vec_id != c.vec_id
   WHERE q.vec_id < {N_QUERIES}
+),
+scored AS (
+  SELECT query_id, neighbor_id, {dot_sql('eq.v', 'ec.v')} AS cos_sim
+  FROM cands
+  JOIN e eq ON query_id = eq.vec_id
+  JOIN e ec ON neighbor_id = ec.vec_id
 ),
 ranked AS (
   SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id ASC) AS rn
@@ -154,7 +206,55 @@ FROM ranked WHERE rn <= {TOP_K}
 """
 
 
+def ann_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of the sign-LSH index vs the exact top-k, as one
+    deterministic aggregate row — the approximate/exact trade measured
+    as a number instead of prose (VERDICT r01 ask #8). recall =
+    hits / (n_queries · k) divides exact ints, so the double is
+    bit-identical across engines. One left join + one aggregate — no
+    cross join, no quadratic step beyond the bounded exact baseline."""
+    bf = ann_bruteforce_topk(spark, sf_dir).select("query_id", "neighbor_id")
+    lsh = (
+        ann_lsh_topk(spark, sf_dir)
+        .select("query_id", "neighbor_id")
+        .withColumn("m", F.lit(1))
+    )
+    return (
+        bf.join(lsh, ["query_id", "neighbor_id"], "left")
+        .agg(
+            F.countDistinct("query_id").alias("n_queries"),
+            F.sum(F.coalesce(F.col("m"), F.lit(0))).cast("long").alias("hits"),
+        )
+        .select(
+            F.lit(TOP_K).cast("long").alias("k"),
+            "n_queries",
+            "hits",
+            (F.col("hits").cast("double") / (F.col("n_queries") * TOP_K)).alias(
+                "recall_at_k"
+            ),
+        )
+    )
+
+
+ANN_RECALL_SQL = f"""
+WITH bf AS ({ANN_BRUTEFORCE_SQL}),
+lsh AS ({ANN_LSH_SQL}),
+j AS (
+  SELECT bf.query_id,
+         CASE WHEN lsh.neighbor_id IS NOT NULL THEN 1 ELSE 0 END AS m
+  FROM bf LEFT JOIN lsh
+    ON bf.query_id = lsh.query_id AND bf.neighbor_id = lsh.neighbor_id
+)
+SELECT CAST({TOP_K} AS BIGINT) AS k,
+       CAST(COUNT(DISTINCT query_id) AS BIGINT) AS n_queries,
+       CAST(SUM(m) AS BIGINT) AS hits,
+       CAST(SUM(m) AS DOUBLE) / (COUNT(DISTINCT query_id) * {TOP_K}) AS recall_at_k
+FROM j
+"""
+
+
 QUERIES = {
     "ann_bruteforce_topk": (ann_bruteforce_topk, ANN_BRUTEFORCE_SQL),
     "ann_lsh_topk": (ann_lsh_topk, ANN_LSH_SQL),
+    "ann_recall_at_k": (ann_recall_at_k, ANN_RECALL_SQL),
 }

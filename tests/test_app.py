@@ -1,11 +1,20 @@
 """End-to-end counting-app lifecycle (the reference's CountingLocalApp
 flow): run twice against the same metrics dir and check the sink
-overwrite + run recording + reading the tuned output back."""
+overwrite + run recording + reading the tuned output back; plus a
+three-run tuned trajectory on live-collected metrics."""
 
 from __future__ import annotations
 
+import pytest
+
+from pyspark.sql import functions as F
+
 from robin_sparkles_spark.app import run_counting_app
 from robin_sparkles_spark.metrics.store import MetricsStore
+from robin_sparkles_spark.tuner.heuristics import (
+    stages_with_most_expensive_shuffle,
+)
+from robin_sparkles_spark.tuner.recommend import tuned_run
 
 
 def test_counting_app_two_runs(spark, tmp_path):
@@ -38,3 +47,63 @@ def test_counting_app_two_runs(spark, tmp_path):
         assert runs in ([], [0], [0, 1])
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", before)
+
+
+def test_tuner_three_run_trajectory(spark, tmp_path, sf_dir):
+    """VERDICT r01 ask #7: the tune→run→record loop over THREE runs of
+    live REST-collected metrics — history grows 0,1,2; each run's
+    recorded stage window is disjoint (the per-job since_stage_id
+    snapshot); and the run-1 recommendation shows H8's additive-growth
+    branch computed from actually-recorded metrics, not synthetic
+    StageInfo."""
+    if spark.sparkContext.uiWebUrl is None:
+        pytest.skip("driver UI disabled — REST collector unavailable")
+
+    metrics = str(tmp_path / "metrics")
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+
+    def job(s):
+        # a real two-stage shuffle workload over fixture data
+        (
+            s.read.parquet(f"{sf_dir}/documents.parquet")
+            .groupBy("lang")
+            .agg(F.count("*").alias("n"), F.avg("n_chars").alias("avg_chars"))
+            .collect()
+        )
+
+    try:
+        recs = [tuned_run(spark, metrics, "trajectory_app", job) for _ in range(3)]
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", before)
+
+    store = MetricsStore(spark, metrics, "trajectory_app")
+    assert store.contiguous_runs() == [0, 1, 2]
+    assert [r.next_run_id for r in recs] == [0, 1, 2]
+    assert [r.runs_considered for r in recs] == [0, 1, 2]
+    assert all(r.partitions >= 1 for r in recs)
+
+    # per-job recording windows: stage-id ranges strictly disjoint and
+    # increasing run-over-run (no tuner bookkeeping inside a run)
+    bounds = {
+        r.run: (r.lo, r.hi)
+        for r in (
+            store.stage_metrics()
+            .groupBy("run")
+            .agg(F.min("stage_id").alias("lo"), F.max("stage_id").alias("hi"))
+            .collect()
+        )
+    }
+    assert set(bounds) == {0, 1, 2}
+    assert bounds[0][1] < bounds[1][0] < bounds[1][1] < bounds[2][0]
+
+    # each recorded run contains the workload's shuffle (groupBy) stage
+    history = store.run_history()
+    assert len(history) == 3
+    for run_stages in history:
+        assert any(s.shuffle.bytes_written > 0 for s in run_stages)
+
+    # H8 1-run branch on live data: rec₁ = max(p₀ + max(execs,1), H4),
+    # where p₀/execs come from run 0's max-shuffle stage as recorded.
+    target = stages_with_most_expensive_shuffle(history[:1])
+    p0, execs = target[0].num_partitions_used, target[0].num_executors
+    assert recs[1].partitions >= p0 + max(execs, 1)

@@ -62,6 +62,58 @@ def test_ann_lsh_is_subset_of_bruteforce_space(spark, sf_dir):
     assert agree
 
 
+def test_ngram_inverted_index_matches_bruteforce(spark, sf_dir):
+    """The declared inverted-index Jaccard join is EXACT: identical
+    pairs and bit-identical jaccard values vs the all-pairs scan
+    (shared/(|A|+|B|-shared) vs |A∩B|/|A∪B| divide the same ints)."""
+    fast = {
+        (r.doc1, r.doc2, r.jaccard)
+        for r in dedup.dedup_ngram_jaccard(spark, sf_dir).collect()
+    }
+    truth = {
+        (r.doc1, r.doc2, r.jaccard)
+        for r in dedup.dedup_ngram_jaccard_bruteforce(spark, sf_dir).collect()
+    }
+    assert truth
+    assert fast == truth
+
+
+def test_simhash_blocked_matches_bruteforce(spark, sf_dir):
+    """Pigeonhole chunk-blocking is EXACT for hamming ≤ k: the blocked
+    equi-join must return the same pair set as the all-pairs scan."""
+    fast = {
+        (r.doc1, r.doc2, r.hamming)
+        for r in dedup.dedup_simhash(spark, sf_dir).collect()
+    }
+    truth = {
+        (r.doc1, r.doc2, r.hamming)
+        for r in dedup.dedup_simhash_bruteforce(spark, sf_dir).collect()
+    }
+    assert truth
+    assert fast == truth
+
+
+def test_embedding_bucketed_subset_and_recall(spark, sf_dir):
+    """Sign-LSH-bucketed similar pairs ⊆ all-pairs ground truth, with
+    bit-identical cosines; recall on this corpus stays useful (the
+    8-bit bucket keeps ≥ ~25% of true τ-pairs; exact recall is
+    corpus-dependent — the declared contract is the bucketed one)."""
+    truth = {
+        (r.vec1, r.vec2): r.cos_sim
+        for r in dedup.embedding_cosine_pairs_bruteforce(spark, sf_dir).collect()
+    }
+    got = {
+        (r.vec1, r.vec2): r.cos_sim
+        for r in dedup.embedding_similar_pairs(spark, sf_dir).collect()
+    }
+    assert truth, "threshold should be non-vacuous on this corpus"
+    assert got, "bucketed query must return rows at every gate SF"
+    assert set(got) <= set(truth)
+    for pair, cos in got.items():
+        assert truth[pair] == cos
+    assert len(got) >= max(1, len(truth) // 4)
+
+
 def test_exact_dedup_counts(spark, sf_dir):
     rows = dedup.dedup_exact(spark, sf_dir).collect()
     n_docs = sum(r.n_copies for r in rows)

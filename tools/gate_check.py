@@ -1,0 +1,65 @@
+"""Local replica of the driver's t2 correctness gate with per-query
+timing: runs every registry query Spark-vs-DuckDB at a given SF and
+prints a row per query plus a JSON summary.
+
+Usage: python tools/gate_check.py [sf_dir] [--names n1,n2,...]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+import traceback
+
+REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if REPO_ROOT not in sys.path:
+    sys.path.insert(0, REPO_ROOT)
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 and not sys.argv[1].startswith("--") else "/root/testdata/sf0.01"
+    only = None
+    for a in sys.argv[1:]:
+        if a.startswith("--names="):
+            only = set(a.split("=", 1)[1].split(","))
+
+    from robin_sparkles_spark import registry
+    from robin_sparkles_spark.session import get_spark
+    from tests.oracle_utils import assert_query_matches_oracle
+
+    spark = get_spark(app_name="gate_check", master="local[8]", shuffle_partitions=8)
+    results: dict[str, dict] = {}
+    t_all = time.time()
+    for name, spec in registry.all_queries().items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        row: dict = {}
+        try:
+            if spec.oracle is None:
+                n = spec.fn(spark, sf_dir).count()
+                row = {"mode": "rows_only", "spark_rows": n, "ok": n >= 0}
+            else:
+                assert_query_matches_oracle(spec.fn(spark, sf_dir), spec.oracle, sf_dir)
+                n = spec.fn(spark, sf_dir).count()
+                row = {"mode": "oracle", "spark_rows": n, "ok": True}
+        except Exception as e:  # noqa: BLE001
+            row = {"mode": "error", "ok": False, "err": f"{type(e).__name__}: {e}"}
+            traceback.print_exc(limit=3)
+        row["sec"] = round(time.time() - t0, 2)
+        results[name] = row
+        print(f"{'OK ' if row['ok'] else 'FAIL'} {name:38s} {row['sec']:7.2f}s rows={row.get('spark_rows', '-')}")
+        sys.stdout.flush()
+    total = round(time.time() - t_all, 1)
+    n_ok = sum(1 for r in results.values() if r["ok"])
+    print(json.dumps({"total_sec": total, "ok": n_ok, "n": len(results)}))
+    bad = [n for n, r in results.items() if not r["ok"]]
+    if bad:
+        print("FAILURES:", bad)
+    return 1 if bad else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
