@@ -350,14 +350,19 @@ FROM per_supp
 """
 
 
+# part_string_features leads: its r01 green row was vacuous (0 rows)
+# and round 2 re-tuned it, so it must sit inside the driver gate's
+# observed 50-entry window (see registry.py ordering note). The tail
+# queries remain oracle-checked by pytest regardless of the gate cap
+# (tests/test_clustering.py::test_relational3_oracle_parity).
 QUERIES = {
+    "part_string_features": (part_string_features, PART_STRING_SQL),
     "events_props_map": (events_props_map, EVENTS_PROPS_MAP_SQL),
     "q10_returned_revenue": (q10_returned_revenue, Q10_SQL),
     "supplier_revenue_share": (supplier_revenue_share, SUPPLIER_SHARE_SQL),
     "q17_small_quantity_revenue": (q17_small_quantity_revenue, Q17_SQL),
     "embedding_array_stats": (embedding_array_stats, EMBEDDING_ARRAY_STATS_SQL),
     "window_order_analytics": (window_order_analytics, WINDOW_ORDER_ANALYTICS_SQL),
-    "part_string_features": (part_string_features, PART_STRING_SQL),
     "q6_forecast_revenue": (q6_forecast_revenue, Q6_SQL),
     "q12_priority_shipping": (q12_priority_shipping, Q12_SQL),
     "q14_promo_revenue_pct": (q14_promo_revenue_pct, Q14_SQL),

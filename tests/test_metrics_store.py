@@ -209,3 +209,27 @@ def test_record_run_ignores_foreign_app_watermark(spark, tmp_path):
     # foreign high-water mark
     assert recorded is True
     assert 1 in store.available_runs()
+
+
+class _HeadlessSC:
+    uiWebUrl = None
+    applicationId = "app-headless-test"
+
+
+class _HeadlessSpark:
+    sparkContext = _HeadlessSC()
+
+
+def test_headless_collector_is_loud(caplog):
+    """spark.ui.enabled=false must not silently drop the tuner's
+    input (ADVICE r01 low): collect_app_metrics returns None AND
+    logs a warning naming the cause."""
+    import logging
+
+    from robin_sparkles_spark.metrics.collector import collect_app_metrics
+
+    with caplog.at_level(
+        logging.WARNING, logger="robin_sparkles_spark.metrics.collector"
+    ):
+        assert collect_app_metrics(_HeadlessSpark()) is None
+    assert any("UI disabled" in r.message for r in caplog.records)
