@@ -527,10 +527,111 @@ WHERE {dot_sql('e1.v', 'e2.v')} >= {COSINE_SIMILAR_THRESHOLD}
 EMBEDDING_SIMILAR_SQL = _embedding_similar_sql()
 
 
+# --- dedup group resolution (connected components) ---------------------------
+
+def dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resolve near-dup PAIRS into GROUPS — the decide-what-to-drop
+    step of a dedup pipeline: connected components over the
+    MinHash-LSH pair graph, each doc labeled with the min doc_id
+    reachable from it (deterministic canonical), plus group size and
+    an is_canonical keep-flag.
+
+    Spark side: iterative min-label propagation — per round, each node
+    takes min(own label, neighbors' labels); converges in
+    O(component diameter) rounds (dup clusters are near-cliques, so
+    2-3 rounds in practice). Each round is one equi-join + one
+    aggregate; ``localCheckpoint`` truncates the growing lineage so
+    round N's plan doesn't replay rounds 0..N-1 (the classic iterative
+    -DataFrame trap). All 100 TB-safe: the graph lives distributed,
+    only the converged-yet? count reaches the driver.
+
+    Oracle: the same fixpoint as a DuckDB recursive CTE (min reachable
+    id via transitive closure) — one of the rare iterative operators
+    with an exact SQL twin."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _GROUPS_CACHE.get(key)
+    if cached is not None:
+        return cached
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    pairs = dedup_minhash_lsh(spark, sf_dir).select("doc1", "doc2")
+    fwd = pairs.select(F.col("doc1").alias("src"), F.col("doc2").alias("dst"))
+    rev = pairs.select(F.col("doc2").alias("src"), F.col("doc1").alias("dst"))
+    edges = fwd.union(rev).localCheckpoint(eager=True)
+
+    labels = docs.select("doc_id", F.col("doc_id").alias("group_id"))
+    labels = labels.localCheckpoint(eager=True)
+    for _ in range(20):  # safety cap far above any real diameter
+        nmin = (
+            edges.join(labels, edges.src == labels.doc_id)
+            .groupBy("dst")
+            .agg(F.min("group_id").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(nmin, labels.doc_id == nmin.dst, "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("group_id"), F.coalesce(F.col("nmin"), F.col("group_id"))
+                ).alias("group_id"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .where(F.col("n.group_id") != F.col("o.group_id"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    sizes = labels.groupBy("group_id").agg(F.count("*").alias("group_size"))
+    out = (
+        labels.join(sizes, "group_id")
+        .select(
+            "doc_id",
+            "group_id",
+            "group_size",
+            (F.col("doc_id") == F.col("group_id")).alias("is_canonical"),
+        )
+        # converged labels are checkpointed, so caching the RESULT (not
+        # re-iterating per action) is safe; memoized like kmeans_fit —
+        # the gate executes each query twice (toPandas + count) and the
+        # iterations carry the cost
+        .localCheckpoint(eager=True)
+    )
+    _GROUPS_CACHE[key] = out
+    return out
+
+
+_GROUPS_CACHE: dict[tuple, DataFrame] = {}
+
+
+DEDUP_GROUPS_SQL = f"""
+WITH RECURSIVE pairs AS ({DEDUP_MINHASH_SQL}),
+edges AS (
+  SELECT doc1 AS src, doc2 AS dst FROM pairs
+  UNION ALL
+  SELECT doc2 AS src, doc1 AS dst FROM pairs
+),
+reach(doc_id, r) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.doc_id
+),
+labels AS (SELECT doc_id, MIN(r) AS group_id FROM reach GROUP BY doc_id)
+SELECT l.doc_id, l.group_id, s.group_size, l.doc_id = l.group_id AS is_canonical
+FROM labels l
+JOIN (SELECT group_id, COUNT(*) AS group_size FROM labels GROUP BY group_id) s
+  USING (group_id)
+"""
+
+
 QUERIES = {
     "dedup_exact": (dedup_exact, DEDUP_EXACT_SQL),
     "dedup_ngram_jaccard": (dedup_ngram_jaccard, DEDUP_NGRAM_SQL),
     "dedup_minhash_lsh": (dedup_minhash_lsh, DEDUP_MINHASH_SQL),
     "dedup_simhash": (dedup_simhash, DEDUP_SIMHASH_SQL),
     "embedding_similar_pairs": (embedding_similar_pairs, EMBEDDING_SIMILAR_SQL),
+    "dedup_groups": (dedup_groups, DEDUP_GROUPS_SQL),
 }

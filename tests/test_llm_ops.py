@@ -114,6 +114,39 @@ def test_embedding_bucketed_subset_and_recall(spark, sf_dir):
     assert len(got) >= max(1, len(truth) // 4)
 
 
+def test_dedup_groups_match_union_find(spark, sf_dir):
+    """Connected-components labels must equal a driver-side union-find
+    over the same LSH pair graph (min-id canonical convention), with
+    consistent sizes and keep-flags."""
+    pairs = [
+        (r.doc1, r.doc2) for r in dedup.dedup_minhash_lsh(spark, sf_dir).collect()
+    ]
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)  # min id becomes the root
+
+    rows = dedup.dedup_groups(spark, sf_dir).collect()
+    assert len(rows) == 500 and len({r.doc_id for r in rows}) == 500
+    sizes: dict[int, int] = {}
+    for r in rows:
+        sizes[r.group_id] = sizes.get(r.group_id, 0) + 1
+    for r in rows:
+        assert r.group_id == (find(r.doc_id) if r.doc_id in parent else r.doc_id)
+        assert r.group_size == sizes[r.group_id]
+        assert r.is_canonical == (r.doc_id == r.group_id)
+    assert any(r.group_size >= 2 for r in rows), "planted dups must cluster"
+
+
 def test_exact_dedup_counts(spark, sf_dir):
     rows = dedup.dedup_exact(spark, sf_dir).collect()
     n_docs = sum(r.n_copies for r in rows)
