@@ -9,11 +9,19 @@ per-index products) performs the identical IEEE-754 operation
 sequence, so cosine values are bit-exact across engines — the oracle
 gate hashes raw doubles, no rounding slack.
 
-Scale: a 64-dim fold is ~130 fused multiply-free double ops per pair
-inside whole-stage codegen; brute-force top-k is quadratic in rows and
-is the *baseline* — the LSH-bucketed variant in operators/similarity.py
-is the 100 TB path.
-"""
+Scale: a 64-dim fold is ~130 double ops per pair; brute-force top-k is
+quadratic in rows and is the *baseline* — the LSH-bucketed variant in
+operators/similarity.py is the 100 TB path.
+
+Negative result worth keeping (measured, Spark 4.1, local[32], sf0.1):
+statically unrolling the fold into 64 ``element_at``/``get`` terms —
+hoping to trade interpreted HOF lambdas for whole-stage codegen — is
+~3× SLOWER on the all-pairs join (fold 28 s, element_at 81 s, get
+67 s) and ~2.5× slower even as a plain projection (0.19 s vs 0.48 s
+per unit-normalize pass). Likely cause: the 300-node expression tree
+defeats codegen/JIT (huge generated method) and per-call element_at
+overhead exceeds the fold's per-element cost. Do not retry; the HOF
+fold is the fast shape for fixed-width vector math in this engine."""
 
 from __future__ import annotations
 

@@ -4,10 +4,12 @@ SimHash, and embedding-cosine near-dup.
 
 All five are oracle-checked end-to-end — including MinHash and
 SimHash, which normally defy cross-engine checking because they hash.
-The trick (functions.hashing): every hash in these pipelines is plain
-64-bit integer arithmetic (polynomial rolling hash + affine
-permutations mod 2³¹−1), bit-identical in Spark and DuckDB, while
-still evaluating JVM-side through Catalyst higher-order functions.
+The trick: every hash in these pipelines is engine-portable — word
+hashes come from md5 (byte-identical everywhere, a JVM intrinsic in
+Spark) truncated to 60 bits and reduced mod 2³¹−1, and everything
+downstream (shingle combine, affine MinHash permutations — see
+functions.hashing) is plain 64-bit integer arithmetic, bit-identical
+in Spark and DuckDB while still evaluating JVM-side.
 
 Scale design (100 TB) — every DECLARED query is a blocked equi-join,
 no quadratic pair scan reaches a declared plan:
@@ -39,7 +41,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from ..functions.hashing import MERSENNE_P, affine_params, poly_fingerprint_sql
+from ..functions.hashing import MERSENNE_P, affine_params
 from ..functions.vectors import dot as vdot, dot_sql
 from ..sources import load_table
 
@@ -47,8 +49,10 @@ NUM_PERM = 16
 BAND_ROWS = 4  # 16 perms → 4 bands × 4 rows
 JACCARD_THRESHOLD = 0.8
 SIMHASH_BITS = 32
-# Measured on the fixture corpus (shingle features): every
-# Jaccard≥0.8 pair lands at hamming ≤ 5, noise explodes from 6 up.
+# Measured on the fixture corpus (shingle features): ≥90% of
+# Jaccard≥0.8 pairs land at hamming ≤ 5 (27/28 and 25/25 at the two
+# small SFs), while noise explodes from 6 up (~10× truth at 6-7) —
+# the standard simhash recall/precision trade at 31 informative bits.
 SIMHASH_MAX_HAMMING = 5
 # Pigeonhole blocking: k+1 chunks for hamming ≤ k — a qualifying pair
 # differs in ≤ 5 bits, which can dirty at most 5 of the 6 chunks.
@@ -87,21 +91,25 @@ GROUP BY sha256(text)
 # --- shared shingle machinery ----------------------------------------------
 
 # Word-level hashes first, shingle combine second (two projection
-# steps): char-fold each WORD once, then hash each 3-gram as
+# steps): hash each WORD once (below), then hash each 3-gram as
 # ((w1*31+w2)*31+w3) mod p -- exact in int64 (max ~ p*993 < 2^42).
-# Hashing words once and combining beats re-folding every character of
-# every 3-gram string ~6x (each char would otherwise be hashed three
-# times, plus concat allocations) -- higher-order-function lambdas run
-# interpreted, so this constant factor dominates the dedup family's
-# cost. The two-step projection matters: ``wh`` is referenced four
+# The word hash is md5-based: md5 is byte-identical in every engine,
+# and truncating the hex digest to 15 chars (60 bits) then reducing
+# mod p gives a portable integer hash with one intrinsic call per
+# word. The previous per-character polynomial fold cost ~30
+# interpreted expression evaluations per word (higher-order-function
+# lambdas are CodegenFallback); md5+conv is ~5, and the digest itself
+# runs as a JVM intrinsic -- measured ~2x on the whole dedup family at
+# sf0.1. Collisions: 60 bits folded to 31 -- ~1e-3 collision odds at
+# 10^6 distinct words per partition-of-corpus, and a collision only
+# merges two shingles, perturbing Jaccard by ~1/|set|.
+# The two-step projection matters: ``wh`` is referenced four
 # times by the shingle expression, and Catalyst's CollapseProject
 # keeps multiply-referenced non-trivial aliases materialized instead
 # of inlining (re-computing) them.
 _WORD_HASH_EXPR = f"""
   transform(filter(split(text, ' '), w -> length(w) > 0),
-            w -> aggregate(filter(split(w, ''), c -> length(c) > 0),
-                           CAST(0 AS BIGINT),
-                           (acc, c) -> (acc * 31 + ascii(c)) % {MERSENNE_P}))
+            w -> CAST(conv(substring(md5(w), 1, 15), 16, 10) AS BIGINT) % {MERSENNE_P})
 """
 
 # if-guard instead of a WHERE: sequence(0, n) with n<0 would produce a
@@ -116,7 +124,7 @@ _SHINGLES_FROM_WH = f"""
 
 _WORD_HASHES_SQL = f"""
   list_transform(list_filter(string_split(text, ' '), w -> len(w) > 0),
-                 w -> {poly_fingerprint_sql('w')})
+                 w -> CAST(concat('0x', substr(md5(w), 1, 15)) AS BIGINT) % {MERSENNE_P})
 """
 
 # DuckDB generate_series(1, n) is empty for n < 1 -- no guard needed.
@@ -253,6 +261,21 @@ def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _shingle_rows(spark, sf_dir).groupBy("doc_id").agg(*aggs)
 
 
+def banded_minhash(sigs: DataFrame) -> DataFrame:
+    """(doc_id, band_idx, band_key) LSH index rows from a signature
+    frame: band the signature (4 bands × 4 rows) and explode. Shared
+    by the self-join dedup (below) and the incremental new-vs-corpus
+    variant (operators/curation.py)."""
+    n_bands = NUM_PERM // BAND_ROWS
+    band_keys = F.array(
+        *[
+            F.concat_ws(",", *[F.col(f"sig{b * BAND_ROWS + r}") for r in range(BAND_ROWS)])
+            for b in range(n_bands)
+        ]
+    )
+    return sigs.select("doc_id", F.posexplode(band_keys).alias("band_idx", "band_key"))
+
+
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-dup pairs, exact-Jaccard verified.
 
@@ -261,15 +284,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle join on short keys, linear in data + candidates. Verify:
     exact Jaccard on the candidates only, keep ≥ τ.
     """
-    sigs = minhash_signatures(spark, sf_dir)
-    n_bands = NUM_PERM // BAND_ROWS
-    band_keys = F.array(
-        *[
-            F.concat_ws(",", *[F.col(f"sig{b * BAND_ROWS + r}") for r in range(BAND_ROWS)])
-            for b in range(n_bands)
-        ]
-    )
-    banded = sigs.select("doc_id", F.posexplode(band_keys).alias("band_idx", "band_key"))
+    banded = banded_minhash(minhash_signatures(spark, sf_dir))
     a = banded.alias("ba")
     b = banded.alias("bb")
     candidates = (
@@ -291,12 +306,14 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _minhash_sql() -> str:
+def minhash_bands_ctes() -> str:
+    """The docs→signatures→bands CTE chain (DuckDB), shared by the
+    self-join pair SQL below and the incremental variant in
+    operators/curation.py."""
     perms = ", ".join(
         f"({i}, {affine_params(i)[0]}, {affine_params(i)[1]})" for i in range(NUM_PERM)
     )
-    return f"""
-WITH docs AS ({_DOCS_SHINGLES_SQL}),
+    return f"""docs AS ({_DOCS_SHINGLES_SQL}),
 perms(i, a, b) AS (VALUES {perms}),
 hashes AS (SELECT doc_id, unnest(sh) AS h FROM docs),
 sigs AS (
@@ -308,7 +325,12 @@ bands AS (
   SELECT doc_id, i // {BAND_ROWS} AS band_idx,
          string_agg(CAST(minv AS VARCHAR), ',' ORDER BY i) AS band_key
   FROM sigs GROUP BY doc_id, i // {BAND_ROWS}
-),
+)"""
+
+
+def _minhash_sql() -> str:
+    return f"""
+WITH {minhash_bands_ctes()},
 cands AS (
   SELECT DISTINCT x.doc_id AS doc1, y.doc_id AS doc2
   FROM bands x JOIN bands y
