@@ -1,0 +1,179 @@
+"""Training-data curation operators (EXT — BASELINE.json north star):
+the two composite shapes a 100 TB ingest pipeline actually runs.
+
+- ``dedup_incremental``: dedup a NEW batch of documents against an
+  already-indexed corpus — the daily-ingest shape. No corpus×corpus
+  work: new-batch band rows equi-join the corpus band index, only
+  new-vs-corpus candidates pay the exact-Jaccard verify. At 100 TB the
+  corpus band index is a bucketed table maintained across runs and the
+  per-batch cost is linear in the batch, not the corpus.
+- ``curation_pipeline``: the keep-set composition — dedup-group
+  canonical docs ∩ quality threshold, with the stable content-hash
+  sample bucket attached. One declared query proving the operators
+  compose without a driver-side loop.
+
+Registry note: this module enumerates LAST (registry.py) — the driver
+gate records the first 50 registry entries only, so post-cap additions
+land here, where the parametrized local oracle sweep
+(tests/test_llm_ops.py) is their hard signal.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
+
+from ..functions.hashing import poly_fingerprint, poly_fingerprint_sql
+from ..sources import load_table
+from .dedup import (
+    JACCARD_THRESHOLD,
+    _JACCARD,
+    _JACCARD_SQL,
+    _docs_with_shingles,
+    banded_minhash,
+    dedup_groups,
+    minhash_bands_ctes,
+    minhash_signatures,
+)
+from .text_analysis import text_quality, TEXT_QUALITY_SQL
+
+# The "new batch" slice of the fixture corpus: every 5th doc (20%).
+# Spreads uniformly over doc_id, so planted near-dup pairs straddle
+# the batch/corpus boundary at every SF (verified non-vacuous at
+# sf0.001/0.01/0.1). In production this predicate is "today's
+# partition"; here it must be a pure doc_id expression so the DuckDB
+# oracle can replicate the split exactly.
+
+# Keep-set quality floor for the pipeline query. The fixture corpus
+# scores cluster in ~0.15-0.46 (median ~0.40: stopword-ratio and
+# word-length terms dominate; few docs get the 0.2 length bonus), so
+# 0.38 keeps the filter selective (~40% dropped) but non-vacuous at
+# every SF.
+QUALITY_FLOOR = 0.38
+
+
+def _is_new() -> F.Column:
+    return F.col("doc_id") % 5 == 4
+
+
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup status of every NEW-batch document vs the corpus:
+    (doc_id, dup_of, jaccard, is_dup). dup_of is the best corpus match
+    (max Jaccard, ties → min corpus doc_id) or −1 when the document is
+    genuinely new; jaccard is 0.0 for non-dups (sentinels, not NULLs —
+    NULL floats round-trip differently through the two engines'
+    dataframes).
+
+    Plan shape: signatures for all docs (one shuffle), band index
+    split new/corpus, new-vs-corpus equi-join on (band_idx, band_key),
+    exact-Jaccard verify on candidates only, per-new-doc argmax via
+    window, left join back to the full batch. Linear in batch +
+    candidates — the corpus is only touched through its band index.
+
+    Reference capability anchor: the tuner's cross-RUN memory
+    (`ComputePartitions.scala:100-138` reads prior runs' metrics to
+    decide the next run) applied to the data plane: prior ingests'
+    index decides what's new today."""
+    banded = banded_minhash(minhash_signatures(spark, sf_dir))
+    newb = banded.where(_is_new()).alias("n")
+    corp = banded.where(~_is_new()).alias("c")
+    cands = (
+        newb.join(
+            corp,
+            (F.col("n.band_idx") == F.col("c.band_idx"))
+            & (F.col("n.band_key") == F.col("c.band_key")),
+        )
+        .select(F.col("n.doc_id").alias("new_id"), F.col("c.doc_id").alias("corpus_id"))
+        .distinct()
+    )
+    docs = _docs_with_shingles(spark, sf_dir)
+    verified = (
+        cands.join(docs.alias("a"), F.col("new_id") == F.col("a.doc_id"))
+        .join(docs.alias("b"), F.col("corpus_id") == F.col("b.doc_id"))
+        .select("new_id", "corpus_id", F.expr(_JACCARD).alias("jaccard"))
+        .where(F.col("jaccard") >= JACCARD_THRESHOLD)
+    )
+    w = W.partitionBy("new_id").orderBy(F.desc("jaccard"), F.asc("corpus_id"))
+    best = (
+        verified.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .drop("rn")
+    )
+    batch = load_table(spark, sf_dir, "documents").where(_is_new()).select("doc_id")
+    return batch.join(best, batch.doc_id == best.new_id, "left").select(
+        "doc_id",
+        F.coalesce(F.col("corpus_id"), F.lit(-1)).cast("long").alias("dup_of"),
+        F.coalesce(F.col("jaccard"), F.lit(0.0)).alias("jaccard"),
+        F.col("corpus_id").isNotNull().alias("is_dup"),
+    )
+
+
+DEDUP_INCREMENTAL_SQL = f"""
+WITH {minhash_bands_ctes()},
+cands AS (
+  SELECT DISTINCT n.doc_id AS new_id, c.doc_id AS corpus_id
+  FROM bands n JOIN bands c
+    ON n.band_idx = c.band_idx AND n.band_key = c.band_key
+  WHERE n.doc_id % 5 = 4 AND NOT (c.doc_id % 5 = 4)
+),
+verified AS (
+  SELECT new_id, corpus_id, {_JACCARD_SQL} AS jaccard
+  FROM cands
+  JOIN docs a ON new_id = a.doc_id
+  JOIN docs b ON corpus_id = b.doc_id
+  WHERE {_JACCARD_SQL} >= {JACCARD_THRESHOLD}
+),
+best AS (
+  SELECT new_id, corpus_id, jaccard,
+         ROW_NUMBER() OVER (PARTITION BY new_id ORDER BY jaccard DESC, corpus_id ASC) AS rn
+  FROM verified
+)
+SELECT d.doc_id,
+       CAST(COALESCE(b.corpus_id, -1) AS BIGINT) AS dup_of,
+       COALESCE(b.jaccard, 0.0) AS jaccard,
+       b.corpus_id IS NOT NULL AS is_dup
+FROM documents d
+LEFT JOIN (SELECT * FROM best WHERE rn = 1) b ON d.doc_id = b.new_id
+WHERE d.doc_id % 5 = 4
+"""
+
+
+def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end keep-set: canonical docs from near-dup group
+    resolution, above the quality floor, with the reproducible
+    content-hash sample bucket attached — the row set a training run
+    would actually read. Composition of three declared operators
+    (dedup_groups ⋈ text_quality ⋈ documents) with zero driver-side
+    logic beyond dedup_groups' own convergence loop."""
+    groups = dedup_groups(spark, sf_dir)
+    quality = text_quality(spark, sf_dir).select("doc_id", "quality_score")
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", (poly_fingerprint("text") % 100).alias("sample_bucket")
+    )
+    return (
+        groups.where(F.col("is_canonical"))
+        .join(quality, "doc_id")
+        .where(F.col("quality_score") >= QUALITY_FLOOR)
+        .join(d, "doc_id")
+        .select("doc_id", "lang", "group_size", "quality_score", "sample_bucket")
+    )
+
+
+def _curation_pipeline_sql() -> str:
+    from .dedup import DEDUP_GROUPS_SQL
+
+    return f"""
+WITH RECURSIVE groups AS ({DEDUP_GROUPS_SQL}),
+quality AS ({TEXT_QUALITY_SQL})
+SELECT g.doc_id, d.lang, g.group_size, q.quality_score,
+       {poly_fingerprint_sql('d.text')} % 100 AS sample_bucket
+FROM groups g
+JOIN quality q USING (doc_id)
+JOIN documents d USING (doc_id)
+WHERE g.is_canonical AND q.quality_score >= {QUALITY_FLOOR}
+"""
+
+
+QUERIES = {
+    "dedup_incremental": (dedup_incremental, DEDUP_INCREMENTAL_SQL),
+    "curation_pipeline": (curation_pipeline, _curation_pipeline_sql()),
+}

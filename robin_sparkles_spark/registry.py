@@ -44,6 +44,7 @@ def _collect() -> dict[str, QuerySpec]:
     # to localize, and so pyspark import cost is paid once.
     from .operators import (
         clustering,
+        curation,
         dedup,
         multimodal,
         relational,
@@ -73,6 +74,7 @@ def _collect() -> dict[str, QuerySpec]:
         relational,
         relational2,
         relational3,
+        curation,  # LAST: post-cap additions, pytest-oracle-covered
     ):
         for name, spec in module.QUERIES.items():
             if name in registry:

@@ -5,12 +5,12 @@ from __future__ import annotations
 
 import pytest
 
-from robin_sparkles_spark.operators import dedup, similarity, text_analysis
+from robin_sparkles_spark.operators import curation, dedup, similarity, text_analysis
 
 from .oracle_utils import assert_query_matches_oracle
 
 ALL = {}
-for mod in (text_analysis, dedup, similarity):
+for mod in (text_analysis, dedup, similarity, curation):
     ALL.update(mod.QUERIES)
 
 
@@ -32,11 +32,19 @@ def test_minhash_recall_vs_bruteforce(spark, sf_dir):
 
 
 def test_simhash_finds_planted_dups(spark, sf_dir):
+    """SimHash is approximate: with 31 informative bits (features are
+    mod 2³¹−1) a short doc's J≥0.8 twin can land past hamming 5
+    (measured: 27/28 at one SF, 25/25 at another; the one miss is a
+    ~30-shingle doc whose 2 differing shingles flipped 7 bits). Assert
+    ≥90% recall of the exact-Jaccard truth, and that the threshold
+    keeps noise bounded — at hamming 6-7 noise is ~10× truth, so a
+    recall-1.0 threshold would drown the signal."""
     truth = {
         (r.doc1, r.doc2) for r in dedup.dedup_ngram_jaccard(spark, sf_dir).collect()
     }
     sh = {(r.doc1, r.doc2) for r in dedup.dedup_simhash(spark, sf_dir).collect()}
-    assert truth <= sh
+    assert truth, "fixture corpus should contain planted near-dups"
+    assert len(truth & sh) >= 0.9 * len(truth)
     # and it shouldn't drown them in noise (measured: ≤ ~2× truth)
     assert len(sh) <= max(4 * len(truth), 60)
 
@@ -145,6 +153,56 @@ def test_dedup_groups_match_union_find(spark, sf_dir):
         assert r.group_size == sizes[r.group_id]
         assert r.is_canonical == (r.doc_id == r.group_id)
     assert any(r.group_size >= 2 for r in rows), "planted dups must cluster"
+
+
+def test_incremental_consistent_with_full_lsh(spark, sf_dir):
+    """Incremental new-vs-corpus dedup must agree with the full
+    self-join: a new-batch doc is a dup iff some full-LSH pair links
+    it to a corpus doc, and its best-match jaccard is the max over
+    those partners (same bands, same verify — only the pair universe
+    is restricted)."""
+    pairs = [
+        (r.doc1, r.doc2, r.jaccard)
+        for r in dedup.dedup_minhash_lsh(spark, sf_dir).collect()
+    ]
+    is_new = lambda d: d % 5 == 4
+    partners: dict[int, list[tuple[int, float]]] = {}
+    for a, b, j in pairs:
+        for new, corp in ((a, b), (b, a)):
+            if is_new(new) and not is_new(corp):
+                partners.setdefault(new, []).append((corp, j))
+    rows = {r.doc_id: r for r in curation.dedup_incremental(spark, sf_dir).collect()}
+    assert all(is_new(d) for d in rows)
+    for d, r in rows.items():
+        if d in partners:
+            best_j = max(j for _, j in partners[d])
+            best_c = min(c for c, j in partners[d] if j == best_j)
+            assert r.is_dup and r.dup_of == best_c and r.jaccard == best_j
+        else:
+            assert (not r.is_dup) and r.dup_of == -1 and r.jaccard == 0.0
+    assert any(r.is_dup for r in rows.values()), "planted dups must straddle the split"
+
+
+def test_curation_pipeline_is_component_intersection(spark, sf_dir):
+    """The composite keep-set must equal the intersection computed
+    from its component operators independently."""
+    canonical = {
+        r.doc_id: r.group_size
+        for r in dedup.dedup_groups(spark, sf_dir).collect()
+        if r.is_canonical
+    }
+    good = {
+        r.doc_id: r.quality_score
+        for r in text_analysis.text_quality(spark, sf_dir).collect()
+        if r.quality_score >= curation.QUALITY_FLOOR
+    }
+    rows = curation.curation_pipeline(spark, sf_dir).collect()
+    assert {r.doc_id for r in rows} == set(canonical) & set(good)
+    for r in rows:
+        assert r.group_size == canonical[r.doc_id]
+        assert r.quality_score == good[r.doc_id]
+        assert 0 <= r.sample_bucket < 100
+    assert rows and len(rows) < 500, "filter must be selective but non-vacuous"
 
 
 def test_exact_dedup_counts(spark, sf_dir):
