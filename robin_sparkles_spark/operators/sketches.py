@@ -1,0 +1,109 @@
+"""Distinct-count sketching (EXT): a K-minimum-values estimator built
+on the engine-portable affine hash, so the whole sketch — including
+its error — is DETERMINISTIC and oracle-checkable across engines.
+
+Why KMV here: the production approximate-distinct operator is
+``approx_count_distinct`` (HyperLogLog++, one pass, bounded memory,
+mergeable partials) and it IS the 100 TB path — but its estimates are
+engine-specific, so a declared query using it could never hash-match
+DuckDB. KMV with a shared hash family gives the same *algebra*
+(k-th smallest normalized hash ⇒ density ⇒ cardinality) with
+bit-identical results in both engines, which turns "the sketch is
+about this accurate" from prose into a gate-checked number — the same
+move as ``ann_recall_at_k``.
+
+Scale note: this declared form materializes the distinct (group, hash)
+pairs before ranking — one exact-distinct shuffle, same cost class as
+exact count-distinct. That is deliberate (determinism for the oracle);
+at 100 TB you keep the K smallest hashes per group inside a partial
+aggregation (or just use approx_count_distinct) and the estimator
+algebra below is unchanged.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
+
+from ..functions.hashing import MERSENNE_P, affine_params
+from ..sources import load_table
+
+SKETCH_K = 32
+
+
+def users_kmv_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct users per event_type: exact count, KMV estimate, and
+    relative error — the sketch-accuracy report as a declared query.
+
+    Estimator: with hashes uniform on [0, p), the k-th smallest of n
+    distinct hashes sits near k·p/n, so n̂ = (K−1)·p / h₍K₎ (the
+    standard unbiased KMV form). Groups with fewer than K distinct
+    members short-circuit to the exact count (every member was seen).
+    """
+    a, b = affine_params(0)
+    h = (F.col("user_id") * F.lit(a) + F.lit(b)) % F.lit(MERSENNE_P)
+    events = load_table(spark, sf_dir, "events")
+    kmv = events.select("event_type", h.alias("h")).distinct()
+    w = W.partitionBy("event_type").orderBy("h")
+    ksel = (
+        kmv.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= SKETCH_K)
+        .groupBy("event_type")
+        .agg(F.max("h").alias("kth_min"), F.count("*").alias("k_used"))
+    )
+    exact = events.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_users")
+    )
+    est = F.when(F.col("k_used") < SKETCH_K, F.col("k_used").cast("double")).otherwise(
+        F.lit(float(SKETCH_K - 1)) * F.lit(float(MERSENNE_P)) / F.col("kth_min")
+    )
+    return (
+        exact.join(ksel, "event_type")
+        .select(
+            "event_type",
+            "exact_users",
+            est.alias("kmv_estimate"),
+        )
+        .withColumn(
+            "rel_error",
+            F.abs(F.col("kmv_estimate") - F.col("exact_users"))
+            / F.col("exact_users"),
+        )
+    )
+
+
+def _users_kmv_sql() -> str:
+    a, b = affine_params(0)
+    return f"""
+WITH kmv AS (
+  SELECT DISTINCT event_type, (user_id * {a} + {b}) % {MERSENNE_P} AS h FROM events
+),
+ranked AS (
+  SELECT event_type, h, ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) AS rn
+  FROM kmv
+),
+ksel AS (
+  SELECT event_type, MAX(h) AS kth_min, COUNT(*) AS k_used
+  FROM ranked WHERE rn <= {SKETCH_K} GROUP BY event_type
+),
+exact AS (
+  SELECT event_type, COUNT(DISTINCT user_id) AS exact_users FROM events GROUP BY event_type
+)
+SELECT e.event_type,
+       e.exact_users,
+       CASE WHEN k.k_used < {SKETCH_K} THEN CAST(k.k_used AS DOUBLE)
+            ELSE CAST({float(SKETCH_K - 1)} AS DOUBLE) * CAST({float(MERSENNE_P)} AS DOUBLE) / k.kth_min
+       END AS kmv_estimate,
+       abs((CASE WHEN k.k_used < {SKETCH_K} THEN CAST(k.k_used AS DOUBLE)
+                 ELSE CAST({float(SKETCH_K - 1)} AS DOUBLE) * CAST({float(MERSENNE_P)} AS DOUBLE) / k.kth_min
+            END) - e.exact_users) / e.exact_users AS rel_error
+FROM exact e JOIN ksel k USING (event_type)
+"""
+
+
+QUERIES: dict = {}
+
+# Post-gate-cap addition (see registry.py): local oracle sweep is the
+# hard signal.
+QUERIES_TAIL = {
+    "users_kmv_by_type": (users_kmv_by_type, _users_kmv_sql()),
+}

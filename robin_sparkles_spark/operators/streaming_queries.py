@@ -12,8 +12,11 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
+from pyspark.sql import functions as F
+
 from ..sources import load_table
 from ..streaming.events import (
+    attribution_join_stream,
     session_window_stream,
     sliding_counts_stream,
     tumbling_counts_stream,
@@ -92,8 +95,42 @@ GROUP BY user_id, session_id
 """
 
 
+def view_purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the stream-stream interval join: purchases
+    attributed to same-user views within the preceding 30 minutes
+    (identical expressions — ``attribution_join_stream`` on the batch
+    scan; withWatermark is a no-op in batch)."""
+    events = load_table(spark, sf_dir, "events")
+    return attribution_join_stream(
+        events.where(F.col("event_type") == "view"),
+        events.where(F.col("event_type") == "purchase"),
+    )
+
+
+VIEW_PURCHASE_SQL = """
+SELECT v.user_id,
+       v.event_id AS view_id,
+       p.event_id AS purchase_id,
+       strftime(v.ts, '%Y-%m-%d %H:%M:%S') AS view_time,
+       strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS purchase_time,
+       p.value
+FROM events v
+JOIN events p
+  ON v.user_id = p.user_id
+ AND p.ts >= v.ts
+ AND p.ts <= v.ts + INTERVAL 30 MINUTE
+WHERE v.event_type = 'view' AND p.event_type = 'purchase'
+"""
+
+
 QUERIES = {
     "events_tumbling_1h": (events_tumbling_1h, EVENTS_TUMBLING_SQL),
     "events_sliding_30_15": (events_sliding_30_15, EVENTS_SLIDING_SQL),
     "user_sessions": (user_sessions, USER_SESSIONS_SQL),
+}
+
+# Post-gate-cap additions (registry enumerates *_TAIL dicts after every
+# module's QUERIES, keeping the driver's 50-row gate window stable).
+QUERIES_TAIL = {
+    "view_purchase_attribution": (view_purchase_attribution, VIEW_PURCHASE_SQL),
 }

@@ -46,6 +46,7 @@ def _collect() -> dict[str, QuerySpec]:
         clustering,
         curation,
         dedup,
+        sketches,
         multimodal,
         relational,
         relational2,
@@ -62,8 +63,11 @@ def _collect() -> dict[str, QuerySpec]:
     # (multimodal/streaming/clustering were last and got no row), so
     # the modules the gate never reached now enumerate FIRST — if the
     # driver has a per-round query/time budget, it spends it on the
-    # queries that still need their first green row.
-    for module in (
+    # queries that still need their first green row. Modules may also
+    # define QUERIES_TAIL: post-cap additions appended after every
+    # module's QUERIES so the gate window stays stable; their hard
+    # signal is the parametrized local oracle sweep in tests/.
+    modules = (
         wordcount_queries,
         multimodal,
         streaming_queries,
@@ -74,12 +78,21 @@ def _collect() -> dict[str, QuerySpec]:
         relational,
         relational2,
         relational3,
-        curation,  # LAST: post-cap additions, pytest-oracle-covered
-    ):
+        curation,  # LAST of the main dicts: post-cap additions
+        sketches,  # QUERIES_TAIL only
+    )
+
+    def add(name: str, spec: tuple) -> None:
+        if name in registry:
+            raise ValueError(f"duplicate query name {name!r}")
+        registry[name] = QuerySpec(*spec)
+
+    for module in modules:
         for name, spec in module.QUERIES.items():
-            if name in registry:
-                raise ValueError(f"duplicate query name {name!r}")
-            registry[name] = QuerySpec(*spec)
+            add(name, spec)
+    for module in modules:
+        for name, spec in getattr(module, "QUERIES_TAIL", {}).items():
+            add(name, spec)
     return registry
 
 

@@ -120,6 +120,46 @@ def deduped_stream(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
     return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(["event_id"])
 
 
+def attribution_join_stream(views: DataFrame, purchases: DataFrame) -> DataFrame:
+    """Stream-stream interval join: each purchase attributed to every
+    view by the same user within the preceding 30 minutes — the
+    click-attribution shape. Both sides watermarked, and the join
+    condition bounds purchase_ts to [view_ts, view_ts + 30 min], so
+    Spark can expire view state once the purchase watermark passes
+    view_ts + 30 min and purchase state once the view watermark passes
+    purchase_ts: state is bounded by watermark horizon × arrival rate,
+    the requirement for an unbounded 100 TB stream.
+
+    Works identically on batch inputs (withWatermark is a no-op in
+    batch) — ``operators.streaming_queries.view_purchase_attribution``
+    is the declared, DuckDB-checked twin."""
+    v = views.select(
+        F.col("user_id"),
+        F.col("event_id").alias("view_id"),
+        F.col("ts").alias("view_ts"),
+    ).withWatermark("view_ts", "1 hour")
+    p = purchases.select(
+        F.col("user_id").alias("p_user_id"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+        "value",
+    ).withWatermark("purchase_ts", "1 hour")
+    joined = v.join(
+        p,
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("purchase_ts") >= F.col("view_ts"))
+        & (F.col("purchase_ts") <= F.col("view_ts") + F.expr("INTERVAL 30 MINUTES")),
+    )
+    return joined.select(
+        "user_id",
+        "view_id",
+        "purchase_id",
+        F.date_format("view_ts", "yyyy-MM-dd HH:mm:ss").alias("view_time"),
+        F.date_format("purchase_ts", "yyyy-MM-dd HH:mm:ss").alias("purchase_time"),
+        "value",
+    )
+
+
 def run_stream_to_memory(stream_df: DataFrame, name: str, output_mode: str = "complete"):
     """Drive a streaming query to completion over the (finite) fixture
     files via the memory sink; returns the bounded result table name.

@@ -5,13 +5,20 @@ from __future__ import annotations
 
 import pytest
 
-from robin_sparkles_spark.operators import curation, dedup, similarity, text_analysis
+from robin_sparkles_spark.operators import (
+    curation,
+    dedup,
+    similarity,
+    sketches,
+    text_analysis,
+)
 
 from .oracle_utils import assert_query_matches_oracle
 
 ALL = {}
-for mod in (text_analysis, dedup, similarity, curation):
+for mod in (text_analysis, dedup, similarity, curation, sketches):
     ALL.update(mod.QUERIES)
+    ALL.update(getattr(mod, "QUERIES_TAIL", {}))
 
 
 @pytest.mark.parametrize("name", sorted(ALL))
@@ -203,6 +210,19 @@ def test_curation_pipeline_is_component_intersection(spark, sf_dir):
         assert r.quality_score == good[r.doc_id]
         assert 0 <= r.sample_bucket < 100
     assert rows and len(rows) < 500, "filter must be selective but non-vacuous"
+
+
+def test_kmv_estimator_branches_and_error(spark, sf_dir):
+    """Small groups short-circuit to exact (k_used < K ⇒ error 0);
+    estimator-path groups must land within the KMV standard error
+    (~1/√(K−2) ≈ 18% at K=32; assert a loose 3σ bound)."""
+    rows = sketches.users_kmv_by_type(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        if r.exact_users < sketches.SKETCH_K:
+            assert r.kmv_estimate == float(r.exact_users) and r.rel_error == 0.0
+        else:
+            assert r.rel_error <= 0.55
 
 
 def test_exact_dedup_counts(spark, sf_dir):

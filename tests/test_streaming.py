@@ -13,9 +13,9 @@ from robin_sparkles_spark.streaming import events as se
 from .oracle_utils import assert_query_matches_oracle
 
 
-@pytest.mark.parametrize("name", sorted(sq.QUERIES))
+@pytest.mark.parametrize("name", sorted({**sq.QUERIES, **sq.QUERIES_TAIL}))
 def test_batch_twin_oracle_parity(spark, sf_dir, name):
-    fn, oracle = sq.QUERIES[name]
+    fn, oracle = {**sq.QUERIES, **sq.QUERIES_TAIL}[name]
     assert_query_matches_oracle(fn(spark, sf_dir), oracle, sf_dir)
 
 
@@ -58,6 +58,25 @@ def test_dedup_stream_drops_nothing_on_unique_ids(spark, sf_dir):
     from robin_sparkles_spark.sources import load_table
 
     assert n_stream == load_table(spark, sf_dir, "events").count()
+
+
+def test_attribution_join_stream_equals_batch(spark, sf_dir):
+    """Stream-stream interval join parity: inner-join matches emit
+    within the micro-batch that completes them (watermarks bound state,
+    not inner-join emission), so the finite fixture yields exactly the
+    batch twin's rows in append mode."""
+    from pyspark.sql import functions as F
+
+    ev = se.events_stream(spark, sf_dir)
+    stream = se.attribution_join_stream(
+        ev.where(F.col("event_type") == "view"),
+        ev.where(F.col("event_type") == "purchase"),
+    )
+    se.run_stream_to_memory(stream, "t_attr", output_mode="append")
+    got = _sorted_pdf(spark.sql("SELECT * FROM t_attr"))
+    want = _sorted_pdf(sq.view_purchase_attribution(spark, sf_dir))
+    assert len(want), "fixture must contain attributable purchases"
+    pd.testing.assert_frame_equal(got, want)
 
 
 def test_watermark_is_set(spark, sf_dir):
