@@ -51,6 +51,7 @@ def _collect() -> dict[str, QuerySpec]:
         relational,
         relational2,
         relational3,
+        relational4,
         similarity,
         streaming_queries,
         text_analysis,
@@ -80,6 +81,7 @@ def _collect() -> dict[str, QuerySpec]:
         relational3,
         curation,  # LAST of the main dicts: post-cap additions
         sketches,  # QUERIES_TAIL only
+        relational4,  # QUERIES_TAIL only
     )
 
     def add(name: str, spec: tuple) -> None:

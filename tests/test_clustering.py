@@ -1,5 +1,5 @@
 """k-means + IVF semantics (no SQL oracle exists for iterative ops —
-these tests are their correctness gate) and relational3 parity."""
+these tests are their correctness gate) and relational3/4 parity."""
 
 from __future__ import annotations
 
@@ -7,15 +7,17 @@ import pytest
 
 from pyspark.sql import functions as F
 
-from robin_sparkles_spark.operators import clustering, relational3
+from robin_sparkles_spark.operators import clustering, relational3, relational4
 from robin_sparkles_spark.operators.similarity import ann_bruteforce_topk
 
 from .oracle_utils import assert_query_matches_oracle
 
+_R34 = {**relational3.QUERIES, **relational4.QUERIES_TAIL}
 
-@pytest.mark.parametrize("name", sorted(relational3.QUERIES))
+
+@pytest.mark.parametrize("name", sorted(_R34))
 def test_relational3_oracle_parity(spark, sf_dir, name):
-    fn, oracle = relational3.QUERIES[name]
+    fn, oracle = _R34[name]
     assert_query_matches_oracle(fn(spark, sf_dir), oracle, sf_dir)
 
 

@@ -98,7 +98,14 @@ def test_embedding_similar_bucket_join_is_equi_join(spark, sf_dir):
 # is intended (Q is a constant, so the scan is linear in N).
 # ann_recall_at_k embeds that same exact baseline as its ground-truth
 # side, so it inherits the one allowed BNL.
-_BNL_ALLOWED = {"ann_bruteforce_topk", "ann_recall_at_k"}
+# q22's BNL is its scalar threshold: a 1-row aggregate broadcast-cross-
+# joined into the probe side (Spark's scalar-subquery shape) — O(N)
+# with a single-row build, not a pair scan.
+_BNL_ALLOWED = {
+    "ann_bruteforce_topk",
+    "ann_recall_at_k",
+    "q22_idle_balance_by_segment",
+}
 
 
 def test_no_nested_loop_joins_in_declared_plans(spark, sf_dir):
