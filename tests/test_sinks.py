@@ -1,0 +1,47 @@
+"""Best-practice sink helpers: partitioned writes prune at read time,
+bucketed tables join exchange-free (deeper assertions live in
+test_storage_layout.py — these cover the packaged helpers)."""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import functions as F
+
+from robin_sparkles_spark.plans import audit_plan
+from robin_sparkles_spark.sources import load_table
+from robin_sparkles_spark.sources.sinks import write_bucketed_table, write_partitioned
+
+
+def test_write_partitioned_prunes_and_sorts(spark, sf_dir, tmp_path):
+    docs = load_table(spark, sf_dir, "documents")
+    path = str(tmp_path / "docs_by_lang")
+    write_partitioned(docs, path, ["lang"], sort_col="doc_id")
+    back = spark.read.parquet(path)
+    assert back.count() == docs.count()
+    pruned = back.where(F.col("lang") == "en")
+    a = audit_plan(pruned)
+    assert "PartitionFilters: [" in a.formatted and "lang" in a.formatted, a.formatted
+
+
+def test_write_bucketed_table_joins_without_exchange(spark, sf_dir):
+    t1, t2 = (f"b_{uuid.uuid4().hex[:8]}" for _ in range(2))
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    l = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    try:
+        write_bucketed_table(o, t1, "o_orderkey")
+        write_bucketed_table(l, t2, "l_orderkey")
+        threshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            j = spark.table(t1).join(
+                spark.table(t2), F.col("o_orderkey") == F.col("l_orderkey")
+            )
+            a = audit_plan(j)
+            assert a.exchanges == 0, a.formatted
+            assert j.count() == l.count()
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {t1}")
+        spark.sql(f"DROP TABLE IF EXISTS {t2}")
