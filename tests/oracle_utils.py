@@ -17,9 +17,11 @@ import pandas as pd
 from robin_sparkles_spark.sources import TABLES
 
 
-def duckdb_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
+def duckdb_connection(
+    sf_dir: str, tables: tuple[str, ...] = TABLES
+) -> duckdb.DuckDBPyConnection:
     con = duckdb.connect()
-    for t in TABLES:
+    for t in tables:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     return con
 
@@ -42,8 +44,10 @@ def _normalize(pdf: pd.DataFrame) -> pd.DataFrame:
     return out
 
 
-def assert_query_matches_oracle(spark_df, oracle_sql: str, sf_dir: str) -> None:
-    con = duckdb_connection(sf_dir)
+def assert_query_matches_oracle(
+    spark_df, oracle_sql: str, sf_dir: str, tables: tuple[str, ...] = TABLES
+) -> None:
+    con = duckdb_connection(sf_dir, tables)
     expected = con.sql(oracle_sql).df()
     actual = spark_df.toPandas()
 
