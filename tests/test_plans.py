@@ -43,6 +43,20 @@ def test_q5_star_join_broadcasts(spark, sf_dir):
     assert not a.has_python_eval
 
 
+def test_q19_disjunction_pushed_to_both_scans(spark, sf_dir):
+    """Q19's three OR-ed brand/size/quantity baskets must be
+    decomposed per side and pushed to BOTH parquet scans (the
+    lineitem side gets the quantity disjunction, the part side the
+    brand/size disjunction) — the point of the Q19 shape."""
+    from robin_sparkles_spark.operators import relational4
+
+    a = audit_plan(relational4.q19_disjunctive_revenue(spark, sf_dir))
+    pushed = "\n".join(a.pushed_filters)
+    assert "l_quantity" in pushed, a.formatted
+    assert "p_brand" in pushed and "p_size" in pushed, a.formatted
+    assert a.broadcast_joins >= 1  # part side broadcast
+
+
 def test_semi_anti_join_shapes(spark, sf_dir):
     semi = audit_plan(relational.customers_with_big_orders(spark, sf_dir))
     assert "LeftSemi" in semi.formatted
