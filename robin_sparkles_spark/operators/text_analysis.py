@@ -297,6 +297,47 @@ WHERE {poly_fingerprint_sql('text')} % 100 < (CASE {cases} ELSE 10 END)
 """
 
 
+# --- PII scrubbing (library surface) ----------------------------------------
+
+# Deliberately simple, auditable patterns — production systems layer
+# ML NER on top, but the regex pass is always the first, cheapest
+# filter. Order matters: emails before generic number runs so an
+# address's digits don't get double-redacted.
+PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("url", r"https?://[^\s]+", "<URL>"),
+    # separators are load-bearing: a bare digit run is an <ID>, not a
+    # phone — this stays RE2-compatible (no lookaheads) so the pattern
+    # could serve a DuckDB oracle unchanged
+    ("phone", r"\+?[0-9]{1,3}[\s.-]?\(?[0-9]{3}\)?[\s.-][0-9]{3}[\s.-][0-9]{4}", "<PHONE>"),
+    ("id_number", r"\b[0-9]{6,}\b", "<ID>"),
+)
+
+
+def scrub_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Redact email/URL/phone/long-number patterns from ``text_col``,
+    appending per-pattern match counts. Pure Catalyst
+    (regexp_count + chained regexp_replace): a per-row projection with
+    no shuffle — at 100 TB this is a map-only pass that coexists with
+    any downstream plan.
+
+    Library surface, not a declared query: the fixture corpus contains
+    no PII-shaped strings (0 digits anywhere), so a declared oracle row
+    would be vacuously green — tests stage synthetic corpora with
+    planted patterns instead (tests/test_llm_ops.py).
+
+    Counts are taken on the progressively-cleaned text, so a string
+    already redacted by an earlier pattern (an email's digits, say)
+    is not double-counted by a later one — n_* sums equal the number
+    of redaction tokens inserted."""
+    counts: dict[str, F.Column] = {}
+    clean = F.col(text_col)
+    for name, pattern, token in PII_PATTERNS:
+        counts[f"n_{name}"] = F.regexp_count(clean, F.lit(pattern)).cast("long")
+        clean = F.regexp_replace(clean, pattern, token)
+    return df.withColumns({**counts, "clean_text": clean})
+
+
 QUERIES = {
     "text_token_count": (text_token_count, TOKEN_COUNT_SQL),
     "text_quality": (text_quality, TEXT_QUALITY_SQL),

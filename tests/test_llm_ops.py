@@ -225,6 +225,33 @@ def test_kmv_estimator_branches_and_error(spark, sf_dir):
             assert r.rel_error <= 0.55
 
 
+def test_scrub_pii_redacts_planted_patterns(spark):
+    """PII scrub on a staged corpus with planted emails/URLs/phones/IDs:
+    counts match plants, clean text carries the tokens, and a
+    PII-free doc passes through byte-identical."""
+    rows = [
+        (1, "contact bob@example.com or alice@corp.io for details"),
+        (2, "see https://example.com/x?y=1 and call +1 (555) 123-4567"),
+        (3, "account 12345678 is overdue"),
+        (4, "a perfectly clean sentence"),
+        (5, "mixed: eve@x.org at http://e.org id 99887766"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in text_analysis.scrub_pii(df).collect()}
+    assert got[1].n_email == 2 and "<EMAIL>" in got[1].clean_text
+    assert "bob@example.com" not in got[1].clean_text
+    assert got[2].n_url == 1 and got[2].n_phone == 1
+    assert "<URL>" in got[2].clean_text and "<PHONE>" in got[2].clean_text
+    assert got[3].n_id_number == 1 and "<ID>" in got[3].clean_text
+    assert got[4].clean_text == got[4].text
+    assert all(
+        getattr(got[4], f"n_{n}") == 0 for n, _, _ in text_analysis.PII_PATTERNS
+    )
+    # an email's digits must not double-count as phone/id
+    assert got[5].n_email == 1 and got[5].n_url == 1 and got[5].n_id_number == 1
+    assert got[5].n_phone == 0
+
+
 def test_exact_dedup_counts(spark, sf_dir):
     rows = dedup.dedup_exact(spark, sf_dir).collect()
     n_docs = sum(r.n_copies for r in rows)
