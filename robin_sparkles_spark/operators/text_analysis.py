@@ -338,6 +338,112 @@ def scrub_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.withColumns({**counts, "clean_text": clean})
 
 
+# --- vocabulary building ----------------------------------------------------
+
+VOCAB_SIZE = 500
+
+
+def corpus_vocabulary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequency-ranked vocabulary with stable token ids — the
+    tokenizer-training prerequisite. token_id = dense rank by
+    (freq desc, word asc): deterministic, so a vocab rebuilt on the
+    same corpus assigns identical ids (the reproducibility property
+    tokenizers need).
+
+    Scale note: the global ORDER BY for ranking runs on the
+    AGGREGATED vocab (≤ distinct-words rows, bounded further by the
+    top-K cut), not the corpus — a single-partition sort of ≲1M short
+    rows is driver-scale work even at 100 TB of text."""
+    from pyspark.sql import Window as W
+
+    d = load_table(spark, sf_dir, "documents")
+    words = F.explode(
+        F.filter(F.split(F.lower(F.col("text")), " "), lambda t: F.length(t) > 0)
+    )
+    freq = d.select(words.alias("word")).groupBy("word").agg(F.count("*").alias("freq"))
+    w = W.orderBy(F.desc("freq"), F.asc("word"))
+    return (
+        freq.withColumn("token_id", F.row_number().over(w).cast("long"))
+        .where(F.col("token_id") <= VOCAB_SIZE)
+        .select("token_id", "word", "freq")
+    )
+
+
+CORPUS_VOCAB_SQL = f"""
+SELECT CAST(ROW_NUMBER() OVER (ORDER BY freq DESC, word ASC) AS BIGINT) AS token_id,
+       word, freq
+FROM (
+  SELECT word, COUNT(*) AS freq
+  FROM (
+    SELECT unnest(list_filter(string_split(lower(text), ' '), t -> len(t) > 0)) AS word
+    FROM documents
+  )
+  GROUP BY word
+)
+QUALIFY token_id <= {VOCAB_SIZE}
+"""
+
+
+# --- bigram conditional statistics ------------------------------------------
+
+BIGRAM_TOP_K = 100
+
+
+def bigram_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top bigrams with conditional probability P(w2 | w1) — the
+    simplest n-gram language-model statistic. Probability is a ratio
+    of two exact counts (one double division), deterministic across
+    engines. Top-k by (count desc, w1, w2): total order."""
+    from pyspark.sql import Window as W
+
+    d = load_table(spark, sf_dir, "documents")
+    ws = F.filter(F.split(F.lower(F.col("text")), " "), lambda t: F.length(t) > 0)
+    pairs = d.select(ws.alias("ws")).select(
+        F.explode(
+            F.expr(
+                "if(size(ws) >= 2,"
+                "   transform(sequence(0, size(ws) - 2), i -> struct(ws[i] AS w1, ws[i+1] AS w2)),"
+                "   array())"
+            )
+        ).alias("bg")
+    )
+    bg = pairs.select("bg.w1", "bg.w2").groupBy("w1", "w2").agg(F.count("*").alias("n_bigram"))
+    n1 = F.sum("n_bigram").over(W.partitionBy("w1"))
+    ranked = bg.select(
+        "w1",
+        "w2",
+        "n_bigram",
+        (F.col("n_bigram").cast("double") / n1.cast("double")).alias("p_w2_given_w1"),
+    )
+    w = W.orderBy(F.desc("n_bigram"), F.asc("w1"), F.asc("w2"))
+    return (
+        ranked.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= BIGRAM_TOP_K)
+        .drop("rn")
+    )
+
+
+BIGRAM_STATS_SQL = f"""
+WITH toks AS (
+  SELECT list_filter(string_split(lower(text), ' '), t -> len(t) > 0) AS ws
+  FROM documents
+),
+pairs AS (
+  SELECT unnest(list_transform(generate_series(1, len(ws) - 1),
+                i -> struct_pack(w1 := ws[i], w2 := ws[i+1]))) AS bg
+  FROM toks
+  WHERE len(ws) >= 2
+),
+bg AS (SELECT bg.w1 AS w1, bg.w2 AS w2, COUNT(*) AS n_bigram FROM pairs GROUP BY 1, 2)
+SELECT w1, w2, n_bigram,
+       CAST(n_bigram AS DOUBLE) / CAST(SUM(n_bigram) OVER (PARTITION BY w1) AS DOUBLE)
+         AS p_w2_given_w1
+FROM bg
+ORDER BY n_bigram DESC, w1 ASC, w2 ASC
+LIMIT {BIGRAM_TOP_K}
+"""
+
+
 QUERIES = {
     "text_token_count": (text_token_count, TOKEN_COUNT_SQL),
     "text_quality": (text_quality, TEXT_QUALITY_SQL),
@@ -346,4 +452,10 @@ QUERIES = {
     "text_top_terms": (text_top_terms, TEXT_TOP_TERMS_SQL),
     "text_repetition": (text_repetition, _text_repetition_sql()),
     "docs_stable_sample": (docs_stable_sample, _docs_stable_sample_sql()),
+}
+
+# Post-gate-cap additions (registry.py QUERIES_TAIL contract).
+QUERIES_TAIL = {
+    "corpus_vocabulary": (corpus_vocabulary, CORPUS_VOCAB_SQL),
+    "bigram_stats": (bigram_stats, BIGRAM_STATS_SQL),
 }
