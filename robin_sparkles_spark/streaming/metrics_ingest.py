@@ -40,3 +40,33 @@ def rolling_run_summary(stage_stream: DataFrame) -> DataFrame:
         F.sum("executor_cpu_time_ms").alias("total_cpu_ms"),
         F.max("shuffle_bytes_written").alias("max_shuffle_write"),
     )
+
+
+def summarize_to_parquet(
+    stage_stream: DataFrame, out_path: str, checkpoint_path: str
+):
+    """foreachBatch sink: per micro-batch, recompute the batch's
+    per-run summary and overwrite exactly those runs' partitions
+    (dynamic partition overwrite — idempotent under Structured
+    Streaming's at-least-once batch replay, the property a plain
+    append sink lacks). This is the §2.9 sink shape for maintaining a
+    derived table from a stream when the built-in modes don't fit:
+    complete mode rewrites everything, append can't update — per-key
+    partition overwrite does surgical upserts."""
+
+    def write_batch(batch_df: DataFrame, _batch_id: int) -> None:
+        summary = batch_df.groupBy("run").agg(
+            F.count("*").alias("n_stages"),
+            F.sum("executor_cpu_time_ms").alias("total_cpu_ms"),
+            F.max("shuffle_bytes_written").alias("max_shuffle_write"),
+        )
+        spark = batch_df.sparkSession
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        summary.write.mode("overwrite").partitionBy("run").parquet(out_path)
+
+    return (
+        stage_stream.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -72,3 +72,31 @@ def test_streaming_metrics_ingest(spark, tmp_path):
     assert set(rows) == {0, 1}
     assert rows[0][0] == 3  # 3 stages per run
     assert rows[1][1] == 90 + 90 * 3 * 2  # dominant 90 + two others at 270
+
+
+def test_foreachbatch_summary_sink_is_idempotent(spark, tmp_path):
+    """foreachBatch + dynamic partition overwrite: summaries land as
+    run partitions, and restarting the stream over the same source
+    (fresh checkpoint → full replay) leaves the table unchanged —
+    the at-least-once idempotency the sink exists for."""
+    from robin_sparkles_spark.streaming.metrics_ingest import summarize_to_parquet
+
+    store = MetricsStore(spark, str(tmp_path), "fb_app")
+    store.write_run(0, *synthetic_run(0, n_tasks=8, cpu_ms=105))
+    store.write_run(1, *synthetic_run(1, n_tasks=11, cpu_ms=90))
+    out = str(tmp_path / "summary")
+
+    def run_once(tag: str) -> dict:
+        q = summarize_to_parquet(
+            stage_metrics_stream(spark, store), out, str(tmp_path / f"ckpt_{tag}")
+        )
+        q.awaitTermination()
+        return {
+            r.run: (r.n_stages, r.total_cpu_ms)
+            for r in spark.read.parquet(out).collect()
+        }
+
+    first = run_once("a")
+    assert set(first) == {0, 1} and first[0][0] == 3
+    second = run_once("b")  # full replay with a fresh checkpoint
+    assert second == first
