@@ -52,3 +52,27 @@ def write_bucketed_table(
         .mode("overwrite")
         .saveAsTable(table)
     )
+
+
+def compact_parquet(
+    spark, path: str, out_path: str, target_file_mb: int = 512
+) -> int:
+    """Small-file compaction: rewrite a parquet directory into
+    ⌈bytes / target⌉ files. Streaming sinks and per-run partition
+    writes accumulate small files; scan parallelism then degrades to
+    file-open overhead (the classic lake maintenance job). Uses the
+    actual on-disk byte size from the file index — no data pass — and
+    a round-robin ``repartition`` for even file sizes. Returns the
+    file count written."""
+    df = spark.read.parquet(path)
+    n_bytes = _dir_bytes(spark, path)
+    n_files = max(1, -(-n_bytes // (target_file_mb * 1024 * 1024)))
+    df.repartition(n_files).write.mode("overwrite").parquet(out_path)
+    return n_files
+
+
+def _dir_bytes(spark, path: str) -> int:
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    return fs.getContentSummary(p).getLength()

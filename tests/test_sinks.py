@@ -24,6 +24,22 @@ def test_write_partitioned_prunes_and_sorts(spark, sf_dir, tmp_path):
     assert "PartitionFilters: [" in a.formatted and "lang" in a.formatted, a.formatted
 
 
+def test_compact_parquet_reduces_files(spark, sf_dir, tmp_path):
+    from robin_sparkles_spark.sources.sinks import compact_parquet
+
+    docs = load_table(spark, sf_dir, "documents")
+    frag = str(tmp_path / "fragmented")
+    docs.repartition(16).write.parquet(frag)  # 16 tiny files
+    out = str(tmp_path / "compacted")
+    n = compact_parquet(spark, frag, out, target_file_mb=512)
+    assert n == 1  # tiny corpus fits one target file
+    import glob
+
+    assert len(glob.glob(f"{out}/*.parquet")) == 1
+    back = spark.read.parquet(out)
+    assert back.count() == docs.count()
+
+
 def test_write_bucketed_table_joins_without_exchange(spark, sf_dir):
     t1, t2 = (f"b_{uuid.uuid4().hex[:8]}" for _ in range(2))
     o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
