@@ -57,7 +57,8 @@ def test_kmeans_iterations_reduce_inertia(spark, sf_dir):
 
 def test_ivf_subset_of_bruteforce_space(spark, sf_dir):
     """IVF scores must agree exactly with brute force on shared
-    (query, neighbor) pairs; recall is partial by design (nprobe=1)."""
+    (query, neighbor) pairs; recall is partial by design (bounded
+    nprobe)."""
     bf = {
         (r.query_id, r.neighbor_id): r.cos_sim
         for r in ann_bruteforce_topk(spark, sf_dir).collect()
@@ -71,3 +72,22 @@ def test_ivf_subset_of_bruteforce_space(spark, sf_dir):
             shared += 1
             assert abs(bf[key] - r.cos_sim) < 1e-12
     assert shared > 0  # data-adaptive cells recover some true neighbors
+
+
+def test_ivf_multiprobe_recall_is_monotone(spark, sf_dir):
+    """Probing more cells can only widen the candidate set, so
+    recall@k vs the exact baseline must not decrease with nprobe —
+    the IVF recall/cost knob doing its job."""
+    bf = {
+        (r.query_id, r.neighbor_id)
+        for r in ann_bruteforce_topk(spark, sf_dir).collect()
+    }
+    r1 = {
+        (r.query_id, r.neighbor_id)
+        for r in clustering._ivf_topk(spark, sf_dir, 1).collect()
+    }
+    r2 = {
+        (r.query_id, r.neighbor_id)
+        for r in clustering._ivf_topk(spark, sf_dir, 2).collect()
+    }
+    assert len(bf & r2) >= len(bf & r1) > 0
