@@ -303,6 +303,93 @@ GROUP BY c_mktsegment
 """
 
 
+# --- Q4-style late-shipment priority check ----------------------------------
+
+def q4_late_shipment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orders with at least one lineitem shipped more than 60 days
+    after the order date, counted by priority (TPC-H Q4 shape:
+    correlated EXISTS → semi join with a non-equi date component;
+    the fixture lacks commit/receipt dates, so lateness is shipdate
+    vs orderdate + 60d)."""
+    o = load_table(spark, sf_dir, "orders")
+    l = load_table(spark, sf_dir, "lineitem")
+    return (
+        o.join(
+            l,
+            (o.o_orderkey == l.l_orderkey)
+            & (l.l_shipdate > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n_late_orders"))
+    )
+
+
+Q4_SQL = """
+SELECT o_orderpriority, COUNT(*) AS n_late_orders
+FROM orders
+WHERE EXISTS (
+  SELECT 1 FROM lineitem
+  WHERE l_orderkey = o_orderkey
+    AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+)
+GROUP BY o_orderpriority
+"""
+
+
+# --- monthly revenue with calendar gap-fill ---------------------------------
+
+GAPFILL_PRICE_FLOOR = 480_000.0  # thin slice so zero-revenue months exist
+
+
+def orders_monthly_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly revenue of very-large orders over a CONTINUOUS month
+    calendar — missing months appear as explicit zero rows (the
+    time-series resample/gap-fill shape: ``sequence`` + ``explode``
+    builds the calendar scaffold, a left join + coalesce fills it).
+    At small SFs the thin slice genuinely skips months (36 zero rows
+    at sf0.001), which the tests assert; the calendar math is
+    identical when the slice happens to be dense."""
+    src = load_table(spark, sf_dir, "orders").where(
+        F.col("o_totalprice") > GAPFILL_PRICE_FLOOR
+    )
+    month = F.date_trunc("month", F.col("o_orderdate"))
+    rev = src.groupBy(month.alias("month")).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev_dec"),
+        F.count("*").alias("n_orders"),
+    )
+    span = src.agg(F.min(month).alias("lo"), F.max(month).alias("hi"))
+    cal = span.select(
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 MONTH"))).alias("month")
+    )
+    return cal.join(rev, "month", "left").select(
+        F.date_format("month", "yyyy-MM").alias("month"),
+        F.coalesce(F.col("rev_dec").cast("double"), F.lit(0.0)).alias("revenue"),
+        F.coalesce(F.col("n_orders"), F.lit(0)).cast("long").alias("n_orders"),
+    )
+
+
+GAPFILL_SQL = f"""
+WITH src AS (SELECT * FROM orders WHERE o_totalprice > {GAPFILL_PRICE_FLOOR}),
+rev AS (
+  SELECT date_trunc('month', o_orderdate) AS month,
+         SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev_dec,
+         COUNT(*) AS n_orders
+  FROM src GROUP BY 1
+),
+span AS (
+  SELECT MIN(date_trunc('month', o_orderdate)) AS lo,
+         MAX(date_trunc('month', o_orderdate)) AS hi
+  FROM src
+),
+cal AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 MONTH)) AS month FROM span)
+SELECT strftime(cal.month, '%Y-%m') AS month,
+       COALESCE(CAST(rev_dec AS DOUBLE), 0.0) AS revenue,
+       CAST(COALESCE(n_orders, 0) AS BIGINT) AS n_orders
+FROM cal LEFT JOIN rev USING (month)
+"""
+
+
 QUERIES: dict = {}
 
 QUERIES_TAIL = {
@@ -312,4 +399,6 @@ QUERIES_TAIL = {
     "q18_large_quantity_orders": (q18_large_quantity_orders, Q18_SQL),
     "q19_disjunctive_revenue": (q19_disjunctive_revenue, Q19_SQL),
     "q22_idle_balance_by_segment": (q22_idle_balance_by_segment, Q22_SQL),
+    "q4_late_shipment_priority": (q4_late_shipment_priority, Q4_SQL),
+    "orders_monthly_gapfill": (orders_monthly_gapfill, GAPFILL_SQL),
 }

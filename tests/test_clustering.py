@@ -91,3 +91,25 @@ def test_ivf_multiprobe_recall_is_monotone(spark, sf_dir):
         for r in clustering._ivf_topk(spark, sf_dir, 2).collect()
     }
     assert len(bf & r2) >= len(bf & r1) > 0
+
+
+def test_gapfill_produces_contiguous_calendar(spark, sf_dir):
+    """The month scaffold must be contiguous from min to max month,
+    with zero rows for months the thin slice skips (36 such months on
+    the smallest fixture) — the gap-fill actually filling gaps."""
+    rows = sorted(
+        relational4.orders_monthly_gapfill(spark, sf_dir).collect(),
+        key=lambda r: r.month,
+    )
+    months = [r.month for r in rows]
+    y0, m0 = map(int, months[0].split("-"))
+    expect = []
+    y, m = y0, m0
+    for _ in months:
+        expect.append(f"{y:04d}-{m:02d}")
+        m += 1
+        if m == 13:
+            y, m = y + 1, 1
+    assert months == expect  # contiguous, no dup/missing months
+    for r in rows:
+        assert (r.n_orders == 0) == (r.revenue == 0.0)
