@@ -582,6 +582,7 @@ def dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     labels = docs.select("doc_id", F.col("doc_id").alias("group_id"))
     labels = labels.localCheckpoint(eager=True)
+    changed = -1
     for _ in range(20):  # safety cap far above any real diameter
         nmin = (
             edges.join(labels, edges.src == labels.doc_id)
@@ -607,6 +608,16 @@ def dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
         labels = new_labels
         if changed == 0:
             break
+    if changed != 0:
+        # a silent break here would return labels that mismatch the
+        # transitive-closure oracle with no error at compute time
+        # (ADVICE r02) — non-convergence must be a visible failure
+        raise RuntimeError(
+            "dedup_groups: min-label propagation did not converge in 20 "
+            f"rounds ({changed} labels still changing) — component "
+            "diameter exceeds the safety cap; raise the cap or switch "
+            "to pointer-doubling for this corpus"
+        )
     sizes = labels.groupBy("group_id").agg(F.count("*").alias("group_size"))
     out = (
         labels.join(sizes, "group_id")

@@ -261,7 +261,11 @@ def q22_idle_balance_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     adapted: mktsegment for the missing phone country code, URGENT
     anti-join for the missing 7-year window — same scalar-subquery +
     anti-join + grouped-agg shape). Threshold = exact decimal sum /
-    exact count → deterministic double."""
+    exact count → deterministic double. The fixture spells the top
+    priority '1-URGENT' (not 'URGENT' — ADVICE r02: the bare literal
+    matched nothing, making the anti-join dead code);
+    tests/test_clustering.py asserts the anti-join excludes >0
+    customers so the predicate can't silently go vacuous again."""
     c = load_table(spark, sf_dir, "customer")
     o = load_table(spark, sf_dir, "orders")
     thresh = (
@@ -273,7 +277,7 @@ def q22_idle_balance_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("avg_bal")
         )
     )
-    urgent = o.where(F.col("o_orderpriority") == "URGENT").select("o_custkey")
+    urgent = o.where(F.col("o_orderpriority") == "1-URGENT").select("o_custkey")
     return (
         c.crossJoin(F.broadcast(thresh))
         .where(F.col("c_acctbal") > F.col("avg_bal"))
@@ -297,7 +301,7 @@ WHERE c_acctbal > (
       )
   AND NOT EXISTS (
         SELECT 1 FROM orders
-        WHERE o_custkey = c_custkey AND o_orderpriority = 'URGENT'
+        WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT'
       )
 GROUP BY c_mktsegment
 """

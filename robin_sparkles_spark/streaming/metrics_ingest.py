@@ -19,14 +19,16 @@ from ..metrics.schema import STAGE_METRICS_SCHEMA
 from ..metrics.store import MetricsStore
 
 
-def stage_metrics_stream(spark: SparkSession, store: MetricsStore) -> DataFrame:
+def stage_metrics_stream(
+    spark: SparkSession, store: MetricsStore, max_files_per_trigger: int = 16
+) -> DataFrame:
     """Stream of stage-metric rows as run partitions land. The ``run``
     partition column is recovered from the directory name via
     ``basePath`` (Hive-style discovery works for file streams too)."""
     return (
         spark.readStream.schema(STAGE_METRICS_SCHEMA)
         .option("basePath", store.stage_path)
-        .option("maxFilesPerTrigger", 16)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
         .parquet(store.stage_path + "/run=*")
     )
 
@@ -43,24 +45,38 @@ def rolling_run_summary(stage_stream: DataFrame) -> DataFrame:
 
 
 def summarize_to_parquet(
-    stage_stream: DataFrame, out_path: str, checkpoint_path: str
+    stage_stream: DataFrame, store: MetricsStore, out_path: str, checkpoint_path: str
 ):
-    """foreachBatch sink: per micro-batch, recompute the batch's
-    per-run summary and overwrite exactly those runs' partitions
-    (dynamic partition overwrite — idempotent under Structured
-    Streaming's at-least-once batch replay, the property a plain
-    append sink lacks). This is the §2.9 sink shape for maintaining a
-    derived table from a stream when the built-in modes don't fit:
-    complete mode rewrites everything, append can't update — per-key
-    partition overwrite does surgical upserts."""
+    """foreachBatch sink: per micro-batch, re-aggregate the FULL store
+    partitions of every run present in the batch and overwrite exactly
+    those runs' summary partitions (dynamic partition overwrite). The
+    micro-batch only signals WHICH runs changed; the numbers come from
+    the source-of-truth store. That keeps the sink both idempotent
+    under Structured Streaming's at-least-once batch replay AND correct
+    when a run's files straddle a micro-batch boundary — aggregating
+    the batch rows directly would overwrite a run's partition with a
+    partial summary whenever maxFilesPerTrigger splits the run's files
+    across batches (ADVICE r02). This is the §2.9 sink shape for
+    maintaining a derived table from a stream when the built-in modes
+    don't fit: complete mode rewrites everything, append can't update —
+    per-key partition overwrite does surgical upserts."""
 
     def write_batch(batch_df: DataFrame, _batch_id: int) -> None:
-        summary = batch_df.groupBy("run").agg(
+        runs = [r.run for r in batch_df.select("run").distinct().collect()]
+        if not runs:
+            return
+        spark = batch_df.sparkSession
+        full = (
+            spark.read.schema(STAGE_METRICS_SCHEMA)
+            .option("basePath", store.stage_path)
+            .parquet(store.stage_path + "/run=*")
+            .where(F.col("run").isin(runs))
+        )
+        summary = full.groupBy("run").agg(
             F.count("*").alias("n_stages"),
             F.sum("executor_cpu_time_ms").alias("total_cpu_ms"),
             F.max("shuffle_bytes_written").alias("max_shuffle_write"),
         )
-        spark = batch_df.sparkSession
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
         summary.write.mode("overwrite").partitionBy("run").parquet(out_path)
 

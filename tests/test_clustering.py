@@ -93,6 +93,35 @@ def test_ivf_multiprobe_recall_is_monotone(spark, sf_dir):
     assert len(bf & r2) >= len(bf & r1) > 0
 
 
+def test_q22_urgent_antijoin_is_not_vacuous(spark, sf_dir):
+    """The anti-join must actually exclude customers (ADVICE r02: a
+    bare 'URGENT' literal matched no fixture order, so the filter was
+    dead code — fixture priorities are '1-URGENT'..'5-LOW')."""
+    from robin_sparkles_spark.sources import load_table
+
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    thresh_row = (
+        c.where(F.col("c_acctbal") > 0)
+        .agg(
+            (
+                F.sum(F.col("c_acctbal").cast("decimal(18,2)")).cast("double")
+                / F.count("*")
+            ).alias("avg_bal")
+        )
+        .collect()[0]
+    )
+    above = c.where(F.col("c_acctbal") > thresh_row.avg_bal).count()
+    kept = (
+        relational4.q22_idle_balance_by_segment(spark, sf_dir)
+        .agg(F.sum("n_customers").alias("n"))
+        .collect()[0]
+        .n
+    )
+    assert o.where(F.col("o_orderpriority") == "1-URGENT").count() > 0
+    assert 0 < kept < above  # anti-join excluded someone
+
+
 def test_gapfill_produces_contiguous_calendar(spark, sf_dir):
     """The month scaffold must be contiguous from min to max month,
     with zero rows for months the thin slice skips (36 such months on

@@ -88,7 +88,7 @@ def test_foreachbatch_summary_sink_is_idempotent(spark, tmp_path):
 
     def run_once(tag: str) -> dict:
         q = summarize_to_parquet(
-            stage_metrics_stream(spark, store), out, str(tmp_path / f"ckpt_{tag}")
+            stage_metrics_stream(spark, store), store, out, str(tmp_path / f"ckpt_{tag}")
         )
         q.awaitTermination()
         return {
@@ -100,3 +100,44 @@ def test_foreachbatch_summary_sink_is_idempotent(spark, tmp_path):
     assert set(first) == {0, 1} and first[0][0] == 3
     second = run_once("b")  # full replay with a fresh checkpoint
     assert second == first
+
+
+def test_foreachbatch_summary_correct_when_run_straddles_batches(spark, tmp_path):
+    """A run whose partition holds multiple files must not be
+    overwritten with a partial summary when maxFilesPerTrigger splits
+    its files across micro-batches (ADVICE r02): the sink re-reads the
+    full store partition for each run in the batch, so the last write
+    for a run always covers all of its rows."""
+    from robin_sparkles_spark.streaming.metrics_ingest import summarize_to_parquet
+
+    store = MetricsStore(spark, str(tmp_path), "straddle_app")
+    stage_rows, task_rows = synthetic_run(0, n_tasks=8, cpu_ms=105)
+    # Write each stage row as its own file inside run=0 so a
+    # one-file-per-trigger stream is guaranteed to straddle the run.
+    for i, row in enumerate(stage_rows):
+        df = spark.createDataFrame(
+            [{"app_id": "", **row, "run": 0}], schema=store.stage_metrics().schema
+        ).coalesce(1)
+        mode = "overwrite" if i == 0 else "append"
+        df.write.mode(mode).partitionBy("run").option(
+            "partitionOverwriteMode", "dynamic"
+        ).parquet(store.stage_path)
+    n_files = len(
+        [
+            f
+            for f in __import__("os").listdir(f"{store.stage_path}/run=0")
+            if f.endswith(".parquet")
+        ]
+    )
+    assert n_files >= 2, "fixture must straddle micro-batches"
+
+    out = str(tmp_path / "summary")
+    q = summarize_to_parquet(
+        stage_metrics_stream(spark, store, max_files_per_trigger=1),
+        store,
+        out,
+        str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination()
+    rows = {r.run: r.n_stages for r in spark.read.parquet(out).collect()}
+    assert rows == {0: len(stage_rows)}

@@ -7,6 +7,7 @@ Usage: python tools/gate_check.py [sf_dir] [--names n1,n2,...]
 
 from __future__ import annotations
 
+import argparse
 import json
 import os
 import sys
@@ -19,15 +20,25 @@ if REPO_ROOT not in sys.path:
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 and not sys.argv[1].startswith("--") else "/root/testdata/sf0.01"
-    only = None
-    for a in sys.argv[1:]:
-        if a.startswith("--names="):
-            only = set(a.split("=", 1)[1].split(","))
+    # argparse so both '--names=a,b' and '--names a,b' work and any
+    # unrecognized argument errors out instead of silently running the
+    # whole registry (ADVICE r02).
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("sf_dir", nargs="?", default="/root/testdata/sf0.01")
+    ap.add_argument("--names", help="comma-separated query names to check")
+    ns = ap.parse_args()
+    sf_dir = ns.sf_dir
+    only = set(ns.names.split(",")) if ns.names else None
 
     from robin_sparkles_spark import registry
     from robin_sparkles_spark.session import get_spark
     from tests.oracle_utils import assert_query_matches_oracle
+
+    if only:
+        unknown = only - set(registry.all_queries())
+        if unknown:
+            print(f"unknown query names: {sorted(unknown)}", file=sys.stderr)
+            return 2
 
     spark = get_spark(app_name="gate_check", master="local[8]", shuffle_partitions=8)
     results: dict[str, dict] = {}
