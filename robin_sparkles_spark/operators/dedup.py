@@ -39,7 +39,7 @@ no quadratic pair scan reaches a declared plan:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
 from ..functions.hashing import MERSENNE_P, affine_params
 from ..functions.vectors import dot as vdot, dot_sql
@@ -58,6 +58,18 @@ SIMHASH_MAX_HAMMING = 5
 # differs in ≤ 5 bits, which can dirty at most 5 of the 6 chunks.
 SIMHASH_N_CHUNKS = SIMHASH_MAX_HAMMING + 1
 SIMHASH_CHUNK_BITS = 6  # 6 chunks × 6 bits ≥ 32 bits
+# Shingle document-frequency cap (dedup_ngram_jaccard): a shingle
+# appearing in f documents contributes f² candidate rows to the
+# inverted-index self-join, so one boilerplate shingle (a license
+# header, a nav bar) at 100 TB is a quadratic hot key. Shingles above
+# the cap carry no dedup signal (they're corpus-common, not
+# document-identifying) and are dropped BEFORE the join, bounding any
+# shingle's candidate contribution to cap². The cap is absolute, not
+# relative: a relative cap (say 1% of corpus) still grows quadratically
+# with N. Fixture max df is 25 (sf0.1), so at 128 the declared
+# fixture results are bit-identical to the uncapped exact semantics;
+# the planted-hot-shingle pytest exercises the cap for real.
+NGRAM_DF_CAP = 128
 # embedding_similar_pairs: candidates share ≥1 of 8 sign-LSH bands
 # (similarity.SIGN_BANDS × SIGN_BAND_BITS); the fixture corpus has no
 # planted embedding dups (max cosine ~0.51), so the query is an honest
@@ -179,21 +191,41 @@ _JACCARD_SQL = (
 
 # --- n-gram Jaccard via inverted index (declared scale path) ----------------
 
+def _df_capped_shingle_rows(
+    spark: SparkSession, sf_dir: str, df_cap: int = NGRAM_DF_CAP
+) -> DataFrame:
+    """Shingle index rows with corpus-hot shingles removed: keep
+    (doc_id, h) only where the shingle's document frequency ≤ df_cap
+    (see NGRAM_DF_CAP). The df count is a whole-partition window over
+    h — its exchange hash-partitions the index on h, which is exactly
+    the partitioning the downstream self-equi-join needs, so the cap
+    costs zero extra shuffles (the join reuses the window's exchange)."""
+    w = W.partitionBy("h")
+    return (
+        _shingle_rows(spark, sf_dir)
+        .withColumn("df", F.count(F.lit(1)).over(w))
+        .where(F.col("df") <= df_cap)
+        .drop("df")
+    )
+
+
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """3-gram Jaccard ≥ τ via an inverted-index self-equi-join: only
     document pairs that SHARE a shingle are ever materialized, and
     Jaccard derives from the shared count + per-doc set sizes
-    (|A∪B| = |A|+|B|−|A∩B|). Exact — a pair with zero shared shingles
-    has Jaccard 0 < τ — and linear-shuffle shaped: explode is the
-    index build, the join is an equi-join on the shingle hash.
+    (|A∪B| = |A|+|B|−|A∩B|). A pair with zero shared shingles has
+    Jaccard 0 < τ, so the inverted index is exhaustive — and
+    linear-shuffle shaped: explode is the index build, the join is an
+    equi-join on the shingle hash.
 
-    Skew note (100 TB): a corpus-frequent shingle with document
-    frequency f contributes f² candidate rows; production pipelines cap
-    shingle df (drop the top-frequency shingles — they carry no dedup
-    signal) before the join. The fixture corpus needs no cap, so the
-    declared query keeps exact semantics; AQE skew-join splitting
-    handles moderate hot keys."""
-    sh = _shingle_rows(spark, sf_dir)  # distinct (doc_id, h) per doc
+    Skew (100 TB): the index is df-capped first (NGRAM_DF_CAP) — the
+    declared semantics are Jaccard over the df-capped shingle sets,
+    which equals exact Jaccard on this corpus (max fixture df 25 < 128)
+    and bounds any hot shingle's candidate contribution to cap² at any
+    scale. The oracle mirrors the cap; the planted-hot-shingle pytest
+    (tests/test_dedup_properties.py) asserts the bounded candidate
+    count. AQE skew-join splitting handles sub-cap hot keys."""
+    sh = _df_capped_shingle_rows(spark, sf_dir)  # distinct (doc_id, h) per doc
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -219,9 +251,11 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def dedup_ngram_jaccard_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """All-pairs 3-gram Jaccard ≥ τ. Quadratic by construction —
-    pytest-only ground truth the inverted-index form is asserted
-    against; never declared, never benchmarked."""
+    """All-pairs 3-gram Jaccard ≥ τ, UNCAPPED. Quadratic by
+    construction — pytest-only ground truth the inverted-index form is
+    asserted against (equality holds whenever no shingle exceeds
+    NGRAM_DF_CAP, true for every fixture SF); never declared, never
+    benchmarked."""
     docs = _docs_with_shingles(spark, sf_dir)
     a = docs.alias("a")
     b = docs.alias("b")
@@ -236,12 +270,35 @@ def dedup_ngram_jaccard_bruteforce(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
-DEDUP_NGRAM_SQL = f"""
-WITH docs AS ({_DOCS_SHINGLES_SQL})
-SELECT a.doc_id AS doc1, b.doc_id AS doc2, {_JACCARD_SQL} AS jaccard
-FROM docs a JOIN docs b ON a.doc_id < b.doc_id
-WHERE {_JACCARD_SQL} >= {JACCARD_THRESHOLD}
+def _ngram_sql(df_cap: int = NGRAM_DF_CAP) -> str:
+    """Oracle twin of ``dedup_ngram_jaccard`` — the same df-capped
+    inverted index (not the all-pairs form), so the cap semantics are
+    gate-checked: shingle df window → cap filter → self-equi-join on h
+    → Jaccard from shared count + capped set sizes."""
+    return f"""
+WITH docs AS ({_DOCS_SHINGLES_SQL}),
+sh AS (SELECT doc_id, unnest(sh) AS h FROM docs),
+capped AS (
+  SELECT doc_id, h FROM (
+    SELECT doc_id, h, COUNT(*) OVER (PARTITION BY h) AS df FROM sh)
+  WHERE df <= {df_cap}
+),
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM capped GROUP BY doc_id),
+shared AS (
+  SELECT a.doc_id AS doc1, b.doc_id AS doc2, COUNT(*) AS shared
+  FROM capped a JOIN capped b ON a.h = b.h AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT doc1, doc2,
+       CAST(shared AS DOUBLE) / (s1.sz + s2.sz - shared) AS jaccard
+FROM shared
+JOIN sizes s1 ON doc1 = s1.doc_id
+JOIN sizes s2 ON doc2 = s2.doc_id
+WHERE CAST(shared AS DOUBLE) / (s1.sz + s2.sz - shared) >= {JACCARD_THRESHOLD}
 """
+
+
+DEDUP_NGRAM_SQL = _ngram_sql()
 
 
 # --- MinHash + LSH (the scale path) -----------------------------------------

@@ -35,31 +35,38 @@ TABLES: tuple[str, ...] = (
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one fixture table. S9 in SURVEY.md §2.1.
 
-    ``events.ts`` is parquet TIMESTAMP(NANOS), which Spark's vectorized
-    reader rejects outright (PARQUET_TYPE_ILLEGAL). We read nanos as
-    long (legacy conf, runtime-settable, set defensively here because
-    the driver harness supplies its own session) and rebuild a
-    microsecond timestamp with exact integer division — ``div``, not
-    ``/``: epoch-nanos exceed 2^53, so double division would corrupt
-    low-order digits. Truncation to µs matches DuckDB's own
-    parquet-ns handling, keeping oracle parity.
+    ``events.ts`` has shipped in two layouts across driver testdata
+    generations: parquet TIMESTAMP(NANOS) (which Spark's vectorized
+    reader rejects outright — PARQUET_TYPE_ILLEGAL — so it's read as
+    long under the legacy conf and rebuilt with exact integer ``div``,
+    not ``/``: epoch-nanos exceed 2^53, so double division would
+    corrupt low-order digits), and plain TIMESTAMP(MICROS) without
+    UTC adjustment (read as TIMESTAMP_NTZ). Both normalize to a µs
+    TimestampType instant; under the pinned UTC session zone the
+    values are identical either way, and DuckDB's own handling of the
+    same file (ns-truncation / naive µs) matches, keeping oracle
+    parity.
     """
     if name not in TABLES:
         raise KeyError(f"unknown fixture table {name!r}; known: {TABLES}")
     # Pin UTC defensively: the driver harness supplies its own session,
-    # and any epoch-instant column (events.ts via timestamp_micros)
-    # formats through the session zone — a non-UTC session would shift
-    # every window/date string 5h against the UTC-naive DuckDB oracle
-    # (measured). Runtime-settable, so safe to assert here.
+    # and any epoch-instant column (events.ts) formats through the
+    # session zone — a non-UTC session would shift every window/date
+    # string 5h against the UTC-naive DuckDB oracle (measured).
+    # Runtime-settable, so safe to assert here.
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        from pyspark.sql import functions as F
+        from pyspark.sql import functions as F, types as T
 
-        return spark.read.parquet(path).withColumn(
-            "ts", F.timestamp_micros(F.expr("ts div 1000"))
-        )
+        df = spark.read.parquet(path)
+        ts_type = df.schema["ts"].dataType
+        if isinstance(ts_type, T.LongType):  # legacy nanos layout
+            return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        # TIMESTAMP_NTZ (µs, no UTC adjustment): reinterpret the naive
+        # wall clock as a UTC instant — exact under the pinned zone.
+        return df.withColumn("ts", F.col("ts").cast(T.TimestampType()))
     return spark.read.parquet(path)
 
 

@@ -17,24 +17,15 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
 
-# events.ts is parquet TIMESTAMP(NANOS) → long under nanosAsLong
-# (see sources.tables.load_table); the stream reader needs the schema
-# up front, so declare ts as long and rebuild the µs timestamp.
-EVENTS_RAW_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType(), True),
-        T.StructField("ts", T.LongType(), True),
-        T.StructField("user_id", T.LongType(), True),
-        T.StructField("event_type", T.StringType(), True),
-        T.StructField("value", T.DoubleType(), True),
-        T.StructField("props", T.StringType(), True),
-    ]
-)
-
-
 def events_stream(spark: SparkSession, sf_dir: str, max_files_per_trigger: int = 1) -> DataFrame:
     """File-source stream over the events parquet (readStream →
-    the same rows the batch scan sees, delivered in micro-batches)."""
+    the same rows the batch scan sees, delivered in micro-batches).
+
+    The stream reader needs its schema up front; ``events.ts`` has
+    shipped as both TIMESTAMP(NANOS) (→ long under nanosAsLong) and
+    TIMESTAMP(MICROS)/NTZ across testdata generations, so the schema
+    is taken from a batch footer read of the same file and ``ts`` is
+    normalized exactly as in ``sources.tables.load_table``."""
     import hashlib
     import os
     import tempfile
@@ -52,12 +43,15 @@ def events_stream(spark: SparkSession, sf_dir: str, max_files_per_trigger: int =
     link = os.path.join(watch_dir, "events.parquet")
     if not os.path.exists(link):
         os.symlink(src, link)
+    raw_schema = spark.read.parquet(src).schema  # footer-only read
     raw = (
-        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        spark.readStream.schema(raw_schema)
         .option("maxFilesPerTrigger", max_files_per_trigger)
         .parquet(watch_dir)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if isinstance(raw_schema["ts"].dataType, T.LongType):
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return raw.withColumn("ts", F.col("ts").cast(T.TimestampType()))
 
 
 def tumbling_counts_stream(events: DataFrame, watermark: str = "1 hour") -> DataFrame:

@@ -75,3 +75,33 @@ def test_exact_dedup_oracle_parity_on_generated_corpora(
     sf = _stage_corpus(tmp_path_factory.mktemp("corpus"), texts)
     fn, oracle = dedup.QUERIES["dedup_exact"]
     assert_query_matches_oracle(fn(spark, sf), oracle, sf, tables=("documents",))
+
+
+def test_ngram_df_cap_drops_hot_shingle(spark, tmp_path_factory):
+    """Planted corpus-hot shingle (df = 200 > NGRAM_DF_CAP = 128): the
+    cap must (a) drop exactly the hot shingle's index rows, (b) bound
+    the inverted-index candidate volume — 4 rows here vs the 19904 an
+    uncapped join would materialize (C(200,2) from the hot shingle
+    alone) — and (c) hold oracle parity under the capped semantics."""
+    from pyspark.sql import functions as F
+
+    n_hot = 200
+    assert n_hot > dedup.NGRAM_DF_CAP
+    texts = [f"hot1 hot2 hot3 u{i}a u{i}b u{i}c u{i}d" for i in range(n_hot)]
+    texts += ["dup one two three four five", "dup one two three four five"]
+    sf = _stage_corpus(tmp_path_factory.mktemp("hotshingle"), texts)
+
+    total = dedup._shingle_rows(spark, sf).count()
+    capped = dedup._df_capped_shingle_rows(spark, sf)
+    # exactly the hot shingle's rows (one per hot doc) are dropped
+    assert capped.count() == total - n_hot
+
+    a, b = capped.alias("a"), capped.alias("b")
+    n_cand = a.join(
+        b, (F.col("a.h") == F.col("b.h")) & (F.col("a.doc_id") < F.col("b.doc_id"))
+    ).count()
+    assert n_cand == 4  # only the planted dup pair's shared shingles
+
+    res = dedup.dedup_ngram_jaccard(spark, sf)
+    assert {(r.doc1, r.doc2) for r in res.collect()} == {(n_hot, n_hot + 1)}
+    assert_query_matches_oracle(res, dedup.DEDUP_NGRAM_SQL, sf, tables=("documents",))
