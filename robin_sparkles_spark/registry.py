@@ -19,24 +19,43 @@ order-insensitive value hash). Oracle-parity rules used throughout:
 - Spark ``round`` is HALF_UP, DuckDB HALF_EVEN: only round values that
   cannot land on exact .5 boundaries (doubles effectively never do).
 
-Queries whose semantics SQL can't express (streaming state, iterative
-algorithms) register with ``oracle=None`` → the driver records a
-rows-only check.
+Queries whose semantics SQL can't express (custom streaming state)
+register with ``oracle=None`` → the driver records a rows-only check.
+Queries whose oracle depends on a fitted model (k-means centroids)
+register a CALLABLE ``(sf_dir) -> str`` that runs the fit and returns
+literal SQL — resolved lazily via ``resolve_oracle`` so importing the
+registry never triggers Spark jobs.
 """
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 from typing import NamedTuple
 
 from pyspark.sql import DataFrame, SparkSession
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
+# str: static SQL; callable: lazily generated SQL for the given sf_dir
+OracleSrc = "str | Callable[[str], str] | None"
+
+# The driver's documented correctness-gate scale (see __spark_entry__):
+# lazy oracles resolve against this when no explicit sf_dir is given.
+DRIVER_GATE_SF_DIR = os.environ.get(
+    "SPARK_GRAFT_GATE_SF_DIR", "/root/testdata/sf0.01"
+)
 
 
 class QuerySpec(NamedTuple):
     fn: QueryFn
-    oracle: str | None
+    oracle: "str | Callable[[str], str] | None"
+
+
+def resolve_oracle(
+    oracle: "str | Callable[[str], str] | None", sf_dir: str = DRIVER_GATE_SF_DIR
+) -> str | None:
+    """Materialize an oracle entry to SQL (or None for rows-only)."""
+    return oracle(sf_dir) if callable(oracle) else oracle
 
 
 def _collect() -> dict[str, QuerySpec]:
@@ -155,8 +174,10 @@ def spark_queries() -> dict[str, QueryFn]:
 
 
 def oracle_queries() -> dict[str, str]:
+    """Oracle SQL per query, lazy entries resolved at the driver's
+    gate scale (the driver compares at sf0.01 — see __spark_entry__)."""
     return {
-        name: spec.oracle
+        name: resolve_oracle(spec.oracle)
         for name, spec in all_queries().items()
         if spec.oracle is not None
     }

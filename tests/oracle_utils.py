@@ -45,8 +45,10 @@ def _normalize(pdf: pd.DataFrame) -> pd.DataFrame:
 
 
 def assert_query_matches_oracle(
-    spark_df, oracle_sql: str, sf_dir: str, tables: tuple[str, ...] = TABLES
+    spark_df, oracle_sql, sf_dir: str, tables: tuple[str, ...] = TABLES
 ) -> None:
+    if callable(oracle_sql):  # lazy oracle (e.g. centroid literals)
+        oracle_sql = oracle_sql(sf_dir)
     con = duckdb_connection(sf_dir, tables)
     expected = con.sql(oracle_sql).df()
     actual = spark_df.toPandas()

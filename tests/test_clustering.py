@@ -1,5 +1,7 @@
-"""k-means + IVF semantics (no SQL oracle exists for iterative ops —
-these tests are their correctness gate) and relational3/4 parity."""
+"""k-means + IVF semantics and oracle parity (the fit is iterative,
+but once centroids are fixed both declared queries are SQL-expressible
+— their oracles inline the fitted centroids as literals), plus
+relational3/4 parity."""
 
 from __future__ import annotations
 
@@ -19,6 +21,28 @@ _R34 = {**relational3.QUERIES, **relational4.QUERIES_TAIL}
 def test_relational3_oracle_parity(spark, sf_dir, name):
     fn, oracle = _R34[name]
     assert_query_matches_oracle(fn(spark, sf_dir), oracle, sf_dir)
+
+
+@pytest.mark.parametrize("name", sorted(clustering.QUERIES))
+def test_clustering_oracle_parity(spark, sf_dir, name):
+    """Hash parity against the centroid-literal DuckDB twin — the
+    rows-only contract retired (VERDICT r02 ask #3). The lazy oracle
+    resolves with the SAME memoized fit the Spark query uses; exact
+    DECIMAL partial sums make the fit itself bit-reproducible, so the
+    twin holds even when the oracle is generated in a fresh process."""
+    fn, oracle = clustering.QUERIES[name]
+    assert_query_matches_oracle(fn(spark, sf_dir), oracle, sf_dir)
+
+
+def test_kmeans_fit_reproducible_across_cache_clears(spark, sf_dir):
+    """The cross-process determinism claim, tested in-process: clearing
+    the memo cache and re-running the distributed fit must return
+    bit-identical centroids (exact DECIMAL accumulation — double sums
+    would drift with partition/merge order)."""
+    c1 = clustering.kmeans_fit(spark, sf_dir)
+    clustering._FIT_CACHE.clear()
+    c2 = clustering.kmeans_fit(spark, sf_dir)
+    assert c1 == c2
 
 
 def test_kmeans_assign_complete_and_valid(spark, sf_dir):

@@ -49,11 +49,12 @@ def main() -> int:
         t0 = time.time()
         row: dict = {}
         try:
-            if spec.oracle is None:
+            oracle = registry.resolve_oracle(spec.oracle, sf_dir)
+            if oracle is None:
                 n = spec.fn(spark, sf_dir).count()
                 row = {"mode": "rows_only", "spark_rows": n, "ok": n >= 0}
             else:
-                assert_query_matches_oracle(spec.fn(spark, sf_dir), spec.oracle, sf_dir)
+                assert_query_matches_oracle(spec.fn(spark, sf_dir), oracle, sf_dir)
                 n = spec.fn(spark, sf_dir).count()
                 row = {"mode": "oracle", "spark_rows": n, "ok": True}
         except Exception as e:  # noqa: BLE001
