@@ -9,7 +9,18 @@ driver UI — same SparkListener data, already aggregated per
 stage/task, no py4j subclassing (which is fragile across Spark
 versions; SURVEY.md §7 risk register).
 
-Unit note (SURVEY.md §4): the REST API reports ``executorCpuTime`` in
+Headless fallback (VERDICT r02 ask #6): with ``spark.ui.enabled=false``
+the REST endpoint doesn't exist — the reference had no such gap because
+its listeners sat directly on the bus. The second public, stable
+channel is the EVENT LOG (``spark.eventLog.enabled=true``): the exact
+same SparkListener event stream, JSON-serialized by Spark itself (the
+history-server wire format, stable since 1.x). When the UI is off but
+the event log is on, the collector parses StageCompleted/TaskEnd
+events from the app's log file and aggregates the same per-stage rows
+the REST path returns. Only when NEITHER channel exists does a run go
+unrecorded (loudly).
+
+Unit note (SURVEY.md §4): both channels report ``executorCpuTime`` in
 NANOSECONDS while sparkMeasure reported milliseconds at stage grain —
 we convert to ms here so heuristic parity holds.
 """
@@ -18,10 +29,12 @@ from __future__ import annotations
 
 import json
 import logging
+import os
 import urllib.error
 import urllib.request
 from datetime import datetime
 from typing import Any
+from urllib.parse import urlparse
 
 from pyspark.sql import SparkSession
 
@@ -47,6 +60,153 @@ def _get_json(url: str, timeout: float) -> Any:
         return json.load(resp)
 
 
+def _eventlog_files(spark: SparkSession) -> list[str]:
+    """The current app's event-log JSON files (in write order), or []
+    when disabled/not found. Two on-disk layouts exist: the classic
+    single file ``<dir>/<appId>(.inprogress)`` and the rolling layout
+    ``<dir>/eventlog_v2_<appId>/events_<seq>_<appId>[.<codec>]``
+    (default in Spark 4). Local paths only (file: scheme) — a remote
+    HDFS event dir is the history server's job, not this in-process
+    collector's."""
+    try:
+        if spark.conf.get("spark.eventLog.enabled", "false").lower() != "true":
+            return []
+        raw_dir = spark.conf.get("spark.eventLog.dir", "")
+    except Exception:  # noqa: BLE001 — conf access on a stopping session
+        return []
+    if not raw_dir:
+        return []
+    parsed = urlparse(raw_dir)
+    if parsed.scheme not in ("", "file"):
+        return []
+    base = parsed.path or raw_dir
+    app_id = spark.sparkContext.applicationId
+    for suffix in ("", ".inprogress"):
+        p = os.path.join(base, app_id + suffix)
+        if os.path.exists(p):
+            return [p]
+    rolling = os.path.join(base, f"eventlog_v2_{app_id}")
+    if os.path.isdir(rolling):
+
+        def seq(fname: str) -> int:
+            try:  # events_<seq>_<appId>[.<codec>]
+                return int(fname.split("_")[1])
+            except (IndexError, ValueError):
+                return 0
+
+        all_events = [f for f in os.listdir(rolling) if f.startswith("events_")]
+        # compressed segments (spark.eventLog.compress) are unreadable
+        # without the codec libs — skip them loudly rather than crash
+        events = sorted(
+            (f for f in all_events if not f.endswith((".zstd", ".lz4", ".snappy"))),
+            key=seq,
+        )
+        if all_events and not events:
+            log.warning(
+                "event-log fallback found only compressed segments under %s; "
+                "set spark.eventLog.compress=false for headless metrics capture",
+                rolling,
+            )
+        return [os.path.join(rolling, f) for f in events]
+    return []
+
+
+def _iter_eventlog_lines(paths: list[str]):
+    # errors="replace": a torn multi-byte char in a mid-write line
+    # becomes invalid JSON and is skipped by the parser, instead of
+    # killing the whole collection
+    for path in paths:
+        with open(path, encoding="utf-8", errors="replace") as fh:
+            yield from fh
+
+
+def _parse_eventlog(paths: list[str], since_stage_id: int) -> tuple[list[dict], list[dict]]:
+    """Aggregate SparkListenerStageCompleted / SparkListenerTaskEnd
+    events into the same (stage_rows, task_rows) shape the REST path
+    produces. Task metrics sum to the stage grain exactly as the UI's
+    aggregation does (input bytes, shuffle read = local + remote)."""
+    stages: dict[int, dict] = {}
+    tasks_by_stage: dict[int, list[dict]] = {}
+    agg: dict[int, dict[str, int]] = {}
+    for line in _iter_eventlog_lines(paths):
+        try:
+            ev = json.loads(line)
+        except ValueError:
+            continue  # partially-flushed trailing line
+        kind = ev.get("Event")
+        if kind == "SparkListenerStageCompleted":
+            info = ev.get("Stage Info", {})
+            sid = int(info.get("Stage ID", -1))
+            if sid <= since_stage_id:
+                continue
+            sub = info.get("Submission Time")
+            comp = info.get("Completion Time")
+            stages[sid] = {
+                "stage_id": sid,
+                "stage_duration_ms": int(comp - sub)
+                if sub is not None and comp is not None
+                else 0,
+            }
+        elif kind == "SparkListenerTaskEnd":
+            sid = int(ev.get("Stage ID", -1))
+            if sid <= since_stage_id:
+                continue
+            ti = ev.get("Task Info", {})
+            tm = ev.get("Task Metrics") or {}
+            launch, finish = ti.get("Launch Time"), ti.get("Finish Time")
+            tasks_by_stage.setdefault(sid, []).append(
+                {
+                    "stage_id": sid,
+                    "task_id": int(ti.get("Task ID", -1)),
+                    "executor_id": str(ti.get("Executor ID", "driver")),
+                    "duration_ms": int(finish - launch)
+                    if launch is not None and finish is not None
+                    else 0,
+                }
+            )
+            a = agg.setdefault(
+                sid,
+                {"cpu_ns": 0, "in_bytes": 0, "sw_bytes": 0, "sr_bytes": 0},
+            )
+            a["cpu_ns"] += int(tm.get("Executor CPU Time", 0))
+            a["in_bytes"] += int((tm.get("Input Metrics") or {}).get("Bytes Read", 0))
+            a["sw_bytes"] += int(
+                (tm.get("Shuffle Write Metrics") or {}).get("Shuffle Bytes Written", 0)
+            )
+            sr = tm.get("Shuffle Read Metrics") or {}
+            a["sr_bytes"] += int(sr.get("Local Bytes Read", 0)) + int(
+                sr.get("Remote Bytes Read", 0)
+            )
+    stage_rows: list[dict] = []
+    task_rows: list[dict] = []
+    for sid in sorted(stages):
+        a = agg.get(sid, {"cpu_ns": 0, "in_bytes": 0, "sw_bytes": 0, "sr_bytes": 0})
+        stage_rows.append(
+            {
+                "stage_id": sid,
+                "stage_duration_ms": stages[sid]["stage_duration_ms"],
+                "executor_cpu_time_ms": a["cpu_ns"] // 1_000_000,
+                "bytes_read": a["in_bytes"],
+                "shuffle_bytes_written": a["sw_bytes"],
+                "shuffle_bytes_read": a["sr_bytes"],
+            }
+        )
+        task_rows.extend(tasks_by_stage.get(sid, []))
+    return stage_rows, task_rows
+
+
+def _drain_listener_bus(spark: SparkSession, timeout: float) -> None:
+    """Best-effort wait for the async listener bus before reading the
+    event log (events are appended by a background thread; Spark's own
+    test suites use the same waitUntilEmpty). Degrades to a no-op on
+    any py4j surface change — the parser already tolerates a
+    partially-written trailing line."""
+    try:
+        spark.sparkContext._jsc.sc().listenerBus().waitUntilEmpty(int(timeout * 1000))  # noqa: SLF001
+    except Exception:  # noqa: BLE001
+        pass
+
+
 def collect_app_metrics(
     spark: SparkSession, timeout: float = 10.0, since_stage_id: int = -1
 ) -> tuple[list[dict], list[dict]] | None:
@@ -70,9 +230,17 @@ def collect_app_metrics(
     base = spark.sparkContext.uiWebUrl
     app_id = spark.sparkContext.applicationId
     if not base:
+        elog = _eventlog_files(spark)
+        if elog:
+            _drain_listener_bus(spark, timeout)
+            stage_rows, task_rows = _parse_eventlog(elog, since_stage_id)
+            for r in stage_rows:
+                r["app_id"] = app_id
+            return stage_rows, task_rows
         log.warning(
-            "metrics not recorded: driver UI disabled (spark.ui.enabled=false). "
-            "Enable the UI or the tuner will never see run history."
+            "metrics not recorded: driver UI disabled (spark.ui.enabled=false) "
+            "and no event log (spark.eventLog.enabled=false). Enable either "
+            "channel or the tuner will never see run history."
         )
         return None
     try:
@@ -137,6 +305,19 @@ def current_max_stage_id(spark: SparkSession, timeout: float = 10.0) -> int:
     base = spark.sparkContext.uiWebUrl
     app_id = spark.sparkContext.applicationId
     if not base:
+        elog = _eventlog_files(spark)
+        if elog:
+            _drain_listener_bus(spark, timeout)
+            max_id = -1
+            for line in _iter_eventlog_lines(elog):
+                if '"SparkListenerStageSubmitted"' not in line:
+                    continue
+                try:
+                    ev = json.loads(line)
+                except ValueError:
+                    continue
+                max_id = max(max_id, int(ev.get("Stage Info", {}).get("Stage ID", -1)))
+            return max_id
         return -1
     try:
         stages = _get_json(

@@ -1,0 +1,182 @@
+"""Embedding near-duplicate dedup at a REAL dup threshold (cos ≥ 0.9)
+over a planted-near-dup corpus (VERDICT r02 ask #4 / r03 next-round #4).
+
+The fixture corpus has no embedding duplicates (max organic cosine
+~0.51), so ``dedup.embedding_similar_pairs`` demonstrates the banded
+plumbing at a deliberately weak τ=0.40 — not the dedup use-case. This
+module DERIVES a near-dup corpus from the fixture deterministically
+(so it works at any SF and needs nothing outside the testdata), then
+runs the banded sign-LSH dedup at cos ≥ 0.9:
+
+- Plant: for the first ``NEARDUP_N`` vec_ids, add a copy at
+  ``vec_id + NEARDUP_ID_OFFSET`` perturbed by pseudo-noise of relative
+  norm exactly ``NEARDUP_REL_NOISE`` (md5-seeded per (vec_id, dim) —
+  deterministic, JVM-side, no RNG state). cos(v, v+d) ≥ (1−r)/(1+r)
+  for r = ‖d‖/‖v‖, so r = 0.04 GUARANTEES cos ≥ 0.923 > 0.9 for every
+  planted pair, while organic pairs stay ≤ ~0.51 — the threshold
+  separates dup from non-dup with margin on both sides (typical
+  planted cosine ≈ 1 − r²/2 ≈ 0.999).
+- The corpus is written once per sf_dir under ``spark-warehouse/``
+  (idempotent; same augmented-table shape a real pipeline would stage)
+  and the DuckDB oracle reads the same parquet via a lazy callable
+  oracle — the banded semantics are hash-checked end to end.
+- Recall at the real threshold: the 8×5 band math gives per-pair miss
+  probability (1 − p⁵)⁸ ≈ 1e-10 at cos 0.999 (p = 1 − θ/π ≈ 0.987),
+  so the pytest asserts the result is EXACTLY the planted pair set —
+  measured recall 1.0, no false positives.
+
+Scale: generation is one linear projection + union + write; the dedup
+itself is the banded equi-join shape (see similarity.py) — both are
+the plans a 100 TB corpus needs.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..functions.vectors import (
+    as_double,
+    dot_sql,
+    norm,
+    normalized,
+    normalized_sql,
+    dot as vdot,
+)
+from ..sources import load_table
+from .similarity import SIGN_BANDS, SIGN_BAND_BITS, _band_keys_expr
+
+NEARDUP_N = 50
+NEARDUP_ID_OFFSET = 1_000_000
+NEARDUP_REL_NOISE = 0.04  # r: cos ≥ (1−r)/(1+r) = 0.923 guaranteed
+DEDUP_COS_THRESHOLD = 0.9
+_WAREHOUSE = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(__file__))), "spark-warehouse")
+
+
+def neardup_corpus_path(sf_dir: str) -> str:
+    tag = hashlib.sha1(os.path.realpath(sf_dir).encode()).hexdigest()[:10]
+    return os.path.join(_WAREHOUSE, f"neardup_embeddings_{tag}")
+
+
+def build_neardup_corpus(spark: SparkSession, sf_dir: str) -> str:
+    """Idempotently stage the augmented corpus (originals + planted
+    near-dups) as parquet; returns the directory path. All derivation
+    is JVM-side and deterministic: noise g_i ∈ [−0.5, 0.5) comes from
+    md5(vec_id, dim), is unit-normalized, and is added at exactly
+    ``NEARDUP_REL_NOISE``·‖v‖, so re-generation is bit-identical."""
+    path = neardup_corpus_path(sf_dir)
+    if os.path.exists(os.path.join(path, "_SUCCESS")):
+        return path
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = as_double(F.col("embedding"))
+    # per-(vec_id, dim) pseudo-noise: first 8 md5 hex digits → [0,1) → [−.5,.5)
+    g = F.transform(
+        v,
+        lambda _, i: (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat_ws("_", F.col("vec_id"), i.cast("string"))), 1, 8
+                ),
+                16,
+                10,
+            ).cast("double")
+            / F.lit(4294967296.0)
+            - F.lit(0.5)
+        ),
+    )
+    amp = F.lit(NEARDUP_REL_NOISE) * norm(v) / norm(g)
+    perturbed = F.zip_with(v, g, lambda x, u: x + amp * u)
+    dups = (
+        emb.where(F.col("vec_id") < NEARDUP_N)
+        .select(
+            (F.col("vec_id") + NEARDUP_ID_OFFSET).alias("vec_id"),
+            F.transform(perturbed, lambda x: x.cast("float")).alias("embedding"),
+            "label",
+        )
+    )
+    emb.select("vec_id", "embedding", "label").unionByName(dups).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(path)
+    return path
+
+
+def embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded sign-LSH dedup at cos ≥ 0.9 over the planted corpus:
+    same equi-join-on-(band_idx, band_key) shape as
+    ``dedup.embedding_similar_pairs`` (candidates sharing ≥1 of the
+    8×5 sign bands, exact cosine on candidates only), at the real dup
+    threshold over data that actually contains dups."""
+    corpus = spark.read.parquet(build_neardup_corpus(spark, sf_dir))
+    e = (
+        corpus.select("vec_id", normalized(as_double(F.col("embedding"))).alias("vn"))
+        .groupBy("vec_id")
+        .agg(F.first("vn").alias("v"))
+        .localCheckpoint()  # build-once index (see similarity.ann_lsh_topk)
+    )
+    banded = e.select(
+        "vec_id", F.posexplode(_band_keys_expr()).alias("band_idx", "band_key")
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(F.col("a.vec_id").alias("vec1"), F.col("b.vec_id").alias("vec2"))
+        .distinct()
+    )
+    return (
+        cands.join(e.alias("e1"), F.col("vec1") == F.col("e1.vec_id"))
+        .join(e.alias("e2"), F.col("vec2") == F.col("e2.vec_id"))
+        .select("vec1", "vec2", vdot(F.col("e1.v"), F.col("e2.v")).alias("cos_sim"))
+        .where(F.col("cos_sim") >= DEDUP_COS_THRESHOLD)
+    )
+
+
+def embedding_dedup_oracle(sf_dir: str) -> str:
+    """Lazy DuckDB twin: reads the SAME staged parquet and mirrors the
+    banded candidate generation + exact cosine term-for-term (the
+    functions.vectors determinism contract), so the declared banded
+    semantics — not a quadratic scan — are what the gate hashes."""
+    spark = SparkSession.getActiveSession()
+    if spark is None:
+        from ..session import get_spark
+
+        spark = get_spark(app_name="embedding_dedup_oracle", master="local[8]")
+    path = build_neardup_corpus(spark, sf_dir)
+    rel = f"read_parquet('{path}/*.parquet')"
+    return f"""
+WITH raw AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+             FROM {rel}),
+e AS (SELECT vec_id, {normalized_sql('v')} AS v FROM raw),
+bands AS (
+  SELECT vec_id, t.band_idx,
+         list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(
+             list_slice(v, t.band_idx * {SIGN_BAND_BITS} + 1,
+                           t.band_idx * {SIGN_BAND_BITS} + {SIGN_BAND_BITS}),
+             x -> CAST(CASE WHEN x > 0 THEN 1 ELSE 0 END AS BIGINT))),
+           (acc, b) -> acc * 2 + b) AS band_key
+  FROM e, (SELECT unnest(generate_series(0, {SIGN_BANDS - 1})) AS band_idx) t
+),
+cands AS (
+  SELECT DISTINCT a.vec_id AS vec1, b.vec_id AS vec2
+  FROM bands a JOIN bands b
+    ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+   AND a.vec_id < b.vec_id
+)
+SELECT vec1, vec2, {dot_sql('e1.v', 'e2.v')} AS cos_sim
+FROM cands
+JOIN e e1 ON vec1 = e1.vec_id
+JOIN e e2 ON vec2 = e2.vec_id
+WHERE {dot_sql('e1.v', 'e2.v')} >= {DEDUP_COS_THRESHOLD}
+"""
+
+
+QUERIES = {
+    "embedding_dedup": (embedding_dedup, embedding_dedup_oracle),
+}

@@ -321,10 +321,11 @@ def scrub_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
     no shuffle — at 100 TB this is a map-only pass that coexists with
     any downstream plan.
 
-    Library surface, not a declared query: the fixture corpus contains
-    no PII-shaped strings (0 digits anywhere), so a declared oracle row
-    would be vacuously green — tests stage synthetic corpora with
-    planted patterns instead (tests/test_llm_ops.py).
+    Declared through ``scrub_pii_docs`` (the fixture corpus contains
+    no PII-shaped strings, so that query injects deterministic PII
+    derived from doc_id before scrubbing — non-vacuous counts for
+    every pattern class); tests additionally stage synthetic corpora
+    with planted patterns (tests/test_llm_ops.py).
 
     Counts are taken on the progressively-cleaned text, so a string
     already redacted by an earlier pattern (an email's digits, say)
@@ -444,7 +445,87 @@ LIMIT {BIGRAM_TOP_K}
 """
 
 
+# --- declared PII scrub over a deterministically-injected corpus ------------
+
+def scrub_pii_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declared ``scrub_pii`` query (VERDICT r02 ask #5): the fixture
+    corpus contains no PII-shaped strings, so the query INJECTS
+    deterministic PII derived from doc_id — an email every doc_id≡0
+    (mod 3), a phone every ≡1, a URL every ≡2, a long id every ≡0
+    (mod 5) — with identical expressions in the DuckDB twin, then
+    scrubs. Every pattern class is exercised with non-vacuous counts,
+    the redaction chain (progressive counts, email-before-id ordering)
+    is hash-checked end-to-end, and the injected corpus needs nothing
+    outside the fixture tables. Map-only projection — no shuffle."""
+    d = load_table(spark, sf_dir, "documents")
+    ds = F.col("doc_id").cast("string")
+    injected = F.concat(
+        F.col("text"),
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(F.lit(" contact user"), ds, F.lit("@mail.example.com now")),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 3 == 1,
+            F.concat(
+                F.lit(" call +1 555-201-"),
+                F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 3 == 2,
+            F.concat(F.lit(" see https://docs.example.com/item/"), ds, F.lit(" for details")),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 5 == 0, F.concat(F.lit(" ref 90210"), ds)
+        ).otherwise(F.lit("")),
+    )
+    out = scrub_pii(d.select("doc_id", injected.alias("text")))
+    return out.select(
+        "doc_id", "n_email", "n_url", "n_phone", "n_id_number", "clean_text"
+    )
+
+
+def _scrub_pii_sql() -> str:
+    """DuckDB twin: same injection expressions, same progressive
+    count-then-replace chain (DuckDB needs the 'g' flag — its
+    regexp_replace is first-match-only by default; counts via
+    len(regexp_extract_all)). The patterns are RE2-compatible by
+    design (see PII_PATTERNS), so Java and RE2 agree on matches."""
+    email_re, url_re, phone_re, id_re = (p for _, p, _ in PII_PATTERNS)
+    inj = """text
+  || CASE WHEN doc_id % 3 = 0
+          THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@mail.example.com now'
+          ELSE '' END
+  || CASE WHEN doc_id % 3 = 1
+          THEN ' call +1 555-201-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+          ELSE '' END
+  || CASE WHEN doc_id % 3 = 2
+          THEN ' see https://docs.example.com/item/' || CAST(doc_id AS VARCHAR) || ' for details'
+          ELSE '' END
+  || CASE WHEN doc_id % 5 = 0
+          THEN ' ref 90210' || CAST(doc_id AS VARCHAR)
+          ELSE '' END"""
+    return f"""
+WITH inj AS (SELECT doc_id, {inj} AS t0 FROM documents),
+s1 AS (SELECT doc_id,
+              CAST(len(regexp_extract_all(t0, '{email_re}')) AS BIGINT) AS n_email,
+              regexp_replace(t0, '{email_re}', '<EMAIL>', 'g') AS t1 FROM inj),
+s2 AS (SELECT doc_id, n_email,
+              CAST(len(regexp_extract_all(t1, '{url_re}')) AS BIGINT) AS n_url,
+              regexp_replace(t1, '{url_re}', '<URL>', 'g') AS t2 FROM s1),
+s3 AS (SELECT doc_id, n_email, n_url,
+              CAST(len(regexp_extract_all(t2, '{phone_re}')) AS BIGINT) AS n_phone,
+              regexp_replace(t2, '{phone_re}', '<PHONE>', 'g') AS t3 FROM s2)
+SELECT doc_id, n_email, n_url, n_phone,
+       CAST(len(regexp_extract_all(t3, '{id_re}')) AS BIGINT) AS n_id_number,
+       regexp_replace(t3, '{id_re}', '<ID>', 'g') AS clean_text
+FROM s3
+"""
+
+
 QUERIES = {
+    "scrub_pii_docs": (scrub_pii_docs, _scrub_pii_sql()),
     "text_token_count": (text_token_count, TOKEN_COUNT_SQL),
     "text_quality": (text_quality, TEXT_QUALITY_SQL),
     "text_langid": (text_langid, TEXT_LANGID_SQL),

@@ -65,6 +65,7 @@ def _collect() -> dict[str, QuerySpec]:
         clustering,
         curation,
         dedup,
+        embedding_dedup,
         sketches,
         multimodal,
         relational,
@@ -72,6 +73,7 @@ def _collect() -> dict[str, QuerySpec]:
         relational3,
         relational4,
         similarity,
+        skew_queries,
         streaming_queries,
         text_analysis,
         wordcount_queries,
@@ -98,6 +100,7 @@ def _collect() -> dict[str, QuerySpec]:
         streaming_queries,
         clustering,
         dedup,
+        embedding_dedup,
         similarity,
         text_analysis,
         relational,
@@ -106,6 +109,7 @@ def _collect() -> dict[str, QuerySpec]:
         curation,
         sketches,
         relational4,
+        skew_queries,
     )
 
     def add(name: str, spec: tuple) -> None:
@@ -138,6 +142,10 @@ def _collect() -> dict[str, QuerySpec]:
 # The first 50 registry entries are the driver's correctness window
 # (see _collect). Keep this list ≤ 50; names must exist.
 GATE_FRONT: tuple[str, ...] = (
+    # r04: new planted-fixture queries — first driver rows
+    "embedding_dedup",
+    "scrub_pii_docs",
+    "events_salted_type_join",
     # r04: plans/oracles changed this round — need fresh driver rows
     "dedup_ngram_jaccard",  # oracle rewritten to the df-capped inverted index
     "kmeans_assign",  # centroid-literal oracle flip (rows-only → hash)

@@ -49,6 +49,67 @@ def test_counting_app_two_runs(spark, tmp_path):
         spark.conf.set("spark.sql.shuffle.partitions", before)
 
 
+def test_counting_app_records_run_with_ui_disabled(tmp_path):
+    """VERDICT r02 ask #6: with ``spark.ui.enabled=false`` (headless
+    cluster / CI) the REST collector has no endpoint; the event-log
+    fallback must still record the run. Runs in a subprocess because
+    ui/eventLog confs are fixed at session creation and the suite
+    shares one session."""
+    import json as _json
+    import subprocess
+    import sys
+
+    corpus = tmp_path / "words.txt"
+    corpus.write_text("I am some words\nWords And words Woooooooooooo\nPanda words\n")
+    elog_dir = tmp_path / "eventlog"
+    elog_dir.mkdir()
+    script = f"""
+import json
+from robin_sparkles_spark.app import run_counting_app, APP_NAME
+from robin_sparkles_spark.metrics.store import MetricsStore
+from robin_sparkles_spark.session import get_spark
+
+spark = get_spark(
+    app_name=APP_NAME,
+    master="local[4]",
+    shuffle_partitions=4,
+    extra_conf={{
+        "spark.ui.enabled": "false",
+        "spark.eventLog.enabled": "true",
+        "spark.eventLog.compress": "false",
+        "spark.eventLog.dir": {str(elog_dir)!r},
+    }},
+)
+assert spark.sparkContext.uiWebUrl is None, "UI should be disabled"
+run_counting_app(spark, {str(corpus)!r}, {str(tmp_path / "out")!r}, {str(tmp_path / "metrics")!r})
+store = MetricsStore(spark, {str(tmp_path / "metrics")!r}, APP_NAME)
+stage_rows = store.stage_metrics().collect()
+print("RESULT:" + json.dumps({{
+    "runs": store.contiguous_runs(),
+    "n_stages": len(stage_rows),
+    "any_shuffle_write": any(r.shuffle_bytes_written > 0 for r in stage_rows),
+    "any_cpu": any(r.executor_cpu_time_ms > 0 for r in stage_rows),
+}}))
+"""
+    import os
+
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    proc = subprocess.run(
+        [sys.executable, "-c", script],
+        capture_output=True,
+        text=True,
+        timeout=300,
+        cwd=repo_root,
+    )
+    assert proc.returncode == 0, proc.stderr[-3000:]
+    line = next(l for l in proc.stdout.splitlines() if l.startswith("RESULT:"))
+    res = _json.loads(line[len("RESULT:"):])
+    assert res["runs"] == [0], res
+    assert res["n_stages"] >= 1, res
+    assert res["any_shuffle_write"], res  # the word-count groupBy stage
+    assert res["any_cpu"], res
+
+
 def test_tuner_three_run_trajectory(spark, tmp_path, sf_dir):
     """VERDICT r01 ask #7: the tune→run→record loop over THREE runs of
     live REST-collected metrics — history grows 0,1,2; each run's

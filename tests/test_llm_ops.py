@@ -8,6 +8,7 @@ import pytest
 from robin_sparkles_spark.operators import (
     curation,
     dedup,
+    embedding_dedup,
     similarity,
     sketches,
     text_analysis,
@@ -16,7 +17,7 @@ from robin_sparkles_spark.operators import (
 from .oracle_utils import assert_query_matches_oracle
 
 ALL = {}
-for mod in (text_analysis, dedup, similarity, curation, sketches):
+for mod in (text_analysis, dedup, embedding_dedup, similarity, curation, sketches):
     ALL.update(mod.QUERIES)
     ALL.update(getattr(mod, "QUERIES_TAIL", {}))
 
@@ -25,6 +26,40 @@ for mod in (text_analysis, dedup, similarity, curation, sketches):
 def test_oracle_parity(spark, sf_dir, name):
     fn, oracle = ALL[name]
     assert_query_matches_oracle(fn(spark, sf_dir), oracle, sf_dir)
+
+
+def test_scrub_pii_docs_every_class_nonvacuous(spark, sf_dir):
+    """The declared PII scrub must exercise every pattern class with
+    nonzero counts (the injection's whole point — VERDICT r02 ask #5)
+    and leave no redactable residue in clean_text."""
+    from pyspark.sql import functions as F
+
+    df = text_analysis.scrub_pii_docs(spark, sf_dir)
+    totals = df.agg(
+        *[F.sum(f"n_{n}").alias(n) for n, _, _ in text_analysis.PII_PATTERNS]
+    ).collect()[0]
+    for name, _, _ in text_analysis.PII_PATTERNS:
+        assert totals[name] > 0, f"pattern class {name} is vacuous"
+    residue = df.where(
+        F.col("clean_text").rlike("@mail\\.example\\.com|https://docs\\.example")
+    ).count()
+    assert residue == 0
+
+
+def test_embedding_dedup_finds_exactly_planted_pairs(spark, sf_dir):
+    """At the real threshold (cos ≥ 0.9) the banded dedup must return
+    EXACTLY the planted pair set: recall 1.0 (per-pair banding miss
+    probability ~1e-10 at planted cosine ≈ 0.999) and zero false
+    positives (organic max cosine ~0.51 — separation on both sides).
+    Also checks every planted cosine clears the guaranteed bound
+    (1−r)/(1+r) = 0.923 for r = 0.04."""
+    rows = embedding_dedup.embedding_dedup(spark, sf_dir).collect()
+    want = {
+        (i, i + embedding_dedup.NEARDUP_ID_OFFSET)
+        for i in range(embedding_dedup.NEARDUP_N)
+    }
+    assert {(r.vec1, r.vec2) for r in rows} == want
+    assert all(r.cos_sim >= 0.923 for r in rows)
 
 
 def test_minhash_recall_vs_bruteforce(spark, sf_dir):

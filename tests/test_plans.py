@@ -135,6 +135,27 @@ def test_no_nested_loop_joins_in_declared_plans(spark, sf_dir):
         assert a.bnl_joins == 0, f"{name} has a nested-loop join:\n{a.formatted}"
 
 
+def test_salted_join_spreads_hot_keys(spark, sf_dir):
+    """The declared salted join must actually salt: the dimension side
+    explodes N_SALTS× (a Generate node) and the join condition carries
+    the salt column alongside event_type — each of the 5 hot keys
+    spread over 8 shuffle partitions. Result equality with the plain
+    join is the driver gate's oracle; here we check the plan shape."""
+    from robin_sparkles_spark.operators import skew_queries
+
+    a = audit_plan(skew_queries.events_salted_type_join(spark, sf_dir))
+    assert "Generate" in a.formatted, a.formatted  # explode(sequence)
+    assert "__salt" in a.formatted, a.formatted
+    # join keys carry the salt next to the natural key (formatted mode
+    # prints them as "Left/Right keys [2]: [event_type#…, __salt#…]")
+    key_lines = [
+        l
+        for l in a.formatted.splitlines()
+        if "keys" in l and "__salt" in l and "event_type" in l
+    ]
+    assert len(key_lines) >= 2, a.formatted
+
+
 def test_signature_barrier_survives(spark, sf_dir):
     """Regression guard for the per-pair recompute bug: the simhash
     pair scan's join predicate must reference plain attributes, i.e.
