@@ -65,6 +65,48 @@ def _run_set(spark, specs, sf_dir: str) -> dict[str, float]:
     return times
 
 
+def _compaction_check(spark, sf_dir: str, n_small_files: int = 256) -> dict:
+    """Quantify the lake-maintenance claim (SCALE.md / VERDICT r03
+    ask #9): stage the documents table as many tiny files (the layout
+    streaming sinks and per-run partition writes accumulate), scan it,
+    compact with sinks.compact_parquet, scan again. At 100 TB the
+    fragmented penalty is file-open + footer overhead × millions of
+    files; at this scale it is already measurable. Reported separately
+    from the headline total so round-over-round comparability holds."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from robin_sparkles_spark.sources.sinks import compact_parquet
+
+    base = tempfile.mkdtemp(prefix="bench_compaction_")
+    frag, comp = os.path.join(base, "frag"), os.path.join(base, "comp")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs.repartition(n_small_files).write.mode("overwrite").parquet(frag)
+
+    def scan_sec(path: str) -> float:
+        t0 = time.perf_counter()
+        (
+            spark.read.parquet(path)
+            .groupBy("lang")
+            .agg(F.count("*").alias("n"), F.sum("n_chars").alias("chars"))
+            .collect()
+        )
+        return time.perf_counter() - t0
+
+    frag_sec = min(scan_sec(frag) for _ in range(3))
+    n_compacted = compact_parquet(spark, frag, comp, target_file_mb=128)
+    comp_sec = min(scan_sec(comp) for _ in range(3))
+    shutil.rmtree(base, ignore_errors=True)
+    return {
+        "fragmented_files": n_small_files,
+        "compacted_files": n_compacted,
+        "fragmented_scan_sec": round(frag_sec, 4),
+        "compacted_scan_sec": round(comp_sec, 4),
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     # Second, smaller scale factor: per-query ratios between the two
@@ -100,6 +142,8 @@ def main() -> None:
             "value": round(sum(small.values()), 4),
             "queries": small,
         }
+    if os.environ.get("SPARK_GRAFT_COMPACTION_CHECK", "1") != "":
+        payload["compaction"] = _compaction_check(spark, sf_dir)
     print(json.dumps(payload))
 
 

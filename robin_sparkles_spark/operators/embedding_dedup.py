@@ -32,9 +32,6 @@ the plans a 100 TB corpus needs.
 
 from __future__ import annotations
 
-import hashlib
-import os
-
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..functions.vectors import (
@@ -46,18 +43,17 @@ from ..functions.vectors import (
     dot as vdot,
 )
 from ..sources import load_table
+from ..sources.staging import is_staged, staged_path
 from .similarity import SIGN_BANDS, SIGN_BAND_BITS, _band_keys_expr
 
 NEARDUP_N = 50
 NEARDUP_ID_OFFSET = 1_000_000
 NEARDUP_REL_NOISE = 0.04  # r: cos ≥ (1−r)/(1+r) = 0.923 guaranteed
 DEDUP_COS_THRESHOLD = 0.9
-_WAREHOUSE = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(__file__))), "spark-warehouse")
 
 
 def neardup_corpus_path(sf_dir: str) -> str:
-    tag = hashlib.sha1(os.path.realpath(sf_dir).encode()).hexdigest()[:10]
-    return os.path.join(_WAREHOUSE, f"neardup_embeddings_{tag}")
+    return staged_path(sf_dir, "neardup_embeddings", "embeddings")
 
 
 def build_neardup_corpus(spark: SparkSession, sf_dir: str) -> str:
@@ -65,9 +61,11 @@ def build_neardup_corpus(spark: SparkSession, sf_dir: str) -> str:
     near-dups) as parquet; returns the directory path. All derivation
     is JVM-side and deterministic: noise g_i ∈ [−0.5, 0.5) comes from
     md5(vec_id, dim), is unit-normalized, and is added at exactly
-    ``NEARDUP_REL_NOISE``·‖v‖, so re-generation is bit-identical."""
+    ``NEARDUP_REL_NOISE``·‖v‖, so re-generation is bit-identical. The
+    path embeds the source fingerprint (sources.staging), so a
+    regenerated testdata invalidates stale stagings."""
     path = neardup_corpus_path(sf_dir)
-    if os.path.exists(os.path.join(path, "_SUCCESS")):
+    if is_staged(path):
         return path
     emb = load_table(spark, sf_dir, "embeddings")
     v = as_double(F.col("embedding"))

@@ -66,11 +66,15 @@ def summarize_to_parquet(
         if not runs:
             return
         spark = batch_df.sparkSession
+        # Read ONLY the affected runs' partition directories (ADVICE
+        # r03): globbing run=* then filtering re-lists the whole store
+        # every micro-batch — O(N²) listing work across an N-file
+        # backfill with maxFilesPerTrigger=1. basePath keeps the run
+        # partition column recovered from the directory names.
         full = (
             spark.read.schema(STAGE_METRICS_SCHEMA)
             .option("basePath", store.stage_path)
-            .parquet(store.stage_path + "/run=*")
-            .where(F.col("run").isin(runs))
+            .parquet(*[f"{store.stage_path}/run={r}" for r in runs])
         )
         summary = full.groupBy("run").agg(
             F.count("*").alias("n_stages"),

@@ -110,14 +110,15 @@ def test_embedding_similar_bucket_join_is_equi_join(spark, sf_dir):
 # Exact small-Q KNN is a broadcast of the bounded query set over the
 # corpus — the one declared plan shape where a broadcast nested loop
 # is intended (Q is a constant, so the scan is linear in N).
-# ann_recall_at_k embeds that same exact baseline as its ground-truth
-# side, so it inherits the one allowed BNL.
+# ann_recall_at_k's ground-truth side now reads the staged exact-top-k
+# fixture (similarity.build_exact_topk), so it no longer inherits the
+# BNL (VERDICT r03 ask #10) — the staging job runs the sanctioned
+# baseline once, outside the declared plan.
 # q22's BNL is its scalar threshold: a 1-row aggregate broadcast-cross-
 # joined into the probe side (Spark's scalar-subquery shape) — O(N)
 # with a single-row build, not a pair scan.
 _BNL_ALLOWED = {
     "ann_bruteforce_topk",
-    "ann_recall_at_k",
     "q22_idle_balance_by_segment",
 }
 

@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import functions as F
 
 from robin_sparkles_spark.functions.skew import salted_join
@@ -125,7 +127,7 @@ def test_foreachbatch_summary_correct_when_run_straddles_batches(spark, tmp_path
     n_files = len(
         [
             f
-            for f in __import__("os").listdir(f"{store.stage_path}/run=0")
+            for f in os.listdir(f"{store.stage_path}/run=0")
             if f.endswith(".parquet")
         ]
     )
