@@ -72,6 +72,7 @@ def _collect() -> dict[str, QuerySpec]:
         relational2,
         relational3,
         relational4,
+        relational5,
         similarity,
         skew_queries,
         streaming_queries,
@@ -109,6 +110,7 @@ def _collect() -> dict[str, QuerySpec]:
         curation,
         sketches,
         relational4,
+        relational5,
         skew_queries,
     )
 
@@ -146,6 +148,10 @@ GATE_FRONT: tuple[str, ...] = (
     "embedding_dedup",
     "scrub_pii_docs",
     "events_salted_type_join",
+    # r04: new TPC-H adaptations — first driver rows
+    "q9_profit_by_nation_year",
+    "q15_top_supplier",
+    "q21_waiting_suppliers",
     # r04: plans/oracles changed this round — need fresh driver rows
     "dedup_ngram_jaccard",  # oracle rewritten to the df-capped inverted index
     "kmeans_assign",  # centroid-literal oracle flip (rows-only → hash)

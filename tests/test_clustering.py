@@ -9,12 +9,21 @@ import pytest
 
 from pyspark.sql import functions as F
 
-from robin_sparkles_spark.operators import clustering, relational3, relational4
+from robin_sparkles_spark.operators import (
+    clustering,
+    relational3,
+    relational4,
+    relational5,
+)
 from robin_sparkles_spark.operators.similarity import ann_bruteforce_topk
 
 from .oracle_utils import assert_query_matches_oracle
 
-_R34 = {**relational3.QUERIES, **relational4.QUERIES_TAIL}
+_R34 = {
+    **relational3.QUERIES,
+    **relational4.QUERIES_TAIL,
+    **relational5.QUERIES_TAIL,
+}
 
 
 @pytest.mark.parametrize("name", sorted(_R34))
