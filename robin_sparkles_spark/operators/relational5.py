@@ -190,6 +190,83 @@ FROM ranked WHERE rk <= {Q21_TOP_N}
 """
 
 
+OVERLAP_WINDOW_DAYS = 30
+
+
+def orders_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval self-overlap join without a nested loop — the range-
+    join pattern Spark lacks natively: per customer, count pairs of
+    orders whose {OVERLAP_WINDOW_DAYS}-day activity windows
+    [orderdate, orderdate+{OVERLAP_WINDOW_DAYS}d) overlap.
+
+    A naive interval join compiles to a BroadcastNestedLoopJoin (the
+    per-row O(N²) trap); the scale shape is BIN BLOCKING: explode each
+    interval into the calendar months it covers, equi-join on
+    (custkey, month) — any two overlapping intervals share the month
+    of any overlap instant, so the blocking is exhaustive — then
+    verify true overlap on candidates and dedupe pairs that share
+    several months. Candidates ∝ per-(customer, month) density², not
+    corpus²; the month is the granularity/selectivity knob (days for
+    dense keys). Same blocked-equi-join discipline as the LSH/pigeon-
+    hole dedup plans, applied to time ranges."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        F.col("o_orderdate").alias("start"),
+        F.date_add(F.col("o_orderdate"), OVERLAP_WINDOW_DAYS).alias("end"),
+    )
+    binned = o.withColumn(
+        "m",
+        F.explode(
+            F.sequence(
+                F.trunc(F.col("start"), "month"),
+                # end is EXCLUSIVE: an interval ending exactly on a
+                # month boundary does not cover that month
+                F.trunc(F.date_sub(F.col("end"), 1), "month"),
+                F.expr("interval 1 month"),
+            )
+        ),
+    )
+    a = binned.alias("a")
+    b = binned.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.o_custkey") == F.col("b.o_custkey"))
+            & (F.col("a.m") == F.col("b.m"))
+            & (F.col("a.o_orderkey") < F.col("b.o_orderkey")),
+        )
+        .where(
+            (F.col("a.start") < F.col("b.end")) & (F.col("b.start") < F.col("a.end"))
+        )
+        .select(
+            F.col("a.o_custkey").alias("c_custkey"),
+            F.col("a.o_orderkey").alias("k1"),
+            F.col("b.o_orderkey").alias("k2"),
+        )
+        .distinct()
+    )
+    return pairs.groupBy("c_custkey").agg(F.count("*").alias("n_overlapping_pairs"))
+
+
+# Oracle: the straightforward non-equi self-join — DuckDB's optimizer
+# handles the quadratic form at gate scale; the Spark side must match
+# it through the binned plan (blocking exhaustiveness is what's being
+# hash-checked).
+ORDERS_OVERLAP_SQL = f"""
+WITH o AS (
+  SELECT o_custkey, o_orderkey, o_orderdate AS s,
+         o_orderdate + INTERVAL {OVERLAP_WINDOW_DAYS} DAY AS e
+  FROM orders
+)
+SELECT a.o_custkey AS c_custkey, COUNT(*) AS n_overlapping_pairs
+FROM o a JOIN o b
+  ON a.o_custkey = b.o_custkey AND a.o_orderkey < b.o_orderkey
+ AND a.s < b.e AND b.s < a.e
+GROUP BY a.o_custkey
+"""
+
+
 QUERIES: dict = {}
 
 # Post-gate-cap additions (registry.py QUERIES_TAIL contract); hard
@@ -198,4 +275,5 @@ QUERIES_TAIL = {
     "q9_profit_by_nation_year": (q9_profit_by_nation_year, Q9_SQL),
     "q15_top_supplier": (q15_top_supplier, Q15_SQL),
     "q21_waiting_suppliers": (q21_waiting_suppliers, Q21_SQL),
+    "orders_overlap_pairs": (orders_overlap_pairs, ORDERS_OVERLAP_SQL),
 }

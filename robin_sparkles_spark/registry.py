@@ -152,6 +152,7 @@ GATE_FRONT: tuple[str, ...] = (
     "q9_profit_by_nation_year",
     "q15_top_supplier",
     "q21_waiting_suppliers",
+    "orders_overlap_pairs",
     # r04: plans/oracles changed this round — need fresh driver rows
     "dedup_ngram_jaccard",  # oracle rewritten to the df-capped inverted index
     "kmeans_assign",  # centroid-literal oracle flip (rows-only → hash)
