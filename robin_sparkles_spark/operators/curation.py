@@ -26,9 +26,11 @@ from ..functions.hashing import poly_fingerprint, poly_fingerprint_sql
 from ..sources import load_table
 from .dedup import (
     JACCARD_THRESHOLD,
+    _DOCS_SHINGLES_SQL,
     _JACCARD,
     _JACCARD_SQL,
     _docs_with_shingles,
+    _shingle_rows,
     banded_minhash,
     dedup_groups,
     minhash_bands_ctes,
@@ -173,7 +175,71 @@ WHERE g.is_canonical AND q.quality_score >= {QUALITY_FLOOR}
 """
 
 
+# Held-out eval slice for decontamination: ~5% of docs by id residue
+# (pure doc_id expression so the oracle replicates the split exactly;
+# in production this is the actual benchmark/eval corpus).
+EVAL_MOD, EVAL_REM = 20, 7
+CONTAM_MIN_SHARED = 2
+
+
+def decontaminate_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-set decontamination — the step every serious training-data
+    pipeline runs before training: flag TRAIN documents sharing ≥
+    ``CONTAM_MIN_SHARED`` distinct n-gram shingles with ANY held-out
+    eval document. Returns one row per train doc:
+    (doc_id, n_shared, contaminated).
+
+    Plan shape: the eval side collapses to its DISTINCT shingle set
+    (tiny — |eval| ≪ |train| always), the train shingle index
+    equi-joins it on the shingle hash, and a per-doc count + left join
+    back completes the flag — linear in the train index, zero
+    train×train or eval×eval work. The same inverted-index discipline
+    as ``dedup_ngram_jaccard``, pointed across two corpora. n=3 word
+    shingles here (fixture docs are short); production decontamination
+    raises n (8–13) — the plan is n-agnostic."""
+    sh = _shingle_rows(spark, sf_dir)
+    is_eval = (F.col("doc_id") % EVAL_MOD) == EVAL_REM
+    eval_sh = sh.where(is_eval).select("h").distinct()
+    shared = (
+        sh.where(~is_eval)
+        .join(eval_sh, "h")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_shared"))
+    )
+    train_docs = (
+        load_table(spark, sf_dir, "documents")
+        .where((F.col("doc_id") % EVAL_MOD) != EVAL_REM)
+        .select("doc_id")
+    )
+    return train_docs.join(shared, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("n_shared"), F.lit(0)).cast("long").alias("n_shared"),
+        (F.coalesce(F.col("n_shared"), F.lit(0)) >= CONTAM_MIN_SHARED).alias(
+            "contaminated"
+        ),
+    )
+
+
+DECONTAMINATE_SQL = f"""
+WITH docs AS ({_DOCS_SHINGLES_SQL}),
+sh AS (SELECT doc_id, unnest(sh) AS h FROM docs),
+eval_sh AS (SELECT DISTINCT h FROM sh WHERE doc_id % {EVAL_MOD} = {EVAL_REM}),
+shared AS (
+  SELECT s.doc_id, COUNT(*) AS n_shared
+  FROM sh s JOIN eval_sh e ON s.h = e.h
+  WHERE s.doc_id % {EVAL_MOD} != {EVAL_REM}
+  GROUP BY s.doc_id
+),
+train AS (SELECT doc_id FROM documents WHERE doc_id % {EVAL_MOD} != {EVAL_REM})
+SELECT t.doc_id,
+       CAST(COALESCE(s.n_shared, 0) AS BIGINT) AS n_shared,
+       COALESCE(s.n_shared, 0) >= {CONTAM_MIN_SHARED} AS contaminated
+FROM train t LEFT JOIN shared s ON t.doc_id = s.doc_id
+"""
+
+
 QUERIES = {
     "dedup_incremental": (dedup_incremental, DEDUP_INCREMENTAL_SQL),
     "curation_pipeline": (curation_pipeline, _curation_pipeline_sql()),
+    "decontaminate_train": (decontaminate_train, DECONTAMINATE_SQL),
 }

@@ -153,6 +153,7 @@ GATE_FRONT: tuple[str, ...] = (
     "q15_top_supplier",
     "q21_waiting_suppliers",
     "orders_overlap_pairs",
+    "decontaminate_train",
     # r04: plans/oracles changed this round — need fresh driver rows
     "dedup_ngram_jaccard",  # oracle rewritten to the df-capped inverted index
     "kmeans_assign",  # centroid-literal oracle flip (rows-only → hash)

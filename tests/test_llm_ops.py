@@ -28,6 +28,19 @@ def test_oracle_parity(spark, sf_dir, name):
     assert_query_matches_oracle(fn(spark, sf_dir), oracle, sf_dir)
 
 
+def test_decontaminate_train_separates_both_classes(spark, sf_dir):
+    """The contamination flag must be non-vacuous in BOTH directions:
+    some train docs share ≥2 shingles with the eval slice (shared
+    vocabulary + planted near-dups guarantee overlap), and some are
+    clean — and no eval doc may appear in the output."""
+    rows = curation.decontaminate_train(spark, sf_dir).collect()
+    assert all(r.doc_id % curation.EVAL_MOD != curation.EVAL_REM for r in rows)
+    flags = {r.contaminated for r in rows}
+    assert flags == {True, False}, f"vacuous contamination split: {flags}"
+    for r in rows:
+        assert r.contaminated == (r.n_shared >= curation.CONTAM_MIN_SHARED)
+
+
 def test_scrub_pii_docs_every_class_nonvacuous(spark, sf_dir):
     """The declared PII scrub must exercise every pattern class with
     nonzero counts (the injection's whole point — VERDICT r02 ask #5)
