@@ -100,10 +100,105 @@ FROM exact e JOIN ksel k USING (event_type)
 """
 
 
+CM_DEPTH = 4  # independent hash rows
+CM_WIDTH = 256  # buckets per row
+CM_PROBE_N = 20  # report accuracy for the top-N users by exact count
+
+
+def events_countmin_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch over per-user event counts, with the accuracy
+    report as the declared output: for the ``CM_PROBE_N`` most active
+    users, (user_id, exact_n, cm_estimate, overcount). Count-min never
+    undercounts (estimate = min over rows of the user's bucket
+    counter; collisions only add), so ``overcount ≥ 0`` is an
+    invariant the pytest asserts and the gate hashes.
+
+    Same design stance as the KMV sketch above: the production
+    frequency sketch would use engine-native hashing, but the portable
+    affine family makes the WHOLE sketch — counters, estimates, error
+    — bit-identical in both engines, so sketch accuracy is a
+    gate-checked number. Scale shape: counter build is one explode
+    (×CM_DEPTH) + one groupBy — the sketch table is CM_DEPTH×CM_WIDTH
+    rows regardless of stream size; estimates are an equi-join of the
+    probe set against it."""
+    ev = load_table(spark, sf_dir, "events").select("user_id")
+
+    def bucket(i: int) -> F.Column:
+        a, b = affine_params(i)
+        return ((F.col("user_id") * F.lit(a) + F.lit(b)) % F.lit(MERSENNE_P)) % F.lit(
+            CM_WIDTH
+        )
+
+    rows = F.array(
+        *[
+            F.struct(F.lit(i).alias("d"), bucket(i).alias("bkt"))
+            for i in range(CM_DEPTH)
+        ]
+    )
+    counters = (
+        ev.select(F.explode(rows).alias("x"))
+        .groupBy(F.col("x.d").alias("d"), F.col("x.bkt").alias("bkt"))
+        .agg(F.count("*").alias("cnt"))
+    )
+    exact = ev.groupBy("user_id").agg(F.count("*").alias("exact_n"))
+    w = W.orderBy(F.desc("exact_n"), F.asc("user_id"))
+    probe = (
+        exact.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= CM_PROBE_N)
+        .select("user_id", "exact_n")
+    )
+    probe_buckets = probe.select(
+        "user_id", "exact_n", F.explode(rows).alias("x")
+    ).select("user_id", "exact_n", F.col("x.d").alias("d"), F.col("x.bkt").alias("bkt"))
+    return (
+        probe_buckets.join(F.broadcast(counters), ["d", "bkt"])
+        .groupBy("user_id", "exact_n")
+        .agg(F.min("cnt").alias("cm_estimate"))
+        .select(
+            "user_id",
+            "exact_n",
+            "cm_estimate",
+            (F.col("cm_estimate") - F.col("exact_n")).cast("long").alias("overcount"),
+        )
+    )
+
+
+def _countmin_sql() -> str:
+    params = ", ".join(
+        f"({i}, {affine_params(i)[0]}, {affine_params(i)[1]})" for i in range(CM_DEPTH)
+    )
+    return f"""
+WITH params(d, a, b) AS (VALUES {params}),
+ev AS (SELECT user_id FROM events),
+counters AS (
+  SELECT p.d, ((e.user_id * p.a + p.b) % {MERSENNE_P}) % {CM_WIDTH} AS bkt,
+         COUNT(*) AS cnt
+  FROM ev e CROSS JOIN params p GROUP BY 1, 2
+),
+exact AS (SELECT user_id, COUNT(*) AS exact_n FROM ev GROUP BY user_id),
+probe AS (
+  SELECT user_id, exact_n,
+         ROW_NUMBER() OVER (ORDER BY exact_n DESC, user_id ASC) AS rn
+  FROM exact
+),
+pb AS (
+  SELECT user_id, exact_n, p.d,
+         ((user_id * p.a + p.b) % {MERSENNE_P}) % {CM_WIDTH} AS bkt
+  FROM probe CROSS JOIN params p WHERE rn <= {CM_PROBE_N}
+)
+SELECT pb.user_id, pb.exact_n,
+       CAST(MIN(c.cnt) AS BIGINT) AS cm_estimate,
+       CAST(MIN(c.cnt) - pb.exact_n AS BIGINT) AS overcount
+FROM pb JOIN counters c ON pb.d = c.d AND pb.bkt = c.bkt
+GROUP BY pb.user_id, pb.exact_n
+"""
+
+
 QUERIES: dict = {}
 
 # Post-gate-cap addition (see registry.py): local oracle sweep is the
 # hard signal.
 QUERIES_TAIL = {
     "users_kmv_by_type": (users_kmv_by_type, _users_kmv_sql()),
+    "events_countmin_users": (events_countmin_users, _countmin_sql()),
 }

@@ -11,8 +11,10 @@ from .formats import (
     corrupt_count,
     read_csv,
     read_jsonl,
+    read_orc,
     write_csv,
     write_jsonl,
+    write_orc,
 )
 from .tables import TABLES, load_table, register_views, text_corpus_df
 

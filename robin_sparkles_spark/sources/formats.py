@@ -113,3 +113,17 @@ def read_csv(
         .option("multiLine", "true")
         .csv(path)
     )
+
+
+def write_orc(df: DataFrame, path: str) -> None:
+    """ORC writer (zlib default; columnar like parquet) — the other
+    big columnar lake format, common in Hive-heritage estates. Same
+    pushdown/pruning story as parquet via Spark's vectorized ORC
+    reader; overwrite semantics (S4)."""
+    df.write.mode("overwrite").orc(path)
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC scan. Schema comes from ORC's own footer metadata (self-
+    describing like parquet — no inference pass, unlike JSONL/CSV)."""
+    return spark.read.orc(path)

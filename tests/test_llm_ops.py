@@ -28,6 +28,22 @@ def test_oracle_parity(spark, sf_dir, name):
     assert_query_matches_oracle(fn(spark, sf_dir), oracle, sf_dir)
 
 
+def test_countmin_never_undercounts(spark, sf_dir):
+    """Count-min's one-sided error: estimate ≥ exact for every probed
+    user (collisions only add), and the probe set is exactly the
+    CM_PROBE_N most active users."""
+    from robin_sparkles_spark.sources import load_table
+
+    rows = sketches.events_countmin_users(spark, sf_dir).collect()
+    n_users = (
+        load_table(spark, sf_dir, "events").select("user_id").distinct().count()
+    )
+    assert len(rows) == min(sketches.CM_PROBE_N, n_users)
+    for r in rows:
+        assert r.cm_estimate >= r.exact_n
+        assert r.overcount == r.cm_estimate - r.exact_n
+
+
 def test_decontaminate_train_separates_both_classes(spark, sf_dir):
     """The contamination flag must be non-vacuous in BOTH directions:
     some train docs share ≥2 shingles with the eval slice (shared
