@@ -535,8 +535,88 @@ QUERIES = {
     "docs_stable_sample": (docs_stable_sample, _docs_stable_sample_sql()),
 }
 
+# --- fuzzy term matching: edit-distance ≤ 1 via deletion blocking -----------
+
+def vocab_typo_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Term pairs within edit distance 1, found WITHOUT a quadratic
+    scan — the FastSS deletion-neighborhood pattern: every term emits
+    itself plus each single-character deletion; two strings at edit
+    distance ≤ 1 (insert/delete/substitute) always share a variant, so
+    an equi-join on the variant is an exhaustive blocking and
+    ``levenshtein`` verifies candidates only. Candidates ∝ per-variant
+    collisions (×(len+1) index rows per term), not |terms|² — the same
+    blocked-equi-join discipline as the dedup family, for fuzzy string
+    matching (typo normalization in a text pipeline).
+
+    The fixture vocabulary contains no natural typos (31 clean words),
+    so the term set plants a typo twin per word (first character
+    doubled — edit distance exactly 1) the same way ``scrub_pii_docs``
+    plants PII; both engines derive identical term sets from the
+    corpus."""
+    d = load_table(spark, sf_dir, "documents")
+    words = (
+        d.select(F.explode(F.split(F.lower(F.col("text")), " ")).alias("w"))
+        .where(F.col("w") != "")
+        .distinct()
+    )
+    twins = words.select(
+        F.concat(F.substring(F.col("w"), 1, 1), F.col("w")).alias("w")
+    )
+    terms = words.union(twins).distinct()
+    w = F.col("w")
+    variants = F.transform(
+        F.sequence(F.lit(0), F.length(w)),
+        lambda i: F.when(i == 0, w).otherwise(
+            F.concat(
+                w.substr(F.lit(1), i - 1), w.substr(i + 1, F.length(w))
+            )
+        ),
+    )
+    idx = terms.select("w", F.explode(F.array_distinct(variants)).alias("v"))
+    a = idx.alias("a")
+    b = idx.alias("b")
+    cands = (
+        a.join(b, (F.col("a.v") == F.col("b.v")) & (F.col("a.w") < F.col("b.w")))
+        .select(F.col("a.w").alias("t1"), F.col("b.w").alias("t2"))
+        .distinct()
+    )
+    dist = F.levenshtein(F.col("t1"), F.col("t2"))
+    return cands.select("t1", "t2", dist.cast("long").alias("dist")).where(
+        F.col("dist") <= 1
+    )
+
+
+VOCAB_TYPO_SQL = """
+WITH words AS (
+  SELECT DISTINCT unnest(string_split(lower(text), ' ')) AS w FROM documents
+),
+clean AS (SELECT w FROM words WHERE w != ''),
+terms AS (
+  SELECT w FROM clean
+  UNION
+  SELECT substr(w, 1, 1) || w AS w FROM clean
+),
+vars AS (
+  SELECT w,
+         unnest(list_distinct(list_transform(
+             generate_series(0, len(w)),
+             i -> CASE WHEN i = 0 THEN w
+                       ELSE substr(w, 1, i - 1) || substr(w, i + 1, len(w)) END
+         ))) AS v
+  FROM terms
+),
+cands AS (
+  SELECT DISTINCT a.w AS t1, b.w AS t2
+  FROM vars a JOIN vars b ON a.v = b.v AND a.w < b.w
+)
+SELECT t1, t2, CAST(levenshtein(t1, t2) AS BIGINT) AS dist
+FROM cands WHERE levenshtein(t1, t2) <= 1
+"""
+
+
 # Post-gate-cap additions (registry.py QUERIES_TAIL contract).
 QUERIES_TAIL = {
     "corpus_vocabulary": (corpus_vocabulary, CORPUS_VOCAB_SQL),
     "bigram_stats": (bigram_stats, BIGRAM_STATS_SQL),
+    "vocab_typo_pairs": (vocab_typo_pairs, VOCAB_TYPO_SQL),
 }

@@ -155,6 +155,7 @@ GATE_FRONT: tuple[str, ...] = (
     "orders_overlap_pairs",
     "decontaminate_train",
     "events_countmin_users",
+    "vocab_typo_pairs",
     # r04: plans/oracles changed this round — need fresh driver rows
     "dedup_ngram_jaccard",  # oracle rewritten to the df-capped inverted index
     "kmeans_assign",  # centroid-literal oracle flip (rows-only → hash)

@@ -28,6 +28,38 @@ def test_oracle_parity(spark, sf_dir, name):
     assert_query_matches_oracle(fn(spark, sf_dir), oracle, sf_dir)
 
 
+def test_typo_blocking_is_exhaustive(spark, sf_dir):
+    """The deletion-neighborhood blocking must find EXACTLY the pairs
+    a quadratic levenshtein scan finds (FastSS k=1 is exact, not
+    approximate) — and the planted twins guarantee non-vacuity."""
+    from pyspark.sql import functions as F
+    from robin_sparkles_spark.sources import load_table
+
+    blocked = {
+        (r.t1, r.t2)
+        for r in text_analysis.vocab_typo_pairs(spark, sf_dir).collect()
+    }
+    d = load_table(spark, sf_dir, "documents")
+    words = (
+        d.select(F.explode(F.split(F.lower(F.col("text")), " ")).alias("w"))
+        .where(F.col("w") != "")
+        .distinct()
+    )
+    terms = words.union(
+        words.select(F.concat(F.substring("w", 1, 1), F.col("w")).alias("w"))
+    ).distinct()
+    a, b = terms.alias("a"), terms.alias("b")
+    brute = {
+        (r.t1, r.t2)
+        for r in a.join(F.broadcast(b), F.col("a.w") < F.col("b.w"))
+        .select(F.col("a.w").alias("t1"), F.col("b.w").alias("t2"))
+        .where(F.levenshtein("t1", "t2") <= 1)
+        .collect()
+    }
+    assert blocked == brute
+    assert blocked  # planted twins make it non-vacuous
+
+
 def test_countmin_never_undercounts(spark, sf_dir):
     """Count-min's one-sided error: estimate ≥ exact for every probed
     user (collisions only add), and the probe set is exactly the
