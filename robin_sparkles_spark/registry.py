@@ -66,6 +66,7 @@ def _collect() -> dict[str, QuerySpec]:
         curation,
         dedup,
         embedding_dedup,
+        graph,
         sketches,
         multimodal,
         relational,
@@ -112,6 +113,7 @@ def _collect() -> dict[str, QuerySpec]:
         relational4,
         relational5,
         skew_queries,
+        graph,
     )
 
     def add(name: str, spec: tuple) -> None:
@@ -156,6 +158,7 @@ GATE_FRONT: tuple[str, ...] = (
     "decontaminate_train",
     "events_countmin_users",
     "vocab_typo_pairs",
+    "pagerank_trade_graph",
     # r04: plans/oracles changed this round — need fresh driver rows
     "dedup_ngram_jaccard",  # oracle rewritten to the df-capped inverted index
     "kmeans_assign",  # centroid-literal oracle flip (rows-only → hash)

