@@ -131,6 +131,40 @@ QUERIES = {
 
 # Post-gate-cap additions (registry enumerates *_TAIL dicts after every
 # module's QUERIES, keeping the driver's 50-row gate window stable).
+def view_purchase_attribution_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the LEFT OUTER stream-stream interval join: every
+    view with its attributed purchase, or sentinels when none followed
+    within 30 minutes (``attribution_join_stream_outer`` on the batch
+    scan — withWatermark is a no-op in batch, sentinels replace the
+    outer join's NULLs for oracle hashability)."""
+    from ..streaming.events import attribution_join_stream_outer
+
+    events = load_table(spark, sf_dir, "events")
+    return attribution_join_stream_outer(
+        events.where(F.col("event_type") == "view"),
+        events.where(F.col("event_type") == "purchase"),
+    )
+
+
+VIEW_PURCHASE_OUTER_SQL = """
+SELECT v.user_id,
+       v.event_id AS view_id,
+       COALESCE(p.event_id, -1) AS purchase_id,
+       strftime(v.ts, '%Y-%m-%d %H:%M:%S') AS view_time,
+       COALESCE(strftime(p.ts, '%Y-%m-%d %H:%M:%S'), '') AS purchase_time,
+       COALESCE(p.value, 0.0) AS value
+FROM (SELECT * FROM events WHERE event_type = 'view') v
+LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+  ON v.user_id = p.user_id
+ AND p.ts >= v.ts
+ AND p.ts <= v.ts + INTERVAL 30 MINUTE
+"""
+
+
 QUERIES_TAIL = {
     "view_purchase_attribution": (view_purchase_attribution, VIEW_PURCHASE_SQL),
+    "view_purchase_attribution_outer": (
+        view_purchase_attribution_outer,
+        VIEW_PURCHASE_OUTER_SQL,
+    ),
 }

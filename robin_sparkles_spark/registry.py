@@ -159,6 +159,7 @@ GATE_FRONT: tuple[str, ...] = (
     "events_countmin_users",
     "vocab_typo_pairs",
     "pagerank_trade_graph",
+    "view_purchase_attribution_outer",
     # r04: plans/oracles changed this round — need fresh driver rows
     "dedup_ngram_jaccard",  # oracle rewritten to the df-capped inverted index
     "kmeans_assign",  # centroid-literal oracle flip (rows-only → hash)

@@ -154,6 +154,48 @@ def attribution_join_stream(views: DataFrame, purchases: DataFrame) -> DataFrame
     )
 
 
+def attribution_join_stream_outer(views: DataFrame, purchases: DataFrame) -> DataFrame:
+    """LEFT OUTER stream-stream interval join: every view, with its
+    attributed purchase or sentinel values when none arrives within
+    30 minutes — the "which impressions did NOT convert" shape. Same
+    watermark/time-bound state contract as the inner join, plus the
+    outer-specific semantics: a view's NULL-side row is emitted only
+    once the PURCHASE watermark passes view_ts + 30 min (Spark must
+    prove no match can still arrive), so unmatched results trail live
+    data by the watermark delay — the inherent outer-join latency, not
+    a defect. Sentinels (-1 / '' / 0.0) replace NULLs because the
+    declared twin is oracle-hashed and NULL floats round-trip
+    differently across engines (see curation.dedup_incremental)."""
+    v = views.select(
+        F.col("user_id"),
+        F.col("event_id").alias("view_id"),
+        F.col("ts").alias("view_ts"),
+    ).withWatermark("view_ts", "1 hour")
+    p = purchases.select(
+        F.col("user_id").alias("p_user_id"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+        "value",
+    ).withWatermark("purchase_ts", "1 hour")
+    joined = v.join(
+        p,
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("purchase_ts") >= F.col("view_ts"))
+        & (F.col("purchase_ts") <= F.col("view_ts") + F.expr("INTERVAL 30 MINUTES")),
+        "leftOuter",
+    )
+    return joined.select(
+        "user_id",
+        "view_id",
+        F.coalesce(F.col("purchase_id"), F.lit(-1)).alias("purchase_id"),
+        F.date_format("view_ts", "yyyy-MM-dd HH:mm:ss").alias("view_time"),
+        F.coalesce(
+            F.date_format("purchase_ts", "yyyy-MM-dd HH:mm:ss"), F.lit("")
+        ).alias("purchase_time"),
+        F.coalesce(F.col("value"), F.lit(0.0)).alias("value"),
+    )
+
+
 def run_stream_to_memory(stream_df: DataFrame, name: str, output_mode: str = "complete"):
     """Drive a streaming query to completion over the (finite) fixture
     files via the memory sink; returns the bounded result table name.

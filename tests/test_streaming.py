@@ -79,6 +79,49 @@ def test_attribution_join_stream_equals_batch(spark, sf_dir):
     pd.testing.assert_frame_equal(got, want)
 
 
+def test_attribution_outer_stream_equals_batch_within_horizon(spark, sf_dir):
+    """LEFT OUTER stream-stream parity, watermark-aware: a view's
+    unmatched (sentinel) row emits only once the purchase watermark
+    passes view_ts + 30 min, and the final watermark on a finite
+    stream stops 1 h short of max event time — so rows for views
+    inside that trailing horizon may legitimately never emit. Assert
+    (a) every emitted stream row appears in the batch twin, and
+    (b) below the guaranteed horizon the two row sets are EQUAL,
+    including sentinel rows (the outer semantics actually streamed)."""
+    from pyspark.sql import functions as F
+
+    ev = se.events_stream(spark, sf_dir)
+    stream = se.attribution_join_stream_outer(
+        ev.where(F.col("event_type") == "view"),
+        ev.where(F.col("event_type") == "purchase"),
+    )
+    se.run_stream_to_memory(stream, "t_attr_outer", output_mode="append")
+    got = spark.sql("SELECT * FROM t_attr_outer")
+    want = sq.view_purchase_attribution_outer(spark, sf_dir)
+
+    got_rows = {tuple(r) for r in got.collect()}
+    want_rows = {tuple(r) for r in want.collect()}
+    assert got_rows <= want_rows
+
+    max_ts = (
+        sq.load_table(spark, sf_dir, "events")
+        .where(F.col("event_type") == "purchase")
+        .agg(F.max("ts").alias("m"))
+        .collect()[0]
+        .m
+    )
+    horizon = (
+        F.to_timestamp(F.col("view_time"))
+        + F.expr("INTERVAL 30 MINUTES")
+        + F.expr("INTERVAL 1 HOUR")
+    ) < F.lit(max_ts)
+    got_h = {tuple(r) for r in got.where(horizon).collect()}
+    want_h = {tuple(r) for r in want.where(horizon).collect()}
+    assert want_h, "horizon slice must be non-empty"
+    assert got_h == want_h
+    assert any(r[2] == -1 for r in want_h), "sentinel rows must stream too"
+
+
 def test_watermark_is_set(spark, sf_dir):
     stream = se.tumbling_counts_stream(se.events_stream(spark, sf_dir))
     assert stream.isStreaming
