@@ -119,6 +119,34 @@ def frame_sample_stub(df: DataFrame, every_n: int = 2) -> DataFrame:
     )
 
 
+def resize_stub(df: DataFrame, target_w: int = 64, target_h: int = 64) -> DataFrame:
+    """STUB resizer: one row in → one row out with new dimensions and
+    a proportionally truncated payload (column-transforming
+    mapInPandas — the image-resize shape: same cardinality, different
+    byte sizes). The byte math is fake; the Arrow batch plumbing,
+    schema contract, and deterministic size reduction are real — a
+    real kernel drops into the same slot with PIL/OpenCV."""
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"media_id": [], "width": [], "height": [], "payload": []}
+            for mid, w, h, payload in zip(
+                pdf["media_id"], pdf["width"], pdf["height"], pdf["payload"]
+            ):
+                blob = payload or b""
+                src_area = max(1, int(w) * int(h))
+                keep = max(1, (len(blob) * target_w * target_h) // src_area)
+                out["media_id"].append(mid)
+                out["width"].append(target_w)
+                out["height"].append(target_h)
+                out["payload"].append(blob[: min(len(blob), keep)])
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(
+        resize, schema="media_id long, width int, height int, payload binary"
+    )
+
+
 def audio_features_stub(df: DataFrame) -> DataFrame:
     """STUB audio featurizer — raises like a missing codec would, so
     callers exercise their error paths. Clearly marked per the build

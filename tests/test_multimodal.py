@@ -41,6 +41,27 @@ def test_frame_sample_expands_cardinality(spark, sf_dir):
     assert first == n_media
 
 
+def test_resize_stub_shrinks_payload_1to1(spark, sf_dir):
+    """Resize is the column-transforming mapInPandas shape: same
+    cardinality, target dimensions, payload bytes reduced
+    proportionally to the area ratio."""
+    from pyspark.sql import functions as F
+
+    media = mm.media_from_documents(spark, sf_dir)
+    decoded = mm.decode_media_stub(media).select("media_id", "width", "height")
+    src = decoded.join(media.select("media_id", "payload"), "media_id")
+    resized = mm.resize_stub(src, target_w=32, target_h=32)
+    rows = {r.media_id: r for r in resized.collect()}
+    orig = {r.media_id: r for r in src.collect()}
+    assert set(rows) == set(orig)  # 1:1
+    for mid, r in rows.items():
+        assert (r.width, r.height) == (32, 32)
+        o = orig[mid]
+        assert len(r.payload) <= len(o.payload)
+        if o.width * o.height > 32 * 32:
+            assert len(r.payload) < len(o.payload) or len(o.payload) <= 1
+
+
 def test_audio_stub_raises_cleanly(spark, sf_dir):
     media = mm.media_from_documents(spark, sf_dir)
     with pytest.raises(Exception, match="NotImplementedError|audio decode"):
