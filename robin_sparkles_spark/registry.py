@@ -165,6 +165,7 @@ GATE_FRONT: tuple[str, ...] = (
     "kmeans_assign",  # centroid-literal oracle flip (rows-only → hash)
     "ann_ivf_topk",  # centroid-literal oracle flip (rows-only → hash)
     "ann_lsh_topk",  # banded frame materialized once (plan change)
+    "embedding_similar_pairs",  # unit vectors materialized once (plan change)
     # r04: events.ts parquet layout changed (nanos-as-long → µs NTZ in
     # the regenerated testdata); every events-reading query re-checks
     "events_tumbling_1h",
