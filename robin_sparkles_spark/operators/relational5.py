@@ -267,6 +267,93 @@ GROUP BY a.o_custkey
 """
 
 
+ANOMALY_Z = 3.0
+ANOMALY_WINDOW_S = 86400  # trailing 24 h (events are ~14/h/type)
+ANOMALY_MIN_N = 50
+ANOMALY_SPIKE_MOD = 997  # every 997th event_id gets a planted spike
+ANOMALY_SPIKE = 500.0  # ≈ 3.5 σ over the uniform[0,490] background
+
+
+def events_rolling_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling z-score anomaly detection per event_type: each event
+    scored against the trailing 24-hour window's mean/std (RANGE frame
+    over event time, so equal timestamps are peers in both engines),
+    flagging |z| > {ANOMALY_Z} with ≥ {ANOMALY_MIN_N} samples — the
+    streaming-monitoring shape expressed as a batch window.
+
+    The fixture's value distribution is right-skewed (mean ≈ 50, max
+    ≈ 490), so the heavy tail yields ORGANIC z > 3 events — the normal
+    operation of an anomaly detector on a skewed metric. The query
+    additionally plants deterministic spikes (+{ANOMALY_SPIKE} on
+    every {ANOMALY_SPIKE_MOD}th event_id, mirrored in the oracle) as
+    known-positive anchors the pytest can assert on (measured at
+    sf0.01: 10 planted flags at z 5.6–7.0 over 163 organic tail flags
+    at z 3.0–6.0).
+
+    Oracle determinism: Σx and Σx² accumulate as DECIMAL (order-
+    independent); mean/var/std/z then follow the identical double-op
+    sequence in both engines (sqrt is IEEE-correctly-rounded), so the
+    z-scores hash-match bit-for-bit."""
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "v",
+        F.col("value")
+        + F.when(F.col("event_id") % ANOMALY_SPIKE_MOD == 0, F.lit(ANOMALY_SPIKE))
+        .otherwise(F.lit(0.0)),
+    )
+    w = (
+        W.partitionBy("event_type")
+        .orderBy(F.col("ts").cast("long"))
+        .rangeBetween(-ANOMALY_WINDOW_S, 0)
+    )
+    sx = F.sum(F.col("v").cast("decimal(38,8)")).over(w).cast("double")
+    sxx = F.sum((F.col("v") * F.col("v")).cast("decimal(38,8)")).over(w).cast("double")
+    n = F.count("*").over(w)
+    mean = sx / n
+    var = sxx / n - mean * mean
+    std = F.sqrt(var)
+    z = (F.col("v") - mean) / std
+    return (
+        ev.select(
+            "event_id",
+            "event_type",
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_str"),
+            F.col("v").alias("value"),
+            n.alias("n_window"),
+            z.alias("zscore"),
+        )
+        .where(
+            (F.col("n_window") >= ANOMALY_MIN_N)
+            & (F.abs(F.col("zscore")) > ANOMALY_Z)
+        )
+    )
+
+
+EVENTS_ANOMALY_SQL = f"""
+WITH inj AS (
+  SELECT event_id, event_type, ts,
+         value + CASE WHEN event_id % {ANOMALY_SPIKE_MOD} = 0
+                      THEN {ANOMALY_SPIKE} ELSE 0.0 END AS v
+  FROM events
+),
+scored AS (
+  SELECT event_id, event_type,
+         strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_str,
+         v,
+         COUNT(*) OVER w AS n_window,
+         (v - CAST(SUM(CAST(v AS DECIMAL(38,8))) OVER w AS DOUBLE) / COUNT(*) OVER w)
+           / sqrt(CAST(SUM(CAST(v * v AS DECIMAL(38,8))) OVER w AS DOUBLE) / COUNT(*) OVER w
+                  - (CAST(SUM(CAST(v AS DECIMAL(38,8))) OVER w AS DOUBLE) / COUNT(*) OVER w)
+                    * (CAST(SUM(CAST(v AS DECIMAL(38,8))) OVER w AS DOUBLE) / COUNT(*) OVER w)) AS zscore
+  FROM inj
+  WINDOW w AS (PARTITION BY event_type ORDER BY ts
+               RANGE BETWEEN INTERVAL {ANOMALY_WINDOW_S} SECOND PRECEDING AND CURRENT ROW)
+)
+SELECT event_id, event_type, ts_str, v AS value, n_window, zscore
+FROM scored
+WHERE n_window >= {ANOMALY_MIN_N} AND abs(zscore) > {ANOMALY_Z}
+"""
+
+
 QUERIES: dict = {}
 
 # Post-gate-cap additions (registry.py QUERIES_TAIL contract); hard
@@ -276,4 +363,5 @@ QUERIES_TAIL = {
     "q15_top_supplier": (q15_top_supplier, Q15_SQL),
     "q21_waiting_suppliers": (q21_waiting_suppliers, Q21_SQL),
     "orders_overlap_pairs": (orders_overlap_pairs, ORDERS_OVERLAP_SQL),
+    "events_rolling_anomaly": (events_rolling_anomaly, EVENTS_ANOMALY_SQL),
 }

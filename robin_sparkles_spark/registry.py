@@ -160,6 +160,7 @@ GATE_FRONT: tuple[str, ...] = (
     "vocab_typo_pairs",
     "pagerank_trade_graph",
     "view_purchase_attribution_outer",
+    "events_rolling_anomaly",
     # r04: plans/oracles changed this round — need fresh driver rows
     "dedup_ngram_jaccard",  # oracle rewritten to the df-capped inverted index
     "kmeans_assign",  # centroid-literal oracle flip (rows-only → hash)

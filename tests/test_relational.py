@@ -10,6 +10,33 @@ from robin_sparkles_spark.operators import relational, relational2
 
 from .oracle_utils import assert_query_matches_oracle
 
+
+def test_rolling_anomaly_flags_planted_spikes(spark):
+    """Planted spikes with a full enough window must be flagged
+    (known-positive anchors); organic heavy-tail flags may join them
+    but no flagged z-score may sit at or below the threshold. Runs at
+    sf0.01 (the driver's gate scale): sf0.001's ~7 events per
+    type-day never fills the ANOMALY_MIN_N=50 window, so the query is
+    legitimately empty there."""
+    from pyspark.sql import functions as F
+
+    from robin_sparkles_spark.operators import relational5 as r5
+    from robin_sparkles_spark.sources import load_table
+
+    sf_dir = "/root/testdata/sf0.01"
+    rows = r5.events_rolling_anomaly(spark, sf_dir).collect()
+    assert rows, "anomaly query must be non-vacuous"
+    for r in rows:
+        assert abs(r.zscore) > r5.ANOMALY_Z
+    flagged = {r.event_id for r in rows}
+    spiked = {
+        r.event_id
+        for r in load_table(spark, sf_dir, "events")
+        .where(F.col("event_id") % r5.ANOMALY_SPIKE_MOD == 0)
+        .collect()
+    }
+    assert spiked & flagged, "at least some planted spikes must flag"
+
 ALL = {**relational.QUERIES, **relational2.QUERIES}
 
 
