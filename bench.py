@@ -142,7 +142,12 @@ def main() -> None:
             "value": round(sum(small.values()), 4),
             "queries": small,
         }
-    if os.environ.get("SPARK_GRAFT_COMPACTION_CHECK", "1") != "":
+    # Set SPARK_GRAFT_COMPACTION_CHECK to "", "0", or "false" to skip.
+    if os.environ.get("SPARK_GRAFT_COMPACTION_CHECK", "1").lower() not in (
+        "",
+        "0",
+        "false",
+    ):
         payload["compaction"] = _compaction_check(spark, sf_dir)
     print(json.dumps(payload))
 

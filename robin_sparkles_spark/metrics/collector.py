@@ -85,6 +85,16 @@ def _eventlog_files(spark: SparkSession) -> list[str]:
         p = os.path.join(base, app_id + suffix)
         if os.path.exists(p):
             return [p]
+    for codec in (".zstd", ".lz4", ".snappy"):
+        for suffix in (codec, codec + ".inprogress"):
+            if os.path.exists(os.path.join(base, app_id + suffix)):
+                log.warning(
+                    "event-log fallback found only a compressed log for %s; "
+                    "set spark.eventLog.compress=false for headless metrics "
+                    "capture",
+                    app_id,
+                )
+                return []
     rolling = os.path.join(base, f"eventlog_v2_{app_id}")
     if os.path.isdir(rolling):
 
@@ -123,11 +133,16 @@ def _iter_eventlog_lines(paths: list[str]):
 def _parse_eventlog(paths: list[str], since_stage_id: int) -> tuple[list[dict], list[dict]]:
     """Aggregate SparkListenerStageCompleted / SparkListenerTaskEnd
     events into the same (stage_rows, task_rows) shape the REST path
-    produces. Task metrics sum to the stage grain exactly as the UI's
+    produces (it requests status=complete): failed stage attempts are
+    skipped, and only the SUCCESSFUL completed attempt's tasks count —
+    without the attempt filter a retried stage's metrics double, and a
+    failed stage would emit spurious rows the REST channel never
+    returns. Task metrics sum to the stage grain exactly as the UI's
     aggregation does (input bytes, shuffle read = local + remote)."""
     stages: dict[int, dict] = {}
-    tasks_by_stage: dict[int, list[dict]] = {}
-    agg: dict[int, dict[str, int]] = {}
+    chosen_attempt: dict[int, int] = {}
+    tasks_by_key: dict[tuple[int, int], list[dict]] = {}
+    agg: dict[tuple[int, int], dict[str, int]] = {}
     for line in _iter_eventlog_lines(paths):
         try:
             ev = json.loads(line)
@@ -139,6 +154,9 @@ def _parse_eventlog(paths: list[str], since_stage_id: int) -> tuple[list[dict], 
             sid = int(info.get("Stage ID", -1))
             if sid <= since_stage_id:
                 continue
+            if info.get("Failure Reason"):
+                continue  # failed attempt — REST status=complete skips it
+            attempt = int(info.get("Stage Attempt ID", 0))
             sub = info.get("Submission Time")
             comp = info.get("Completion Time")
             stages[sid] = {
@@ -147,14 +165,19 @@ def _parse_eventlog(paths: list[str], since_stage_id: int) -> tuple[list[dict], 
                 if sub is not None and comp is not None
                 else 0,
             }
+            chosen_attempt[sid] = attempt
         elif kind == "SparkListenerTaskEnd":
             sid = int(ev.get("Stage ID", -1))
             if sid <= since_stage_id:
                 continue
+            attempt = int(ev.get("Stage Attempt ID", 0))
             ti = ev.get("Task Info", {})
+            if ti.get("Failed"):
+                continue  # failed task — its metrics never reach the UI aggregate
             tm = ev.get("Task Metrics") or {}
             launch, finish = ti.get("Launch Time"), ti.get("Finish Time")
-            tasks_by_stage.setdefault(sid, []).append(
+            key = (sid, attempt)
+            tasks_by_key.setdefault(key, []).append(
                 {
                     "stage_id": sid,
                     "task_id": int(ti.get("Task ID", -1)),
@@ -165,7 +188,7 @@ def _parse_eventlog(paths: list[str], since_stage_id: int) -> tuple[list[dict], 
                 }
             )
             a = agg.setdefault(
-                sid,
+                key,
                 {"cpu_ns": 0, "in_bytes": 0, "sw_bytes": 0, "sr_bytes": 0},
             )
             a["cpu_ns"] += int(tm.get("Executor CPU Time", 0))
@@ -180,7 +203,8 @@ def _parse_eventlog(paths: list[str], since_stage_id: int) -> tuple[list[dict], 
     stage_rows: list[dict] = []
     task_rows: list[dict] = []
     for sid in sorted(stages):
-        a = agg.get(sid, {"cpu_ns": 0, "in_bytes": 0, "sw_bytes": 0, "sr_bytes": 0})
+        key = (sid, chosen_attempt[sid])
+        a = agg.get(key, {"cpu_ns": 0, "in_bytes": 0, "sw_bytes": 0, "sr_bytes": 0})
         stage_rows.append(
             {
                 "stage_id": sid,
@@ -191,7 +215,7 @@ def _parse_eventlog(paths: list[str], since_stage_id: int) -> tuple[list[dict], 
                 "shuffle_bytes_read": a["sr_bytes"],
             }
         )
-        task_rows.extend(tasks_by_stage.get(sid, []))
+        task_rows.extend(tasks_by_key.get(key, []))
     return stage_rows, task_rows
 
 

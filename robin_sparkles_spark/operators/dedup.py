@@ -542,12 +542,10 @@ def embedding_similar_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     the normalization on both score sides under that volume costs
     ~35% of the query (interleaved A/B: 4.5 s → 3.0 s). Same
     build-once-index shape as ann_lsh_topk."""
-    from .similarity import _band_keys_expr, _unit_vectors
+    from .similarity import _unit_vectors, sign_banded_from
 
     e = _unit_vectors(spark, sf_dir).localCheckpoint()
-    banded = e.select(
-        "vec_id", F.posexplode(_band_keys_expr()).alias("band_idx", "band_key")
-    )
+    banded = sign_banded_from(e)
     a = banded.alias("a")
     b = banded.alias("b")
     cands = (

@@ -44,7 +44,7 @@ from ..functions.vectors import (
 )
 from ..sources import load_table
 from ..sources.staging import is_staged, staged_path
-from .similarity import SIGN_BANDS, SIGN_BAND_BITS, _band_keys_expr
+from .similarity import _BANDS_SQL, sign_banded_from
 
 NEARDUP_N = 50
 NEARDUP_ID_OFFSET = 1_000_000
@@ -113,9 +113,7 @@ def embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.first("vn").alias("v"))
         .localCheckpoint()  # build-once index (see similarity.ann_lsh_topk)
     )
-    banded = e.select(
-        "vec_id", F.posexplode(_band_keys_expr()).alias("band_idx", "band_key")
-    )
+    banded = sign_banded_from(e)
     a = banded.alias("a")
     b = banded.alias("b")
     cands = (
@@ -148,19 +146,14 @@ def embedding_dedup_oracle(sf_dir: str) -> str:
         spark = get_spark(app_name="embedding_dedup_oracle", master="local[8]")
     path = build_neardup_corpus(spark, sf_dir)
     rel = f"read_parquet('{path}/*.parquet')"
+    # _BANDS_SQL is written against a CTE named ``e`` — the same name
+    # used here, so the band construction is literally shared with the
+    # ann_lsh / embedding_similar_pairs oracles (one copy to maintain).
     return f"""
 WITH raw AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
              FROM {rel}),
 e AS (SELECT vec_id, {normalized_sql('v')} AS v FROM raw),
-bands AS (
-  SELECT vec_id, t.band_idx,
-         list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(
-             list_slice(v, t.band_idx * {SIGN_BAND_BITS} + 1,
-                           t.band_idx * {SIGN_BAND_BITS} + {SIGN_BAND_BITS}),
-             x -> CAST(CASE WHEN x > 0 THEN 1 ELSE 0 END AS BIGINT))),
-           (acc, b) -> acc * 2 + b) AS band_key
-  FROM e, (SELECT unnest(generate_series(0, {SIGN_BANDS - 1})) AS band_idx) t
-),
+bands AS ({_BANDS_SQL}),
 cands AS (
   SELECT DISTINCT a.vec_id AS vec1, b.vec_id AS vec2
   FROM bands a JOIN bands b

@@ -293,7 +293,12 @@ def events_rolling_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     Oracle determinism: Σx and Σx² accumulate as DECIMAL (order-
     independent); mean/var/std/z then follow the identical double-op
     sequence in both engines (sqrt is IEEE-correctly-rounded), so the
-    z-scores hash-match bit-for-bit."""
+    z-scores hash-match bit-for-bit. The frame orders by FLOOR EPOCH
+    SECONDS on both sides — Spark's range frame needs a numeric key
+    (ts.cast long = floor seconds), and a sub-second oracle frame
+    (ORDER BY raw ts) measurably diverges in window membership on the
+    µs-resolution fixture timestamps (review r4: 13 flagged rows
+    differed at sf0.1 with the mismatched frames)."""
     ev = load_table(spark, sf_dir, "events").withColumn(
         "v",
         F.col("value")
@@ -345,8 +350,8 @@ scored AS (
                   - (CAST(SUM(CAST(v AS DECIMAL(38,8))) OVER w AS DOUBLE) / COUNT(*) OVER w)
                     * (CAST(SUM(CAST(v AS DECIMAL(38,8))) OVER w AS DOUBLE) / COUNT(*) OVER w)) AS zscore
   FROM inj
-  WINDOW w AS (PARTITION BY event_type ORDER BY ts
-               RANGE BETWEEN INTERVAL {ANOMALY_WINDOW_S} SECOND PRECEDING AND CURRENT ROW)
+  WINDOW w AS (PARTITION BY event_type ORDER BY epoch_us(ts) // 1000000
+               RANGE BETWEEN {ANOMALY_WINDOW_S} PRECEDING AND CURRENT ROW)
 )
 SELECT event_id, event_type, ts_str, v AS value, n_window, zscore
 FROM scored

@@ -121,15 +121,21 @@ def _band_keys_expr() -> F.Column:
     return F.array(*keys)
 
 
-def sign_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(vec_id, band_idx, band_key) rows — the LSH index side. The
-    vector itself is dropped before the explode so the 8× row blow-up
-    carries only (id, two small ints); candidate pairs join vectors
-    back from the aggregation-barriered _unit_vectors."""
-    e = _unit_vectors(spark, sf_dir)
+def sign_banded_from(e: DataFrame) -> DataFrame:
+    """(vec_id, band_idx, band_key) rows over a prepared unit-vector
+    frame ``e(vec_id, v)`` — the LSH index side, shared by every
+    banded consumer (ann_lsh_topk, dedup.embedding_similar_pairs,
+    embedding_dedup). The vector itself is dropped before the explode
+    so the 8× row blow-up carries only (id, two small ints); candidate
+    pairs join vectors back from the (materialized) ``e``."""
     return e.select(
         "vec_id", F.posexplode(_band_keys_expr()).alias("band_idx", "band_key")
     )
+
+
+def sign_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``sign_banded_from`` over the fixture embeddings table."""
+    return sign_banded_from(_unit_vectors(spark, sf_dir))
 
 
 # DuckDB twin of sign_banded: band_idx from a generate_series lateral.
@@ -161,9 +167,7 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     built once, reused by every probe — so the shape is kept for the
     scale story, not the sf0.1 number."""
     e = _unit_vectors(spark, sf_dir).localCheckpoint()
-    banded = e.select(
-        "vec_id", F.posexplode(_band_keys_expr()).alias("band_idx", "band_key")
-    )
+    banded = sign_banded_from(e)
     q = banded.where(F.col("vec_id") < N_QUERIES).alias("q")
     c = banded.alias("c")
     cands = (

@@ -36,8 +36,8 @@ from typing import NamedTuple
 from pyspark.sql import DataFrame, SparkSession
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
-# str: static SQL; callable: lazily generated SQL for the given sf_dir
-OracleSrc = "str | Callable[[str], str] | None"
+# oracle entries: static SQL string, lazily generated SQL
+# (``(sf_dir) -> str``), or None for rows-only checks
 
 # The driver's documented correctness-gate scale (see __spark_entry__):
 # lazy oracles resolve against this when no explicit sf_dir is given.

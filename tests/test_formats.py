@@ -72,4 +72,4 @@ def test_orc_roundtrip_and_pushdown(spark, sf_dir, tmp_path):
         .executedPlan()
         .toString()
     )
-    assert "doc_id" in plan
+    assert "PushedFilters" in plan and "doc_id" in plan.split("PushedFilters", 1)[1]
