@@ -194,6 +194,113 @@ GROUP BY pb.user_id, pb.exact_n
 """
 
 
+QSKETCH_K = 256  # sample size per estimate
+QSKETCH_QS = (0.25, 0.5, 0.75, 0.95)
+
+
+def orders_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile estimation from a bounded deterministic sample — the
+    third sketch family (KMV: cardinality, count-min: frequency, this:
+    quantiles). The "random" sample is the K rows with the smallest
+    affine-hash of the row key: uniform over rows, engine-portable,
+    and — unlike reservoir/t-digest state — bit-reproducible, so the
+    estimate itself is gate-checked against the exact quantiles in the
+    same output row.
+
+    Scale shape: the sample selection is a global top-K by hash rank —
+    at 100 TB that is a per-partition top-K (Spark's TakeOrderedAndProject
+    partial) + a K-row merge, never a full sort; the exact side here is
+    the verification baseline (a real deployment keeps only the
+    sample)."""
+    a, b = affine_params(1)
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    h = (F.col("o_orderkey") * F.lit(a) + F.lit(b)) % F.lit(MERSENNE_P)
+    w = W.orderBy(h.asc(), F.col("o_orderkey").asc())
+    sample = (
+        o.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= QSKETCH_K)
+        .select("o_totalprice")
+    )
+    # exact quantile of the SAMPLE via the same nearest-rank rule in
+    # both engines: value at row_number ceil(q·K) ordered by price
+    ws = W.orderBy(F.col("o_totalprice").asc())
+    ranked = sample.withColumn("srn", F.row_number().over(ws))
+    n_total = o.count()
+    estimates = None
+    import math
+
+    for q in QSKETCH_QS:
+        est = (
+            ranked.where(F.col("srn") == int(math.ceil(q * QSKETCH_K)))
+            .select(
+                F.lit(q).alias("q"),
+                F.col("o_totalprice").alias("estimate"),
+            )
+        )
+        estimates = est if estimates is None else estimates.union(est)
+    exact = (
+        o.withColumn("ern", F.row_number().over(W.orderBy(F.col("o_totalprice").asc())))
+    )
+    exacts = None
+    for q in QSKETCH_QS:
+        ex = exact.where(F.col("ern") == int(math.ceil(q * n_total))).select(
+            F.lit(q).alias("q"), F.col("o_totalprice").alias("exact")
+        )
+        exacts = ex if exacts is None else exacts.union(ex)
+    return (
+        estimates.join(exacts, "q")
+        .select(
+            "q",
+            "estimate",
+            "exact",
+            (F.abs(F.col("estimate") - F.col("exact")) / F.col("exact")).alias(
+                "rel_error"
+            ),
+        )
+    )
+
+
+def _quantile_sketch_sql() -> str:
+    import math
+
+    a, b = affine_params(1)
+    est_rows = ", ".join(
+        f"({q}, {int(math.ceil(q * QSKETCH_K))})" for q in QSKETCH_QS
+    )
+    return f"""
+WITH sample AS (
+  SELECT o_totalprice,
+         ROW_NUMBER() OVER (ORDER BY (o_orderkey * {a} + {b}) % {MERSENNE_P} ASC,
+                            o_orderkey ASC) AS rn
+  FROM orders
+),
+s AS (SELECT o_totalprice,
+             ROW_NUMBER() OVER (ORDER BY o_totalprice ASC) AS srn
+      FROM sample WHERE rn <= {QSKETCH_K}),
+qs(q, target) AS (VALUES {est_rows}),
+est AS (
+  SELECT qs.q, s.o_totalprice AS estimate
+  FROM qs JOIN s ON s.srn = qs.target
+),
+ex_ranked AS (
+  SELECT o_totalprice,
+         ROW_NUMBER() OVER (ORDER BY o_totalprice ASC) AS ern
+  FROM orders
+),
+n AS (SELECT COUNT(*) AS n_total FROM orders),
+exacts AS (
+  SELECT qs.q, e.o_totalprice AS exact
+  FROM qs CROSS JOIN n
+  JOIN ex_ranked e ON e.ern = CAST(ceil(qs.q * n.n_total) AS BIGINT)
+)
+SELECT est.q, est.estimate, exacts.exact,
+       abs(est.estimate - exacts.exact) / exacts.exact AS rel_error
+FROM est JOIN exacts ON est.q = exacts.q
+"""
+
+
 QUERIES: dict = {}
 
 # Post-gate-cap addition (see registry.py): local oracle sweep is the
@@ -201,4 +308,5 @@ QUERIES: dict = {}
 QUERIES_TAIL = {
     "users_kmv_by_type": (users_kmv_by_type, _users_kmv_sql()),
     "events_countmin_users": (events_countmin_users, _countmin_sql()),
+    "orders_quantile_sketch": (orders_quantile_sketch, _quantile_sketch_sql()),
 }

@@ -161,6 +161,7 @@ GATE_FRONT: tuple[str, ...] = (
     "pagerank_trade_graph",
     "view_purchase_attribution_outer",
     "events_rolling_anomaly",
+    "orders_quantile_sketch",
     # r04: plans/oracles changed this round — need fresh driver rows
     "dedup_ngram_jaccard",  # oracle rewritten to the df-capped inverted index
     "kmeans_assign",  # centroid-literal oracle flip (rows-only → hash)

@@ -76,6 +76,18 @@ def test_typo_blocking_is_exhaustive(spark, sf_dir):
     assert blocked  # planted twins make it non-vacuous
 
 
+def test_quantile_sketch_accuracy(spark, sf_dir):
+    """The 256-row hash-sample quantile estimates must land near the
+    exact quantiles (binomial rank error ~ q(1-q)/sqrt(K) of the rank
+    range → well under 20% relative on this price distribution), and
+    every reported rel_error must be consistent with its columns."""
+    rows = sketches.orders_quantile_sketch(spark, sf_dir).collect()
+    assert {r.q for r in rows} == set(sketches.QSKETCH_QS)
+    for r in rows:
+        assert r.rel_error == abs(r.estimate - r.exact) / r.exact
+        assert r.rel_error < 0.2, (r.q, r.estimate, r.exact)
+
+
 def test_countmin_never_undercounts(spark, sf_dir):
     """Count-min's one-sided error: estimate ≥ exact for every probed
     user (collisions only add), and the probe set is exactly the
