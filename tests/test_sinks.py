@@ -61,3 +61,29 @@ def test_write_bucketed_table_joins_without_exchange(spark, sf_dir):
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {t1}")
         spark.sql(f"DROP TABLE IF EXISTS {t2}")
+
+
+def test_schema_evolution_reads_merged_columns(spark, sf_dir, tmp_path):
+    """Lake reality: a later ingest adds a column. mergeSchema reads
+    the union schema with NULLs for the old files — and without the
+    option Spark serves only the first-footer schema, so the option is
+    load-bearing, not decorative."""
+    from pyspark.sql import functions as F
+
+    from robin_sparkles_spark.sources import load_table
+
+    out = str(tmp_path / "evolving")
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs.where("doc_id % 2 = 0").write.mode("overwrite").parquet(out)
+    (
+        docs.where("doc_id % 2 = 1")
+        .withColumn("quality", F.length("text").cast("double"))
+        .write.mode("append")
+        .parquet(out)
+    )
+    merged = spark.read.option("mergeSchema", "true").parquet(out)
+    assert set(merged.columns) == {"doc_id", "text", "quality"}
+    n_total = docs.count()
+    assert merged.count() == n_total
+    with_q = merged.where(F.col("quality").isNotNull()).count()
+    assert 0 < with_q < n_total  # old files NULL, new files populated
