@@ -359,6 +359,50 @@ WHERE n_window >= {ANOMALY_MIN_N} AND abs(zscore) > {ANOMALY_Z}
 """
 
 
+def nation_coverage_recon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER reconciliation — the join type's canonical use:
+    compare two independently-derived per-nation summaries (customer
+    count vs supplier count) and surface nations present in either
+    side, with 0-sentinels where a side is missing (the supplier dim
+    covers few nations, so NULL sides genuinely occur at every SF).
+    Sentinels instead of NULLs for oracle hashability, as throughout."""
+    c = (
+        load_table(spark, sf_dir, "customer")
+        .groupBy(F.col("c_nationkey").alias("nationkey"))
+        .agg(F.count("*").alias("n_customers"))
+    )
+    s = (
+        load_table(spark, sf_dir, "supplier")
+        .groupBy(F.col("s_nationkey").alias("nationkey"))
+        .agg(F.count("*").alias("n_suppliers"))
+    )
+    n = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("nationkey"), "n_name"
+    )
+    return (
+        c.join(s, "nationkey", "full")
+        .join(F.broadcast(n), "nationkey")
+        .select(
+            "n_name",
+            F.coalesce(F.col("n_customers"), F.lit(0)).cast("long").alias("n_customers"),
+            F.coalesce(F.col("n_suppliers"), F.lit(0)).cast("long").alias("n_suppliers"),
+        )
+    )
+
+
+NATION_RECON_SQL = """
+WITH c AS (SELECT c_nationkey AS nationkey, COUNT(*) AS n_customers
+           FROM customer GROUP BY c_nationkey),
+s AS (SELECT s_nationkey AS nationkey, COUNT(*) AS n_suppliers
+      FROM supplier GROUP BY s_nationkey)
+SELECT n.n_name,
+       CAST(COALESCE(c.n_customers, 0) AS BIGINT) AS n_customers,
+       CAST(COALESCE(s.n_suppliers, 0) AS BIGINT) AS n_suppliers
+FROM c FULL JOIN s USING (nationkey)
+JOIN nation n ON COALESCE(c.nationkey, s.nationkey) = n.n_nationkey
+"""
+
+
 QUERIES: dict = {}
 
 # Post-gate-cap additions (registry.py QUERIES_TAIL contract); hard
@@ -369,4 +413,5 @@ QUERIES_TAIL = {
     "q21_waiting_suppliers": (q21_waiting_suppliers, Q21_SQL),
     "orders_overlap_pairs": (orders_overlap_pairs, ORDERS_OVERLAP_SQL),
     "events_rolling_anomaly": (events_rolling_anomaly, EVENTS_ANOMALY_SQL),
+    "nation_coverage_recon": (nation_coverage_recon, NATION_RECON_SQL),
 }

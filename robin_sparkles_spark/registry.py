@@ -162,6 +162,7 @@ GATE_FRONT: tuple[str, ...] = (
     "view_purchase_attribution_outer",
     "events_rolling_anomaly",
     "orders_quantile_sketch",
+    "nation_coverage_recon",
     # r04: plans/oracles changed this round — need fresh driver rows
     "dedup_ngram_jaccard",  # oracle rewritten to the df-capped inverted index
     "kmeans_assign",  # centroid-literal oracle flip (rows-only → hash)
