@@ -71,10 +71,12 @@ def _eventlog_files(spark: SparkSession) -> list[str]:
     try:
         if spark.conf.get("spark.eventLog.enabled", "false").lower() != "true":
             return []
-        raw_dir = spark.conf.get("spark.eventLog.dir", "")
+        # Spark writes to /tmp/spark-events when the dir conf is unset
+        # (EventLoggingListener's DEFAULT_LOG_DIR) — fall back to it so
+        # an eventLog.enabled=true session without an explicit dir
+        # still gets headless capture (ADVICE r4).
+        raw_dir = spark.conf.get("spark.eventLog.dir", "") or "file:/tmp/spark-events"
     except Exception:  # noqa: BLE001 — conf access on a stopping session
-        return []
-    if not raw_dir:
         return []
     parsed = urlparse(raw_dir)
     if parsed.scheme not in ("", "file"):

@@ -68,6 +68,16 @@ def build_neardup_corpus(spark: SparkSession, sf_dir: str) -> str:
     if is_staged(path):
         return path
     emb = load_table(spark, sf_dir, "embeddings")
+    # Planted ids live at vec_id + NEARDUP_ID_OFFSET; if the organic
+    # table ever reaches the offset (larger SF), ids would silently
+    # collide and corrupt the planted-pair contract (ADVICE r4).
+    max_id = emb.agg(F.max("vec_id")).first()[0]
+    if max_id is not None and max_id >= NEARDUP_ID_OFFSET:
+        raise ValueError(
+            f"embeddings.vec_id max {max_id} >= NEARDUP_ID_OFFSET "
+            f"{NEARDUP_ID_OFFSET}: planted near-dup ids would collide; "
+            "raise the offset before staging this corpus"
+        )
     v = as_double(F.col("embedding"))
     # per-(vec_id, dim) pseudo-noise: first 8 md5 hex digits → [0,1) → [−.5,.5)
     g = F.transform(

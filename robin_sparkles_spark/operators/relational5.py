@@ -310,8 +310,14 @@ def events_rolling_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("ts").cast("long"))
         .rangeBetween(-ANOMALY_WINDOW_S, 0)
     )
+    # Scale bound (ADVICE r4): the decimal→double cast stays single-
+    # rounding only while the UNSCALED sum < 2^53. With v ≤ ~990 and
+    # window counts growing ~linearly in SF (~3.4k events/window at
+    # sf1), Σx² ≈ 3.3e9 — at scale 6 the unscaled value is 3.3e15
+    # < 2^53 through ~sf2, where scale 8 would overflow at sf1. Σx
+    # (~3.4e6) keeps scale 8 safe to ~sf80.
     sx = F.sum(F.col("v").cast("decimal(38,8)")).over(w).cast("double")
-    sxx = F.sum((F.col("v") * F.col("v")).cast("decimal(38,8)")).over(w).cast("double")
+    sxx = F.sum((F.col("v") * F.col("v")).cast("decimal(38,6)")).over(w).cast("double")
     n = F.count("*").over(w)
     mean = sx / n
     var = sxx / n - mean * mean
@@ -346,7 +352,7 @@ scored AS (
          v,
          COUNT(*) OVER w AS n_window,
          (v - CAST(SUM(CAST(v AS DECIMAL(38,8))) OVER w AS DOUBLE) / COUNT(*) OVER w)
-           / sqrt(CAST(SUM(CAST(v * v AS DECIMAL(38,8))) OVER w AS DOUBLE) / COUNT(*) OVER w
+           / sqrt(CAST(SUM(CAST(v * v AS DECIMAL(38,6))) OVER w AS DOUBLE) / COUNT(*) OVER w
                   - (CAST(SUM(CAST(v AS DECIMAL(38,8))) OVER w AS DOUBLE) / COUNT(*) OVER w)
                     * (CAST(SUM(CAST(v AS DECIMAL(38,8))) OVER w AS DOUBLE) / COUNT(*) OVER w)) AS zscore
   FROM inj

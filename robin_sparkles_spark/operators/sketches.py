@@ -12,12 +12,21 @@ bit-identical results in both engines, which turns "the sketch is
 about this accurate" from prose into a gate-checked number — the same
 move as ``ann_recall_at_k``.
 
-Scale note: this declared form materializes the distinct (group, hash)
-pairs before ranking — one exact-distinct shuffle, same cost class as
-exact count-distinct. That is deliberate (determinism for the oracle);
-at 100 TB you keep the K smallest hashes per group inside a partial
-aggregation (or just use approx_count_distinct) and the estimator
-algebra below is unchanged.
+Scale note (r5): the sketch side no longer materializes the full
+distinct (group, hash) set. A per-group hash cap — keep only hashes
+below ~``KMV_SAFETY``·K·p/n — is broadcast-joined onto the stream, so
+the filter drops ~all rows map-side BEFORE any distinct shuffle; the
+distinct+rank then runs over O(K) survivors per group. The cap is
+derived from the exact per-group cardinality, which this *declared*
+query computes anyway for its accuracy report (that exact side is the
+verification baseline — a production deployment derives the cap from a
+prior HLL++ estimate, or skips KMV entirely for
+``approx_count_distinct``). Truncation below K survivors is
+probabilistically impossible (Chernoff: P < e^−K·s(1−1/s)²/2 ≈ 1e−42
+at s=8, K=32), deterministic for fixed data, and loud if it ever
+happened: the DuckDB oracle ranks the UNfiltered distinct hashes, so a
+truncated Spark side hash-mismatches at the gate, and the pytest
+asserts k_used == min(K, exact) directly.
 """
 
 from __future__ import annotations
@@ -28,6 +37,7 @@ from ..functions.hashing import MERSENNE_P, affine_params
 from ..sources import load_table
 
 SKETCH_K = 32
+KMV_SAFETY = 8  # expected survivors per group = KMV_SAFETY × SKETCH_K
 
 
 def users_kmv_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -38,20 +48,44 @@ def users_kmv_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     distinct hashes sits near k·p/n, so n̂ = (K−1)·p / h₍K₎ (the
     standard unbiased KMV form). Groups with fewer than K distinct
     members short-circuit to the exact count (every member was seen).
-    """
+
+    Sketch-side plan (r5, VERDICT r4 #5): only hashes below a per-group
+    cap ≈ ``KMV_SAFETY``·K·p/n reach the distinct — the cap (one tiny
+    row per group) is broadcast, the filter runs map-side on the scan,
+    and the distinct/rank shuffle carries ~K·s rows per group instead
+    of one row per distinct member. The k-th smallest survivor equals
+    the k-th smallest overall because every hash < h₍K₎ ≤ cap survives
+    the filter (see module docstring for the truncation bound)."""
     a, b = affine_params(0)
     h = (F.col("user_id") * F.lit(a) + F.lit(b)) % F.lit(MERSENNE_P)
     events = load_table(spark, sf_dir, "events")
-    kmv = events.select("event_type", h.alias("h")).distinct()
+    exact = events.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_users")
+    )
+    # integer math: KMV_SAFETY·K·p ≈ 5.5e11 fits a long; +1 makes the
+    # cap exclusive-safe, and least(p)+1 keeps small groups unfiltered
+    cap = (
+        F.least(
+            F.lit(MERSENNE_P),
+            F.lit(KMV_SAFETY * SKETCH_K * MERSENNE_P)  # long literal
+            / F.greatest(F.col("exact_users"), F.lit(1)),
+        ).cast("long")
+        + 1
+    )
+    caps = exact.select("event_type", cap.alias("h_cap"))
+    kmv = (
+        events.select("event_type", h.alias("h"))
+        .join(F.broadcast(caps), "event_type")
+        .where(F.col("h") < F.col("h_cap"))
+        .select("event_type", "h")
+        .distinct()
+    )
     w = W.partitionBy("event_type").orderBy("h")
     ksel = (
         kmv.withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") <= SKETCH_K)
         .groupBy("event_type")
         .agg(F.max("h").alias("kth_min"), F.count("*").alias("k_used"))
-    )
-    exact = events.groupBy("event_type").agg(
-        F.countDistinct("user_id").alias("exact_users")
     )
     est = F.when(F.col("k_used") < SKETCH_K, F.col("k_used").cast("double")).otherwise(
         F.lit(float(SKETCH_K - 1)) * F.lit(float(MERSENNE_P)) / F.col("kth_min")
@@ -207,20 +241,24 @@ def orders_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     estimate itself is gate-checked against the exact quantiles in the
     same output row.
 
-    Scale shape: the sample selection is a global top-K by hash rank —
-    at 100 TB that is a per-partition top-K (Spark's TakeOrderedAndProject
-    partial) + a K-row merge, never a full sort; the exact side here is
-    the verification baseline (a real deployment keeps only the
-    sample)."""
+    Scale shape (r5, ADVICE r4): the sample selection is
+    ``orderBy(hash).limit(K)``, which compiles to
+    TakeOrderedAndProject — per-partition top-K partials + a K-row
+    merge, never a global sort (the r4 ROW_NUMBER form compiled to a
+    single-partition WindowExec, which the docstring wrongly claimed
+    it didn't). The downstream rank windows run over the K-row sample
+    only (bounded by construction). The EXACT side is the verification
+    baseline and *is* a global ranking — a real deployment keeps only
+    the sample and drops that side."""
     a, b = affine_params(1)
     o = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_totalprice"
     )
     h = (F.col("o_orderkey") * F.lit(a) + F.lit(b)) % F.lit(MERSENNE_P)
-    w = W.orderBy(h.asc(), F.col("o_orderkey").asc())
     sample = (
-        o.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") <= QSKETCH_K)
+        o.select("o_totalprice", h.alias("h"), "o_orderkey")
+        .orderBy(F.col("h").asc(), F.col("o_orderkey").asc())
+        .limit(QSKETCH_K)
         .select("o_totalprice")
     )
     # exact quantile of the SAMPLE via the same nearest-rank rule in

@@ -24,6 +24,7 @@ class PlanAudit:
     sortmerge_joins: int = 0
     bnl_joins: int = 0
     has_python_eval: bool = False
+    map_in_pandas: int = 0
     has_codegen: bool = False
     exchanges: int = 0
 
@@ -84,5 +85,8 @@ def audit_plan(df: DataFrame, execute: bool = False) -> PlanAudit:
     audit.sortmerge_joins = _nodes("SortMergeJoin")
     audit.bnl_joins = _nodes("BroadcastNestedLoopJoin")
     audit.has_python_eval = ("BatchEvalPython" in plan) or ("ArrowEvalPython" in plan)
+    # Arrow-batched whole-partition Python (decode kernels) — tracked
+    # separately from row-at-a-time eval; allowlisted per-query in tests
+    audit.map_in_pandas = _nodes("MapInPandas")
     audit.exchanges = _nodes("Exchange") + _nodes("BroadcastExchange") + _nodes("AQEShuffleRead")
     return audit

@@ -67,6 +67,7 @@ def _collect() -> dict[str, QuerySpec]:
         dedup,
         embedding_dedup,
         graph,
+        media_decode,
         sketches,
         multimodal,
         relational,
@@ -99,6 +100,7 @@ def _collect() -> dict[str, QuerySpec]:
     modules = (
         wordcount_queries,
         multimodal,
+        media_decode,
         streaming_queries,
         clustering,
         dedup,
@@ -199,11 +201,17 @@ def spark_queries() -> dict[str, QueryFn]:
     return {name: spec.fn for name, spec in all_queries().items()}
 
 
-def oracle_queries() -> dict[str, str]:
-    """Oracle SQL per query, lazy entries resolved at the driver's
-    gate scale (the driver compares at sf0.01 — see __spark_entry__)."""
+def oracle_queries(sf_dir: str = DRIVER_GATE_SF_DIR) -> dict[str, str]:
+    """Oracle SQL per query. Lazy (model-dependent) oracles resolve
+    against ``sf_dir`` — callers MUST pass the same sf_dir they run the
+    Spark queries at (defaults to the driver's documented gate scale;
+    override via SPARK_GRAFT_GATE_SF_DIR when gating elsewhere), or the
+    centroid-literal oracles describe the wrong corpus and the compare
+    fails as a confusing hash mismatch (ADVICE r4). Resolving is
+    EAGER for lazy entries: it runs the k-means fit / stages planted
+    corpora, possibly creating a local SparkSession as a side effect."""
     return {
-        name: resolve_oracle(spec.oracle)
+        name: resolve_oracle(spec.oracle, sf_dir)
         for name, spec in all_queries().items()
         if spec.oracle is not None
     }

@@ -64,14 +64,23 @@ def test_semi_anti_join_shapes(spark, sf_dir):
     assert "LeftAnti" in anti.formatted
 
 
+# The sanctioned Python path (SURVEY.md §2.10 exception): byte-format
+# decode has no Catalyst expression, so exactly these queries may run
+# an Arrow-batched MapInPandas kernel — and nothing else may.
+MAP_IN_PANDAS_ALLOWLIST = {"bmp_decode_stats", "wav_decode_stats"}
+
+
 def test_no_python_eval_anywhere_in_registry(spark, sf_dir):
     """The UDF ban (SURVEY.md §2.10): every declared query is pure
-    Catalyst — Python appears in no plan."""
+    Catalyst — row-at-a-time Python eval appears in no plan, and
+    whole-partition Arrow kernels only in the decode allowlist."""
     from robin_sparkles_spark import registry
 
     for name, spec in registry.all_queries().items():
         a = audit_plan(spec.fn(spark, sf_dir))
         assert not a.has_python_eval, f"{name} has Python eval:\n{a.formatted}"
+        if name not in MAP_IN_PANDAS_ALLOWLIST:
+            assert a.map_in_pandas == 0, f"{name} has MapInPandas:\n{a.formatted}"
 
 
 def test_minhash_band_join_is_equi_join(spark, sf_dir):
