@@ -129,6 +129,7 @@ def test_embedding_similar_bucket_join_is_equi_join(spark, sf_dir):
 _BNL_ALLOWED = {
     "ann_bruteforce_topk",
     "q22_idle_balance_by_segment",
+    "q11_part_value_share",  # same scalar shape: 1-row nation total
 }
 
 
