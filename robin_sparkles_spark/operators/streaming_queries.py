@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 from ..sources import load_table
 from ..streaming.events import (
     attribution_join_stream,
+    cohort_enriched_stream,
     session_window_stream,
     sliding_counts_stream,
     tumbling_counts_stream,
@@ -161,7 +162,27 @@ LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
 """
 
 
+def events_cohort_enriched(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment join (batch twin): events mapped to a
+    cohort (user_id % 25) and enriched against the broadcast nation
+    dim, aggregated per cohort name. Same expressions as
+    ``streaming.events.cohort_enriched_stream``."""
+    return cohort_enriched_stream(
+        load_table(spark, sf_dir, "events"), load_table(spark, sf_dir, "nation")
+    )
+
+
+EVENTS_COHORT_SQL = """
+SELECT n.n_name AS cohort_name,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM events e JOIN nation n ON e.user_id % 25 = n.n_nationkey
+GROUP BY 1
+"""
+
+
 QUERIES_TAIL = {
+    "events_cohort_enriched": (events_cohort_enriched, EVENTS_COHORT_SQL),
     "view_purchase_attribution": (view_purchase_attribution, VIEW_PURCHASE_SQL),
     "view_purchase_attribution_outer": (
         view_purchase_attribution_outer,

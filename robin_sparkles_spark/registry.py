@@ -76,6 +76,7 @@ def _collect() -> dict[str, QuerySpec]:
         relational4,
         relational5,
         relational6,
+        llm_prep,
         similarity,
         skew_queries,
         streaming_queries,
@@ -116,6 +117,7 @@ def _collect() -> dict[str, QuerySpec]:
         relational4,
         relational5,
         relational6,
+        llm_prep,
         skew_queries,
         graph,
     )
@@ -159,6 +161,11 @@ GATE_FRONT: tuple[str, ...] = (
     "q16_supplier_count_by_class",
     "q20_excess_shippers",
     "events_multires_rollup",
+    # r05: new training-mix prep queries — first driver rows
+    "source_mixture",
+    "padding_waste_by_bucket",
+    "docs_balanced_sample",
+    "events_cohort_enriched",
     # r05: plans/oracles changed this round — need fresh driver rows
     "users_kmv_by_type",  # per-group hash cap before the distinct (plan)
     "orders_quantile_sketch",  # sample via TakeOrderedAndProject (plan)

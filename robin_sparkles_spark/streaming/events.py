@@ -114,6 +114,34 @@ def deduped_stream(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
     return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(["event_id"])
 
 
+def cohort_enriched_stream(events: DataFrame, nations: DataFrame) -> DataFrame:
+    """Stream-STATIC enrichment join + aggregation: each event maps to
+    a cohort key (user_id % 25) joined against the static nation dim.
+    The static side is re-broadcast per micro-batch (no join state, no
+    watermark required — only the aggregation holds state), which is
+    the canonical enrich-then-aggregate shape for dimension data that
+    fits in memory; at 100 TB the dim stays broadcast-sized while the
+    stream side scales with partitions.
+
+    Works identically on batch inputs —
+    ``operators.streaming_queries.events_cohort_enriched`` is the
+    declared, DuckDB-checked twin; tests/test_streaming.py asserts
+    stream == batch."""
+    cohort = (F.col("user_id") % F.lit(25)).cast("int")
+    dim = nations.select(F.col("n_nationkey").cast("int").alias("cohort"), "n_name")
+    return (
+        events.withColumn("cohort", cohort)
+        .join(F.broadcast(dim), "cohort")
+        .groupBy(F.col("n_name").alias("cohort_name"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+    )
+
+
 def attribution_join_stream(views: DataFrame, purchases: DataFrame) -> DataFrame:
     """Stream-stream interval join: each purchase attributed to every
     view by the same user within the preceding 30 minutes — the

@@ -130,6 +130,7 @@ _BNL_ALLOWED = {
     "ann_bruteforce_topk",
     "q22_idle_balance_by_segment",
     "q11_part_value_share",  # same scalar shape: 1-row nation total
+    "source_mixture",  # same scalar shape: 1-row corpus totals
 }
 
 

@@ -6,7 +6,7 @@ from __future__ import annotations
 
 import pytest
 
-from robin_sparkles_spark.operators import relational, relational2
+from robin_sparkles_spark.operators import llm_prep, relational, relational2, relational6
 
 from .oracle_utils import assert_query_matches_oracle
 
@@ -37,7 +37,12 @@ def test_rolling_anomaly_flags_planted_spikes(spark):
     }
     assert spiked & flagged, "at least some planted spikes must flag"
 
-ALL = {**relational.QUERIES, **relational2.QUERIES}
+ALL = {
+    **relational.QUERIES,
+    **relational2.QUERIES,
+    **relational6.QUERIES_TAIL,
+    **llm_prep.QUERIES_TAIL,
+}
 
 
 @pytest.mark.parametrize("name", sorted(ALL))

@@ -50,6 +50,18 @@ def test_session_stream_equals_batch(spark, sf_dir):
     _assert_stream_equals_batch(spark, stream, batch, "t_sessions")
 
 
+def test_cohort_enrichment_stream_equals_batch(spark, sf_dir):
+    """Stream-STATIC join parity: the static nation dim is joined into
+    the event stream per micro-batch; complete-mode output must equal
+    the batch twin exactly."""
+    from robin_sparkles_spark.sources import load_table
+
+    nations = load_table(spark, sf_dir, "nation")
+    stream = se.cohort_enriched_stream(se.events_stream(spark, sf_dir), nations)
+    batch = sq.events_cohort_enriched(spark, sf_dir)
+    _assert_stream_equals_batch(spark, stream, batch, "t_cohort")
+
+
 def test_dedup_stream_drops_nothing_on_unique_ids(spark, sf_dir):
     # event_id is unique in the fixture → dedup stream passes all rows
     stream = se.deduped_stream(se.events_stream(spark, sf_dir)).select("event_id")
