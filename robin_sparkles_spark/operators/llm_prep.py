@@ -187,10 +187,174 @@ FROM ranked WHERE rank <= {BALANCED_K}
 """
 
 
+CHUNK_TOKENS = 32  # context-window length in tokens
+CHUNK_STRIDE = 24  # overlap = CHUNK_TOKENS − CHUNK_STRIDE
+
+
+def docs_chunked_context(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking: split every document into fixed
+    ``CHUNK_TOKENS``-token windows advancing by ``CHUNK_STRIDE``
+    (overlap keeps boundary context — the standard pretraining /
+    retrieval chunker). Emits one row per chunk with its token count
+    and content fingerprint, so downstream dedup can run at CHUNK
+    granularity (near-dup documents often share only some chunks).
+
+    Plan: pure per-row projection — tokenize once, `sequence` +
+    `explode` to materialize chunk indices, `slice` for the window —
+    no shuffle at all; chunk fan-out is ⌈n/stride⌉ rows per doc,
+    linear in corpus tokens. At 100 TB this is exactly the map-only
+    shape you want (and the fingerprint keeps the output narrow:
+    chunk text itself never needs to leave the stage)."""
+    from ..functions.hashing import poly_fingerprint
+
+    toks = F.filter(F.split(F.col("text"), " "), lambda t: F.length(t) > 0)
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", toks.alias("toks"), F.size(toks).alias("n")
+    )
+    # chunks = 1 + ceil(max(0, n − CHUNK)/STRIDE); integer ceil-div via
+    # (x + STRIDE − 1) div STRIDE, exact in both engines
+    n_chunks = F.lit(1) + F.expr(
+        f"greatest(0, n - {CHUNK_TOKENS}) div {CHUNK_STRIDE}"
+    ) + F.when(
+        (F.col("n") > CHUNK_TOKENS)
+        & ((F.col("n") - CHUNK_TOKENS) % CHUNK_STRIDE != 0),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    chunked = d.select(
+        "doc_id",
+        "toks",
+        F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_id"),
+    ).select(
+        "doc_id",
+        "chunk_id",
+        F.slice(
+            F.col("toks"), F.col("chunk_id") * CHUNK_STRIDE + 1, CHUNK_TOKENS
+        ).alias("chunk"),
+    )
+    return chunked.select(
+        "doc_id",
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        F.size("chunk").cast("long").alias("chunk_tokens"),
+        poly_fingerprint(F.concat_ws(" ", F.col("chunk"))).alias("chunk_fp"),
+    )
+
+
+def _chunked_sql() -> str:
+    from ..functions.hashing import poly_fingerprint_sql
+
+    fp = poly_fingerprint_sql("array_to_string(chunk, ' ')")
+    return f"""
+WITH d AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), t -> len(t) > 0) AS toks
+  FROM documents
+),
+sized AS (
+  SELECT doc_id, toks, len(toks) AS n,
+         1 + GREATEST(0, len(toks) - {CHUNK_TOKENS}) // {CHUNK_STRIDE}
+           + CASE WHEN len(toks) > {CHUNK_TOKENS}
+                   AND (len(toks) - {CHUNK_TOKENS}) % {CHUNK_STRIDE} != 0
+                  THEN 1 ELSE 0 END AS n_chunks
+  FROM d
+),
+chunks AS (
+  SELECT doc_id, gs.chunk_id,
+         toks[gs.chunk_id * {CHUNK_STRIDE} + 1 :
+              gs.chunk_id * {CHUNK_STRIDE} + {CHUNK_TOKENS}] AS chunk
+  FROM sized, LATERAL (SELECT unnest(range(0, n_chunks)) AS chunk_id) gs
+)
+SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+       CAST(len(chunk) AS BIGINT) AS chunk_tokens,
+       {fp} AS chunk_fp
+FROM chunks
+"""
+
+
+RARITY_TOP_K = 3
+
+
+def docs_rarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF-style keyword extraction: per document, the
+    ``RARITY_TOP_K`` terms with the highest tf × rarity score, where
+    rarity = (N+1)/(df+1) (the idf ratio WITHOUT the log — division
+    is correctly rounded in IEEE-754, ln is only faithfully rounded
+    and could differ in the last ulp between libm builds, which the
+    value-hash gate would catch; the ranking is identical since ln is
+    monotone).
+
+    Plan: tokenize+explode (map-only), tf aggregation on (doc, term),
+    df derived FROM the tf aggregate (term-keyed agg of 1-bit rows —
+    never a second pass over raw tokens), broadcast scalar N, join tf
+    ⋈ df on term, per-doc top-k window. Two shuffles total (doc+term,
+    term) plus the window's doc shuffle; all aggregation state is
+    O(1) per key. The tf→df derivation is the move that survives
+    100 TB — df over raw tokens would shuffle the corpus twice."""
+    toks = F.filter(F.split(F.col("text"), " "), lambda t: F.length(t) > 0)
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.explode(toks).alias("term")
+    )
+    tf = d.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n_docs = load_table(spark, sf_dir, "documents").agg(
+        F.count("*").alias("n_docs")
+    )
+    w = W.partitionBy("doc_id").orderBy(
+        F.desc("score"), F.asc("term")
+    )
+    scored = (
+        tf.join(df, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            "df",
+            (
+                F.col("tf").cast("double")
+                * (
+                    (F.col("n_docs") + 1).cast("double")
+                    / (F.col("df") + 1).cast("double")
+                )
+            ).alias("score"),
+        )
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= RARITY_TOP_K)
+        .select(
+            "doc_id", "term", "tf", "df", "score",
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )
+
+
+DOCS_RARITY_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, unnest(list_filter(string_split(text, ' '), t -> len(t) > 0)) AS term
+  FROM documents
+),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+n AS (SELECT COUNT(*) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+         CAST(tf.tf AS DOUBLE)
+         * (CAST(n.n_docs + 1 AS DOUBLE) / CAST(df.df + 1 AS DOUBLE)) AS score
+  FROM tf JOIN df USING (term) CROSS JOIN n
+)
+SELECT doc_id, term, tf, df, score, CAST(rank AS BIGINT) AS rank
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                                   ORDER BY score DESC, term ASC) AS rank
+      FROM scored)
+WHERE rank <= {RARITY_TOP_K}
+"""
+
+
 QUERIES: dict = {}
 
 QUERIES_TAIL = {
     "source_mixture": (source_mixture, SOURCE_MIXTURE_SQL),
     "padding_waste_by_bucket": (padding_waste_by_bucket, _padding_sql()),
     "docs_balanced_sample": (docs_balanced_sample, _balanced_sql()),
+    "docs_chunked_context": (docs_chunked_context, _chunked_sql()),
+    "docs_rarity_topk": (docs_rarity_topk, DOCS_RARITY_SQL),
 }

@@ -1,0 +1,136 @@
+"""SemDeDup — semantic deduplication via cluster-then-pair-scan
+(Abbas et al. 2023, "SemDeDup: Data-efficient learning at web-scale
+through semantic deduplication"): k-means-cluster the embedding
+corpus, compute exact pairwise cosine ONLY within each cluster, and
+drop every vector that has a higher-similarity twin with a lower id.
+
+This is the third blocking strategy in the embedding-dedup family —
+LSH bands (``embedding_dedup``), IVF cells (``ann_ivf_topk``), and
+now LEARNED clusters — and the one the SemDeDup paper argues scales
+to web corpora: k grows with the corpus so cluster sizes stay
+bounded, and the within-cluster pair scan is embarrassingly parallel
+per cell. Blocking recall < 1 by construction (a dup pair split
+across a cluster boundary is missed); the pytest measures recall
+against the planted pairs and the oracle mirrors the SAME
+cluster-blocked semantics, so the hash gate checks what the operator
+claims, not an unattainable exact scan.
+
+Corpus: the staged planted-near-dup table from
+``operators.embedding_dedup`` (the organic fixture has no dups — max
+organic cosine ≈ 0.51 — so a real 0.9 threshold needs the plant).
+Centroids: the memoized organic-corpus fit from
+``operators.clustering`` (bit-deterministic, shared with
+kmeans_assign/ann_ivf_topk, so the gate pays for ONE fit total).
+
+Determinism: centroid literals round-trip via repr + CAST(VARCHAR AS
+DOUBLE); cosine is the functions.vectors left-fold contract; drop
+resolution is pure integer min/count — all bit-identical across
+engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..functions.vectors import as_double, dot_sql, dot as vdot
+from .clustering import _assign_expr, _centroids_cte, kmeans_fit
+from .embedding_dedup import DEDUP_COS_THRESHOLD, build_neardup_corpus
+
+
+def _fit(spark_or_none, sf_dir: str):
+    spark = SparkSession.getActiveSession()
+    if spark is None:
+        from ..session import get_spark
+
+        spark = get_spark(app_name="semdedup_oracle", master="local[8]")
+    return spark, kmeans_fit(spark, sf_dir)
+
+
+def semdedup_dropped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vectors SemDeDup would drop from the planted corpus at
+    cos ≥ 0.9: for each dropped vec the kept representative (lowest
+    dup-partner id — deterministic keep-one rule) and its dup-partner
+    count within the cluster.
+
+    Plan: assignment is a broadcast-centroid argmin projection (no
+    shuffle), materialized through a groupBy(vec_id) barrier so the
+    k-way argmin unroll runs once per vector, not once per join
+    probe; the pair scan is a self-equi-join ON CLUSTER (shuffle on
+    the cluster id, pairs bounded by Σ|cluster|² — the SemDeDup
+    contract that k scales to keep clusters small); drop resolution
+    is one more aggregation keyed on the dropped vec. At 100 TB:
+    raise K_CLUSTERS so E|cluster| stays ~constant; nothing else
+    changes."""
+    centroids = kmeans_fit(spark, sf_dir)
+    corpus = spark.read.parquet(build_neardup_corpus(spark, sf_dir))
+    assigned = (
+        corpus.select("vec_id", as_double(F.col("embedding")).alias("v"))
+        .withColumn("cluster", _assign_expr(centroids))
+        .groupBy("vec_id")  # barrier: argmin evaluated once per vector
+        .agg(F.first("v").alias("v"), F.first("cluster").alias("cluster"))
+    )
+    a = assigned.alias("a")
+    b = assigned.alias("b")
+    cos = vdot(F.col("a.v"), F.col("b.v")) / (
+        F.sqrt(vdot(F.col("a.v"), F.col("a.v")))
+        * F.sqrt(vdot(F.col("b.v"), F.col("b.v")))
+    )
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.cluster") == F.col("b.cluster"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("keep_id"),
+            F.col("b.vec_id").alias("drop_id"),
+            cos.alias("cos_sim"),
+        )
+        .where(F.col("cos_sim") >= DEDUP_COS_THRESHOLD)
+    )
+    return pairs.groupBy(F.col("drop_id").alias("vec_id")).agg(
+        F.min("keep_id").alias("representative"),
+        F.count("*").alias("n_dup_partners"),
+    )
+
+
+def semdedup_dropped_oracle(sf_dir: str) -> str:
+    """Lazy DuckDB twin: same staged corpus, same centroid literals,
+    same argmin (ROW_NUMBER over (s, cluster) — first-wins tie rule
+    of ``_assign_expr``), same within-cluster pair predicate."""
+    spark, centroids = _fit(None, sf_dir)
+    path = build_neardup_corpus(spark, sf_dir)
+    cos = (
+        f"{dot_sql('a.v', 'b.v')} / "
+        f"(sqrt({dot_sql('a.v', 'a.v')}) * sqrt({dot_sql('b.v', 'b.v')}))"
+    )
+    return f"""
+WITH cent AS ({_centroids_cte(centroids)}),
+vec AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM read_parquet('{path}/*.parquet')),
+scored AS (
+  SELECT vec_id, v, cluster, n2 - 2.0 * {dot_sql('v', 'c')} AS s
+  FROM vec CROSS JOIN cent
+),
+assigned AS (
+  SELECT vec_id, v, cluster
+  FROM (SELECT vec_id, v, cluster,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY s, cluster) AS rn
+        FROM scored)
+  WHERE rn = 1
+),
+pairs AS (
+  SELECT a.vec_id AS keep_id, b.vec_id AS drop_id, {cos} AS cos_sim
+  FROM assigned a JOIN assigned b
+    ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+  WHERE {cos} >= {DEDUP_COS_THRESHOLD}
+)
+SELECT drop_id AS vec_id, MIN(keep_id) AS representative,
+       COUNT(*) AS n_dup_partners
+FROM pairs GROUP BY drop_id
+"""
+
+
+QUERIES = {
+    "semdedup_dropped": (semdedup_dropped, semdedup_dropped_oracle),
+}

@@ -62,12 +62,15 @@ def _collect() -> dict[str, QuerySpec]:
     # Imported lazily so a syntax error in one operator module is easy
     # to localize, and so pyspark import cost is paid once.
     from .operators import (
+        analytics,
         clustering,
         curation,
         dedup,
         embedding_dedup,
         graph,
         media_decode,
+        scale_ops,
+        semdedup,
         sketches,
         multimodal,
         relational,
@@ -120,6 +123,9 @@ def _collect() -> dict[str, QuerySpec]:
         llm_prep,
         skew_queries,
         graph,
+        analytics,
+        semdedup,
+        scale_ops,
     )
 
     def add(name: str, spec: tuple) -> None:
@@ -171,6 +177,19 @@ GATE_FRONT: tuple[str, ...] = (
     "orders_quantile_sketch",  # sample via TakeOrderedAndProject (plan)
     "events_rolling_anomaly",  # Σx² accumulator DECIMAL(38,8) → (38,6) (both dialects)
     "dedup_groups",  # pointer-doubling label propagation (plan)
+    # r05 second batch: behavioral analytics, context chunking,
+    # rarity-topk, SemDeDup — first driver rows
+    "events_funnel_conversion",
+    "user_retention_cohorts",
+    "events_transition_matrix",
+    "docs_chunked_context",
+    "docs_rarity_topk",
+    "semdedup_dropped",
+    # r05 second batch: scale-story operators (bloom prune / z-order
+    # layout / CDC upsert) — first driver rows
+    "orders_bloom_prune",
+    "lineitem_zorder_stats",
+    "orders_upsert_latest",
     # r05 rotation (VERDICT r4 "What's wrong" #2): these last saw a
     # driver row in r02 — two testdata regenerations ago; the builder's
     # local sf0.1 sweeps cover them but the driver gate is the hard

@@ -10,6 +10,7 @@ from robin_sparkles_spark.operators import (
     dedup,
     embedding_dedup,
     graph,
+    semdedup,
     similarity,
     sketches,
     text_analysis,
@@ -18,7 +19,7 @@ from robin_sparkles_spark.operators import (
 from .oracle_utils import assert_query_matches_oracle
 
 ALL = {}
-for mod in (text_analysis, dedup, embedding_dedup, similarity, curation, sketches, graph):
+for mod in (text_analysis, dedup, embedding_dedup, similarity, curation, sketches, graph, semdedup):
     ALL.update(mod.QUERIES)
     ALL.update(getattr(mod, "QUERIES_TAIL", {}))
 

@@ -131,6 +131,8 @@ _BNL_ALLOWED = {
     "q22_idle_balance_by_segment",
     "q11_part_value_share",  # same scalar shape: 1-row nation total
     "source_mixture",  # same scalar shape: 1-row corpus totals
+    "docs_rarity_topk",  # same scalar shape: 1-row doc count N
+    "orders_bloom_prune",  # same scalar shape: 1-row count × count summary
 }
 
 
