@@ -10,7 +10,7 @@ driver sees full hash-matches for the batch twins).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W
 
 from pyspark.sql import functions as F
 
@@ -181,7 +181,62 @@ GROUP BY 1
 """
 
 
+def events_spend_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of ``streaming.stateful2.spend_alert_stream``
+    (transformWithStateInPandas): per-user cumulative spend in exact
+    integer cents (DECIMAL(18,2) × 100 — the batch equivalent of the
+    processor's cents ValueState), one alert row per crossing of each
+    ALERT_THRESHOLD_CENTS multiple. One window over user_id — the
+    same single-shuffle cumsum shape as the running-spend query; the
+    crossing test is integer div arithmetic, exact in both engines."""
+    from ..streaming.stateful2 import ALERT_THRESHOLD_CENTS
+
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "ts",
+        (F.col("value").cast("decimal(18,2)") * 100).cast("long").alias("cents"),
+    )
+    t = ALERT_THRESHOLD_CENTS
+    return (
+        ev.withColumn("cum", F.sum("cents").over(w))
+        .where(
+            F.expr(f"cum div {t}") > F.expr(f"(cum - cents) div {t}")
+        )
+        .select(
+            "user_id",
+            "event_id",
+            F.expr(f"cum div {t}").alias("level"),
+            (F.col("cum") / F.lit(100.0)).alias("total_spend"),
+        )
+    )
+
+
+def _spend_alerts_sql() -> str:
+    from ..streaming.stateful2 import ALERT_THRESHOLD_CENTS as t
+
+    return f"""
+WITH c AS (
+  SELECT user_id, event_id,
+         CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+         SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS UNBOUNDED PRECEDING) AS cum
+  FROM events
+)
+SELECT user_id, event_id, CAST(cum // {t} AS BIGINT) AS level,
+       CAST(cum AS DOUBLE) / 100.0 AS total_spend
+FROM c WHERE cum // {t} > (cum - cents) // {t}
+"""
+
+
 QUERIES_TAIL = {
+    "events_spend_alerts": (events_spend_alerts, _spend_alerts_sql()),
     "events_cohort_enriched": (events_cohort_enriched, EVENTS_COHORT_SQL),
     "view_purchase_attribution": (view_purchase_attribution, VIEW_PURCHASE_SQL),
     "view_purchase_attribution_outer": (

@@ -190,6 +190,8 @@ GATE_FRONT: tuple[str, ...] = (
     "orders_bloom_prune",
     "lineitem_zorder_stats",
     "orders_upsert_latest",
+    # r05: transformWithState batch twin — first driver row
+    "events_spend_alerts",
     # r05 rotation (VERDICT r4 "What's wrong" #2): these last saw a
     # driver row in r02 — two testdata regenerations ago; the builder's
     # local sf0.1 sweeps cover them but the driver gate is the hard

@@ -46,3 +46,47 @@ def test_stateful_profile_equals_batch(spark, sf_dir):
         g_n, g_spend = got[uid]
         assert g_n == n
         assert abs(g_spend - spend) < 0.005  # cents-exact
+
+
+def test_transform_with_state_alerts_equal_batch(spark, sf_dir):
+    """transformWithStateInPandas spend alerts must equal the declared
+    batch twin row-for-row (the fixture replays in event-time order,
+    so the stream's per-batch cumsum matches the batch window
+    exactly), and be non-vacuous. Skips (loudly) where the worker's
+    protobuf dependency is absent — this container — in which case
+    the alert arithmetic is still verified through the batch twin's
+    driver-gated oracle."""
+    import pytest
+
+    from robin_sparkles_spark.operators.streaming_queries import events_spend_alerts
+    from robin_sparkles_spark.streaming.stateful2 import (
+        has_transform_with_state_runtime,
+        spend_alert_stream,
+    )
+
+    if not has_transform_with_state_runtime():
+        pytest.skip(
+            "transformWithStateInPandas needs google.protobuf in the "
+            "Python worker; not shipped in this container — batch twin "
+            "events_spend_alerts carries the oracle-checked semantics"
+        )
+
+    out = spend_alert_stream(events_stream(spark, sf_dir))
+    q = (
+        out.writeStream.format("memory")
+        .queryName("t_alerts")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r.user_id, r.event_id, r.level, round(r.total_spend, 2))
+        for r in spark.sql("SELECT * FROM t_alerts").collect()
+    }
+    want = {
+        (r.user_id, r.event_id, r.level, round(r.total_spend, 2))
+        for r in events_spend_alerts(spark, sf_dir).collect()
+    }
+    assert want, "alert threshold must fire on the fixture"
+    assert got == want
