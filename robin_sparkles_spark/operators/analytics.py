@@ -23,8 +23,6 @@ from ..sources import load_table
 # the funnel must ignore.
 FUNNEL_STEPS = ("view", "click", "purchase")
 
-SESSION_NOISE_TYPES = ("signup", "error")
-
 
 def _epoch_us(col: F.Column) -> F.Column:
     # exact integer epoch-µs of a TimestampType — unix_micros is the

@@ -454,3 +454,32 @@ def test_kmv_candidate_filter_never_truncates(spark, sf_dir):
             assert est == float(n)  # short-circuit branch: exact
         else:
             assert est > 0
+
+
+def test_hll_production_path_tolerance(spark, sf_dir):
+    """The sketches module names HLL++ (`approx_count_distinct`) as
+    the production cardinality path (one pass, bounded memory, no
+    oracle because DuckDB's approx algorithm differs) — execute that
+    claim: per-type estimates must sit within the documented rsd
+    against exact distincts, engine-side, no Python."""
+    from pyspark.sql import functions as F
+
+    from robin_sparkles_spark.sources import load_table
+
+    rsd = 0.05
+    ev = load_table(spark, sf_dir, "events")
+    rows = (
+        ev.groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").alias("exact"),
+            F.approx_count_distinct("user_id", rsd).alias("est"),
+        )
+        .collect()
+    )
+    assert rows
+    for r in rows:
+        # 5 standard deviations of the configured rsd — deterministic
+        # given the data, loose enough to never flake
+        assert abs(r.est - r.exact) <= max(2.0, 5 * rsd * r.exact), (
+            r.event_type, r.exact, r.est,
+        )
