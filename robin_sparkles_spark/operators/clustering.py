@@ -195,12 +195,9 @@ def _fit_for_oracle(sf_dir: str) -> list[list[float]]:
     """Centroids for the oracle twin: the SAME memoized distributed fit
     the declared queries use (any live session works — the fit is
     bit-deterministic, see module docstring)."""
-    spark = SparkSession.getActiveSession()
-    if spark is None:
-        from ..session import get_spark
+    from ..session import active_or_local
 
-        spark = get_spark(app_name="clustering_oracle", master="local[8]")
-    return kmeans_fit(spark, sf_dir)
+    return kmeans_fit(active_or_local("clustering_oracle"), sf_dir)
 
 
 def _centroids_cte(centroids: list[list[float]]) -> str:

@@ -149,12 +149,9 @@ def embedding_dedup_oracle(sf_dir: str) -> str:
     banded candidate generation + exact cosine term-for-term (the
     functions.vectors determinism contract), so the declared banded
     semantics — not a quadratic scan — are what the gate hashes."""
-    spark = SparkSession.getActiveSession()
-    if spark is None:
-        from ..session import get_spark
+    from ..session import active_or_local
 
-        spark = get_spark(app_name="embedding_dedup_oracle", master="local[8]")
-    path = build_neardup_corpus(spark, sf_dir)
+    path = build_neardup_corpus(active_or_local("embedding_dedup_oracle"), sf_dir)
     rel = f"read_parquet('{path}/*.parquet')"
     # _BANDS_SQL is written against a CTE named ``e`` — the same name
     # used here, so the band construction is literally shared with the

@@ -182,12 +182,14 @@ def decode_wav(df: DataFrame) -> DataFrame:
                     if wf.getnchannels() != 1 or wf.getsampwidth() != 2:
                         raise ValueError(f"media_id {mid}: not 16-bit mono PCM")
                     n = wf.getnframes()
+                    rate = wf.getframerate()  # read before close: a
+                    # wave impl may drop header state on exit
                     pcm = np.frombuffer(wf.readframes(n), dtype="<i2")
                 recs.append(
                     (
                         mid,
                         n,
-                        wf.getframerate(),
+                        rate,
                         int(pcm.astype(np.int64).sum()),
                         int(pcm.min()),
                         int(pcm.max()),
@@ -224,12 +226,9 @@ def wav_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _staged_rel(sf_dir: str) -> str:
-    spark = SparkSession.getActiveSession()
-    if spark is None:
-        from ..session import get_spark
+    from ..session import active_or_local
 
-        spark = get_spark(app_name="media_decode_oracle", master="local[8]")
-    path = stage_media_corpus(spark, sf_dir)
+    path = stage_media_corpus(active_or_local("media_decode_oracle"), sf_dir)
     return f"read_parquet('{path}/*.parquet')"
 
 

@@ -75,11 +75,15 @@ def orders_bloom_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    probes = orders.select(
+    # materialize the position list once per row, then fan out — the
+    # fact-side scan is the hot path, no reason to hash twice
+    probes = orders.withColumn(
+        "plist", _bloom_positions(F.col("o_custkey"))
+    ).select(
         "o_orderkey",
         "o_custkey",
-        F.posexplode(_bloom_positions(F.col("o_custkey"))).alias("i", "pos"),
-        F.size(_bloom_positions(F.col("o_custkey"))).alias("n_pos"),
+        F.explode("plist").alias("pos"),
+        F.size("plist").alias("n_pos"),
     )
     bloom_pass = (
         probes.join(F.broadcast(set_bits), "pos")

@@ -37,12 +37,10 @@ from .clustering import _assign_expr, _centroids_cte, kmeans_fit
 from .embedding_dedup import DEDUP_COS_THRESHOLD, build_neardup_corpus
 
 
-def _fit(spark_or_none, sf_dir: str):
-    spark = SparkSession.getActiveSession()
-    if spark is None:
-        from ..session import get_spark
+def _fit(sf_dir: str):
+    from ..session import active_or_local
 
-        spark = get_spark(app_name="semdedup_oracle", master="local[8]")
+    spark = active_or_local("semdedup_oracle")
     return spark, kmeans_fit(spark, sf_dir)
 
 
@@ -98,7 +96,7 @@ def semdedup_dropped_oracle(sf_dir: str) -> str:
     """Lazy DuckDB twin: same staged corpus, same centroid literals,
     same argmin (ROW_NUMBER over (s, cluster) — first-wins tie rule
     of ``_assign_expr``), same within-cluster pair predicate."""
-    spark, centroids = _fit(None, sf_dir)
+    spark, centroids = _fit(sf_dir)
     path = build_neardup_corpus(spark, sf_dir)
     cos = (
         f"{dot_sql('a.v', 'b.v')} / "

@@ -26,7 +26,9 @@ probabilistically impossible (Chernoff: P < e^−K·s(1−1/s)²/2 ≈ 1e−42
 at s=8, K=32), deterministic for fixed data, and loud if it ever
 happened: the DuckDB oracle ranks the UNfiltered distinct hashes, so a
 truncated Spark side hash-mismatches at the gate, and the pytest
-asserts k_used == min(K, exact) directly.
+(`test_kmv_candidate_filter_never_truncates`) recomputes the UNCAPPED
+k-th-smallest distinct hash per estimator-path group and asserts the
+capped plan's estimate equals it exactly.
 """
 
 from __future__ import annotations

@@ -67,3 +67,15 @@ def get_spark(
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+def active_or_local(app_name: str) -> SparkSession:
+    """The session-acquisition rule every lazy oracle shares: reuse
+    the live session when one exists (any session works — the staged
+    corpora and fits are bit-deterministic), else start a small
+    local[8] one (oracle generation is light; no need for the full
+    core budget)."""
+    spark = SparkSession.getActiveSession()
+    if spark is None:
+        spark = get_spark(app_name=app_name, master="local[8]")
+    return spark

@@ -78,7 +78,10 @@ class SpendAlertProcessor(StatefulProcessor):
         self, key, rows: Iterator[pd.DataFrame], timerValues
     ) -> Iterator[pd.DataFrame]:
         prev = self._cum.get()[0] if self._cum.exists() else 0
-        batch = pd.concat(list(rows), ignore_index=True)
+        frames = list(rows)
+        if not frames:  # timer-driven / empty-chunk invocation: keep state
+            return
+        batch = pd.concat(frames, ignore_index=True)
         batch = batch.sort_values(["ts", "event_id"], kind="mergesort")
         # exact integer cents (values are 2-decimal doubles; round
         # collapses the 1-ulp float error, matching the batch twin's
@@ -87,7 +90,7 @@ class SpendAlertProcessor(StatefulProcessor):
         cum = prev + cents.cumsum()
         level = cum // ALERT_THRESHOLD_CENTS
         crossed = level > (cum - cents) // ALERT_THRESHOLD_CENTS
-        self._cum.update((int(cum.iloc[-1]),) if len(cum) else (prev,))
+        self._cum.update((int(cum.iloc[-1]),) if len(cum) else (prev,))  # len 0 only if all frames empty
         if crossed.any():
             hit = batch.loc[crossed]
             yield pd.DataFrame(

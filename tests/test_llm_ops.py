@@ -453,7 +453,23 @@ def test_kmv_candidate_filter_never_truncates(spark, sf_dir):
         if n < SKETCH_K:
             assert est == float(n)  # short-circuit branch: exact
         else:
-            assert est > 0
+            # truncation-free proof: the capped plan's estimate must
+            # equal the estimate recomputed from the UNCAPPED k-th
+            # smallest distinct hash (the ranking the oracle uses) —
+            # est is a bijection of kth_min when exact ≥ K, so
+            # equality here means the cap kept the true top-K
+            h = (F.col("user_id") * F.lit(a) + F.lit(b)) % F.lit(MERSENNE_P)
+            kth = (
+                ev.where(F.col("event_type") == et)
+                .select(h.alias("h"))
+                .distinct()
+                .orderBy("h")
+                .limit(SKETCH_K)
+                .agg(F.max("h").alias("kth"))
+                .first()
+                .kth
+            )
+            assert est == (SKETCH_K - 1) * float(MERSENNE_P) / kth, et
 
 
 def test_hll_production_path_tolerance(spark, sf_dir):
