@@ -1,0 +1,197 @@
+"""Data-quality / warehouse-maintenance operators (EXT): constraint
+validation and column profiling — the audits a 100 TB deployment runs
+nightly over its star schema, expressed as shuffle-minimal plans with
+exact DuckDB twins.
+
+Determinism rules as registry.py (exact counts, no doubles except
+final ratios computed identically in both engines).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..sources import load_table
+
+# (child table, fk column, parent table, pk column) — the star
+# schema's declared-but-unenforced foreign keys
+FK_PAIRS = (
+    ("orders", "o_custkey", "customer", "c_custkey"),
+    ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("customer", "c_nationkey", "nation", "n_nationkey"),
+    ("supplier", "s_nationkey", "nation", "n_nationkey"),
+    ("nation", "n_regionkey", "region", "r_regionkey"),
+)
+
+
+def referential_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orphan audit over every FK pair in the star schema: child rows
+    whose key has no parent (LEFT ANTI join), as count and rate.
+
+    Parquet enforces nothing; at 100 TB this audit IS the constraint
+    system. Plan per pair: anti-join child-keys against the parent
+    key set — dimension parents broadcast (no fact shuffle at all);
+    the one fact-fact pair (lineitem→orders) shuffles on the join key
+    like any fact join. The per-pair results union into one tiny
+    report. A clean pipeline yields orphans=0 rows — the audit's
+    steady-state — so the test plants a synthetic violation to prove
+    the detector detects (the fixture itself is expected clean)."""
+    reports = []
+    for child, fk, parent, pk in FK_PAIRS:
+        c = load_table(spark, sf_dir, child).select(F.col(fk).alias("k"))
+        p = load_table(spark, sf_dir, parent).select(F.col(pk).alias("k"))
+        orphans = c.join(F.broadcast(p), "k", "left_anti")
+        reports.append(
+            c.agg(F.count("*").alias("child_rows"))
+            .crossJoin(F.broadcast(orphans.agg(F.count("*").alias("orphans"))))
+            .select(
+                F.lit(f"{child}.{fk}").alias("fk"),
+                F.lit(f"{parent}.{pk}").alias("ref_to"),
+                "child_rows",
+                "orphans",
+                (
+                    F.col("orphans").cast("double")
+                    / F.col("child_rows").cast("double")
+                ).alias("orphan_rate"),
+            )
+        )
+    out = reports[0]
+    for r in reports[1:]:
+        out = out.unionByName(r)
+    return out
+
+
+def _ri_sql() -> str:
+    parts = []
+    for child, fk, parent, pk in FK_PAIRS:
+        parts.append(f"""
+SELECT '{child}.{fk}' AS fk, '{parent}.{pk}' AS ref_to,
+       (SELECT COUNT(*) FROM {child}) AS child_rows,
+       (SELECT COUNT(*) FROM {child} c
+        WHERE NOT EXISTS (SELECT 1 FROM {parent} p
+                          WHERE p.{pk} = c.{fk})) AS orphans,
+       CAST((SELECT COUNT(*) FROM {child} c
+             WHERE NOT EXISTS (SELECT 1 FROM {parent} p
+                               WHERE p.{pk} = c.{fk})) AS DOUBLE)
+       / CAST((SELECT COUNT(*) FROM {child}) AS DOUBLE) AS orphan_rate""")
+    return " UNION ALL ".join(parts)
+
+
+# columns profiled per table — a representative mix of keys, strings,
+# and measures (profiling everything would be a wall of output; a real
+# deployment profiles per-table manifests like this one)
+PROFILE_COLUMNS = (
+    ("orders", "o_custkey"),
+    ("orders", "o_totalprice"),
+    ("orders", "o_orderstatus"),
+    ("lineitem", "l_quantity"),
+    ("lineitem", "l_discount"),
+    ("customer", "c_acctbal"),
+    ("events", "value"),
+    ("events", "event_type"),
+    ("documents", "n_chars"),
+)
+
+
+def column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column profiler: per profiled column — row count, nulls,
+    exact distinct count, and min/max rendered as strings (one
+    schema across numeric and string columns; casting rules chosen
+    to be identical in both engines: numbers format via the exact
+    DECIMAL(18,2)/BIGINT cast, never raw doubles).
+
+    This is the stats-collection pass an optimizer's CBO or a data
+    catalog runs: one aggregation per table (all of a table's columns
+    profile in a single pass over the scan — conditional aggregates,
+    not one scan per column), outputs union into a 9-row report. The
+    exact distinct keeps the oracle bit-tight; production swaps in
+    HLL++ per the sketches module's documented trade."""
+    by_table: dict[str, list[str]] = {}
+    for t, c in PROFILE_COLUMNS:
+        by_table.setdefault(t, []).append(c)
+    reports = []
+    for t, cols in by_table.items():
+        df = load_table(spark, sf_dir, t)
+        aggs = [F.count("*").alias("n_rows")]
+        for c in cols:
+            is_num = dict(df.dtypes)[c] in ("bigint", "int", "double", "float")
+            render = (
+                F.col(c).cast("decimal(18,2)").cast("string")
+                if is_num
+                else F.col(c)
+            )
+            aggs += [
+                F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"{c}__nulls"),
+                F.countDistinct(c).alias(f"{c}__distinct"),
+                F.min(render).alias(f"{c}__min"),
+                F.max(render).alias(f"{c}__max"),
+            ]
+        wide = df.agg(*aggs)
+        # unpivot the single wide row via stack — the table is scanned
+        # ONCE regardless of column count (a union of per-column
+        # selects would re-run the aggregation per column: Spark does
+        # no common-subtree elimination across union branches)
+        stack_args: list = [F.lit(len(cols))]
+        for c in cols:
+            stack_args += [
+                F.lit(f"{t}.{c}"),
+                F.col(f"{c}__nulls"),
+                F.col(f"{c}__distinct"),
+                F.col(f"{c}__min"),
+                F.col(f"{c}__max"),
+            ]
+        reports.append(
+            wide.select(
+                "n_rows",
+                F.stack(*stack_args).alias(
+                    "col_name", "n_nulls", "n_distinct", "min_str", "max_str"
+                ),
+            ).select(
+                "col_name", "n_rows", "n_nulls", "n_distinct", "min_str", "max_str"
+            )
+        )
+    out = reports[0]
+    for r in reports[1:]:
+        out = out.unionByName(r)
+    return out
+
+
+def _profile_sql(spark: SparkSession, sf_dir: str) -> str:
+    """Oracle twin; needs the live schema to mirror the numeric-cast
+    decision, so it is a lazy (sf_dir → SQL) callable resolved at
+    gate time."""
+    by_table: dict[str, list[str]] = {}
+    for t, c in PROFILE_COLUMNS:
+        by_table.setdefault(t, []).append(c)
+    parts = []
+    for t, cols in by_table.items():
+        df = load_table(spark, sf_dir, t)
+        for c in cols:
+            is_num = dict(df.dtypes)[c] in ("bigint", "int", "double", "float")
+            render = (
+                f"CAST(CAST({c} AS DECIMAL(18,2)) AS VARCHAR)" if is_num else c
+            )
+            parts.append(f"""
+SELECT '{t}.{c}' AS col_name,
+       (SELECT COUNT(*) FROM {t}) AS n_rows,
+       (SELECT COUNT(*) FROM {t} WHERE {c} IS NULL) AS n_nulls,
+       (SELECT COUNT(DISTINCT {c}) FROM {t}) AS n_distinct,
+       (SELECT MIN({render}) FROM {t}) AS min_str,
+       (SELECT MAX({render}) FROM {t}) AS max_str""")
+    return " UNION ALL ".join(parts)
+
+
+def _profile_oracle(sf_dir: str) -> str:
+    from ..session import active_or_local
+
+    return _profile_sql(active_or_local("quality_oracle"), sf_dir)
+
+
+QUERIES: dict = {}
+
+QUERIES_TAIL = {
+    "referential_integrity_audit": (referential_integrity_audit, _ri_sql()),
+    "column_profile": (column_profile, _profile_oracle),
+}

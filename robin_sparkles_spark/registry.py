@@ -69,6 +69,8 @@ def _collect() -> dict[str, QuerySpec]:
         embedding_dedup,
         graph,
         media_decode,
+        quality,
+        retrieval,
         scale_ops,
         semdedup,
         sketches,
@@ -126,6 +128,8 @@ def _collect() -> dict[str, QuerySpec]:
         analytics,
         semdedup,
         scale_ops,
+        quality,
+        retrieval,
     )
 
     def add(name: str, spec: tuple) -> None:
@@ -192,6 +196,10 @@ GATE_FRONT: tuple[str, ...] = (
     "orders_upsert_latest",
     # r05: transformWithState batch twin — first driver row
     "events_spend_alerts",
+    # r05 third batch: data-quality audits + retrieval — first driver rows
+    "referential_integrity_audit",
+    "column_profile",
+    "docs_search_and",
     # r05 rotation (VERDICT r4 "What's wrong" #2): these last saw a
     # driver row in r02 — two testdata regenerations ago; the builder's
     # local sf0.1 sweeps cover them but the driver gate is the hard

@@ -118,3 +118,77 @@ def test_upsert_latest_wins(spark, sf_dir):
     ).count()
     assert sum(r.n_orders for r in rows) == n_orders
     assert by_status["U"].n_orders == n_changed
+
+
+# --- data-quality + retrieval operators -----------------------------------
+
+def test_quality_and_retrieval_parity(spark, sf_dir):
+    from robin_sparkles_spark.operators import quality, retrieval
+    from robin_sparkles_spark.registry import resolve_oracle
+
+    for mod in (quality, retrieval):
+        for name, (fn, orc) in mod.QUERIES_TAIL.items():
+            assert_query_matches_oracle(
+                fn(spark, sf_dir), resolve_oracle(orc, sf_dir), sf_dir
+            )
+
+
+def test_referential_integrity_detects_planted_orphans(spark, sf_dir):
+    """The fixture is expected clean (all rates 0) — so prove the
+    detector by planting: run the same anti-join shape against a
+    parent table with rows removed and require the orphans to
+    surface."""
+    from pyspark.sql import functions as F
+
+    from robin_sparkles_spark.operators import quality
+    from robin_sparkles_spark.sources import load_table
+
+    rows = quality.referential_integrity_audit(spark, sf_dir).collect()
+    assert len(rows) == len(quality.FK_PAIRS)
+    assert all(r.orphans == 0 and r.orphan_rate == 0.0 for r in rows), (
+        "fixture schema unexpectedly has orphans — audit caught a real one"
+    )
+    # plant: drop half the nation parents; customer orphans must appear
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("k")
+    )
+    broken_parent = (
+        load_table(spark, sf_dir, "nation")
+        .where(F.col("n_nationkey") % 2 == 0)
+        .select(F.col("n_nationkey").alias("k"))
+    )
+    orphans = cust.join(F.broadcast(broken_parent), "k", "left_anti").count()
+    assert orphans > 0
+
+
+def test_column_profile_shape_and_sanity(spark, sf_dir):
+    from robin_sparkles_spark.operators import quality
+
+    rows = {r.col_name: r for r in quality.column_profile(spark, sf_dir).collect()}
+    assert set(rows) == {f"{t}.{c}" for t, c in quality.PROFILE_COLUMNS}
+    for r in rows.values():
+        assert r.n_nulls == 0  # fixture has no nulls in profiled cols
+        assert 0 < r.n_distinct <= r.n_rows
+        assert r.min_str <= r.max_str  # string ordering both engines
+
+
+def test_search_and_requires_both_terms(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from robin_sparkles_spark.operators import retrieval
+    from robin_sparkles_spark.sources import load_table
+
+    rows = retrieval.docs_search_and(spark, sf_dir).collect()
+    assert rows, "conjunctive query must be non-vacuous on the fixture"
+    t1, t2 = retrieval.SEARCH_TERMS
+    docs = {
+        r.doc_id: r.text
+        for r in load_table(spark, sf_dir, "documents")
+        .where(F.col("doc_id").isin([r.doc_id for r in rows[:20]]))
+        .collect()
+    }
+    for r in rows[:20]:
+        toks = docs[r.doc_id].split(" ")
+        assert r.n_t1 == sum(1 for w in toks if w == t1)
+        assert r.n_t2 == sum(1 for w in toks if w == t2)
+        assert r.n_t1 > 0 and r.n_t2 > 0
