@@ -79,3 +79,72 @@ def test_poly_fingerprint_bounds_and_determinism(spark, texts):
         by_text.setdefault(r.text, set()).add(r.fp)
     # determinism: same text → same fingerprint
     assert all(len(v) == 1 for v in by_text.values())
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    keys=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=10**9),
+            st.integers(min_value=0, max_value=10**9),
+        ),
+        min_size=1,
+        max_size=20,
+        unique=True,
+    )
+)
+def test_zorder_interleave_is_bijective_and_bounded(spark, keys):
+    """The Morton key must be a bijection of (x mod 256, y mod 256)
+    (no information loss inside the tile) and stay within 16 bits —
+    checked against a direct Python bit-interleave reimplementation."""
+    from pyspark.sql import functions as F
+
+    from robin_sparkles_spark.operators.scale_ops import Z_BITS, _zkey
+
+    df = spark.createDataFrame(keys, "x long, y long").select(
+        "x", "y", _zkey(F.col("x"), F.col("y")).alias("z")
+    )
+    for r in df.collect():
+        px, py = r.x % (1 << Z_BITS), r.y % (1 << Z_BITS)
+        want = 0
+        for i in range(Z_BITS):
+            want |= ((px >> i) & 1) << (2 * i)
+            want |= ((py >> i) & 1) << (2 * i + 1)
+        assert r.z == want
+        assert 0 <= r.z < 1 << (2 * Z_BITS)
+
+
+@settings(max_examples=8, deadline=None)
+@given(n_tokens=st.integers(min_value=1, max_value=200))
+def test_chunking_covers_every_token_exactly(spark, n_tokens):
+    """Context-window chunking invariants for any document length:
+    chunk 0 starts at token 1, consecutive chunks advance by exactly
+    the stride, every chunk holds ≤ CHUNK_TOKENS tokens, the final
+    chunk reaches the last token, and the token-coverage union is
+    gapless."""
+    from robin_sparkles_spark.operators.llm_prep import (
+        CHUNK_STRIDE,
+        CHUNK_TOKENS,
+        docs_chunked_context,
+    )
+
+    import os
+    import tempfile
+
+    text = " ".join(f"w{i}" for i in range(n_tokens))
+    with tempfile.TemporaryDirectory() as td:
+        spark.createDataFrame(
+            [(0, text, "en", "src0", len(text))],
+            "doc_id long, text string, lang string, source string, n_chars long",
+        ).coalesce(1).write.parquet(os.path.join(td, "documents.parquet"))
+        rows = sorted(
+            docs_chunked_context(spark, td).collect(), key=lambda r: r.chunk_id
+        )
+    assert rows[0].chunk_id == 0
+    covered_until = 0
+    for r in rows:
+        start = r.chunk_id * CHUNK_STRIDE  # 0-based
+        assert 1 <= r.chunk_tokens <= CHUNK_TOKENS
+        assert start <= covered_until, "gap between consecutive chunks"
+        covered_until = max(covered_until, start + r.chunk_tokens)
+    assert covered_until == n_tokens, "chunks must reach the last token"
