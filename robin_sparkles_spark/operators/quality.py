@@ -189,9 +189,67 @@ def _profile_oracle(sf_dir: str) -> str:
     return _profile_sql(active_or_local("quality_oracle"), sf_dir)
 
 
+HIST_WIDTH = 25_000.0  # fixed-width buckets over o_totalprice
+HIST_BUCKETS = 24  # top bucket absorbs the tail
+
+
+def orders_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram of order totals: fixed 25k-wide buckets
+    (top bucket clamps the tail), count and mass share per bucket —
+    the distribution view next to the profiler's min/max and the
+    quantile queries' point estimates.
+
+    Fixed bounds (not data-derived) keep this ONE pass — a
+    min/max-then-bucket histogram needs two scans or an sketch; at
+    100 TB the fixed grid is what monitoring dashboards use so
+    week-over-week histograms stay comparable. Map-only bucket
+    projection + one 24-group aggregation. Bucket arithmetic:
+    floor(price / width) exactly (double division by a power-of-ten
+    constant, floored identically both engines, prices are 2-decimal
+    so never on a bucket boundary ulp)."""
+    bucket = F.least(
+        F.floor(F.col("o_totalprice") / F.lit(HIST_WIDTH)),
+        F.lit(HIST_BUCKETS - 1),
+    ).cast("long")
+    o = load_table(spark, sf_dir, "orders").select(bucket.alias("bucket"))
+    total = o.agg(F.count("*").alias("n_total"))
+    return (
+        o.groupBy("bucket")
+        .agg(F.count("*").alias("n_orders"))
+        .crossJoin(F.broadcast(total))
+        .select(
+            "bucket",
+            (F.col("bucket") * HIST_WIDTH).alias("lo"),
+            ((F.col("bucket") + 1) * HIST_WIDTH).alias("hi"),
+            "n_orders",
+            (
+                F.col("n_orders").cast("double") / F.col("n_total").cast("double")
+            ).alias("share"),
+        )
+    )
+
+
+ORDERS_HIST_SQL = f"""
+WITH b AS (
+  SELECT LEAST(CAST(FLOOR(o_totalprice / {HIST_WIDTH!r}) AS BIGINT),
+               {HIST_BUCKETS - 1}) AS bucket
+  FROM orders
+),
+tot AS (SELECT COUNT(*) AS n_total FROM b)
+SELECT bucket,
+       bucket * {HIST_WIDTH!r} AS lo,
+       (bucket + 1) * {HIST_WIDTH!r} AS hi,
+       COUNT(*) AS n_orders,
+       CAST(COUNT(*) AS DOUBLE) / CAST(t.n_total AS DOUBLE) AS share
+FROM b CROSS JOIN tot t
+GROUP BY bucket, t.n_total
+"""
+
+
 QUERIES: dict = {}
 
 QUERIES_TAIL = {
     "referential_integrity_audit": (referential_integrity_audit, _ri_sql()),
     "column_profile": (column_profile, _profile_oracle),
+    "orders_price_histogram": (orders_price_histogram, ORDERS_HIST_SQL),
 }

@@ -200,6 +200,7 @@ GATE_FRONT: tuple[str, ...] = (
     "referential_integrity_audit",
     "column_profile",
     "docs_search_and",
+    "orders_price_histogram",
     # r05 rotation (VERDICT r4 "What's wrong" #2): these last saw a
     # driver row in r02 — two testdata regenerations ago; the builder's
     # local sf0.1 sweeps cover them but the driver gate is the hard

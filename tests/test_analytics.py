@@ -192,3 +192,17 @@ def test_search_and_requires_both_terms(spark, sf_dir):
         assert r.n_t1 == sum(1 for w in toks if w == t1)
         assert r.n_t2 == sum(1 for w in toks if w == t2)
         assert r.n_t1 > 0 and r.n_t2 > 0
+
+
+def test_histogram_masses_sum_to_one(spark, sf_dir):
+    from robin_sparkles_spark.operators import quality
+    from robin_sparkles_spark.sources import load_table
+
+    rows = quality.orders_price_histogram(spark, sf_dir).collect()
+    assert rows
+    n_total = load_table(spark, sf_dir, "orders").count()
+    assert sum(r.n_orders for r in rows) == n_total
+    assert abs(sum(r.share for r in rows) - 1.0) < 1e-9
+    for r in rows:
+        assert 0 <= r.bucket < quality.HIST_BUCKETS
+        assert r.hi - r.lo == quality.HIST_WIDTH
