@@ -269,6 +269,64 @@ FROM chunks
 """
 
 
+def docs_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk-granularity cross-document dedup — the composition the
+    chunker exists for: a chunk is "shared" when its fingerprint
+    appears in more than one document (boilerplate, quoted passages,
+    mirrored sections), and each document reports its shared-chunk
+    ratio — the boilerplate measure a curation pass thresholds on.
+    Document-level near-dup (MinHash et al.) misses this: two mostly
+    distinct docs sharing one license header are not near-dups, but
+    the header should still not be learned twice.
+
+    Plan: chunker (map-only) → fingerprint aggregation counting
+    distinct docs per fp (one shuffle on the 8-byte fp) → join back
+    on fp (same partitioning — exchange reused) → per-doc ratio agg.
+    Chunk text never shuffles, only fingerprints."""
+    chunks = docs_chunked_context(spark, sf_dir).select("doc_id", "chunk_fp")
+    fp_docs = chunks.groupBy("chunk_fp").agg(
+        F.countDistinct("doc_id").alias("n_docs_with_fp")
+    )
+    return (
+        chunks.join(fp_docs, "chunk_fp")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_chunks"),
+            F.sum(F.when(F.col("n_docs_with_fp") > 1, 1).otherwise(0)).alias(
+                "n_shared"
+            ),
+        )
+        .select(
+            "doc_id",
+            "n_chunks",
+            "n_shared",
+            (
+                F.col("n_shared").cast("double") / F.col("n_chunks").cast("double")
+            ).alias("shared_ratio"),
+        )
+    )
+
+
+def _chunk_dedup_sql() -> str:
+    # a parenthesized subquery may carry its own WITH — the chunk SQL
+    # embeds verbatim, so the two declared queries share one dialect
+    # definition of "chunk"
+    return f"""
+WITH chunks AS (SELECT doc_id, chunk_fp FROM ({_chunked_sql()})),
+fp_docs AS (
+  SELECT chunk_fp, COUNT(DISTINCT doc_id) AS n_docs_with_fp
+  FROM chunks GROUP BY chunk_fp
+)
+SELECT c.doc_id,
+       COUNT(*) AS n_chunks,
+       CAST(SUM(CASE WHEN f.n_docs_with_fp > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
+       CAST(SUM(CASE WHEN f.n_docs_with_fp > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+       / CAST(COUNT(*) AS DOUBLE) AS shared_ratio
+FROM chunks c JOIN fp_docs f USING (chunk_fp)
+GROUP BY c.doc_id
+"""
+
+
 RARITY_TOP_K = 3
 
 
@@ -356,5 +414,6 @@ QUERIES_TAIL = {
     "padding_waste_by_bucket": (padding_waste_by_bucket, _padding_sql()),
     "docs_balanced_sample": (docs_balanced_sample, _balanced_sql()),
     "docs_chunked_context": (docs_chunked_context, _chunked_sql()),
+    "docs_chunk_dedup": (docs_chunk_dedup, _chunk_dedup_sql()),
     "docs_rarity_topk": (docs_rarity_topk, DOCS_RARITY_SQL),
 }

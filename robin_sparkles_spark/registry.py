@@ -201,6 +201,7 @@ GATE_FRONT: tuple[str, ...] = (
     "column_profile",
     "docs_search_and",
     "orders_price_histogram",
+    "docs_chunk_dedup",
     # r05 rotation (VERDICT r4 "What's wrong" #2): these last saw a
     # driver row in r02 — two testdata regenerations ago; the builder's
     # local sf0.1 sweeps cover them but the driver gate is the hard
