@@ -31,21 +31,32 @@ def referential_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     whose key has no parent (LEFT ANTI join), as count and rate.
 
     Parquet enforces nothing; at 100 TB this audit IS the constraint
-    system. Plan per pair: anti-join child-keys against the parent
-    key set — dimension parents broadcast (no fact shuffle at all);
-    the one fact-fact pair (lineitem→orders) shuffles on the join key
-    like any fact join. The per-pair results union into one tiny
-    report. A clean pipeline yields orphans=0 rows — the audit's
-    steady-state — so the test plants a synthetic violation to prove
-    the detector detects (the fixture itself is expected clean)."""
+    system. Plan per pair: ONE pass over the child — LEFT join the
+    deduped parent key set (dimension parents broadcast; the one
+    fact-fact pair, lineitem→orders, shuffles on the join key) and
+    count rows + parent-misses in the same aggregation, so the child
+    is never scanned twice (an anti-join + separate count would).
+    The per-pair single-row results union into one tiny report. A
+    clean pipeline yields orphans=0 rows — the audit's steady-state —
+    so the test plants a synthetic violation to prove the detector
+    detects (the fixture itself is expected clean)."""
     reports = []
     for child, fk, parent, pk in FK_PAIRS:
         c = load_table(spark, sf_dir, child).select(F.col(fk).alias("k"))
-        p = load_table(spark, sf_dir, parent).select(F.col(pk).alias("k"))
-        orphans = c.join(F.broadcast(p), "k", "left_anti")
+        p = (
+            load_table(spark, sf_dir, parent)
+            .select(F.col(pk).alias("k"))
+            .distinct()
+            .withColumn("present", F.lit(1))
+        )
         reports.append(
-            c.agg(F.count("*").alias("child_rows"))
-            .crossJoin(F.broadcast(orphans.agg(F.count("*").alias("orphans"))))
+            c.join(F.broadcast(p), "k", "left")
+            .agg(
+                F.count("*").alias("child_rows"),
+                F.sum(F.when(F.col("present").isNull(), 1).otherwise(0)).alias(
+                    "orphans"
+                ),
+            )
             .select(
                 F.lit(f"{child}.{fk}").alias("fk"),
                 F.lit(f"{parent}.{pk}").alias("ref_to"),

@@ -161,6 +161,20 @@ def _collect() -> dict[str, QuerySpec]:
 
 # The first 50 registry entries are the driver's correctness window
 # (see _collect). Keep this list ≤ 50; names must exist.
+#
+# ROUND-6 ROTATION PLAN (computed end of r5 from CORRECTNESS_r01–r04 +
+# this window): after r5 the stalest driver rows are the 21 queries
+# last gated in r03 — bigram_stats, corpus_vocabulary,
+# curation_pipeline, dedup_incremental, embedding_array_stats,
+# orders_monthly_gapfill, orders_rollup, q10_returned_revenue,
+# q12_priority_shipping, q13_order_count_distribution,
+# q14_promo_revenue_pct, q17_small_quantity_revenue,
+# q18_large_quantity_orders, q19_disjunctive_revenue,
+# q22_idle_balance_by_segment, q4_late_shipment_priority,
+# q6_forecast_revenue, q7_nation_trade_flows, q8_nation_market_share,
+# supplier_revenue_share, window_order_analytics. Pin those first in
+# r6 (plus anything whose plan/oracle changes), then fill with
+# r4-last-green names.
 GATE_FRONT: tuple[str, ...] = (
     # r05: new real-decode queries — first driver rows
     "bmp_decode_stats",

@@ -133,7 +133,6 @@ _BNL_ALLOWED = {
     "source_mixture",  # same scalar shape: 1-row corpus totals
     "docs_rarity_topk",  # same scalar shape: 1-row doc count N
     "orders_bloom_prune",  # same scalar shape: 1-row count × count summary
-    "referential_integrity_audit",  # 7× the same 1-row count × count shape
     "orders_price_histogram",  # same scalar shape: 1-row total for shares
 }
 
