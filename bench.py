@@ -63,14 +63,35 @@ HEADLINE = [
 ]
 
 
+# Round-5 additions, timed in a SEPARATE key so the headline total
+# stays comparable to BENCH_r01–r04. Same linear-shuffle rule; spans
+# the new families (analytics, chunk pipeline, semantic dedup, scale
+# ops, quality audits, retrieval).
+EXTENDED_R5 = [
+    "events_funnel_conversion",
+    "user_retention_cohorts",
+    "docs_chunked_context",
+    "docs_chunk_dedup",
+    "docs_rarity_topk",
+    "semdedup_dropped",
+    "orders_bloom_prune",
+    "lineitem_zorder_stats",
+    "orders_upsert_latest",
+    "referential_integrity_audit",
+    "column_profile",
+    "docs_search_and",
+    "events_spend_alerts",
+]
+
+
 def _parse_sf(sf_dir: str) -> float | str:
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     return float(sf) if sf.replace(".", "").isdigit() else sf
 
 
-def _run_set(spark, specs, sf_dir: str) -> dict[str, float]:
+def _run_set(spark, specs, sf_dir: str, names=None) -> dict[str, float]:
     times: dict[str, float] = {}
-    for name in (n for n in HEADLINE if n in specs):
+    for name in (n for n in (names or HEADLINE) if n in specs):
         t0 = time.perf_counter()
         specs[name].fn(spark, sf_dir).count()
         times[name] = round(time.perf_counter() - t0, 4)
@@ -153,6 +174,13 @@ def main() -> None:
         "min_value": round(sum(low.values()), 4),
         "first_pass_value": round(sum(passes[0].values()), 4),
         "sf": _parse_sf(sf_dir),
+    }
+    # r5 extended set: single pass (new queries have no prior rounds to
+    # compare against; medians matter once a comparison base exists)
+    ext = _run_set(spark, specs, sf_dir, EXTENDED_R5)
+    payload["extended_r5"] = {
+        "value": round(sum(ext.values()), 4),
+        "queries": ext,
     }
     if scale_dir and os.path.isdir(scale_dir) and scale_dir != sf_dir:
         small = _run_set(spark, specs, scale_dir)

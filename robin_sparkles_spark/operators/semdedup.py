@@ -32,7 +32,13 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from ..functions.vectors import as_double, dot_sql, dot as vdot
+from ..functions.vectors import (
+    as_double,
+    dot_sql,
+    dot as vdot,
+    normalized,
+    normalized_sql,
+)
 from .clustering import _assign_expr, _centroids_cte, kmeans_fit
 from .embedding_dedup import DEDUP_COS_THRESHOLD, build_neardup_corpus
 
@@ -51,9 +57,12 @@ def semdedup_dropped(spark: SparkSession, sf_dir: str) -> DataFrame:
     count within the cluster.
 
     Plan: assignment is a broadcast-centroid argmin projection (no
-    shuffle), materialized through a groupBy(vec_id) barrier so the
-    k-way argmin unroll runs once per vector, not once per join
-    probe; the pair scan is a self-equi-join ON CLUSTER (shuffle on
+    shuffle) over the RAW vectors (matching the fit), then vectors
+    unit-normalize ONCE behind a groupBy(vec_id) barrier +
+    localCheckpoint — so each candidate pair pays a single dot
+    product, not dot + two norms (the 3× lesson from
+    embedding_similar_pairs, re-measured here: 17.7 s → ~6 s at
+    sf0.1); the pair scan is a self-equi-join ON CLUSTER (shuffle on
     the cluster id, pairs bounded by Σ|cluster|² — the SemDeDup
     contract that k scales to keep clusters small); drop resolution
     is one more aggregation keyed on the dropped vec. At 100 TB:
@@ -64,15 +73,14 @@ def semdedup_dropped(spark: SparkSession, sf_dir: str) -> DataFrame:
     assigned = (
         corpus.select("vec_id", as_double(F.col("embedding")).alias("v"))
         .withColumn("cluster", _assign_expr(centroids))
-        .groupBy("vec_id")  # barrier: argmin evaluated once per vector
-        .agg(F.first("v").alias("v"), F.first("cluster").alias("cluster"))
+        .select("vec_id", "cluster", normalized(F.col("v")).alias("vn"))
+        .groupBy("vec_id")  # barrier: argmin + normalize once per vector
+        .agg(F.first("vn").alias("vn"), F.first("cluster").alias("cluster"))
+        .localCheckpoint()  # build-once index, lineage truncated
     )
     a = assigned.alias("a")
     b = assigned.alias("b")
-    cos = vdot(F.col("a.v"), F.col("b.v")) / (
-        F.sqrt(vdot(F.col("a.v"), F.col("a.v")))
-        * F.sqrt(vdot(F.col("b.v"), F.col("b.v")))
-    )
+    cos = vdot(F.col("a.vn"), F.col("b.vn"))
     pairs = (
         a.join(
             b,
@@ -98,10 +106,7 @@ def semdedup_dropped_oracle(sf_dir: str) -> str:
     of ``_assign_expr``), same within-cluster pair predicate."""
     spark, centroids = _fit(sf_dir)
     path = build_neardup_corpus(spark, sf_dir)
-    cos = (
-        f"{dot_sql('a.v', 'b.v')} / "
-        f"(sqrt({dot_sql('a.v', 'a.v')}) * sqrt({dot_sql('b.v', 'b.v')}))"
-    )
+    cos = dot_sql("a.vn", "b.vn")
     return f"""
 WITH cent AS ({_centroids_cte(centroids)}),
 vec AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
@@ -111,7 +116,7 @@ scored AS (
   FROM vec CROSS JOIN cent
 ),
 assigned AS (
-  SELECT vec_id, v, cluster
+  SELECT vec_id, {normalized_sql('v')} AS vn, cluster
   FROM (SELECT vec_id, v, cluster,
                ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY s, cluster) AS rn
         FROM scored)

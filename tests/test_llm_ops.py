@@ -499,3 +499,27 @@ def test_hll_production_path_tolerance(spark, sf_dir):
         assert abs(r.est - r.exact) <= max(2.0, 5 * rsd * r.exact), (
             r.event_type, r.exact, r.est,
         )
+
+
+def test_semdedup_planted_recall(spark, sf_dir):
+    """SemDeDup's cluster blocking must recover ≥90% of the planted
+    near-dup pairs (measured: 0.98 at sf0.001, 1.0 at sf0.01, 0.94 at
+    sf0.1 — the misses are pairs split across a cluster boundary, the
+    documented blocking trade), every reported drop must point at a
+    lower-id representative, and planted drops must name their true
+    source."""
+    from robin_sparkles_spark.operators.embedding_dedup import (
+        NEARDUP_ID_OFFSET,
+        NEARDUP_N,
+    )
+
+    rows = semdedup.semdedup_dropped(spark, sf_dir).collect()
+    dropped = {r.vec_id: r for r in rows}
+    planted = {i + NEARDUP_ID_OFFSET for i in range(NEARDUP_N)}
+    recall = len(planted & set(dropped)) / NEARDUP_N
+    assert recall >= 0.9, recall
+    for r in rows:
+        assert r.representative < r.vec_id
+        assert r.n_dup_partners >= 1
+        if r.vec_id in planted:
+            assert r.representative == r.vec_id - NEARDUP_ID_OFFSET
