@@ -69,6 +69,7 @@ def _collect() -> dict[str, QuerySpec]:
         embedding_dedup,
         graph,
         media_decode,
+        video_decode,
         quality,
         retrieval,
         scale_ops,
@@ -130,6 +131,7 @@ def _collect() -> dict[str, QuerySpec]:
         scale_ops,
         quality,
         retrieval,
+        video_decode,
     )
 
     def add(name: str, spec: tuple) -> None:
@@ -216,6 +218,7 @@ GATE_FRONT: tuple[str, ...] = (
     "docs_search_and",
     "orders_price_histogram",
     "docs_chunk_dedup",
+    "tiff_frame_sample",
     # r05 rotation (VERDICT r4 "What's wrong" #2): these last saw a
     # driver row in r02 — two testdata regenerations ago; the builder's
     # local sf0.1 sweeps cover them but the driver gate is the hard

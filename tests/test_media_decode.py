@@ -68,3 +68,55 @@ def test_decode_plan_shape(spark, sf_dir):
     assert not a.has_python_eval  # Arrow kernel, not row-at-a-time eval
     # the mime filter reaches the parquet scan
     assert any("mime" in p for p in a.pushed_filters), a.formatted
+
+
+def test_tiff_frame_sample_parity_and_stride(spark, sf_dir):
+    """Byte-parse vs closed-form equality at both strides: the
+    declared stride-2 query hash-matches its oracle, and a stride-1
+    walk returns every frame (the full IFD chain is parseable, not
+    just the sampled prefix)."""
+    from pyspark.sql import functions as F
+
+    from robin_sparkles_spark.operators import video_decode
+    from robin_sparkles_spark.registry import resolve_oracle
+
+    from .oracle_utils import assert_query_matches_oracle
+
+    fn, orc = video_decode.QUERIES["tiff_frame_sample"]
+    assert_query_matches_oracle(fn(spark, sf_dir), resolve_oracle(orc, sf_dir), sf_dir)
+
+    media = spark.read.parquet(video_decode.stage_video_corpus(spark, sf_dir))
+    all_frames = video_decode.sample_frames(media, stride=1)
+    per_clip = {
+        r.media_id: r.n
+        for r in all_frames.groupBy("media_id").agg(F.count("*").alias("n")).collect()
+    }
+    for mid, n in per_clip.items():
+        assert n == 2 + mid % 4, (mid, n)
+
+
+def test_synth_tiff_roundtrip_single():
+    """One clip decoded in plain Python (no Spark): the parser's view
+    of frame 0 must equal the synthesis arithmetic exactly."""
+    import struct
+
+    import numpy as np
+
+    from robin_sparkles_spark.operators.video_decode import synth_tiff
+
+    mid = 7
+    blob = synth_tiff(mid)
+    order, magic, ifd_off = struct.unpack_from("<2sHI", blob, 0)
+    assert order == b"II" and magic == 42
+    (n_entries,) = struct.unpack_from("<H", blob, ifd_off)
+    tags = {}
+    for i in range(n_entries):
+        tag, _t, _c, val = struct.unpack_from("<HHII", blob, ifd_off + 2 + i * 12)
+        tags[tag] = val
+    w, h = tags[256], tags[257]
+    assert (w, h) == (5 + mid % 6, 4 + mid % 5)
+    px = np.frombuffer(blob, np.uint8, count=tags[279], offset=tags[273])
+    want = [
+        (mid + 2 * x + 5 * y) % 256 for y in range(h) for x in range(w)
+    ]
+    assert px.tolist() == want
