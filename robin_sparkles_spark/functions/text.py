@@ -62,3 +62,18 @@ def token_filter(
     """
     lc_stop = [w.lower() for w in stop_words]
     return (F.length(token) > 0) & ~token.isin(lc_stop)
+
+
+def ws_tokens(text: Column | str = "text") -> Column:
+    """The plain whitespace tokenizer the document-pipeline operators
+    share (chunking, rarity top-k, retrieval, token counts): split on
+    single spaces, drop empties, NO case-folding or trimming — one
+    definition so every family agrees on what a term is (its DuckDB
+    twin is ``ws_tokens_sql``)."""
+    col = F.col(text) if isinstance(text, str) else text
+    return F.filter(F.split(col, " "), lambda t: F.length(t) > 0)
+
+
+def ws_tokens_sql(col: str = "text") -> str:
+    """DuckDB twin of ``ws_tokens`` as a SQL fragment."""
+    return f"list_filter(string_split({col}, ' '), t -> len(t) > 0)"

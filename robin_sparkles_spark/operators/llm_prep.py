@@ -15,6 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
 from ..functions.hashing import MERSENNE_P, affine_params
+from ..functions.text import ws_tokens, ws_tokens_sql
 from ..sources import load_table
 
 # fixed context-window ladder for the padding-waste report
@@ -23,8 +24,7 @@ BALANCED_K = 20  # docs per language in the balanced sample
 
 
 def _n_words() -> F.Column:
-    toks = F.split(F.col("text"), " ")
-    return F.size(F.filter(toks, lambda t: F.length(t) > 0)).cast("long")
+    return F.size(ws_tokens()).cast("long")
 
 
 def source_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -66,10 +66,10 @@ def source_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-SOURCE_MIXTURE_SQL = """
+SOURCE_MIXTURE_SQL = f"""
 WITH per_src AS (
   SELECT source, COUNT(*) AS n_docs,
-         CAST(SUM(len(list_filter(string_split(text, ' '), t -> len(t) > 0))) AS BIGINT) AS tokens
+         CAST(SUM(len({ws_tokens_sql()})) AS BIGINT) AS tokens
   FROM documents GROUP BY source
 ),
 tot AS (
@@ -131,7 +131,7 @@ def _padding_sql() -> str:
     return f"""
 WITH d AS (
   SELECT lang,
-         CAST(len(list_filter(string_split(text, ' '), t -> len(t) > 0)) AS BIGINT) AS n_words
+         CAST(len({ws_tokens_sql()}) AS BIGINT) AS n_words
   FROM documents
 ),
 b AS (
@@ -207,7 +207,7 @@ def docs_chunked_context(spark: SparkSession, sf_dir: str) -> DataFrame:
     chunk text itself never needs to leave the stage)."""
     from ..functions.hashing import poly_fingerprint
 
-    toks = F.filter(F.split(F.col("text"), " "), lambda t: F.length(t) > 0)
+    toks = ws_tokens()
     d = load_table(spark, sf_dir, "documents").select(
         "doc_id", toks.alias("toks"), F.size(toks).alias("n")
     )
@@ -245,7 +245,7 @@ def _chunked_sql() -> str:
     fp = poly_fingerprint_sql("array_to_string(chunk, ' ')")
     return f"""
 WITH d AS (
-  SELECT doc_id, list_filter(string_split(text, ' '), t -> len(t) > 0) AS toks
+  SELECT doc_id, {ws_tokens_sql()} AS toks
   FROM documents
 ),
 sized AS (
@@ -281,9 +281,18 @@ def docs_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Plan: chunker (map-only) → fingerprint aggregation counting
     distinct docs per fp (one shuffle on the 8-byte fp) → join back
-    on fp (same partitioning — exchange reused) → per-doc ratio agg.
-    Chunk text never shuffles, only fingerprints."""
-    chunks = docs_chunked_context(spark, sf_dir).select("doc_id", "chunk_fp")
+    on fp → per-doc ratio agg. The chunk projection is
+    localCheckpoint(eager=False)-materialized because BOTH the
+    aggregate and the probe branch consume it — without the persist,
+    Spark re-runs the tokenize+slice+fingerprint scan once per
+    branch (no common-subtree elimination across self-join inputs;
+    an r5 review verified the double FileScan in the plan). Chunk
+    text never shuffles, only fingerprints."""
+    chunks = (
+        docs_chunked_context(spark, sf_dir)
+        .select("doc_id", "chunk_fp")
+        .localCheckpoint(eager=False)
+    )
     fp_docs = chunks.groupBy("chunk_fp").agg(
         F.countDistinct("doc_id").alias("n_docs_with_fp")
     )
@@ -346,9 +355,8 @@ def docs_rarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     term) plus the window's doc shuffle; all aggregation state is
     O(1) per key. The tf→df derivation is the move that survives
     100 TB — df over raw tokens would shuffle the corpus twice."""
-    toks = F.filter(F.split(F.col("text"), " "), lambda t: F.length(t) > 0)
     d = load_table(spark, sf_dir, "documents").select(
-        "doc_id", F.explode(toks).alias("term")
+        "doc_id", F.explode(ws_tokens()).alias("term")
     )
     tf = d.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
     df = tf.groupBy("term").agg(F.count("*").alias("df"))
@@ -387,7 +395,7 @@ def docs_rarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 DOCS_RARITY_SQL = f"""
 WITH tok AS (
-  SELECT doc_id, unnest(list_filter(string_split(text, ' '), t -> len(t) > 0)) AS term
+  SELECT doc_id, unnest({ws_tokens_sql()}) AS term
   FROM documents
 ),
 tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2),

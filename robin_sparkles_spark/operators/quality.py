@@ -40,38 +40,60 @@ def referential_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     clean pipeline yields orphans=0 rows — the audit's steady-state —
     so the test plants a synthetic violation to prove the detector
     detects (the fixture itself is expected clean)."""
-    reports = []
-    for child, fk, parent, pk in FK_PAIRS:
-        c = load_table(spark, sf_dir, child).select(F.col(fk).alias("k"))
-        p = (
-            load_table(spark, sf_dir, parent)
-            .select(F.col(pk).alias("k"))
-            .distinct()
-            .withColumn("present", F.lit(1))
+    reports = [
+        audit_fk_pair(
+            load_table(spark, sf_dir, child).select(F.col(fk).alias("k")),
+            load_table(spark, sf_dir, parent).select(F.col(pk).alias("k")),
+            fk_label=f"{child}.{fk}",
+            ref_label=f"{parent}.{pk}",
+            # broadcast DIMENSION parents only; the one fact parent
+            # (orders, for lineitem.l_orderkey) must shuffle-join —
+            # its key set is |orders| and broadcasting it is exactly
+            # the 100 TB failure this audit's plan avoids (r5 review
+            # catch: the hint was unconditional)
+            broadcast_parent=parent != "orders",
         )
-        reports.append(
-            c.join(F.broadcast(p), "k", "left")
-            .agg(
-                F.count("*").alias("child_rows"),
-                F.sum(F.when(F.col("present").isNull(), 1).otherwise(0)).alias(
-                    "orphans"
-                ),
-            )
-            .select(
-                F.lit(f"{child}.{fk}").alias("fk"),
-                F.lit(f"{parent}.{pk}").alias("ref_to"),
-                "child_rows",
-                "orphans",
-                (
-                    F.col("orphans").cast("double")
-                    / F.col("child_rows").cast("double")
-                ).alias("orphan_rate"),
-            )
-        )
+        for child, fk, parent, pk in FK_PAIRS
+    ]
     out = reports[0]
     for r in reports[1:]:
         out = out.unionByName(r)
     return out
+
+
+def audit_fk_pair(
+    child_keys: DataFrame,
+    parent_keys: DataFrame,
+    fk_label: str,
+    ref_label: str,
+    broadcast_parent: bool = True,
+) -> DataFrame:
+    """One FK pair's single-row audit — the actual detector, factored
+    out so tests can run it against a deliberately broken parent set
+    (a constant-zero counting bug must fail THIS code path, not a
+    reimplementation in the test)."""
+    child_keys = child_keys.toDF("k")
+    p = parent_keys.toDF("k").distinct().withColumn("present", F.lit(1))
+    if broadcast_parent:
+        p = F.broadcast(p)
+    return (
+        child_keys.join(p, "k", "left")
+        .agg(
+            F.count("*").alias("child_rows"),
+            F.sum(F.when(F.col("present").isNull(), 1).otherwise(0)).alias(
+                "orphans"
+            ),
+        )
+        .select(
+            F.lit(fk_label).alias("fk"),
+            F.lit(ref_label).alias("ref_to"),
+            "child_rows",
+            "orphans",
+            (
+                F.col("orphans").cast("double") / F.col("child_rows").cast("double")
+            ).alias("orphan_rate"),
+        )
+    )
 
 
 def _ri_sql() -> str:
@@ -109,9 +131,13 @@ PROFILE_COLUMNS = (
 def column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Column profiler: per profiled column — row count, nulls,
     exact distinct count, and min/max rendered as strings (one
-    schema across numeric and string columns; casting rules chosen
-    to be identical in both engines: numbers format via the exact
-    DECIMAL(18,2)/BIGINT cast, never raw doubles).
+    schema across numeric and string columns). Numeric columns
+    aggregate on the NUMERIC value and render the result afterwards
+    — MIN(CAST(x AS VARCHAR)) would be lexicographic ('100037.54' <
+    '99992.36', a garbage bound the mirrored oracle could not catch;
+    an r5 review found exactly that and this order is the fix). The
+    render goes through the exact DECIMAL(18,2) cast so both engines
+    format identically.
 
     This is the stats-collection pass an optimizer's CBO or a data
     catalog runs: one aggregation per table (all of a table's columns
@@ -128,16 +154,19 @@ def column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         aggs = [F.count("*").alias("n_rows")]
         for c in cols:
             is_num = dict(df.dtypes)[c] in ("bigint", "int", "double", "float")
-            render = (
-                F.col(c).cast("decimal(18,2)").cast("string")
-                if is_num
-                else F.col(c)
-            )
+
+            def render(agg_col):
+                return (
+                    agg_col.cast("decimal(18,2)").cast("string")
+                    if is_num
+                    else agg_col
+                )
+
             aggs += [
                 F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"{c}__nulls"),
                 F.countDistinct(c).alias(f"{c}__distinct"),
-                F.min(render).alias(f"{c}__min"),
-                F.max(render).alias(f"{c}__max"),
+                render(F.min(F.col(c))).alias(f"{c}__min"),
+                render(F.max(F.col(c))).alias(f"{c}__max"),
             ]
         wide = df.agg(*aggs)
         # unpivot the single wide row via stack — the table is scanned
@@ -181,16 +210,23 @@ def _profile_sql(spark: SparkSession, sf_dir: str) -> str:
         df = load_table(spark, sf_dir, t)
         for c in cols:
             is_num = dict(df.dtypes)[c] in ("bigint", "int", "double", "float")
-            render = (
-                f"CAST(CAST({c} AS DECIMAL(18,2)) AS VARCHAR)" if is_num else c
-            )
+
+            def rend(agg: str) -> str:
+                # numeric: aggregate first, render after (same order
+                # as the Spark side — never MIN over strings)
+                return (
+                    f"CAST(CAST({agg} AS DECIMAL(18,2)) AS VARCHAR)"
+                    if is_num
+                    else agg
+                )
+
             parts.append(f"""
 SELECT '{t}.{c}' AS col_name,
        (SELECT COUNT(*) FROM {t}) AS n_rows,
        (SELECT COUNT(*) FROM {t} WHERE {c} IS NULL) AS n_nulls,
        (SELECT COUNT(DISTINCT {c}) FROM {t}) AS n_distinct,
-       (SELECT MIN({render}) FROM {t}) AS min_str,
-       (SELECT MAX({render}) FROM {t}) AS max_str""")
+       (SELECT {rend(f'MIN({c})')} FROM {t}) AS min_str,
+       (SELECT {rend(f'MAX({c})')} FROM {t}) AS max_str""")
     return " UNION ALL ".join(parts)
 
 

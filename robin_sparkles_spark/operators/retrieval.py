@@ -10,6 +10,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from ..functions.text import ws_tokens, ws_tokens_sql
 from ..sources import load_table
 
 # fixed conjunctive query over the fixture vocabulary (both terms are
@@ -30,10 +31,9 @@ def docs_search_and(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregation, no join at all. At 100 TB a standing index would be
     the stored form of the same postings (term-bucketed parquet);
     the query plan over it is identical from the filter down."""
-    toks = F.filter(F.split(F.col("text"), " "), lambda t: F.length(t) > 0)
     postings = (
         load_table(spark, sf_dir, "documents")
-        .select("doc_id", F.explode(toks).alias("term"))
+        .select("doc_id", F.explode(ws_tokens()).alias("term"))
         .where(F.col("term").isin(*SEARCH_TERMS))
         .groupBy("doc_id", "term")
         .agg(F.count("*").alias("tf"))
@@ -57,7 +57,7 @@ def _search_sql() -> str:
 WITH postings AS (
   SELECT doc_id, term, COUNT(*) AS tf
   FROM (SELECT doc_id,
-               unnest(list_filter(string_split(text, ' '), t -> len(t) > 0)) AS term
+               unnest({ws_tokens_sql()}) AS term
         FROM documents)
   WHERE term IN ('{t1}', '{t2}')
   GROUP BY doc_id, term

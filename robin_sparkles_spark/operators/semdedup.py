@@ -76,7 +76,10 @@ def semdedup_dropped(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", "cluster", normalized(F.col("v")).alias("vn"))
         .groupBy("vec_id")  # barrier: argmin + normalize once per vector
         .agg(F.first("vn").alias("vn"), F.first("cluster").alias("cluster"))
-        .localCheckpoint()  # build-once index, lineage truncated
+        .localCheckpoint(eager=False)  # build-once index (lazy: plan
+        # construction must not launch the staging/assignment jobs —
+        # r5 review; materializes at first action, both join sides
+        # then reuse the persisted partitions)
     )
     a = assigned.alias("a")
     b = assigned.alias("b")

@@ -20,6 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..functions.hashing import MERSENNE_P, POLY_BASE, poly_fingerprint, poly_fingerprint_sql
+from ..functions.text import ws_tokens
 from ..sources import load_table
 
 # A word-regex "BPE-ish" token estimate: letter runs, digit runs, or
@@ -60,7 +61,7 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Length / stopword / token-shape quality signals with a rational
     composite score in [0,1] (no exp/log — libm parity trap)."""
     d = load_table(spark, sf_dir, "documents")
-    toks = F.filter(F.split(F.col("text"), " "), lambda t: F.length(t) > 0)
+    toks = ws_tokens()
     n_words = F.size(toks).cast("double")
     n_stop = F.size(F.filter(toks, lambda t: t.isin(list(STOPWORDS)))).cast("double")
     sum_len = F.aggregate(toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t)).cast(
@@ -188,9 +189,7 @@ def text_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     words = d.select(
         "doc_id",
-        F.explode(F.filter(F.split(F.col("text"), " "), lambda t: F.length(t) > 0)).alias(
-            "word"
-        ),
+        F.explode(ws_tokens()).alias("word"),
     )
     tf = words.groupBy("doc_id", "word").agg(F.count("*").alias("tf"))
     df_ = words.groupBy("word").agg(F.countDistinct("doc_id").alias("df"))

@@ -148,28 +148,61 @@ def test_referential_integrity_detects_planted_orphans(spark, sf_dir):
     assert all(r.orphans == 0 and r.orphan_rate == 0.0 for r in rows), (
         "fixture schema unexpectedly has orphans — audit caught a real one"
     )
-    # plant: drop half the nation parents; customer orphans must appear
-    cust = load_table(spark, sf_dir, "customer").select(
-        F.col("c_nationkey").alias("k")
-    )
+    # plant: drop half the nation parents and run THE AUDIT's own pair
+    # detector against the broken set (r5 review: a hand-rolled join
+    # here would let a constant-zero counting bug in the audit pass) —
+    # orphans must surface in the audit row itself, and exactly match
+    # the customers of the removed nations
+    cust = load_table(spark, sf_dir, "customer")
     broken_parent = (
         load_table(spark, sf_dir, "nation")
         .where(F.col("n_nationkey") % 2 == 0)
-        .select(F.col("n_nationkey").alias("k"))
+        .select("n_nationkey")
     )
-    orphans = cust.join(F.broadcast(broken_parent), "k", "left_anti").count()
-    assert orphans > 0
+    row = quality.audit_fk_pair(
+        cust.select("c_nationkey"),
+        broken_parent,
+        fk_label="customer.c_nationkey",
+        ref_label="broken_nation.n_nationkey",
+    ).first()
+    expect = cust.where(F.col("c_nationkey") % 2 == 1).count()
+    assert row.orphans == expect > 0
+    assert row.child_rows == cust.count()
+    assert row.orphan_rate == expect / cust.count()
 
 
 def test_column_profile_shape_and_sanity(spark, sf_dir):
+    """Profiler bounds must be NUMERICALLY correct for numeric
+    columns (the r5 review found MIN over the rendered string —
+    lexicographic garbage the mirrored oracle passed); pin one
+    column's bounds against an independent aggregation."""
+    from pyspark.sql import functions as F
+
     from robin_sparkles_spark.operators import quality
+    from robin_sparkles_spark.sources import load_table
 
     rows = {r.col_name: r for r in quality.column_profile(spark, sf_dir).collect()}
     assert set(rows) == {f"{t}.{c}" for t, c in quality.PROFILE_COLUMNS}
-    for r in rows.values():
+    numeric = {
+        f"{t}.{c}"
+        for t, c in quality.PROFILE_COLUMNS
+        if c not in ("o_orderstatus", "event_type")
+    }
+    for name, r in rows.items():
         assert r.n_nulls == 0  # fixture has no nulls in profiled cols
         assert 0 < r.n_distinct <= r.n_rows
-        assert r.min_str <= r.max_str  # string ordering both engines
+        if name in numeric:
+            assert float(r.min_str) <= float(r.max_str), name
+        else:
+            assert r.min_str <= r.max_str, name
+    true_bounds = (
+        load_table(spark, sf_dir, "orders")
+        .agg(F.min("o_totalprice").alias("lo"), F.max("o_totalprice").alias("hi"))
+        .first()
+    )
+    got = rows["orders.o_totalprice"]
+    assert float(got.min_str) == round(true_bounds.lo, 2)
+    assert float(got.max_str) == round(true_bounds.hi, 2)
 
 
 def test_search_and_requires_both_terms(spark, sf_dir):
