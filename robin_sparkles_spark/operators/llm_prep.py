@@ -415,6 +415,69 @@ WHERE rank <= {RARITY_TOP_K}
 """
 
 
+def docs_token_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document lexical-diversity profile: token count, type
+    count, type-token ratio, and the Gini–Simpson diversity index
+    1 − Σ pᵢ² — the log-free complement to ``text_repetition``'s
+    3-gram boilerplate signal (repetition catches looped PHRASES,
+    Simpson catches a skewed unigram DISTRIBUTION, e.g. keyword
+    stuffing). Shannon entropy is the textbook form but ln is only
+    faithfully rounded and can differ in the last ulp between libm
+    builds (the docs_rarity_topk lesson); Simpson's index is pure
+    integer sums + one division sequence — bit-exact cross-engine,
+    and orders documents identically for filtering purposes.
+
+    Plan: tokenize+explode (map-only) → (doc, term) tf aggregation →
+    per-doc aggregation of Σtf and Σtf² (integers) → one projection.
+    Two shuffles, O(1) aggregation state per key, no window. Σtf² in
+    DECIMAL-free longs: tf ≤ doc tokens ≤ ~10⁴ here, Σtf² < 2^53 for
+    any doc under ~10⁸ tokens (a 100 GB single document) — cast to
+    DECIMAL only beyond that."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.explode(ws_tokens()).alias("term")
+    )
+    tf = d.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    per_doc = tf.groupBy("doc_id").agg(
+        F.sum("tf").alias("n_tokens"),
+        F.count("*").alias("n_types"),
+        F.sum(F.col("tf") * F.col("tf")).alias("sum_tf2"),
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_tokens",
+        "n_types",
+        (F.col("n_types").cast("double") / F.col("n_tokens").cast("double")).alias(
+            "type_token_ratio"
+        ),
+        (
+            F.lit(1.0)
+            - F.col("sum_tf2").cast("double")
+            / (F.col("n_tokens").cast("double") * F.col("n_tokens").cast("double"))
+        ).alias("simpson_diversity"),
+    )
+
+
+DOCS_DIVERSITY_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, unnest({ws_tokens_sql()}) AS term FROM documents
+),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+per_doc AS (
+  SELECT doc_id, SUM(tf) AS n_tokens, COUNT(*) AS n_types,
+         SUM(tf * tf) AS sum_tf2
+  FROM tf GROUP BY 1
+)
+SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(n_types AS BIGINT) AS n_types,
+       CAST(n_types AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS type_token_ratio,
+       CAST(1.0 AS DOUBLE)
+         - CAST(sum_tf2 AS DOUBLE)
+           / (CAST(n_tokens AS DOUBLE) * CAST(n_tokens AS DOUBLE))
+         AS simpson_diversity
+FROM per_doc
+"""
+
+
 QUERIES: dict = {}
 
 QUERIES_TAIL = {
@@ -424,4 +487,5 @@ QUERIES_TAIL = {
     "docs_chunked_context": (docs_chunked_context, _chunked_sql()),
     "docs_chunk_dedup": (docs_chunk_dedup, _chunk_dedup_sql()),
     "docs_rarity_topk": (docs_rarity_topk, DOCS_RARITY_SQL),
+    "docs_token_diversity": (docs_token_diversity, DOCS_DIVERSITY_SQL),
 }

@@ -87,6 +87,7 @@ def _collect() -> dict[str, QuerySpec]:
         skew_queries,
         streaming_queries,
         text_analysis,
+        warehouse,
         wordcount_queries,
     )
 
@@ -132,6 +133,7 @@ def _collect() -> dict[str, QuerySpec]:
         quality,
         retrieval,
         video_decode,
+        warehouse,
     )
 
     def add(name: str, spec: tuple) -> None:
@@ -175,8 +177,9 @@ def _collect() -> dict[str, QuerySpec]:
 # q22_idle_balance_by_segment, q4_late_shipment_priority,
 # q6_forecast_revenue, q7_nation_trade_flows, q8_nation_market_share,
 # supplier_revenue_share, window_order_analytics. Pin those first in
-# r6 (plus anything whose plan/oracle changes), then fill with
-# r4-last-green names.
+# r6 (plus anything whose plan/oracle changes), together with the
+# never-driver-gated r5 additions custkey_overlap_kmv and
+# docs_token_diversity, then fill with r4-last-green names.
 GATE_FRONT: tuple[str, ...] = (
     # r05: new real-decode queries — first driver rows
     "bmp_decode_stats",
@@ -219,6 +222,12 @@ GATE_FRONT: tuple[str, ...] = (
     "orders_price_histogram",
     "docs_chunk_dedup",
     "tiff_frame_sample",
+    # r05 fourth batch: warehouse/affinity operators — first driver rows
+    # (custkey_overlap_kmv and docs_token_diversity didn't fit the 50-cap;
+    # they head the r6 rotation list above)
+    "orders_scd2_history",
+    "copurchase_part_pairs",
+    "triangle_count_copurchase",
     # r05 rotation (VERDICT r4 "What's wrong" #2): these last saw a
     # driver row in r02 — two testdata regenerations ago; the builder's
     # local sf0.1 sweeps cover them but the driver gate is the hard

@@ -134,6 +134,8 @@ _BNL_ALLOWED = {
     "docs_rarity_topk",  # same scalar shape: 1-row doc count N
     "orders_bloom_prune",  # same scalar shape: 1-row count × count summary
     "orders_price_histogram",  # same scalar shape: 1-row total for shares
+    "triangle_count_copurchase",  # scalar shape: 1-row stat × 1-row stat summary
+    "custkey_overlap_kmv",  # scalar shape: 1-row sketch stats × 1-row exacts
 }
 
 
