@@ -292,6 +292,14 @@ def triangle_count_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("part_a").alias("pa"), F.col("part_b").alias("pb"))
         .localCheckpoint()  # reused: degrees, orientation, wedge close
     )
+    return triangle_summary(edges)
+
+
+def triangle_summary(edges: DataFrame) -> DataFrame:
+    """Degree-oriented triangle statistics over an undirected edge set
+    (columns ``pa < pb``, one row per distinct edge) — the graph core
+    of ``triangle_count_copurchase``, factored out so property tests
+    can drive it with planted cliques/cycles of known triangle count."""
     deg = (
         edges.select(F.col("pa").alias("node"))
         .unionAll(edges.select(F.col("pb").alias("node")))
@@ -452,7 +460,12 @@ def custkey_overlap_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(set_a.agg(F.countDistinct("o_custkey").alias("exact_a")))
         .crossJoin(set_b.agg(F.countDistinct("o_custkey").alias("exact_b")))
     )
-    est_union = (
+    # degenerate guard (the users_kmv_by_type short-circuit): when the
+    # union carries fewer than K distinct values the sketch IS the set
+    # — (K−1)·p/kth would wildly underestimate, the exact size is free
+    est_union = F.when(
+        F.col("k_used") < OVERLAP_K, F.col("k_used").cast("double")
+    ).otherwise(
         F.lit(float(OVERLAP_K - 1))
         * F.lit(float(MERSENNE_P))
         / F.col("kth").cast("double")
@@ -508,16 +521,19 @@ exact AS (
          (SELECT COUNT(*) FROM set_b) AS exact_b,
          (SELECT COUNT(*) FROM set_a JOIN set_b USING (o_custkey))
            AS exact_inter
+),
+est AS (
+  SELECT (CAST(n_common AS DOUBLE) / CAST(k_used AS DOUBLE))
+           * (CASE WHEN k_used < {OVERLAP_K} THEN CAST(k_used AS DOUBLE)
+                   ELSE CAST({OVERLAP_K - 1} AS DOUBLE)
+                        * CAST({MERSENNE_P} AS DOUBLE) / CAST(kth AS DOUBLE)
+              END) AS est_inter
+  FROM common
 )
-SELECT exact_a, exact_b, exact_inter,
-       (CAST(n_common AS DOUBLE) / CAST(k_used AS DOUBLE))
-         * (CAST({OVERLAP_K - 1} AS DOUBLE) * CAST({MERSENNE_P} AS DOUBLE)
-            / CAST(kth AS DOUBLE)) AS est_inter,
-       ABS((CAST(n_common AS DOUBLE) / CAST(k_used AS DOUBLE))
-           * (CAST({OVERLAP_K - 1} AS DOUBLE) * CAST({MERSENNE_P} AS DOUBLE)
-              / CAST(kth AS DOUBLE)) - CAST(exact_inter AS DOUBLE))
+SELECT exact_a, exact_b, exact_inter, est_inter,
+       ABS(est_inter - CAST(exact_inter AS DOUBLE))
          / CAST(exact_inter AS DOUBLE) AS rel_error
-FROM exact CROSS JOIN common
+FROM exact CROSS JOIN est
 """
 
 
