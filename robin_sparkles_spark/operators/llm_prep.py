@@ -478,6 +478,75 @@ FROM per_doc
 """
 
 
+SPLIT_HASH_IDX = 19  # affine family index (disjoint from sketch uses)
+SPLIT_TRAIN_PCT = 90
+SPLIT_VAL_PCT = 95  # val = [90, 95), test = [95, 100)
+
+
+def docs_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-based train/val/test split, stratification
+    REPORTED per source: every doc's split is a pure function of its
+    id (affine hash mod 100 → 90/5/5), so the assignment is identical
+    on every rerun, every engine, and every cluster size — the
+    property a training pipeline needs so that adding data never
+    reshuffles old docs across splits (a random split with a seed is
+    only stable within one engine's RNG).
+
+    Plan: map-only split projection, then one (source, split)
+    aggregation with doc and token counts plus each split's share of
+    its source. Output |sources|×3 rows."""
+    a, b = affine_params(SPLIT_HASH_IDX)
+    bucket = (F.col("doc_id") * F.lit(a) + F.lit(b)) % F.lit(MERSENNE_P) % 100
+    split = (
+        F.when(bucket < SPLIT_TRAIN_PCT, "train")
+        .when(bucket < SPLIT_VAL_PCT, "val")
+        .otherwise("test")
+    )
+    d = load_table(spark, sf_dir, "documents").select(
+        "source", split.alias("split"), _n_words().alias("n_tokens")
+    )
+    per = d.groupBy("source", "split").agg(
+        F.count("*").alias("n_docs"), F.sum("n_tokens").alias("n_tokens")
+    )
+    w = W.partitionBy("source")
+    return per.select(
+        "source",
+        "split",
+        "n_docs",
+        "n_tokens",
+        (
+            F.col("n_docs").cast("double")
+            / F.sum("n_docs").over(w).cast("double")
+        ).alias("share_of_source"),
+    )
+
+
+def _split_assign_sql() -> str:
+    a, b = affine_params(SPLIT_HASH_IDX)
+    return f"""
+WITH tagged AS (
+  SELECT source,
+         CASE WHEN (doc_id * {a} + {b}) % {MERSENNE_P} % 100 < {SPLIT_TRAIN_PCT}
+                THEN 'train'
+              WHEN (doc_id * {a} + {b}) % {MERSENNE_P} % 100 < {SPLIT_VAL_PCT}
+                THEN 'val'
+              ELSE 'test' END AS split,
+         len({ws_tokens_sql()}) AS n_tokens
+  FROM documents
+),
+per AS (
+  SELECT source, split, COUNT(*) AS n_docs,
+         CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
+  FROM tagged GROUP BY 1, 2
+)
+SELECT source, split, n_docs, n_tokens,
+       CAST(n_docs AS DOUBLE)
+         / CAST(SUM(n_docs) OVER (PARTITION BY source) AS DOUBLE)
+         AS share_of_source
+FROM per
+"""
+
+
 QUERIES: dict = {}
 
 QUERIES_TAIL = {
@@ -488,4 +557,5 @@ QUERIES_TAIL = {
     "docs_chunk_dedup": (docs_chunk_dedup, _chunk_dedup_sql()),
     "docs_rarity_topk": (docs_rarity_topk, DOCS_RARITY_SQL),
     "docs_token_diversity": (docs_token_diversity, DOCS_DIVERSITY_SQL),
+    "docs_split_assign": (docs_split_assign, _split_assign_sql()),
 }

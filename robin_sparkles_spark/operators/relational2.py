@@ -192,10 +192,88 @@ ASOF LEFT JOIN e
 """
 
 
+def orders_price_winsorized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized per-priority price profile: order values clamped at
+    their group's exact interpolated p05/p95 (the robust-statistics
+    move a pipeline applies before any mean-based quality score, so a
+    handful of mega-orders can't drag the average). Reports the
+    clamp counts next to raw vs winsorized means.
+
+    Plan: one groupBy computes the p05/p95 fences (same
+    `percentile`/`quantile_cont` parity as orders_price_quantiles),
+    broadcast back onto the scan (the fence table is |groups| rows),
+    clamp map-side, one final aggregation. Means go through
+    DECIMAL(38,4) partial sums — double accumulation order differs
+    across partitions/engines. Scale 4, not more: what bounds the
+    scale is the FINAL decimal→double conversion — at scale 10 the
+    unscaled sum crosses 2^53 already at sf0.1 and DuckDB's
+    int128/10^N path double-rounds (measured 1-ulp divergence on
+    mean_raw); scale 4 stays 2^53-safe past 10⁹ rows/group, and the
+    1e-4 quantization of each addend is identical in both engines
+    (a double never lands on an exact .00005 boundary)."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderpriority", "o_totalprice"
+    )
+    fences = o.groupBy("o_orderpriority").agg(
+        F.expr("percentile(o_totalprice, 0.05)").alias("p05"),
+        F.expr("percentile(o_totalprice, 0.95)").alias("p95"),
+    )
+    clamped = o.join(F.broadcast(fences), "o_orderpriority").select(
+        "o_orderpriority",
+        "o_totalprice",
+        "p05",
+        "p95",
+        F.least(F.greatest(F.col("o_totalprice"), F.col("p05")), F.col("p95"))
+        .alias("w"),
+    )
+    return clamped.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_orders"),
+        F.sum(F.when(F.col("o_totalprice") < F.col("p05"), 1).otherwise(0))
+        .alias("n_clamped_low"),
+        F.sum(F.when(F.col("o_totalprice") > F.col("p95"), 1).otherwise(0))
+        .alias("n_clamped_high"),
+        (
+            F.sum(F.col("o_totalprice").cast("decimal(38,4)")).cast("double")
+            / F.count("*").cast("double")
+        ).alias("mean_raw"),
+        (
+            F.sum(F.col("w").cast("decimal(38,4)")).cast("double")
+            / F.count("*").cast("double")
+        ).alias("mean_winsorized"),
+    )
+
+
+ORDERS_WINSORIZED_SQL = """
+WITH fences AS (
+  SELECT o_orderpriority,
+         quantile_cont(o_totalprice, 0.05) AS p05,
+         quantile_cont(o_totalprice, 0.95) AS p95
+  FROM orders GROUP BY 1
+),
+clamped AS (
+  SELECT o.o_orderpriority, o.o_totalprice, f.p05, f.p95,
+         LEAST(GREATEST(o.o_totalprice, f.p05), f.p95) AS w
+  FROM orders o JOIN fences f USING (o_orderpriority)
+)
+SELECT o_orderpriority,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CASE WHEN o_totalprice < p05 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_clamped_low,
+       CAST(SUM(CASE WHEN o_totalprice > p95 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_clamped_high,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(38,4))) AS DOUBLE)
+         / CAST(COUNT(*) AS DOUBLE) AS mean_raw,
+       CAST(SUM(CAST(w AS DECIMAL(38,4))) AS DOUBLE)
+         / CAST(COUNT(*) AS DOUBLE) AS mean_winsorized
+FROM clamped GROUP BY 1
+"""
+
+
 QUERIES = {
     "orders_pivot_status": (orders_pivot_status, ORDERS_PIVOT_SQL),
     "lineitem_unpivot_charges": (lineitem_unpivot_charges, LINEITEM_UNPIVOT_SQL),
     "orders_grouping_sets": (orders_grouping_sets, ORDERS_GROUPING_SETS_SQL),
     "orders_price_quantiles": (orders_price_quantiles, ORDERS_QUANTILES_SQL),
     "orders_asof_last_event": (orders_asof_last_event, ORDERS_ASOF_SQL),
+    "orders_price_winsorized": (orders_price_winsorized, ORDERS_WINSORIZED_SQL),
 }

@@ -87,6 +87,7 @@ def _collect() -> dict[str, QuerySpec]:
         skew_queries,
         streaming_queries,
         text_analysis,
+        timeseries,
         warehouse,
         wordcount_queries,
     )
@@ -134,6 +135,7 @@ def _collect() -> dict[str, QuerySpec]:
         retrieval,
         video_decode,
         warehouse,
+        timeseries,
     )
 
     def add(name: str, spec: tuple) -> None:
@@ -178,8 +180,9 @@ def _collect() -> dict[str, QuerySpec]:
 # q6_forecast_revenue, q7_nation_trade_flows, q8_nation_market_share,
 # supplier_revenue_share, window_order_analytics. Pin those first in
 # r6 (plus anything whose plan/oracle changes), together with the
-# never-driver-gated r5 additions custkey_overlap_kmv and
-# docs_token_diversity, then fill with r4-last-green names.
+# never-driver-gated r5 additions custkey_overlap_kmv,
+# docs_token_diversity, events_ewma_value, docs_split_assign, and
+# orders_price_winsorized, then fill with r4-last-green names.
 GATE_FRONT: tuple[str, ...] = (
     # r05: new real-decode queries — first driver rows
     "bmp_decode_stats",
