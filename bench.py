@@ -175,11 +175,25 @@ def main() -> None:
         "first_pass_value": round(sum(passes[0].values()), 4),
         "sf": _parse_sf(sf_dir),
     }
+    # Shared model/corpus staging (k-means fit + planted-dup corpus),
+    # timed SEPARATELY: three queries (kmeans_assign / ann_ivf_topk /
+    # semdedup_dropped) share one memoized fit, so charging it to
+    # whichever runs first misattributes ~15 s of one-time staging as
+    # that query's per-run cost (r5: semdedup_dropped read as 18 s when
+    # its steady-state scan is ~5 s).
+    t0 = time.perf_counter()
+    from robin_sparkles_spark.operators.clustering import kmeans_fit
+    from robin_sparkles_spark.operators.embedding_dedup import build_neardup_corpus
+
+    kmeans_fit(spark, sf_dir)
+    build_neardup_corpus(spark, sf_dir)
+    staging_sec = round(time.perf_counter() - t0, 4)
     # r5 extended set: single pass (new queries have no prior rounds to
     # compare against; medians matter once a comparison base exists)
     ext = _run_set(spark, specs, sf_dir, EXTENDED_R5)
     payload["extended_r5"] = {
         "value": round(sum(ext.values()), 4),
+        "model_staging_sec": staging_sec,
         "queries": ext,
     }
     if scale_dir and os.path.isdir(scale_dir) and scale_dir != sf_dir:

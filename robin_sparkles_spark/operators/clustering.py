@@ -72,7 +72,13 @@ def _assign_expr(centroids: list[list[float]]) -> F.Column:
 _FIT_CACHE: dict[tuple, list[list[float]]] = {}
 
 
-def kmeans_fit(spark: SparkSession, sf_dir: str, k: int = K_CLUSTERS, n_iter: int = N_ITER) -> list[list[float]]:
+def kmeans_fit(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = K_CLUSTERS,
+    n_iter: int = N_ITER,
+    disable_codegen: bool = True,
+) -> list[list[float]]:
     """Lloyd's iterations; returns the final centroids (driver-side
     k × dim list). Init: the first k vectors by vec_id (deterministic,
     no RNG). Memoized per (sf_dir, k, n_iter): both declared queries
@@ -81,30 +87,50 @@ def kmeans_fit(spark: SparkSession, sf_dir: str, k: int = K_CLUSTERS, n_iter: in
     key = (sf_dir, k, n_iter)
     if key in _FIT_CACHE:
         return _FIT_CACHE[key]
-    vecs = _vectors(spark, sf_dir)
+    # materialize the cast vectors once: every iteration (and the init
+    # collect) reuses the persisted partitions instead of re-scanning
+    # parquet + re-casting
+    vecs = _vectors(spark, sf_dir).localCheckpoint()
     dim = len(vecs.first().v)
     centroids = [r.v for r in vecs.orderBy("vec_id").limit(k).collect()]
-    for _ in range(n_iter):
-        assigned = vecs.withColumn("cluster", _assign_expr(centroids))
-        # DECIMAL partial sums: double addition is order-dependent, and
-        # Spark's merge order varies with partitioning/task completion —
-        # exact decimal accumulation makes the fit bit-reproducible
-        # across processes, which the centroid-literal oracles require.
-        sums = assigned.groupBy("cluster").agg(
-            F.count("*").alias("n"),
-            *[
-                F.sum(F.element_at(F.col("v"), i + 1).cast("decimal(38,18)")).alias(
-                    f"s{i}"
-                )
-                for i in range(dim)
-            ],
-        )
-        new_centroids = list(centroids)
-        for row in sums.collect():
-            new_centroids[row.cluster] = [
-                float(row[f"s{i}"]) / row.n for i in range(dim)
-            ]
-        centroids = new_centroids
+    # Codegen OFF for the fit only: each iteration's centroid literals
+    # are NEW, so whole-stage codegen recompiles the k×dim argmin +
+    # 64-column decimal aggregate every iteration and the JIT cost can
+    # never amortize (measured 2×: ~5.6 s → ~2 s per iteration at
+    # sf0.1). The interpreter evaluates the SAME expression tree —
+    # bit-identical results (pinned by test_kmeans_fit_codegen_parity).
+    # Declared queries (assign/IVF/SemDeDup) keep codegen: their
+    # expression is compiled once and streams the whole corpus.
+    # (disable_codegen=False exists only for the parity test pinning
+    # that both execution modes produce the same bits)
+    prev_codegen = spark.conf.get("spark.sql.codegen.wholeStage", "true")
+    if disable_codegen:
+        spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    try:
+        for _ in range(n_iter):
+            assigned = vecs.withColumn("cluster", _assign_expr(centroids))
+            # DECIMAL partial sums: double addition is order-dependent,
+            # and Spark's merge order varies with partitioning/task
+            # completion — exact decimal accumulation makes the fit
+            # bit-reproducible across processes, which the
+            # centroid-literal oracles require.
+            sums = assigned.groupBy("cluster").agg(
+                F.count("*").alias("n"),
+                *[
+                    F.sum(
+                        F.element_at(F.col("v"), i + 1).cast("decimal(38,18)")
+                    ).alias(f"s{i}")
+                    for i in range(dim)
+                ],
+            )
+            new_centroids = list(centroids)
+            for row in sums.collect():
+                new_centroids[row.cluster] = [
+                    float(row[f"s{i}"]) / row.n for i in range(dim)
+                ]
+            centroids = new_centroids
+    finally:
+        spark.conf.set("spark.sql.codegen.wholeStage", prev_codegen)
     _FIT_CACHE[key] = centroids
     return centroids
 

@@ -54,6 +54,23 @@ def test_kmeans_fit_reproducible_across_cache_clears(spark, sf_dir):
     assert c1 == c2
 
 
+def test_kmeans_fit_codegen_parity(spark, sf_dir):
+    """The fit runs with whole-stage codegen disabled (per-iteration
+    centroid literals make JIT cost unamortizable); the interpreter
+    and the generated code must evaluate the same expression tree to
+    the same bits, or the centroid-literal oracles would depend on an
+    execution mode. Pinned by refitting with codegen left ON."""
+    c_off = clustering.kmeans_fit(spark, sf_dir)
+    clustering._FIT_CACHE.clear()
+    try:
+        c_on = clustering.kmeans_fit(spark, sf_dir, disable_codegen=False)
+    finally:
+        # repopulate the memo with the canonical entry for later tests
+        clustering._FIT_CACHE.clear()
+        clustering.kmeans_fit(spark, sf_dir)
+    assert c_off == c_on
+
+
 def test_kmeans_assign_complete_and_valid(spark, sf_dir):
     df = clustering.kmeans_assign(spark, sf_dir)
     rows = df.collect()
