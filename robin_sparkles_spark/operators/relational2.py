@@ -202,15 +202,18 @@ def orders_price_winsorized(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan: one groupBy computes the p05/p95 fences (same
     `percentile`/`quantile_cont` parity as orders_price_quantiles),
     broadcast back onto the scan (the fence table is |groups| rows),
-    clamp map-side, one final aggregation. Means go through
-    DECIMAL(38,4) partial sums — double accumulation order differs
-    across partitions/engines. Scale 4, not more: what bounds the
-    scale is the FINAL decimal→double conversion — at scale 10 the
-    unscaled sum crosses 2^53 already at sf0.1 and DuckDB's
-    int128/10^N path double-rounds (measured 1-ulp divergence on
-    mean_raw); scale 4 stays 2^53-safe past 10⁹ rows/group, and the
-    1e-4 quantization of each addend is identical in both engines
-    (a double never lands on an exact .00005 boundary)."""
+    clamp map-side, one final aggregation. Sums go through exact
+    DECIMAL(18,2) partials (double accumulation order differs across
+    partitions/engines); the winsorized mean DECOMPOSES into
+    sum(unclamped) + n_low·p05 + n_high·p95 so no full-mantissa
+    double is ever cast to a fractional decimal — that cast is not
+    cross-engine stable (Java rounds the exact binary expansion,
+    DuckDB rounds a scaled double; divergence measured in
+    operators/stats.py), and an earlier draft that summed the clamped
+    column at DECIMAL(38,10) also hit the 2^53 decimal→double
+    double-rounding at sf0.1. The 2-decimal source prices cast
+    exactly at scale 2; the fence multiplies are one rounding each in
+    a fixed order."""
     o = load_table(spark, sf_dir, "orders").select(
         "o_orderpriority", "o_totalprice"
     )
@@ -218,27 +221,50 @@ def orders_price_winsorized(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("percentile(o_totalprice, 0.05)").alias("p05"),
         F.expr("percentile(o_totalprice, 0.95)").alias("p95"),
     )
-    clamped = o.join(F.broadcast(fences), "o_orderpriority").select(
-        "o_orderpriority",
-        "o_totalprice",
-        "p05",
-        "p95",
-        F.least(F.greatest(F.col("o_totalprice"), F.col("p05")), F.col("p95"))
-        .alias("w"),
-    )
-    return clamped.groupBy("o_orderpriority").agg(
+    clamped = o.join(F.broadcast(fences), "o_orderpriority")
+    # The winsorized sum never casts a full-mantissa double to a
+    # fractional decimal (the cross-engine cast hazard measured in
+    # operators/stats.py): clamped rows take exactly TWO distinct
+    # values per group (the fences), so the mean decomposes into the
+    # exact-decimal sum of the UNclamped 2-decimal prices plus
+    # count × fence — two double multiplies in a fixed order.
+    agg = clamped.groupBy("o_orderpriority").agg(
         F.count("*").alias("n_orders"),
         F.sum(F.when(F.col("o_totalprice") < F.col("p05"), 1).otherwise(0))
         .alias("n_clamped_low"),
         F.sum(F.when(F.col("o_totalprice") > F.col("p95"), 1).otherwise(0))
         .alias("n_clamped_high"),
         (
-            F.sum(F.col("o_totalprice").cast("decimal(38,4)")).cast("double")
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double")
             / F.count("*").cast("double")
         ).alias("mean_raw"),
+        F.sum(
+            F.when(
+                (F.col("o_totalprice") >= F.col("p05"))
+                & (F.col("o_totalprice") <= F.col("p95")),
+                F.col("o_totalprice"),
+            )
+            .otherwise(F.lit(0.0))
+            .cast("decimal(18,2)")
+        )
+        .cast("double")
+        .alias("sum_unclamped"),
+        F.first("p05").alias("p05"),
+        F.first("p95").alias("p95"),
+    )
+    return agg.select(
+        "o_orderpriority",
+        "n_orders",
+        "n_clamped_low",
+        "n_clamped_high",
+        "mean_raw",
         (
-            F.sum(F.col("w").cast("decimal(38,4)")).cast("double")
-            / F.count("*").cast("double")
+            (
+                F.col("sum_unclamped")
+                + F.col("n_clamped_low").cast("double") * F.col("p05")
+                + F.col("n_clamped_high").cast("double") * F.col("p95")
+            )
+            / F.col("n_orders").cast("double")
         ).alias("mean_winsorized"),
     )
 
@@ -250,22 +276,30 @@ WITH fences AS (
          quantile_cont(o_totalprice, 0.95) AS p95
   FROM orders GROUP BY 1
 ),
-clamped AS (
-  SELECT o.o_orderpriority, o.o_totalprice, f.p05, f.p95,
-         LEAST(GREATEST(o.o_totalprice, f.p05), f.p95) AS w
+agg AS (
+  SELECT o.o_orderpriority,
+         COUNT(*) AS n_orders,
+         CAST(SUM(CASE WHEN o.o_totalprice < f.p05 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_clamped_low,
+         CAST(SUM(CASE WHEN o.o_totalprice > f.p95 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_clamped_high,
+         CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+           / CAST(COUNT(*) AS DOUBLE) AS mean_raw,
+         CAST(SUM(CAST(CASE WHEN o.o_totalprice >= f.p05
+                             AND o.o_totalprice <= f.p95
+                            THEN o.o_totalprice ELSE 0.0 END
+                       AS DECIMAL(18,2))) AS DOUBLE) AS sum_unclamped,
+         MAX(f.p05) AS p05,
+         MAX(f.p95) AS p95
   FROM orders o JOIN fences f USING (o_orderpriority)
+  GROUP BY 1
 )
-SELECT o_orderpriority,
-       COUNT(*) AS n_orders,
-       CAST(SUM(CASE WHEN o_totalprice < p05 THEN 1 ELSE 0 END) AS BIGINT)
-         AS n_clamped_low,
-       CAST(SUM(CASE WHEN o_totalprice > p95 THEN 1 ELSE 0 END) AS BIGINT)
-         AS n_clamped_high,
-       CAST(SUM(CAST(o_totalprice AS DECIMAL(38,4))) AS DOUBLE)
-         / CAST(COUNT(*) AS DOUBLE) AS mean_raw,
-       CAST(SUM(CAST(w AS DECIMAL(38,4))) AS DOUBLE)
-         / CAST(COUNT(*) AS DOUBLE) AS mean_winsorized
-FROM clamped GROUP BY 1
+SELECT o_orderpriority, n_orders, n_clamped_low, n_clamped_high, mean_raw,
+       (sum_unclamped
+        + CAST(n_clamped_low AS DOUBLE) * p05
+        + CAST(n_clamped_high AS DOUBLE) * p95)
+         / CAST(n_orders AS DOUBLE) AS mean_winsorized
+FROM agg
 """
 
 

@@ -85,6 +85,7 @@ def _collect() -> dict[str, QuerySpec]:
         llm_prep,
         similarity,
         skew_queries,
+        stats,
         streaming_queries,
         text_analysis,
         timeseries,
@@ -136,6 +137,7 @@ def _collect() -> dict[str, QuerySpec]:
         video_decode,
         warehouse,
         timeseries,
+        stats,
     )
 
     def add(name: str, spec: tuple) -> None:
@@ -181,8 +183,9 @@ def _collect() -> dict[str, QuerySpec]:
 # supplier_revenue_share, window_order_analytics. Pin those first in
 # r6 (plus anything whose plan/oracle changes), together with the
 # never-driver-gated r5 additions custkey_overlap_kmv,
-# docs_token_diversity, events_ewma_value, docs_split_assign, and
-# orders_price_winsorized, then fill with r4-last-green names.
+# docs_token_diversity, events_ewma_value, docs_split_assign,
+# orders_price_winsorized, and lineitem_qty_price_ols, then fill with
+# r4-last-green names.
 GATE_FRONT: tuple[str, ...] = (
     # r05: new real-decode queries — first driver rows
     "bmp_decode_stats",
