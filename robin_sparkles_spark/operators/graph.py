@@ -9,13 +9,17 @@ Exact-oracle design (the k-means lesson applied statically): the
 iteration count is FIXED ({N_PAGERANK_ITER}), so the oracle unrolls
 the iterations as chained CTEs — no fit-then-inline needed. Cross-
 engine determinism: each neighbor contribution rank/outdeg is one
-double division (deterministic); contributions accumulate in exact
-DECIMAL(38,12) — order-independent, so Spark's partitioned sum and
-DuckDB's serial sum agree bit-for-bit, and scale 12 keeps every
-unscaled value below 2^53 so the final decimal→double conversion is
-a single correctly-rounded step in BOTH engines (scale 18 measurably
-diverged by 1 ULP: DuckDB's int128/10^18 path double-rounds); the damping update
-(1−d)/N + d·Σ is the same double-op sequence in both engines.
+double division (deterministic); contributions accumulate via
+``functions.qsum`` (floor at 2^-40 — exact power-of-two scaling +
+floor — then an order-independent DECIMAL(38,0) integer sum; the
+scaled per-node sum stays ≤ 2^40 so the final decimal→double
+conversion is one correctly-rounded step in BOTH engines). History:
+a raw double sum is merge-order-dependent; DECIMAL(38,18) hit the
+2^53 conversion double-rounding; DECIMAL(38,12) survived but casts
+a full-mantissa double to a fractional decimal, which is itself
+engine-divergent at ~ulp probability per term (measured —
+functions.qsum docstring); the damping update (1−d)/N + d·Σ is the
+same double-op sequence in both engines.
 
 Scale: ranks and edges stay distributed; each iteration shuffles
 contributions by destination node (pre-partitioning both by node id
@@ -29,6 +33,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
+from ..functions.qsum import qsum, qsum_sql
 from ..sources import load_table
 
 N_PAGERANK_ITER = 3
@@ -70,13 +75,19 @@ def pagerank_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
             .join(edges, "src")
             .select(
                 F.col("dst").alias("node"),
-                (F.col("rank") / F.col("deg")).cast("decimal(38,12)").alias("c"),
+                (F.col("rank") / F.col("deg")).alias("c"),
             )
         )
         # every node has in-edges here (undirected expansion), so the
-        # aggregate covers the full node set — no dangling-mass term
+        # aggregate covers the full node set — no dangling-mass term.
+        # Contributions accumulate via qsum (floor at 2^-40, exact
+        # decimal sum): an earlier DECIMAL(38,12) cast of the raw
+        # division was exposed to the cross-engine fractional-cast
+        # divergence (functions.qsum docstring); bits=40 keeps the
+        # quantization at the old 1e-12 grain and the scaled per-node
+        # sum ≤ 2^40 (total rank mass ≤ 1).
         ranks = contrib.groupBy("node").agg(
-            (F.lit(base) + F.lit(DAMPING) * F.sum("c").cast("double")).alias("rank")
+            (F.lit(base) + F.lit(DAMPING) * qsum(F.col("c"), 40)).alias("rank")
         )
     w = W.orderBy(F.desc("rank"), F.asc("node"))
     return (
@@ -100,7 +111,7 @@ def _iter_cte(i: int) -> str:
     return f"""r{i} AS (
   SELECT e.dst AS node,
          base.b + CAST({DAMPING} AS DOUBLE)
-                  * CAST(SUM(CAST(p.rank / d.deg AS DECIMAL(38,12))) AS DOUBLE) AS rank
+                  * ({qsum_sql('p.rank / d.deg', 40)}) AS rank
   FROM r{i - 1} p
   JOIN deg d ON p.node = d.src
   JOIN edges e ON p.node = e.src

@@ -15,6 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
 from ..functions.hashing import MERSENNE_P, affine_params
+from ..functions.qsum import qsum, qsum_sql
 from ..functions.text import ws_tokens, ws_tokens_sql
 from ..sources import load_table
 
@@ -42,15 +43,16 @@ def source_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_src = d.groupBy("source").agg(
         F.count("*").alias("n_docs"), F.sum("n_words").alias("tokens")
     )
-    # sqrt terms are doubles, so their SUM must ride a fixed-scale
-    # decimal (order-independent) — a raw double sum diverged 1 ulp
-    # between engines on the first full-gate run. Scale 10 keeps the
-    # unscaled sum < 2^53 far beyond any fixture SF.
+    # sqrt terms are doubles, so their SUM must ride an exact
+    # order-independent accumulator — a raw double sum diverged 1 ulp
+    # between engines on the first full-gate run, and the fractional
+    # decimal cast an earlier draft used is itself engine-divergent on
+    # full-mantissa values (functions.qsum module docstring). bits=24:
+    # quantization 6e-8 per source, headroom to ~10⁴ sources × 10⁶
+    # tokens each.
     tot = per_src.agg(
         F.sum("tokens").cast("double").alias("total_tokens"),
-        F.sum(F.sqrt(F.col("tokens").cast("double")).cast("decimal(38,10)"))
-        .cast("double")
-        .alias("sum_sqrt"),
+        qsum(F.sqrt(F.col("tokens").cast("double")), 24).alias("sum_sqrt"),
     )
     share = F.col("tokens").cast("double") / F.col("total_tokens")
     weight = F.sqrt(F.col("tokens").cast("double")) / F.col("sum_sqrt")
@@ -74,7 +76,7 @@ WITH per_src AS (
 ),
 tot AS (
   SELECT CAST(SUM(tokens) AS DOUBLE) AS total_tokens,
-         CAST(SUM(CAST(sqrt(CAST(tokens AS DOUBLE)) AS DECIMAL(38,10))) AS DOUBLE) AS sum_sqrt
+         {qsum_sql('sqrt(CAST(tokens AS DOUBLE))', 24)} AS sum_sqrt
   FROM per_src
 )
 SELECT p.source, p.n_docs, p.tokens,

@@ -5,6 +5,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from ..functions.qsum import qsum, qsum_sql
 from ..sources import load_table
 from .relational import _ddsum_sql
 
@@ -64,12 +65,15 @@ def embedding_array_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_vecs"),
             F.max("dim").cast("long").alias("dim"),
             F.max("abs_max").alias("max_abs_element"),
-            F.sum(F.col("first_dim").cast("decimal(18,9)")).cast("double").alias("sum_first_dim"),
+            # qsum, not a fractional decimal cast: first_dim is a
+            # full-mantissa double and the double->decimal cast is
+            # engine-divergent on those (functions.qsum docstring)
+            qsum(F.col("first_dim"), 30).alias("sum_first_dim"),
         )
     )
 
 
-EMBEDDING_ARRAY_STATS_SQL = """
+EMBEDDING_ARRAY_STATS_SQL = f"""
 WITH per_vec AS (
   SELECT label,
          len(embedding) AS dim,
@@ -81,7 +85,7 @@ SELECT label,
        COUNT(*) AS n_vecs,
        CAST(MAX(dim) AS BIGINT) AS dim,
        MAX(abs_max) AS max_abs_element,
-       CAST(SUM(CAST(first_dim AS DECIMAL(18,9))) AS DOUBLE) AS sum_first_dim
+       {qsum_sql('first_dim', 30)} AS sum_first_dim
 FROM per_vec
 GROUP BY label
 """

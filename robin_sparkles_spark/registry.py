@@ -184,8 +184,12 @@ def _collect() -> dict[str, QuerySpec]:
 # r6 (plus anything whose plan/oracle changes), together with the
 # never-driver-gated r5 additions custkey_overlap_kmv,
 # docs_token_diversity, events_ewma_value, docs_split_assign,
-# orders_price_winsorized, and lineitem_qty_price_ols, then fill with
-# r4-last-green names.
+# orders_price_winsorized, and lineitem_qty_price_ols, plus
+# pagerank_trade_graph (its contribution accumulator moved from a
+# DECIMAL(38,12) cast to functions.qsum late in r5 — plan+oracle
+# changed after its last driver row), then fill with r4-last-green
+# names. embedding_array_stats (same qsum change) is already in the
+# stale-r03 list above.
 GATE_FRONT: tuple[str, ...] = (
     # r05: new real-decode queries — first driver rows
     "bmp_decode_stats",
