@@ -122,17 +122,22 @@ def _iter_cte(i: int) -> str:
 
 _ITER_CTES = ",\n".join(_iter_cte(i) for i in range(1, N_PAGERANK_ITER + 1))
 
+# AS MATERIALIZED on the multi-referenced CTEs: DuckDB otherwise
+# INLINES `edges` into every chained iteration CTE, recomputing the
+# distinct lineitem⋈orders join once per reference — measured 143 s →
+# 0.8 s at sf0.1 with bit-identical results. (Spark's side reuses the
+# localCheckpoint'd edges; this is the oracle-side twin of that reuse.)
 PAGERANK_SQL = f"""
-WITH cs AS (
+WITH cs AS MATERIALIZED (
   SELECT DISTINCT o.o_custkey * 2 AS c, l.l_suppkey * 2 + 1 AS s
   FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
 ),
-edges AS (
+edges AS MATERIALIZED (
   SELECT c AS src, s AS dst FROM cs
   UNION ALL
   SELECT s AS src, c AS dst FROM cs
 ),
-deg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src),
+deg AS MATERIALIZED (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src),
 nodes AS (SELECT DISTINCT src AS node FROM edges),
 base AS (
   SELECT (CAST(1.0 AS DOUBLE) - CAST({DAMPING} AS DOUBLE))

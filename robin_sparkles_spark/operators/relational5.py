@@ -305,20 +305,47 @@ def events_rolling_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         + F.when(F.col("event_id") % ANOMALY_SPIKE_MOD == 0, F.lit(ANOMALY_SPIKE))
         .otherwise(F.lit(0.0)),
     )
-    w = (
+    # The trailing-24h sums are computed as the DIFFERENCE of two
+    # GROWING range frames (unbounded-preceding → now, minus
+    # unbounded-preceding → window-start-exclusive) rather than one
+    # bounded frame: Spark evaluates a bounded RANGE frame by
+    # re-summing the whole frame per row — O(rows × frame), measured
+    # 34 s at sf0.1 — while growing frames are incremental, O(rows),
+    # measured ~3 s. The decimal arithmetic is EXACT, so cum_now −
+    # cum_before is bit-identical to the direct frame sum (the oracle
+    # keeps the direct bounded-frame spec, independently checking the
+    # prefix-difference identity). Intermediate cumulative decimals
+    # grow with the partition, not the window — no double conversion
+    # happens until after the subtraction shrinks them back.
+    t = F.col("ts").cast("long")
+    w_now = (
         W.partitionBy("event_type")
-        .orderBy(F.col("ts").cast("long"))
-        .rangeBetween(-ANOMALY_WINDOW_S, 0)
+        .orderBy(t)
+        .rangeBetween(W.unboundedPreceding, 0)
+    )
+    w_before = (
+        W.partitionBy("event_type")
+        .orderBy(t)
+        .rangeBetween(W.unboundedPreceding, -(ANOMALY_WINDOW_S + 1))
     )
     # Scale bound (ADVICE r4): the decimal→double cast stays single-
     # rounding only while the UNSCALED sum < 2^53. With v ≤ ~990 and
     # window counts growing ~linearly in SF (~3.4k events/window at
     # sf1), Σx² ≈ 3.3e9 — at scale 6 the unscaled value is 3.3e15
     # < 2^53 through ~sf2, where scale 8 would overflow at sf1. Σx
-    # (~3.4e6) keeps scale 8 safe to ~sf80.
-    sx = F.sum(F.col("v").cast("decimal(38,8)")).over(w).cast("double")
-    sxx = F.sum((F.col("v") * F.col("v")).cast("decimal(38,6)")).over(w).cast("double")
-    n = F.count("*").over(w)
+    # (~3.4e6) keeps scale 8 safe to ~sf80. (The bound applies to the
+    # post-subtraction WINDOW sum that is cast to double.)
+    zero8 = F.lit(0).cast("decimal(38,8)")
+    zero6 = F.lit(0).cast("decimal(38,6)")
+    vdec = F.col("v").cast("decimal(38,8)")
+    vvdec = (F.col("v") * F.col("v")).cast("decimal(38,6)")
+    sx = (
+        F.sum(vdec).over(w_now) - F.coalesce(F.sum(vdec).over(w_before), zero8)
+    ).cast("double")
+    sxx = (
+        F.sum(vvdec).over(w_now) - F.coalesce(F.sum(vvdec).over(w_before), zero6)
+    ).cast("double")
+    n = F.count("*").over(w_now) - F.count("*").over(w_before)
     mean = sx / n
     var = sxx / n - mean * mean
     std = F.sqrt(var)
