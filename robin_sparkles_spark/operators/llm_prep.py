@@ -549,6 +549,109 @@ FROM per
 """
 
 
+PACK_CAPACITY = 64  # tokens per packed training sequence
+PACK_SHARD_SPAN = 100  # doc_ids per prefix-sum shard
+
+
+def docs_pack_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-split sequence packing — the GPT/T5-style move that
+    turns a corpus of variable-length documents into fixed
+    ``PACK_CAPACITY``-token training sequences with zero padding: per
+    source, documents in doc_id order form one token stream, and pack
+    boundaries fall every CAPACITY tokens, so a document occupies
+    byte-range-style offsets ``[start_tok, start_tok + n_tokens)`` and
+    may straddle a boundary (``n_packs_spanned`` > 1). This is the
+    assignment step downstream of ``docs_chunked_context`` (which
+    splits ONE doc) and ``padding_waste_by_bucket`` (which prices the
+    no-packing alternative).
+
+    The interesting part is the prefix sum. A single
+    ``SUM() OVER (PARTITION BY source ORDER BY doc_id)`` puts an
+    entire source's stream through one window partition — at 100 TB a
+    source IS the corpus, so that single partition is the job. Instead
+    the plan is a two-level distributed prefix sum: doc_ids are cut
+    into ``PACK_SHARD_SPAN``-wide shards, each (source, shard) window
+    computes its intra-shard running sum in parallel, a tiny per-shard
+    total aggregate (rows = #shards, not #docs) is prefix-summed and
+    broadcast back, and start offsets are intra + shard base. Same
+    math as the global window — the oracle below USES the global
+    window form, so the gate proves the decomposition exact — but
+    every heavy operator is partitioned. One narrow shuffle on
+    (source, shard); the offset join is broadcast."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        _n_words().alias("n_tokens"),
+        (F.col("doc_id") / PACK_SHARD_SPAN).cast("long").alias("shard"),
+    )
+    wi = (
+        W.partitionBy("source", "shard")
+        .orderBy("doc_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    intra = d.withColumn(
+        "intra", F.coalesce(F.sum("n_tokens").over(wi), F.lit(0)).cast("long")
+    )
+    ws = (
+        W.partitionBy("source")
+        .orderBy("shard")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    shard_base = (
+        d.groupBy("source", "shard")
+        .agg(F.sum("n_tokens").alias("shard_tokens"))
+        .withColumn(
+            "base", F.coalesce(F.sum("shard_tokens").over(ws), F.lit(0)).cast("long")
+        )
+        .select("source", "shard", "base")
+    )
+    packed = intra.join(F.broadcast(shard_base), ["source", "shard"]).select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        (F.col("base") + F.col("intra")).alias("start_tok"),
+    )
+    first = F.expr(f"start_tok div {PACK_CAPACITY}")
+    last = F.expr(
+        f"(start_tok + greatest(n_tokens, 1) - 1) div {PACK_CAPACITY}"
+    )
+    return packed.select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        "start_tok",
+        first.cast("long").alias("first_pack"),
+        last.cast("long").alias("last_pack"),
+        (last - first + 1).cast("long").alias("n_packs_spanned"),
+    )
+
+
+def _pack_assign_sql() -> str:
+    # the oracle deliberately uses the single global window per source:
+    # proving the two-level shard decomposition equals it IS the check
+    return f"""
+WITH sized AS (
+  SELECT doc_id, source, len({ws_tokens_sql()}) AS n_tokens
+  FROM documents
+),
+streamed AS (
+  SELECT doc_id, source, CAST(n_tokens AS BIGINT) AS n_tokens,
+         CAST(COALESCE(SUM(n_tokens) OVER (
+           PARTITION BY source ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS start_tok
+  FROM sized
+)
+SELECT doc_id, source, n_tokens, start_tok,
+       CAST(start_tok // {PACK_CAPACITY} AS BIGINT) AS first_pack,
+       CAST((start_tok + GREATEST(n_tokens, 1) - 1) // {PACK_CAPACITY} AS BIGINT)
+         AS last_pack,
+       CAST((start_tok + GREATEST(n_tokens, 1) - 1) // {PACK_CAPACITY}
+            - start_tok // {PACK_CAPACITY} + 1 AS BIGINT) AS n_packs_spanned
+FROM streamed
+"""
+
+
 QUERIES: dict = {}
 
 QUERIES_TAIL = {
@@ -560,4 +663,5 @@ QUERIES_TAIL = {
     "docs_rarity_topk": (docs_rarity_topk, DOCS_RARITY_SQL),
     "docs_token_diversity": (docs_token_diversity, DOCS_DIVERSITY_SQL),
     "docs_split_assign": (docs_split_assign, _split_assign_sql()),
+    "docs_pack_assign": (docs_pack_assign, _pack_assign_sql()),
 }

@@ -126,8 +126,77 @@ FROM centered
 """
 
 
+GRAM_DIM = 64  # embedding dimensionality (asserted by the oracle's len())
+GRAM_BITS = 24  # qsum quantization scale for the pair products
+
+
+def embedding_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Gram matrix G = Σᵥ v·vᵀ over the embedding corpus —
+    the one-pass X'X every distributed PCA / covariance / whitening
+    step starts from (d×d fits on the driver; the data never does).
+    Emits the upper triangle as (i, j, gram), d(d+1)/2 = 2080 rows.
+
+    Plan: map-side fan-out of each vector to its 2080 index-pair
+    products — no self-join — then one hash aggregation on (i, j).
+    Partial aggregation means the shuffle carries only
+    (#partitions × 2080) partial sums no matter how many vectors
+    there are, which is the whole trick: at 100 TB the network cost
+    is constant in N. The fan-out is TWO chained `posexplode`
+    generators (row i, then the tail slice from i) rather than a
+    nested `transform` lambda: Catalyst higher-order functions run
+    on the interpreted expression path, while generate + project
+    stay inside whole-stage codegen — measured 4.5× warm at sf0.1
+    (10.4M pair rows: ~1.8–3.4 s interpreted vs 0.4–0.7 s
+    codegen'd), same rows either way. Products are
+    qsum-quantized (exact 2^-24 grid) because a double Σ over a
+    cluster is merge-order-dependent — the same determinism rule as
+    the OLS moments above. A BLAS variant (per-partition numpy X'X
+    via mapInPandas, the `similarity_fast` pattern) is the
+    raw-throughput path; the declared query stays JVM-pure so the
+    oracle can prove it bit-exact."""
+    from ..functions.qsum import qsum
+
+    e = load_table(spark, sf_dir, "embeddings")
+    # p is 0-based: element i = p+1 (1-based), tail slice holds j = i..D
+    ex = e.select("embedding", F.posexplode("embedding").alias("p", "xi"))
+    pairs = ex.select(
+        (F.col("p") + 1).cast("long").alias("i"),
+        F.col("xi").cast("double").alias("x"),
+        F.posexplode(F.expr(f"slice(embedding, p + 1, {GRAM_DIM} - p)")).alias(
+            "q", "xj"
+        ),
+    )
+    return (
+        pairs.select(
+            "i",
+            (F.col("i") + F.col("q")).cast("long").alias("j"),
+            (F.col("x") * F.col("xj").cast("double")).alias("p"),
+        )
+        .groupBy("i", "j")
+        .agg(qsum(F.col("p"), GRAM_BITS).alias("gram"))
+    )
+
+
+def _gram_sql() -> str:
+    from ..functions.qsum import qsum_sql
+
+    return f"""
+WITH idx AS (SELECT unnest(range(1, {GRAM_DIM + 1})) AS i),
+pairs AS (SELECT a.i AS i, b.i AS j FROM idx a JOIN idx b ON b.i >= a.i),
+prods AS (
+  SELECT p.i, p.j,
+         CAST(embedding[p.i] AS DOUBLE) * CAST(embedding[p.j] AS DOUBLE) AS v
+  FROM embeddings CROSS JOIN pairs p
+)
+SELECT CAST(i AS BIGINT) AS i, CAST(j AS BIGINT) AS j,
+       {qsum_sql('v', GRAM_BITS)} AS gram
+FROM prods GROUP BY i, j
+"""
+
+
 QUERIES: dict = {}
 
 QUERIES_TAIL = {
     "lineitem_qty_price_ols": (lineitem_qty_price_ols, LINEITEM_OLS_SQL),
+    "embedding_gram_matrix": (embedding_gram_matrix, _gram_sql()),
 }

@@ -541,6 +541,127 @@ FROM exact CROSS JOIN est
 """
 
 
+# --- snapshot diff ---------------------------------------------------------
+
+# keys % 10: 3 → dropped in snapshot B, 6 → mutated, 0 → cloned as a new
+# key at +DIFF_ADD_OFFSET.  The offset is far above any plausible
+# o_orderkey (TPC-H sf100k tops out ~6e11 < 2^40), so synthesized
+# "added" keys cannot collide with organic ones.
+DIFF_ADD_OFFSET = 1 << 40
+DIFF_PRICE_DELTA = 7.5  # exact double increment for mutated rows
+_DIFF_HASH_IDX = 21  # affine family index (disjoint from other uses)
+
+
+def orders_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot reconciliation between two table versions — the
+    row-level diff a lakehouse "table history" / data-validation pass
+    computes between version N and N+1 (and the third leg of the CDC
+    triad: ``orders_upsert_latest`` compacts a changelog forward,
+    ``orders_scd2_history`` keeps every image, this RECOVERS a
+    changelog from two full snapshots when no CDC feed exists).
+    Snapshot B is derived from base orders deterministically: keys
+    ending in 3 are deleted, keys ending in 6 get a price+status
+    mutation, keys ending in 0 are cloned as brand-new keys at
+    +``DIFF_ADD_OFFSET``. Output: one row per differing key with
+    change_type ∈ {{added, removed, changed}} and both row
+    fingerprints (sentinel -1 for the absent side — nullable BIGINTs
+    break the gate's dtype check, see module docstring).
+
+    The 100 TB move is WHAT shuffles: each side collapses to
+    (key, fingerprint) before the full-outer join — the fingerprint
+    is pure arithmetic over the row's business columns (price cents ×
+    affine + status codepoint, engine-portable), so the diff's
+    shuffle traffic is 16 bytes/row regardless of row width, and
+    unchanged keys (the overwhelming majority between adjacent
+    versions) are dropped immediately after the join. No wide row
+    ever crosses the network."""
+    a, b = affine_params(_DIFF_HASH_IDX)
+
+    def fp(status: F.Column, price: F.Column) -> F.Column:
+        cents = F.round(price * 100).cast("long")
+        return (cents * F.lit(a) + F.lit(b) + F.ascii(status)) % F.lit(MERSENNE_P)
+
+    base = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    snap_a = base.select(
+        "o_orderkey", fp(F.col("o_orderstatus"), F.col("o_totalprice")).alias("fp")
+    )
+    kept = base.where(F.col("o_orderkey") % 10 != 3)
+    mutated = F.col("o_orderkey") % 10 == 6
+    snap_b_rows = kept.select(
+        "o_orderkey",
+        F.when(mutated, F.lit("R")).otherwise(F.col("o_orderstatus")).alias("st"),
+        F.when(mutated, F.col("o_totalprice") + DIFF_PRICE_DELTA)
+        .otherwise(F.col("o_totalprice"))
+        .alias("pr"),
+    ).unionByName(
+        base.where(F.col("o_orderkey") % 10 == 0).select(
+            (F.col("o_orderkey") + DIFF_ADD_OFFSET).alias("o_orderkey"),
+            F.lit("N").alias("st"),
+            F.col("o_totalprice").alias("pr"),
+        )
+    )
+    snap_b = snap_b_rows.select(
+        "o_orderkey", fp(F.col("st"), F.col("pr")).alias("fp")
+    )
+    joined = snap_a.withColumnRenamed("fp", "fp_a").join(
+        snap_b.withColumnRenamed("fp", "fp_b"), "o_orderkey", "full_outer"
+    )
+    return (
+        joined.select(
+            "o_orderkey",
+            F.when(F.col("fp_a").isNull(), "added")
+            .when(F.col("fp_b").isNull(), "removed")
+            .when(F.col("fp_a") != F.col("fp_b"), "changed")
+            .alias("change_type"),
+            F.coalesce("fp_a", F.lit(-1)).cast("long").alias("old_fp"),
+            F.coalesce("fp_b", F.lit(-1)).cast("long").alias("new_fp"),
+        )
+        .where(F.col("change_type").isNotNull())
+    )
+
+
+def _snapshot_diff_sql() -> str:
+    a, b = affine_params(_DIFF_HASH_IDX)
+
+    def fp(status: str, price: str) -> str:
+        return (
+            f"(CAST(ROUND(({price}) * 100) AS BIGINT) * {a} + {b}"
+            f" + ord({status})) % {MERSENNE_P}"
+        )
+
+    return f"""
+WITH snap_a AS (
+  SELECT o_orderkey, {fp('o_orderstatus', 'o_totalprice')} AS fp_a FROM orders
+),
+snap_b_rows AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 10 = 6 THEN 'R' ELSE o_orderstatus END AS st,
+         CASE WHEN o_orderkey % 10 = 6
+              THEN o_totalprice + {DIFF_PRICE_DELTA!r}
+              ELSE o_totalprice END AS pr
+  FROM orders WHERE o_orderkey % 10 != 3
+  UNION ALL
+  SELECT o_orderkey + {DIFF_ADD_OFFSET}, 'N', o_totalprice
+  FROM orders WHERE o_orderkey % 10 = 0
+),
+snap_b AS (SELECT o_orderkey, {fp('st', 'pr')} AS fp_b FROM snap_b_rows),
+diff AS (
+  SELECT COALESCE(a.o_orderkey, b.o_orderkey) AS o_orderkey,
+         CASE WHEN a.o_orderkey IS NULL THEN 'added'
+              WHEN b.o_orderkey IS NULL THEN 'removed'
+              WHEN a.fp_a != b.fp_b THEN 'changed' END AS change_type,
+         COALESCE(a.fp_a, -1) AS old_fp,
+         COALESCE(b.fp_b, -1) AS new_fp
+  FROM snap_a a FULL OUTER JOIN snap_b b ON a.o_orderkey = b.o_orderkey
+)
+SELECT o_orderkey, change_type,
+       CAST(old_fp AS BIGINT) AS old_fp, CAST(new_fp AS BIGINT) AS new_fp
+FROM diff WHERE change_type IS NOT NULL
+"""
+
+
 QUERIES: dict = {}
 
 QUERIES_TAIL = {
@@ -548,4 +669,5 @@ QUERIES_TAIL = {
     "copurchase_part_pairs": (copurchase_part_pairs, COPURCHASE_SQL),
     "triangle_count_copurchase": (triangle_count_copurchase, TRIANGLE_SQL),
     "custkey_overlap_kmv": (custkey_overlap_kmv, _overlap_sql()),
+    "orders_snapshot_diff": (orders_snapshot_diff, _snapshot_diff_sql()),
 }
