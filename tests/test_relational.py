@@ -73,3 +73,35 @@ def test_rollup_grand_total(spark, sf_dir):
     assert len(grand) == 1
     per_year = sum(r.n_orders for r in rows if r.year != "ALL" and r.priority == "ALL")
     assert grand[0].n_orders == per_year
+
+
+def test_pack_assign_streams_are_contiguous(spark, sf_dir):
+    """Packing invariants the oracle's hash can't articulate: within
+    each source the doc_id-ordered offsets tile the token stream with
+    no gap or overlap starting at 0, the last doc's end equals the
+    source's total token count, and spans are consistent with
+    capacity (a doc can straddle at most ceil(n/C)+1 packs)."""
+    from robin_sparkles_spark.operators.llm_prep import (
+        PACK_CAPACITY,
+        docs_pack_assign,
+    )
+
+    rows = docs_pack_assign(spark, sf_dir).collect()
+    by_source: dict = {}
+    for r in rows:
+        by_source.setdefault(r.source, []).append(r)
+    assert by_source
+    for source, docs in by_source.items():
+        docs.sort(key=lambda r: r.doc_id)
+        expect = 0
+        for r in docs:
+            assert r.start_tok == expect, (source, r.doc_id)
+            expect += r.n_tokens
+            assert r.first_pack == r.start_tok // PACK_CAPACITY
+            # a doc of n tokens covers at most ceil(n/C) packs plus one
+            # extra when its start is unaligned: (n-1)//C + 2
+            assert (
+                r.n_packs_spanned
+                <= (max(r.n_tokens, 1) - 1) // PACK_CAPACITY + 2
+            )
+        assert expect == sum(r.n_tokens for r in docs)

@@ -136,3 +136,43 @@ def test_split_assign_partitions_every_doc_once(spark):
     for r in joined:
         assert r.n == r.n_true, r.source
         assert abs(r.share - 1.0) < 1e-12, r.source
+
+
+def test_stats_ts_tail_oracle_parity(spark, sf_dir):
+    """Pytest replica of the driver gate for the stats/time-series
+    tails (they sit past the 50-slot driver window)."""
+    from .oracle_utils import assert_query_matches_oracle
+
+    for mod in (stats, timeseries):
+        for name, (fn, orc) in mod.QUERIES_TAIL.items():
+            assert_query_matches_oracle(fn(spark, sf_dir), orc, sf_dir)
+
+
+def test_gram_matrix_matches_numpy(spark):
+    """Upper-triangle X'X within the qsum quantization bound: each of
+    the N per-vector products is floored on the 2^-24 grid, so every
+    (i, j) cell sits within N·2^-24 of numpy's float64 sum (plus
+    numpy's own rounding, far smaller). Also pins shape: exactly
+    d(d+1)/2 distinct upper-triangle cells."""
+    import numpy as np
+
+    out = stats.embedding_gram_matrix(spark, SF_SMALL).collect()
+    X = np.array(
+        [
+            r.embedding
+            for r in load_table(spark, SF_SMALL, "embeddings")
+            .select("embedding")
+            .collect()
+        ],
+        dtype=np.float64,
+    )
+    n, d = X.shape
+    assert d == stats.GRAM_DIM
+    ref = X.T @ X
+    assert len(out) == d * (d + 1) // 2
+    assert {(r.i, r.j) for r in out} == {
+        (i, j) for i in range(1, d + 1) for j in range(i, d + 1)
+    }
+    tol = n * 2.0**-stats.GRAM_BITS + 1e-9
+    for r in out:
+        assert abs(r.gram - ref[r.i - 1, r.j - 1]) <= tol, (r.i, r.j)

@@ -124,3 +124,39 @@ def test_copurchase_cap_bounds_fanout(spark, sf_dir):
         capped.groupBy("l_orderkey").agg(F.count("*").alias("n")).agg(F.max("n"))
     ).collect()[0][0]
     assert per_order <= warehouse.BASKET_CAP
+
+
+def test_warehouse_tail_oracle_parity(spark, sf_dir):
+    """Pytest replica of the driver gate for every declared warehouse
+    query (the 50-slot driver window can't hold them all)."""
+    from .oracle_utils import assert_query_matches_oracle
+
+    for name, (fn, orc) in warehouse.QUERIES_TAIL.items():
+        assert_query_matches_oracle(fn(spark, sf_dir), orc, sf_dir)
+
+
+def test_snapshot_diff_counts_match_construction(spark):
+    """The diff must recover EXACTLY the synthesized changes: one
+    'removed' per key ending in 3, one 'changed' per key ending in 6
+    (the +750-cent/status mutation always moves the affine
+    fingerprint), one 'added' per key ending in 0 — and nothing
+    else."""
+    from robin_sparkles_spark.sources import load_table
+
+    by_type = {
+        r.change_type: r.n
+        for r in warehouse.orders_snapshot_diff(spark, SF_SMALL)
+        .groupBy("change_type")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    keys = [
+        r.o_orderkey
+        for r in load_table(spark, SF_SMALL, "orders")
+        .select("o_orderkey")
+        .collect()
+    ]
+    assert by_type.get("removed", 0) == sum(1 for k in keys if k % 10 == 3)
+    assert by_type.get("changed", 0) == sum(1 for k in keys if k % 10 == 6)
+    assert by_type.get("added", 0) == sum(1 for k in keys if k % 10 == 0)
+    assert set(by_type) <= {"added", "removed", "changed"}
