@@ -33,6 +33,8 @@ the fit deterministic.
 
 from __future__ import annotations
 
+import threading
+
 from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
 from ..functions.vectors import as_double, dot, dot_sql
@@ -70,6 +72,10 @@ def _assign_expr(centroids: list[list[float]]) -> F.Column:
 
 
 _FIT_CACHE: dict[tuple, list[list[float]]] = {}
+# Serializes the fit's session-conf toggle: two interleaved fits could
+# otherwise each snapshot the other's temporary 'false' as "previous"
+# and leave codegen permanently off for the session (r5 review).
+_FIT_LOCK = threading.Lock()
 
 
 def kmeans_fit(
@@ -103,34 +109,45 @@ def kmeans_fit(
     # expression is compiled once and streams the whole corpus.
     # (disable_codegen=False exists only for the parity test pinning
     # that both execution modes produce the same bits)
-    prev_codegen = spark.conf.get("spark.sql.codegen.wholeStage", "true")
-    if disable_codegen:
-        spark.conf.set("spark.sql.codegen.wholeStage", "false")
-    try:
-        for _ in range(n_iter):
-            assigned = vecs.withColumn("cluster", _assign_expr(centroids))
-            # DECIMAL partial sums: double addition is order-dependent,
-            # and Spark's merge order varies with partitioning/task
-            # completion — exact decimal accumulation makes the fit
-            # bit-reproducible across processes, which the
-            # centroid-literal oracles require.
-            sums = assigned.groupBy("cluster").agg(
-                F.count("*").alias("n"),
-                *[
-                    F.sum(
-                        F.element_at(F.col("v"), i + 1).cast("decimal(38,18)")
-                    ).alias(f"s{i}")
-                    for i in range(dim)
-                ],
-            )
-            new_centroids = list(centroids)
-            for row in sums.collect():
-                new_centroids[row.cluster] = [
-                    float(row[f"s{i}"]) / row.n for i in range(dim)
-                ]
-            centroids = new_centroids
-    finally:
-        spark.conf.set("spark.sql.codegen.wholeStage", prev_codegen)
+    #
+    # The toggle mutates SESSION conf, so _FIT_LOCK serializes fits:
+    # unsynchronized, an interleaved fit snapshots the other's
+    # temporary 'false' as "previous" and the finally-restore leaves
+    # codegen off for the rest of the session. Unrelated queries
+    # running concurrently in the same session during the ~seconds of
+    # fit still execute interpreted — acceptable for this driver-side
+    # model fit; a production job would fit in its own session.
+    with _FIT_LOCK:
+        prev_codegen = spark.conf.get("spark.sql.codegen.wholeStage", "true")
+        if disable_codegen:
+            spark.conf.set("spark.sql.codegen.wholeStage", "false")
+        try:
+            for _ in range(n_iter):
+                assigned = vecs.withColumn("cluster", _assign_expr(centroids))
+                # DECIMAL partial sums: double addition is order-
+                # dependent, and Spark's merge order varies with
+                # partitioning/task completion — exact decimal
+                # accumulation makes the fit bit-reproducible across
+                # processes, which the centroid-literal oracles require.
+                sums = assigned.groupBy("cluster").agg(
+                    F.count("*").alias("n"),
+                    *[
+                        F.sum(
+                            F.element_at(F.col("v"), i + 1).cast(
+                                "decimal(38,18)"
+                            )
+                        ).alias(f"s{i}")
+                        for i in range(dim)
+                    ],
+                )
+                new_centroids = list(centroids)
+                for row in sums.collect():
+                    new_centroids[row.cluster] = [
+                        float(row[f"s{i}"]) / row.n for i in range(dim)
+                    ]
+                centroids = new_centroids
+        finally:
+            spark.conf.set("spark.sql.codegen.wholeStage", prev_codegen)
     _FIT_CACHE[key] = centroids
     return centroids
 

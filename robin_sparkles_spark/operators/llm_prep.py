@@ -571,18 +571,36 @@ def docs_pack_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     source IS the corpus, so that single partition is the job. Instead
     the plan is a two-level distributed prefix sum: doc_ids are cut
     into ``PACK_SHARD_SPAN``-wide shards, each (source, shard) window
-    computes its intra-shard running sum in parallel, a tiny per-shard
-    total aggregate (rows = #shards, not #docs) is prefix-summed and
-    broadcast back, and start offsets are intra + shard base. Same
-    math as the global window — the oracle below USES the global
-    window form, so the gate proves the decomposition exact — but
-    every heavy operator is partitioned. One narrow shuffle on
-    (source, shard); the offset join is broadcast."""
-    d = load_table(spark, sf_dir, "documents").select(
-        "doc_id",
-        "source",
-        _n_words().alias("n_tokens"),
-        (F.col("doc_id") / PACK_SHARD_SPAN).cast("long").alias("shard"),
+    computes its intra-shard running sum in parallel, a per-shard
+    total aggregate (rows = #shards, a 1/SPAN reduction) is
+    prefix-summed and broadcast back, and start offsets are intra +
+    shard base. Same math as the global window — the oracle below
+    USES the global window form, so the gate proves the decomposition
+    exact FOR ANY SPAN — but every heavy operator is partitioned. One
+    narrow shuffle on (source, shard); the offset join is broadcast.
+
+    SPAN is the memory/broadcast dial, and the result is invariant to
+    it: 100 here so the fixture corpus actually exercises multi-shard
+    stitching (500 docs → 5 shards); production sizes it ~√N or ~2²⁰
+    so BOTH levels stay small (10¹¹ docs at span 2²⁰ → ~10⁵ offset
+    rows, megabytes to broadcast, and window partitions of ≤ 2²⁰
+    rows). The offset table is #docs/SPAN rows — "broadcastable"
+    holds by sizing SPAN, not unconditionally; a third level (shard
+    the shard-offsets) extends the same algebra if ever needed."""
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            "source",
+            _n_words().alias("n_tokens"),
+            # integer div: exact at any doc_id magnitude (a double
+            # quotient cast to long is only correct below 2^53)
+            F.expr(f"doc_id div {PACK_SHARD_SPAN}").alias("shard"),
+        )
+        # both the window branch and the shard-total aggregate consume
+        # this projection; without the checkpoint each branch re-scans
+        # parquet and re-tokenizes (the docs_chunk_dedup lesson)
+        .localCheckpoint(eager=False)
     )
     wi = (
         W.partitionBy("source", "shard")

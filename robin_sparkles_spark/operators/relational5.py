@@ -311,12 +311,17 @@ def events_rolling_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     # bounded frame: Spark evaluates a bounded RANGE frame by
     # re-summing the whole frame per row — O(rows × frame), measured
     # 34 s at sf0.1 — while growing frames are incremental, O(rows),
-    # measured ~3 s. The decimal arithmetic is EXACT, so cum_now −
-    # cum_before is bit-identical to the direct frame sum (the oracle
-    # keeps the direct bounded-frame spec, independently checking the
-    # prefix-difference identity). Intermediate cumulative decimals
-    # grow with the partition, not the window — no double conversion
-    # happens until after the subtraction shrinks them back.
+    # measured ~3 s. The cumulative sums are down-cast to DECIMAL(30,s)
+    # BEFORE the subtraction: without that, Spark types
+    # DECIMAL(38,8) − DECIMAL(38,8) as DECIMAL(38,7) — precision would
+    # exceed 38, so the result SCALE silently drops a digit (an r5
+    # review verified 1e-8 − 0 → 0.0000000 empirically). At (30,s) the
+    # difference types as DECIMAL(31,s): full scale kept, arithmetic
+    # exact, cum_now − cum_before bit-identical to the direct frame sum
+    # (the oracle keeps the direct bounded-frame spec, independently
+    # checking the prefix-difference identity). The (30,s) cap bounds
+    # the CUMULATIVE per-partition sum at 10^22 unscaled — Σv ~1e10 and
+    # Σv² ~1e13 per event_type even at sf1, orders of magnitude inside.
     t = F.col("ts").cast("long")
     w_now = (
         W.partitionBy("event_type")
@@ -335,15 +340,17 @@ def events_rolling_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     # < 2^53 through ~sf2, where scale 8 would overflow at sf1. Σx
     # (~3.4e6) keeps scale 8 safe to ~sf80. (The bound applies to the
     # post-subtraction WINDOW sum that is cast to double.)
-    zero8 = F.lit(0).cast("decimal(38,8)")
-    zero6 = F.lit(0).cast("decimal(38,6)")
+    zero8 = F.lit(0).cast("decimal(30,8)")
+    zero6 = F.lit(0).cast("decimal(30,6)")
     vdec = F.col("v").cast("decimal(38,8)")
     vvdec = (F.col("v") * F.col("v")).cast("decimal(38,6)")
     sx = (
-        F.sum(vdec).over(w_now) - F.coalesce(F.sum(vdec).over(w_before), zero8)
+        F.sum(vdec).over(w_now).cast("decimal(30,8)")
+        - F.coalesce(F.sum(vdec).over(w_before).cast("decimal(30,8)"), zero8)
     ).cast("double")
     sxx = (
-        F.sum(vvdec).over(w_now) - F.coalesce(F.sum(vvdec).over(w_before), zero6)
+        F.sum(vvdec).over(w_now).cast("decimal(30,6)")
+        - F.coalesce(F.sum(vvdec).over(w_before).cast("decimal(30,6)"), zero6)
     ).cast("double")
     n = F.count("*").over(w_now) - F.count("*").over(w_before)
     mean = sx / n

@@ -65,9 +65,12 @@ def test_kmeans_fit_codegen_parity(spark, sf_dir):
     try:
         c_on = clustering.kmeans_fit(spark, sf_dir, disable_codegen=False)
     finally:
-        # repopulate the memo with the canonical entry for later tests
+        # restore the memo's canonical entry for later tests directly —
+        # c_off IS that entry; a third full fit would recompute it
         clustering._FIT_CACHE.clear()
-        clustering.kmeans_fit(spark, sf_dir)
+        clustering._FIT_CACHE[
+            (sf_dir, clustering.K_CLUSTERS, clustering.N_ITER)
+        ] = c_off
     assert c_off == c_on
 
 
