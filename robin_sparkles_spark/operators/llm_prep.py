@@ -586,7 +586,11 @@ def docs_pack_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows, megabytes to broadcast, and window partitions of ≤ 2²⁰
     rows). The offset table is #docs/SPAN rows — "broadcastable"
     holds by sizing SPAN, not unconditionally; a third level (shard
-    the shard-offsets) extends the same algebra if ever needed."""
+    the shard-offsets) extends the same algebra if ever needed.
+    Decomposition lives in ``functions.prefix`` (shared with the
+    budgeted sampler below)."""
+    from ..functions.prefix import sharded_exclusive_prefix_sum
+
     d = (
         load_table(spark, sf_dir, "documents")
         .select(
@@ -602,33 +606,9 @@ def docs_pack_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         # parquet and re-tokenizes (the docs_chunk_dedup lesson)
         .localCheckpoint(eager=False)
     )
-    wi = (
-        W.partitionBy("source", "shard")
-        .orderBy("doc_id")
-        .rowsBetween(W.unboundedPreceding, -1)
-    )
-    intra = d.withColumn(
-        "intra", F.coalesce(F.sum("n_tokens").over(wi), F.lit(0)).cast("long")
-    )
-    ws = (
-        W.partitionBy("source")
-        .orderBy("shard")
-        .rowsBetween(W.unboundedPreceding, -1)
-    )
-    shard_base = (
-        d.groupBy("source", "shard")
-        .agg(F.sum("n_tokens").alias("shard_tokens"))
-        .withColumn(
-            "base", F.coalesce(F.sum("shard_tokens").over(ws), F.lit(0)).cast("long")
-        )
-        .select("source", "shard", "base")
-    )
-    packed = intra.join(F.broadcast(shard_base), ["source", "shard"]).select(
-        "doc_id",
-        "source",
-        "n_tokens",
-        (F.col("base") + F.col("intra")).alias("start_tok"),
-    )
+    packed = sharded_exclusive_prefix_sum(
+        d, ["source"], ["doc_id"], "shard", "n_tokens", "start_tok"
+    ).select("doc_id", "source", "n_tokens", "start_tok")
     first = F.expr(f"start_tok div {PACK_CAPACITY}")
     last = F.expr(
         f"(start_tok + greatest(n_tokens, 1) - 1) div {PACK_CAPACITY}"
@@ -670,6 +650,84 @@ FROM streamed
 """
 
 
+BUDGET_TOKENS = 8192  # total token budget for the sampled subset
+BUDGET_HASH_IDX = 23  # affine family index (disjoint from other uses)
+# MERSENNE_P < 2^31, so h div 2^27 yields ≤ 16 hash-range shards
+BUDGET_SHARD_SHIFT = 27
+
+
+def docs_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget-proportional sampling — the step that turns the
+    ``source_mixture`` table into an actual subset: each source
+    contributes documents until it fills ``mix_weight ×
+    BUDGET_TOKENS`` tokens (take-while including the straddling doc),
+    drawing docs in deterministic affine-hash order so the "random"
+    sample is identical on every engine, rerun, and cluster size —
+    the same reproducibility argument as ``docs_split_assign``.
+
+    Plan: the per-source take-while needs an ordered running token
+    sum IN HASH ORDER — the same distributed prefix sum as
+    ``docs_pack_assign``, here sharded by hash RANGE (h div 2^27,
+    non-decreasing in the hash order key, per the
+    ``functions.prefix`` contract — the helper generalizes across
+    order keys). The 20-row mixture table broadcasts; the cutoff
+    compare is exact-long cum vs a cross-engine-identical double
+    budget. One narrow shuffle + one broadcast join over the corpus
+    scan."""
+    from ..functions.prefix import sharded_exclusive_prefix_sum
+
+    a, b = affine_params(BUDGET_HASH_IDX)
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            "source",
+            _n_words().alias("n_tokens"),
+            ((F.col("doc_id") * a + b) % MERSENNE_P).alias("h"),
+        )
+        .withColumn("shard", F.expr(f"h div {2**BUDGET_SHARD_SHIFT}"))
+        .localCheckpoint(eager=False)
+    )
+    cum = sharded_exclusive_prefix_sum(
+        d, ["source"], ["h", "doc_id"], "shard", "n_tokens", "cum_before"
+    )
+    budgets = source_mixture(spark, sf_dir).select(
+        "source",
+        (F.col("mix_weight") * F.lit(float(BUDGET_TOKENS))).alias("budget_tokens"),
+    )
+    return (
+        cum.join(F.broadcast(budgets), "source")
+        .where(F.col("cum_before") < F.col("budget_tokens"))
+        .select("doc_id", "source", "n_tokens", "cum_before", "budget_tokens")
+    )
+
+
+def _budget_sample_sql() -> str:
+    a, b = affine_params(BUDGET_HASH_IDX)
+    return f"""
+WITH mix AS (
+  SELECT source, mix_weight * {float(BUDGET_TOKENS)!r} AS budget_tokens
+  FROM ({SOURCE_MIXTURE_SQL})
+),
+hashed AS (
+  SELECT doc_id, source, len({ws_tokens_sql()}) AS n_tokens,
+         (doc_id * {a} + {b}) % {MERSENNE_P} AS h
+  FROM documents
+),
+cum AS (
+  SELECT doc_id, source, CAST(n_tokens AS BIGINT) AS n_tokens,
+         CAST(COALESCE(SUM(n_tokens) OVER (
+           PARTITION BY source ORDER BY h, doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS cum_before
+  FROM hashed
+)
+SELECT c.doc_id, c.source, c.n_tokens, c.cum_before, m.budget_tokens
+FROM cum c JOIN mix m USING (source)
+WHERE c.cum_before < m.budget_tokens
+"""
+
+
 QUERIES: dict = {}
 
 QUERIES_TAIL = {
@@ -682,4 +740,5 @@ QUERIES_TAIL = {
     "docs_token_diversity": (docs_token_diversity, DOCS_DIVERSITY_SQL),
     "docs_split_assign": (docs_split_assign, _split_assign_sql()),
     "docs_pack_assign": (docs_pack_assign, _pack_assign_sql()),
+    "docs_token_budget_sample": (docs_token_budget_sample, _budget_sample_sql()),
 }

@@ -131,6 +131,7 @@ _BNL_ALLOWED = {
     "q22_idle_balance_by_segment",
     "q11_part_value_share",  # same scalar shape: 1-row nation total
     "source_mixture",  # same scalar shape: 1-row corpus totals
+    "docs_token_budget_sample",  # inherits source_mixture's 1-row scalar
     "docs_rarity_topk",  # same scalar shape: 1-row doc count N
     "orders_bloom_prune",  # same scalar shape: 1-row count × count summary
     "orders_price_histogram",  # same scalar shape: 1-row total for shares

@@ -105,3 +105,40 @@ def test_pack_assign_streams_are_contiguous(spark, sf_dir):
                 <= (max(r.n_tokens, 1) - 1) // PACK_CAPACITY + 2
             )
         assert expect == sum(r.n_tokens for r in docs)
+
+
+def test_budget_sample_take_while_semantics(spark, sf_dir):
+    """Per source the sample is a hash-ordered take-while: dropping
+    its last-drawn doc must land strictly under budget, and a source
+    is either budget-filling or fully exhausted (every doc sampled)."""
+    from pyspark.sql import functions as F
+
+    from robin_sparkles_spark.operators.llm_prep import (
+        docs_token_budget_sample,
+    )
+    from robin_sparkles_spark.sources import load_table
+
+    rows = docs_token_budget_sample(spark, sf_dir).collect()
+    totals = {
+        r.source: r.n
+        for r in load_table(spark, sf_dir, "documents")
+        .groupBy("source")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    by_source: dict = {}
+    for r in rows:
+        by_source.setdefault(r.source, []).append(r)
+    assert by_source
+    for source, docs in by_source.items():
+        budget = docs[0].budget_tokens
+        taken = sum(r.n_tokens for r in docs)
+        last = max(docs, key=lambda r: r.cum_before)
+        # every sampled doc started inside the budget
+        assert all(r.cum_before < budget for r in docs)
+        # take-while: either the source ran out of docs, or removing
+        # the straddler drops under budget while the full take covers
+        # it (the first unsampled doc's exclusive cum equals `taken`
+        # and must sit at or past the budget)
+        if len(docs) < totals[source]:
+            assert taken - last.n_tokens < budget <= taken
