@@ -614,8 +614,105 @@ FROM cands WHERE levenshtein(t1, t2) <= 1
 
 
 # Post-gate-cap additions (registry.py QUERIES_TAIL contract).
+QUALITY_LADDER = (0.2, 0.3, 0.4, 0.5, 0.6, 0.7)
+
+
+def quality_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(source, threshold) survival table for the curation gate:
+    how many documents — and how many tokens — survive each cutoff of
+    the rational quality score, per source. This is the table a
+    curation pass is TUNED from (pick the threshold where the
+    doc/token survival knee sits per domain) — ``text_quality``
+    scores documents, this prices the cutoffs.
+
+    Plan: the same map-side score projection as ``text_quality``
+    (identical doubles, so threshold comparisons are cross-engine
+    stable), a 6× threshold explode, then ONE (source, threshold)
+    hash aggregation — partial aggregation collapses the fan-out
+    per task, so the shuffle carries |sources|×|ladder| partials.
+    At 100 TB this is a scan plus a constant-size shuffle; nothing
+    joins, nothing sorts."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = ws_tokens()
+    n_words = F.size(toks).cast("double")
+    n_stop = F.size(F.filter(toks, lambda t: t.isin(list(STOPWORDS)))).cast(
+        "double"
+    )
+    sum_len = F.aggregate(
+        toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t)
+    ).cast("double")
+    avg_word_len = sum_len / n_words
+    stop_ratio = n_stop / n_words
+    length_ok = F.col("n_chars").between(100, 2000).cast("double")
+    score = (
+        F.lit(0.5) * stop_ratio
+        + F.lit(0.3) * (F.least(avg_word_len, F.lit(8.0)) / F.lit(8.0))
+        + F.lit(0.2) * length_ok
+    )
+    scored = d.select(
+        "source",
+        F.size(toks).cast("long").alias("n_tokens"),
+        score.alias("q"),
+        F.explode(
+            F.array(*[F.lit(t) for t in QUALITY_LADDER])
+        ).alias("threshold"),
+    )
+    per = scored.groupBy("source", "threshold").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.when(F.col("q") >= F.col("threshold"), 1).otherwise(0))
+        .cast("long")
+        .alias("docs_pass"),
+        F.sum(
+            F.when(F.col("q") >= F.col("threshold"), F.col("n_tokens")).otherwise(
+                F.lit(0)
+            )
+        )
+        .cast("long")
+        .alias("tokens_pass"),
+    )
+    return per.select(
+        "source",
+        "threshold",
+        "docs_pass",
+        "tokens_pass",
+        (F.col("docs_pass").cast("double") / F.col("n_docs").cast("double")).alias(
+            "doc_survival"
+        ),
+    )
+
+
+_LADDER_SQL = ", ".join(repr(t) for t in QUALITY_LADDER)
+
+QUALITY_SWEEP_SQL = f"""
+WITH t AS (
+  SELECT source, n_chars,
+         list_filter(string_split(text, ' '), x -> len(x) > 0) AS toks
+  FROM documents
+),
+scored AS (
+  SELECT source, CAST(len(toks) AS BIGINT) AS n_tokens,
+         0.5 * (CAST(len(list_filter(toks, x -> x IN ({_STOP_SQL}))) AS DOUBLE) / len(toks))
+         + 0.3 * (least(CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(toks, x -> CAST(len(x) AS BIGINT))), (a, b) -> a + b) AS DOUBLE) / len(toks), 8.0) / 8.0)
+         + 0.2 * (CASE WHEN n_chars BETWEEN 100 AND 2000 THEN 1.0 ELSE 0.0 END) AS q
+  FROM t
+),
+fanned AS (
+  SELECT s.source, s.n_tokens, s.q, l.threshold
+  FROM scored s CROSS JOIN (SELECT unnest([{_LADDER_SQL}]) AS threshold) l
+)
+SELECT source, threshold,
+       CAST(SUM(CASE WHEN q >= threshold THEN 1 ELSE 0 END) AS BIGINT) AS docs_pass,
+       CAST(SUM(CASE WHEN q >= threshold THEN n_tokens ELSE 0 END) AS BIGINT) AS tokens_pass,
+       CAST(SUM(CASE WHEN q >= threshold THEN 1 ELSE 0 END) AS DOUBLE)
+         / CAST(COUNT(*) AS DOUBLE) AS doc_survival
+FROM fanned
+GROUP BY source, threshold
+"""
+
+
 QUERIES_TAIL = {
     "corpus_vocabulary": (corpus_vocabulary, CORPUS_VOCAB_SQL),
     "bigram_stats": (bigram_stats, BIGRAM_STATS_SQL),
     "vocab_typo_pairs": (vocab_typo_pairs, VOCAB_TYPO_SQL),
+    "quality_threshold_sweep": (quality_threshold_sweep, QUALITY_SWEEP_SQL),
 }

@@ -523,3 +523,21 @@ def test_semdedup_planted_recall(spark, sf_dir):
         assert r.n_dup_partners >= 1
         if r.vec_id in planted:
             assert r.representative == r.vec_id - NEARDUP_ID_OFFSET
+
+
+def test_quality_sweep_is_monotone(spark, sf_dir):
+    """Raising the cutoff can only shrink the surviving set: per
+    source, docs_pass/tokens_pass/doc_survival are non-increasing in
+    threshold, and the lowest rung is bounded by the source size."""
+    rows = text_analysis.quality_threshold_sweep(spark, sf_dir).collect()
+    by_source: dict = {}
+    for r in rows:
+        by_source.setdefault(r.source, []).append(r)
+    assert by_source
+    for source, ladder in by_source.items():
+        ladder.sort(key=lambda r: r.threshold)
+        assert len(ladder) == len(text_analysis.QUALITY_LADDER)
+        for lo, hi in zip(ladder, ladder[1:]):
+            assert hi.docs_pass <= lo.docs_pass
+            assert hi.tokens_pass <= lo.tokens_pass
+            assert hi.doc_survival <= lo.doc_survival
