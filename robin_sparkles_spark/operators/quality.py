@@ -293,10 +293,81 @@ GROUP BY bucket, t.n_total
 """
 
 
+# --- table content fingerprints --------------------------------------------
+
+_FP_MOD = 2_147_483_647  # MERSENNE_P — keep the row-hash field small
+# per-table canonical row hash: affine combination of stable business
+# columns, every term engine-portable (integer keys, price cents,
+# epoch days, status codepoints). Coefficients < 2^31 so each rowh
+# term stays < 2^62 (hashing.py overflow contract).
+_FP_SPECS: dict[str, str] = {
+    "region": "(r_regionkey * 1000003) % 2147483647",
+    "nation": "(n_nationkey * 1000003 + n_regionkey * 999983) % 2147483647",
+    "customer": (
+        "(c_custkey * 1000003 + c_nationkey * 999983"
+        " + CAST(ROUND(c_acctbal * 100) AS BIGINT) * 999979) % 2147483647"
+    ),
+    "orders": (
+        "(o_orderkey * 1000003 + o_custkey * 999983"
+        " + CAST(ROUND(o_totalprice * 100) AS BIGINT) * 999979"
+        " + ASCII(o_orderstatus) * 999961) % 2147483647"
+    ),
+}
+
+
+def table_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-insensitive content fingerprint per table — the
+    replication/integrity primitive next to ``orders_snapshot_diff``:
+    the diff tells you WHAT changed between two versions; this tells
+    you IN ONE SCAN PER TABLE (and a 16-byte answer) WHETHER two
+    copies agree at all, which is the check a 100 TB replication or
+    backup-restore pipeline runs first. fp = Σ rowh mod p where rowh
+    is an arithmetic hash of the row's business columns: the SUM
+    makes the fingerprint independent of row order, partitioning, and
+    engine, so the same table produces the same fp everywhere — and
+    any single-row change moves it (mod-p collision odds ~2⁻³¹ per
+    comparison; widen to two moduli for archival use).
+
+    Plan: per table one map-side hash projection + one keyless
+    aggregation (partial sums collapse to one row per partition
+    before the 1-row shuffle); the per-table rows union into a
+    |tables|-row report. BIGINT accumulation bounds: rows ×
+    2³¹ < 2⁶³ holds to ~10⁹ rows/table; past that, accumulate
+    DECIMAL(38,0) and take the mod at the end."""
+    parts = []
+    for table, rowh in _FP_SPECS.items():
+        t = load_table(spark, sf_dir, table)
+        parts.append(
+            t.select(F.expr(rowh).alias("rowh"))
+            .agg(
+                F.count("*").alias("n_rows"),
+                (F.sum("rowh") % _FP_MOD).cast("long").alias("content_fp"),
+            )
+            .select(
+                F.lit(table).alias("table_name"), "n_rows", "content_fp"
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def _fingerprints_sql() -> str:
+    selects = [
+        f"""SELECT '{table}' AS table_name, COUNT(*) AS n_rows,
+       CAST(SUM({rowh}) % {_FP_MOD} AS BIGINT) AS content_fp
+FROM {table}"""
+        for table, rowh in _FP_SPECS.items()
+    ]
+    return "\nUNION ALL\n".join(selects)
+
+
 QUERIES: dict = {}
 
 QUERIES_TAIL = {
     "referential_integrity_audit": (referential_integrity_audit, _ri_sql()),
     "column_profile": (column_profile, _profile_oracle),
     "orders_price_histogram": (orders_price_histogram, ORDERS_HIST_SQL),
+    "table_fingerprints": (table_fingerprints, _fingerprints_sql()),
 }

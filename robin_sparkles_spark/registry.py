@@ -191,8 +191,9 @@ def _collect() -> dict[str, QuerySpec]:
 # names. embedding_array_stats (same qsum change) is already in the
 # stale-r03 list above. Also never-driver-gated from late r5:
 # docs_pack_assign, orders_snapshot_diff, embedding_gram_matrix,
-# docs_token_budget_sample, quality_threshold_sweep (each
-# builder-verified at sf0.01 AND sf0.1 on addition).
+# docs_token_budget_sample, quality_threshold_sweep,
+# table_fingerprints (each builder-verified at sf0.01 AND sf0.1 on
+# addition).
 GATE_FRONT: tuple[str, ...] = (
     # r05: new real-decode queries — first driver rows
     "bmp_decode_stats",

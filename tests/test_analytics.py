@@ -239,3 +239,34 @@ def test_histogram_masses_sum_to_one(spark, sf_dir):
     for r in rows:
         assert 0 <= r.bucket < quality.HIST_BUCKETS
         assert r.hi - r.lo == quality.HIST_WIDTH
+
+
+def test_table_fingerprint_order_insensitive_and_sensitive(spark, sf_dir):
+    """The content fingerprint must ignore row order/partitioning and
+    notice a single-row change: repartitioned input yields the same
+    fp; perturbing one order's price by one cent moves it."""
+    from pyspark.sql import functions as F
+
+    from robin_sparkles_spark.operators.quality import _FP_MOD, _FP_SPECS
+    from robin_sparkles_spark.sources import load_table
+
+    rowh = _FP_SPECS["orders"]
+    base = load_table(spark, sf_dir, "orders")
+
+    def fp(df):
+        return (
+            df.selectExpr(f"{rowh} AS rowh")
+            .agg((F.sum("rowh") % _FP_MOD).cast("long").alias("fp"))
+            .collect()[0]
+            .fp
+        )
+
+    assert fp(base) == fp(base.repartition(13))
+    bumped = base.withColumn(
+        "o_totalprice",
+        F.when(
+            F.col("o_orderkey") == base.select(F.min("o_orderkey")).first()[0],
+            F.col("o_totalprice") + 0.01,
+        ).otherwise(F.col("o_totalprice")),
+    )
+    assert fp(bumped) != fp(base)

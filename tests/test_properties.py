@@ -148,3 +148,42 @@ def test_chunking_covers_every_token_exactly(spark, n_tokens):
         assert start <= covered_until, "gap between consecutive chunks"
         covered_until = max(covered_until, start + r.chunk_tokens)
     assert covered_until == n_tokens, "chunks must reach the last token"
+
+
+def test_sharded_prefix_sum_equals_naive(spark):
+    """The two-level decomposition must equal a naive per-partition
+    running sum on adversarial shapes: empty shards (gaps in the
+    shard sequence), a single shard, zero values, one-row partitions,
+    and order-key ties broken by the secondary key."""
+    from pyspark.sql import Row
+
+    from robin_sparkles_spark.functions.prefix import (
+        sharded_exclusive_prefix_sum,
+    )
+
+    rows = []
+    # partition A: shard gaps (0, 3, 7), ties on k, zero values
+    data_a = [(0, 1, 5), (0, 2, 0), (3, 3, 2), (3, 4, 7), (7, 5, 1)]
+    rows += [Row(part="A", shard=s, k=1, sub=i, v=v) for s, i, v in data_a]
+    # partition B: single shard, single row
+    rows += [Row(part="B", shard=0, k=9, sub=1, v=4)]
+    # partition C: every row its own shard
+    rows += [Row(part="C", shard=i, k=i, sub=0, v=i) for i in range(6)]
+    df = spark.createDataFrame(rows)
+    out = sharded_exclusive_prefix_sum(
+        df, ["part"], ["k", "sub"], "shard", "v", "cum"
+    ).collect()
+
+    expect: dict = {}
+    for part in {r.part for r in rows}:
+        seq = sorted(
+            (r for r in rows if r.part == part),
+            key=lambda r: (r.shard, r.k, r.sub),
+        )
+        acc = 0
+        for r in seq:
+            expect[(part, r.shard, r.k, r.sub)] = acc
+            acc += r.v
+    assert len(out) == len(rows)
+    for r in out:
+        assert r.cum == expect[(r.part, r.shard, r.k, r.sub)], r
