@@ -662,6 +662,94 @@ FROM diff WHERE change_type IS NOT NULL
 """
 
 
+def orders_mv_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view maintenance — update a per-status
+    aggregate (order count + price cents) from snapshot A to snapshot
+    B by applying SIGNED DELTAS, never rescanning the base: removed
+    rows contribute (−1, −cents) to their group, mutated rows retract
+    from the old group and insert into the new one (the group-
+    migration case naive "just re-add" implementations get wrong),
+    added rows insert into theirs. new_view = base_view ⊕ Σdeltas per
+    group. Uses the same deterministic snapshot-B construction as
+    ``orders_snapshot_diff``; the ORACLE recomputes the aggregate
+    from snapshot B directly, so the gate proves the delta algebra
+    equals a full recompute.
+
+    At 100 TB this is THE argument for maintaining views
+    incrementally: the base never moves (its aggregate is a stored
+    |groups|-row table), only the day's changes — a ~0.1%-scale
+    stream — are scanned, signed, and aggregated; the merge is a
+    |groups|-row full-outer join. Counts and cents are exact longs,
+    so retract/insert arithmetic is associative with no float drift
+    (a double-SUM view could NOT be maintained this way and stay
+    bit-stable)."""
+    base = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    base_view = base.groupBy(F.col("o_orderstatus").alias("status")).agg(
+        F.count("*").alias("n"), F.sum("cents").alias("c")
+    )
+    removed = base.where(F.col("o_orderkey") % 10 == 3).select(
+        F.col("o_orderstatus").alias("status"),
+        F.lit(-1).cast("long").alias("dn"),
+        (-F.col("cents")).alias("dc"),
+    )
+    mutated = base.where(F.col("o_orderkey") % 10 == 6)
+    retract = mutated.select(
+        F.col("o_orderstatus").alias("status"),
+        F.lit(-1).cast("long").alias("dn"),
+        (-F.col("cents")).alias("dc"),
+    )
+    # mutated rows re-enter under status 'R' with price + DELTA
+    # (exact long cents arithmetic — no float round-trip)
+    insert = mutated.select(
+        F.lit("R").alias("status"),
+        F.lit(1).cast("long").alias("dn"),
+        (F.col("cents") + int(DIFF_PRICE_DELTA * 100)).alias("dc"),
+    )
+    added = base.where(F.col("o_orderkey") % 10 == 0).select(
+        F.lit("N").alias("status"),
+        F.lit(1).cast("long").alias("dn"),
+        F.col("cents").alias("dc"),
+    )
+    deltas = (
+        removed.unionByName(retract).unionByName(insert).unionByName(added)
+        .groupBy("status")
+        .agg(F.sum("dn").alias("dn"), F.sum("dc").alias("dc"))
+    )
+    merged = base_view.join(deltas, "status", "full_outer").select(
+        "status",
+        (F.coalesce("n", F.lit(0)) + F.coalesce("dn", F.lit(0)))
+        .cast("long")
+        .alias("n_orders"),
+        (F.coalesce("c", F.lit(0)) + F.coalesce("dc", F.lit(0)))
+        .cast("long")
+        .alias("total_cents"),
+    )
+    return merged.where(F.col("n_orders") > 0)
+
+
+MV_INCREMENTAL_SQL = f"""
+WITH snap_b AS (
+  SELECT CASE WHEN o_orderkey % 10 = 6 THEN 'R' ELSE o_orderstatus END AS status,
+         CASE WHEN o_orderkey % 10 = 6
+              THEN CAST(ROUND(o_totalprice * 100) AS BIGINT)
+                   + {int(DIFF_PRICE_DELTA * 100)}
+              ELSE CAST(ROUND(o_totalprice * 100) AS BIGINT) END AS cents
+  FROM orders WHERE o_orderkey % 10 != 3
+  UNION ALL
+  SELECT 'N', CAST(ROUND(o_totalprice * 100) AS BIGINT)
+  FROM orders WHERE o_orderkey % 10 = 0
+)
+SELECT status, COUNT(*) AS n_orders,
+       CAST(SUM(cents) AS BIGINT) AS total_cents
+FROM snap_b GROUP BY status
+HAVING COUNT(*) > 0
+"""
+
+
 QUERIES: dict = {}
 
 QUERIES_TAIL = {
@@ -670,4 +758,5 @@ QUERIES_TAIL = {
     "triangle_count_copurchase": (triangle_count_copurchase, TRIANGLE_SQL),
     "custkey_overlap_kmv": (custkey_overlap_kmv, _overlap_sql()),
     "orders_snapshot_diff": (orders_snapshot_diff, _snapshot_diff_sql()),
+    "orders_mv_incremental": (orders_mv_incremental, MV_INCREMENTAL_SQL),
 }
