@@ -28,6 +28,22 @@ def _n_words() -> F.Column:
     return F.size(ws_tokens()).cast("long")
 
 
+# τ=0.5 temperature mixing — ONE Spark-side definition shared by
+# source_mixture and docs_token_budget_sample (the SQL twin is shared
+# structurally: the sampler's oracle embeds SOURCE_MIXTURE_SQL).
+MIX_SQRT_BITS = 24
+
+
+def _sum_sqrt_tokens() -> F.Column:
+    """qsum'd Σ√tokens aggregate (the mix-weight denominator)."""
+    return qsum(F.sqrt(F.col("tokens").cast("double")), MIX_SQRT_BITS)
+
+
+def _mix_weight() -> F.Column:
+    """√tokens / sum_sqrt — expects `tokens` and `sum_sqrt` in scope."""
+    return F.sqrt(F.col("tokens").cast("double")) / F.col("sum_sqrt")
+
+
 def source_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source token counts and temperature-adjusted sampling
     weights — the domain-mixing table a pretraining run is configured
@@ -52,10 +68,10 @@ def source_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     # tokens each.
     tot = per_src.agg(
         F.sum("tokens").cast("double").alias("total_tokens"),
-        qsum(F.sqrt(F.col("tokens").cast("double")), 24).alias("sum_sqrt"),
+        _sum_sqrt_tokens().alias("sum_sqrt"),
     )
     share = F.col("tokens").cast("double") / F.col("total_tokens")
-    weight = F.sqrt(F.col("tokens").cast("double")) / F.col("sum_sqrt")
+    weight = _mix_weight()
     return (
         per_src.crossJoin(F.broadcast(tot))  # scalar shape, see q11/q22
         .select(
@@ -76,7 +92,7 @@ WITH per_src AS (
 ),
 tot AS (
   SELECT CAST(SUM(tokens) AS DOUBLE) AS total_tokens,
-         {qsum_sql('sqrt(CAST(tokens AS DOUBLE))', 24)} AS sum_sqrt
+         {qsum_sql('sqrt(CAST(tokens AS DOUBLE))', MIX_SQRT_BITS)} AS sum_sqrt
   FROM per_src
 )
 SELECT p.source, p.n_docs, p.tokens,
@@ -670,10 +686,16 @@ def docs_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``docs_pack_assign``, here sharded by hash RANGE (h div 2^27,
     non-decreasing in the hash order key, per the
     ``functions.prefix`` contract — the helper generalizes across
-    order keys). The 20-row mixture table broadcasts; the cutoff
-    compare is exact-long cum vs a cross-engine-identical double
-    budget. One narrow shuffle + one broadcast join over the corpus
-    scan."""
+    order keys). The mixture weights (``source_mixture``'s τ=0.5
+    formula, one shared source of truth via ``_mix_weight_terms``)
+    are derived from the SAME checkpointed projection the prefix sum
+    reads — per-source token totals are a tiny groupBy over it, so
+    the corpus is scanned and tokenized exactly ONCE (an r5 review
+    caught the original calling source_mixture(), a second full
+    scan; the weight formula itself stays single-sourced via the
+    shared ``_mix_weight``/``_sum_sqrt_tokens`` helpers). The
+    ~20-row budget table broadcasts; the cutoff compare is
+    exact-long cum vs a cross-engine-identical double budget."""
     from ..functions.prefix import sharded_exclusive_prefix_sum
 
     a, b = affine_params(BUDGET_HASH_IDX)
@@ -691,9 +713,11 @@ def docs_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     cum = sharded_exclusive_prefix_sum(
         d, ["source"], ["h", "doc_id"], "shard", "n_tokens", "cum_before"
     )
-    budgets = source_mixture(spark, sf_dir).select(
+    per_src = d.groupBy("source").agg(F.sum("n_tokens").alias("tokens"))
+    tot = per_src.agg(_sum_sqrt_tokens().alias("sum_sqrt"))
+    budgets = per_src.crossJoin(F.broadcast(tot)).select(
         "source",
-        (F.col("mix_weight") * F.lit(float(BUDGET_TOKENS))).alias("budget_tokens"),
+        (_mix_weight() * F.lit(float(BUDGET_TOKENS))).alias("budget_tokens"),
     )
     return (
         cum.join(F.broadcast(budgets), "source")

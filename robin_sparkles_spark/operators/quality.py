@@ -296,23 +296,83 @@ GROUP BY bucket, t.n_total
 # --- table content fingerprints --------------------------------------------
 
 _FP_MOD = 2_147_483_647  # MERSENNE_P — keep the row-hash field small
-# per-table canonical row hash: affine combination of stable business
-# columns, every term engine-portable (integer keys, price cents,
-# epoch days, status codepoints). Coefficients < 2^31 so each rowh
-# term stays < 2^62 (hashing.py overflow contract).
-_FP_SPECS: dict[str, str] = {
-    "region": "(r_regionkey * 1000003) % 2147483647",
-    "nation": "(n_nationkey * 1000003 + n_regionkey * 999983) % 2147483647",
-    "customer": (
-        "(c_custkey * 1000003 + c_nationkey * 999983"
-        " + CAST(ROUND(c_acctbal * 100) AS BIGINT) * 999979) % 2147483647"
-    ),
-    "orders": (
-        "(o_orderkey * 1000003 + o_custkey * 999983"
-        " + CAST(ROUND(o_totalprice * 100) AS BIGINT) * 999979"
-        " + ASCII(o_orderstatus) * 999961) % 2147483647"
-    ),
+# Per-table canonical row hash covering EVERY column of the table
+# (an r5 review caught a subset-only draft whose "any change moves
+# the fp" claim was false for unhashed columns). Each term is
+# engine-portable — integer keys, price cents, epoch days, and the
+# polynomial char-fold for strings — expressed once per DIALECT:
+# Spark terms need F.Column builders (poly_fingerprint is a Catalyst
+# higher-order fold with no Spark-SQL string form shared with
+# DuckDB), SQL terms are DuckDB fragments. Every (coef × term) is
+# reduced mod p BEFORE the row sum so ≤ |cols| × p stays far under
+# 2^63 regardless of column count.
+_FP_COEFS = (1000003, 999983, 999979, 999961, 999959, 999953)
+
+
+# (kind, column) pairs per table — plain data, so the SQL twin can be
+# rendered at import time while the Spark Columns (which need an
+# active SparkContext) are built only when the query runs
+_FP_SPECS: dict[str, list[tuple[str, str]]] = {
+    "region": [("key", "r_regionkey"), ("text", "r_name")],
+    "nation": [
+        ("key", "n_nationkey"),
+        ("text", "n_name"),
+        ("key", "n_regionkey"),
+    ],
+    "customer": [
+        ("key", "c_custkey"),
+        ("text", "c_name"),
+        ("key", "c_nationkey"),
+        ("cents", "c_acctbal"),
+        ("text", "c_mktsegment"),
+    ],
+    "orders": [
+        ("key", "o_orderkey"),
+        ("key", "o_custkey"),
+        ("text", "o_orderstatus"),
+        ("cents", "o_totalprice"),
+        ("epoch_day", "o_orderdate"),
+        ("text", "o_orderpriority"),
+    ],
 }
+
+
+def _fp_rowh_spark(terms: list[tuple[str, str]]) -> F.Column:
+    """Spark Column for the combined row hash (needs a live context)."""
+    from ..functions.hashing import poly_fingerprint
+
+    builders = {
+        "key": lambda c: F.col(c).cast("long"),
+        "cents": lambda c: F.round(F.col(c) * 100).cast("long"),
+        "epoch_day": lambda c: F.datediff(
+            c, F.lit("1970-01-01").cast("date")
+        ).cast("long"),
+        "text": lambda c: poly_fingerprint(F.col(c)),
+    }
+    acc = None
+    for coef, (kind, col) in zip(_FP_COEFS, terms):
+        term = (builders[kind](col) * F.lit(coef)) % F.lit(_FP_MOD)
+        acc = term if acc is None else acc + term
+    return acc % F.lit(_FP_MOD)
+
+
+def _fp_rowh_sql(terms: list[tuple[str, str]]) -> str:
+    """DuckDB fragment for the combined row hash (context-free)."""
+    from ..functions.hashing import poly_fingerprint_sql
+
+    builders = {
+        "key": lambda c: f"CAST({c} AS BIGINT)",
+        "cents": lambda c: f"CAST(ROUND({c} * 100) AS BIGINT)",
+        "epoch_day": (
+            lambda c: f"CAST(CAST({c} AS DATE) - DATE '1970-01-01' AS BIGINT)"
+        ),
+        "text": poly_fingerprint_sql,
+    }
+    parts = [
+        f"(({builders[kind](col)}) * {coef}) % {_FP_MOD}"
+        for coef, (kind, col) in zip(_FP_COEFS, terms)
+    ]
+    return f"({' + '.join(parts)}) % {_FP_MOD}"
 
 
 def table_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -322,11 +382,12 @@ def table_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     you IN ONE SCAN PER TABLE (and a 16-byte answer) WHETHER two
     copies agree at all, which is the check a 100 TB replication or
     backup-restore pipeline runs first. fp = Σ rowh mod p where rowh
-    is an arithmetic hash of the row's business columns: the SUM
-    makes the fingerprint independent of row order, partitioning, and
-    engine, so the same table produces the same fp everywhere — and
-    any single-row change moves it (mod-p collision odds ~2⁻³¹ per
-    comparison; widen to two moduli for archival use).
+    hashes EVERY column of the row (keys, string char-folds, price
+    cents, epoch days): the SUM makes the fingerprint independent of
+    row order, partitioning, and engine, so the same table produces
+    the same fp everywhere — and any single-row change to any column
+    moves it, up to the mod-p collision odds (~2⁻³¹ per comparison;
+    widen to two moduli for archival use).
 
     Plan: per table one map-side hash projection + one keyless
     aggregation (partial sums collapse to one row per partition
@@ -335,10 +396,11 @@ def table_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     2³¹ < 2⁶³ holds to ~10⁹ rows/table; past that, accumulate
     DECIMAL(38,0) and take the mod at the end."""
     parts = []
-    for table, rowh in _FP_SPECS.items():
+    for table, terms in _FP_SPECS.items():
+        rowh = _fp_rowh_spark(terms)
         t = load_table(spark, sf_dir, table)
         parts.append(
-            t.select(F.expr(rowh).alias("rowh"))
+            t.select(rowh.alias("rowh"))
             .agg(
                 F.count("*").alias("n_rows"),
                 (F.sum("rowh") % _FP_MOD).cast("long").alias("content_fp"),
@@ -354,12 +416,14 @@ def table_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _fingerprints_sql() -> str:
-    selects = [
-        f"""SELECT '{table}' AS table_name, COUNT(*) AS n_rows,
-       CAST(SUM({rowh}) % {_FP_MOD} AS BIGINT) AS content_fp
+    selects = []
+    for table, terms in _FP_SPECS.items():
+        rowh_sql = _fp_rowh_sql(terms)
+        selects.append(
+            f"""SELECT '{table}' AS table_name, COUNT(*) AS n_rows,
+       CAST(SUM({rowh_sql}) % {_FP_MOD} AS BIGINT) AS content_fp
 FROM {table}"""
-        for table, rowh in _FP_SPECS.items()
-    ]
+        )
     return "\nUNION ALL\n".join(selects)
 
 

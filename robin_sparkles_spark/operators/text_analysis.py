@@ -56,17 +56,24 @@ FROM documents
 
 
 # --- quality scoring --------------------------------------------------------
+# ONE definition of the composite score per dialect, shared by
+# text_quality (per-doc scores) and quality_threshold_sweep (the
+# tuning table): the sweep's value hinges on its score being
+# bit-identical to the score the curation gate applies, so the
+# formula must have exactly one Spark and one SQL source of truth
+# (an r5 review found four diverging copies forming).
 
-def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Length / stopword / token-shape quality signals with a rational
-    composite score in [0,1] (no exp/log — libm parity trap)."""
-    d = load_table(spark, sf_dir, "documents")
+
+def _quality_parts() -> tuple[F.Column, F.Column, F.Column]:
+    """(stop_ratio, avg_word_len, composite score) over documents."""
     toks = ws_tokens()
     n_words = F.size(toks).cast("double")
-    n_stop = F.size(F.filter(toks, lambda t: t.isin(list(STOPWORDS)))).cast("double")
-    sum_len = F.aggregate(toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t)).cast(
+    n_stop = F.size(F.filter(toks, lambda t: t.isin(list(STOPWORDS)))).cast(
         "double"
     )
+    sum_len = F.aggregate(
+        toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t)
+    ).cast("double")
     avg_word_len = sum_len / n_words
     stop_ratio = n_stop / n_words
     length_ok = F.col("n_chars").between(100, 2000).cast("double")
@@ -75,9 +82,33 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         + F.lit(0.3) * (F.least(avg_word_len, F.lit(8.0)) / F.lit(8.0))
         + F.lit(0.2) * length_ok
     )
+    return stop_ratio, avg_word_len, score
+
+
+# DuckDB fragments over the `t` CTE shape (toks + n_chars in scope)
+_STOP_RATIO_SQL = (
+    f"CAST(len(list_filter(toks, x -> x IN ({_STOP_SQL}))) AS DOUBLE) / len(toks)"
+)
+_AVG_WLEN_SQL = (
+    "CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), "
+    "list_transform(toks, x -> CAST(len(x) AS BIGINT))), (a, b) -> a + b) "
+    "AS DOUBLE) / len(toks)"
+)
+_QUALITY_SCORE_SQL = (
+    f"0.5 * ({_STOP_RATIO_SQL})\n"
+    f"       + 0.3 * (least({_AVG_WLEN_SQL}, 8.0) / 8.0)\n"
+    "       + 0.2 * (CASE WHEN n_chars BETWEEN 100 AND 2000 THEN 1.0 ELSE 0.0 END)"
+)
+
+
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length / stopword / token-shape quality signals with a rational
+    composite score in [0,1] (no exp/log — libm parity trap)."""
+    d = load_table(spark, sf_dir, "documents")
+    stop_ratio, avg_word_len, score = _quality_parts()
     return d.select(
         "doc_id",
-        n_words.cast("long").alias("n_words"),
+        F.size(ws_tokens()).cast("long").alias("n_words"),
         stop_ratio.alias("stop_ratio"),
         avg_word_len.alias("avg_word_len"),
         score.alias("quality_score"),
@@ -92,11 +123,9 @@ WITH t AS (
 )
 SELECT doc_id,
        CAST(len(toks) AS BIGINT) AS n_words,
-       CAST(len(list_filter(toks, x -> x IN ({_STOP_SQL}))) AS DOUBLE) / len(toks) AS stop_ratio,
-       CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(toks, x -> CAST(len(x) AS BIGINT))), (a, b) -> a + b) AS DOUBLE) / len(toks) AS avg_word_len,
-       0.5 * (CAST(len(list_filter(toks, x -> x IN ({_STOP_SQL}))) AS DOUBLE) / len(toks))
-       + 0.3 * (least(CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(toks, x -> CAST(len(x) AS BIGINT))), (a, b) -> a + b) AS DOUBLE) / len(toks), 8.0) / 8.0)
-       + 0.2 * (CASE WHEN n_chars BETWEEN 100 AND 2000 THEN 1.0 ELSE 0.0 END) AS quality_score
+       {_STOP_RATIO_SQL} AS stop_ratio,
+       {_AVG_WLEN_SQL} AS avg_word_len,
+       {_QUALITY_SCORE_SQL} AS quality_score
 FROM t
 """
 
@@ -633,25 +662,10 @@ def quality_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     At 100 TB this is a scan plus a constant-size shuffle; nothing
     joins, nothing sorts."""
     d = load_table(spark, sf_dir, "documents")
-    toks = ws_tokens()
-    n_words = F.size(toks).cast("double")
-    n_stop = F.size(F.filter(toks, lambda t: t.isin(list(STOPWORDS)))).cast(
-        "double"
-    )
-    sum_len = F.aggregate(
-        toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t)
-    ).cast("double")
-    avg_word_len = sum_len / n_words
-    stop_ratio = n_stop / n_words
-    length_ok = F.col("n_chars").between(100, 2000).cast("double")
-    score = (
-        F.lit(0.5) * stop_ratio
-        + F.lit(0.3) * (F.least(avg_word_len, F.lit(8.0)) / F.lit(8.0))
-        + F.lit(0.2) * length_ok
-    )
+    _, _, score = _quality_parts()
     scored = d.select(
         "source",
-        F.size(toks).cast("long").alias("n_tokens"),
+        F.size(ws_tokens()).cast("long").alias("n_tokens"),
         score.alias("q"),
         F.explode(
             F.array(*[F.lit(t) for t in QUALITY_LADDER])
@@ -691,9 +705,7 @@ WITH t AS (
 ),
 scored AS (
   SELECT source, CAST(len(toks) AS BIGINT) AS n_tokens,
-         0.5 * (CAST(len(list_filter(toks, x -> x IN ({_STOP_SQL}))) AS DOUBLE) / len(toks))
-         + 0.3 * (least(CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(toks, x -> CAST(len(x) AS BIGINT))), (a, b) -> a + b) AS DOUBLE) / len(toks), 8.0) / 8.0)
-         + 0.2 * (CASE WHEN n_chars BETWEEN 100 AND 2000 THEN 1.0 ELSE 0.0 END) AS q
+         {_QUALITY_SCORE_SQL} AS q
   FROM t
 ),
 fanned AS (

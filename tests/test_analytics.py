@@ -247,15 +247,19 @@ def test_table_fingerprint_order_insensitive_and_sensitive(spark, sf_dir):
     fp; perturbing one order's price by one cent moves it."""
     from pyspark.sql import functions as F
 
-    from robin_sparkles_spark.operators.quality import _FP_MOD, _FP_SPECS
+    from robin_sparkles_spark.operators.quality import (
+        _FP_MOD,
+        _FP_SPECS,
+        _fp_rowh_spark,
+    )
     from robin_sparkles_spark.sources import load_table
 
-    rowh = _FP_SPECS["orders"]
+    rowh = _fp_rowh_spark(_FP_SPECS["orders"])
     base = load_table(spark, sf_dir, "orders")
 
     def fp(df):
         return (
-            df.selectExpr(f"{rowh} AS rowh")
+            df.select(rowh.alias("rowh"))
             .agg((F.sum("rowh") % _FP_MOD).cast("long").alias("fp"))
             .collect()[0]
             .fp

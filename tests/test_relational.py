@@ -133,7 +133,10 @@ def test_budget_sample_take_while_semantics(spark, sf_dir):
     for source, docs in by_source.items():
         budget = docs[0].budget_tokens
         taken = sum(r.n_tokens for r in docs)
-        last = max(docs, key=lambda r: r.cum_before)
+        # tie-break on n_tokens: a zero-token doc can share the
+        # straddler's cum_before, and the straddler is the one that
+        # actually consumed tokens
+        last = max(docs, key=lambda r: (r.cum_before, r.n_tokens))
         # every sampled doc started inside the budget
         assert all(r.cum_before < budget for r in docs)
         # take-while: either the source ran out of docs, or removing
