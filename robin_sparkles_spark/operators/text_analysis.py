@@ -710,7 +710,8 @@ scored AS (
 ),
 fanned AS (
   SELECT s.source, s.n_tokens, s.q, l.threshold
-  FROM scored s CROSS JOIN (SELECT unnest([{_LADDER_SQL}]) AS threshold) l
+  FROM scored s CROSS JOIN
+       (SELECT CAST(unnest([{_LADDER_SQL}]) AS DOUBLE) AS threshold) l
 )
 SELECT source, threshold,
        CAST(SUM(CASE WHEN q >= threshold THEN 1 ELSE 0 END) AS BIGINT) AS docs_pass,
