@@ -1,0 +1,170 @@
+"""Distributed BPE merge training (EXT — tokenizer-prep capstone).
+
+The first ``BPE_ITERS`` merges of byte-pair-encoding training over the
+document corpus, exactly as the original algorithm defines them
+(Sennrich et al. 2016): represent every word as a space-separated
+symbol sequence, count adjacent symbol pairs weighted by word
+frequency, merge the most frequent pair corpus-wide, repeat. This sits
+on top of the existing tokenizer-prep family (``corpus_vocabulary``,
+``bigram_stats``, ``docs_rarity_topk``) and is the step that actually
+LEARNS subwords instead of describing words.
+
+Scale design — the classic BPE trick, made explicit:
+
+- Pair counting runs over the DISTINCT-WORD table with frequencies,
+  not the corpus: the corpus may be 100 TB but the weighted vocabulary
+  is millions of rows, so each iteration is a vocab-scale explode +
+  one hash aggregation (sum partial-aggregates map-side).
+- The argmax merge is a ``TakeOrderedAndProject`` over |distinct
+  pairs| rows with a TOTAL tie-break (count DESC, left ASC, right
+  ASC) — deterministic across engines and partitionings — and the
+  single winning row is collected driver-side per iteration, the same
+  tiny model-fit collect as ``clustering.kmeans_fit`` (a k-row
+  centroid table there, a 1-row merge table here).
+- The merge application is one ``replace`` projection over the
+  vocabulary (leftmost non-overlapping, identical in Java and DuckDB:
+  'a a a' → 'aa a' — verified), so iteration i+1's input is a
+  same-size map-only transform of iteration i's.
+
+Oracle: the DuckDB twin unrolls the same ``BPE_ITERS`` iterations as
+chained CTEs, computing each winning pair WITH SCALAR SUBQUERIES — the
+oracle derives the merges itself rather than having the fitted result
+inlined, so the gate re-runs the whole training loop in SQL and the
+hash proves Spark's distributed loop equals it end-to-end (stronger
+than the k-means centroid-literal pattern, feasible here because the
+model state per iteration is one row).
+
+Determinism ledger: symbol sequences are exact strings; counts are
+exact longs; the tie-break is total; `replace` semantics match; no
+doubles anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..functions.text import ws_tokens, ws_tokens_sql
+from ..sources import load_table
+
+BPE_ITERS = 3
+
+# memoized merges per sf_dir — the gate calls the query function
+# several times (compare + count) and the merges are pure functions of
+# the corpus; same pattern as clustering._FIT_CACHE
+_BPE_CACHE: dict[str, list[tuple[str, str, int]]] = {}
+
+
+def _word_freqs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(ws_tokens()).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def _pair_counts(seqs: DataFrame) -> DataFrame:
+    """Adjacent-symbol pair counts weighted by word frequency."""
+    toks = F.split(F.col("seq"), " ")
+    lefts = F.slice(toks, 1, F.size(toks) - 1)
+    rights = F.slice(toks, 2, F.size(toks) - 1)
+    pairs = F.zip_with(
+        lefts,
+        rights,
+        lambda x, y: F.struct(x.alias("s1"), y.alias("s2")),
+    )
+    return (
+        seqs.select("n", F.explode(pairs).alias("p"))
+        .groupBy(F.col("p.s1").alias("s1"), F.col("p.s2").alias("s2"))
+        .agg(F.sum("n").alias("cnt"))
+    )
+
+
+def _fit_merges(spark: SparkSession, sf_dir: str) -> list[tuple[str, str, int]]:
+    if sf_dir in _BPE_CACHE:
+        return _BPE_CACHE[sf_dir]
+    chars = F.filter(F.split(F.col("word"), ""), lambda c: F.length(c) > 0)
+    seqs = _word_freqs(spark, sf_dir).select(
+        F.array_join(chars, " ").alias("seq"), "n"
+    )
+    merges: list[tuple[str, str, int]] = []
+    for _ in range(BPE_ITERS):
+        best = (
+            _pair_counts(seqs)
+            .orderBy(F.col("cnt").desc(), F.col("s1").asc(), F.col("s2").asc())
+            .limit(1)
+            .collect()[0]
+        )
+        merges.append((best.s1, best.s2, best.cnt))
+        seqs = seqs.select(
+            F.replace(
+                F.col("seq"),
+                F.lit(f"{best.s1} {best.s2}"),
+                F.lit(f"{best.s1}{best.s2}"),
+            ).alias("seq"),
+            "n",
+        )
+    _BPE_CACHE[sf_dir] = merges
+    return merges
+
+
+def bpe_merge_training(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The first ``BPE_ITERS`` learned merges: (merge_rank, lsym,
+    rsym, merged, pair_count). See module docstring for the plan and
+    the oracle's re-derivation of the same loop in SQL."""
+    merges = _fit_merges(spark, sf_dir)
+    rows = [
+        (i + 1, l, r, l + r, int(c)) for i, (l, r, c) in enumerate(merges)
+    ]
+    return spark.createDataFrame(
+        rows, "merge_rank long, lsym string, rsym string, merged string, pair_count long"
+    )
+
+
+def _iter_sql(i: int) -> str:
+    """CTE block for iteration i (1-based): pairs → argmax → merged seqs."""
+    prev = f"seq{i - 1}"
+    return f"""
+p{i} AS (
+  SELECT t.toks[g.i] AS s1, t.toks[g.i + 1] AS s2, SUM(t.n) AS cnt
+  FROM (SELECT string_split(seq, ' ') AS toks, n FROM {prev}) t,
+       LATERAL (SELECT unnest(range(1, len(t.toks))) AS i) g
+  GROUP BY 1, 2
+),
+m{i} AS (
+  SELECT s1, s2, cnt FROM p{i}
+  ORDER BY cnt DESC, s1 ASC, s2 ASC LIMIT 1
+),
+seq{i} AS (
+  SELECT replace(seq, (SELECT s1 || ' ' || s2 FROM m{i}),
+                 (SELECT s1 || s2 FROM m{i})) AS seq, n
+  FROM {prev}
+)"""
+
+
+def _bpe_sql() -> str:
+    iters = ",".join(_iter_sql(i) for i in range(1, BPE_ITERS + 1))
+    finals = "\nUNION ALL\n".join(
+        f"SELECT {i} AS merge_rank, s1 AS lsym, s2 AS rsym,"
+        f" s1 || s2 AS merged, CAST(cnt AS BIGINT) AS pair_count FROM m{i}"
+        for i in range(1, BPE_ITERS + 1)
+    )
+    return f"""
+WITH words AS (
+  SELECT word, COUNT(*) AS n
+  FROM (SELECT unnest({ws_tokens_sql()}) AS word FROM documents)
+  GROUP BY word
+),
+seq0 AS (
+  SELECT array_to_string(string_split(word, ''), ' ') AS seq, n FROM words
+),{iters}
+SELECT CAST(merge_rank AS BIGINT) AS merge_rank, lsym, rsym, merged, pair_count
+FROM ({finals})
+"""
+
+
+QUERIES: dict = {}
+
+QUERIES_TAIL = {
+    "bpe_merge_training": (bpe_merge_training, _bpe_sql()),
+}

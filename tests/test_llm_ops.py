@@ -6,6 +6,7 @@ from __future__ import annotations
 import pytest
 
 from robin_sparkles_spark.operators import (
+    bpe,
     curation,
     dedup,
     embedding_dedup,
@@ -19,7 +20,7 @@ from robin_sparkles_spark.operators import (
 from .oracle_utils import assert_query_matches_oracle
 
 ALL = {}
-for mod in (text_analysis, dedup, embedding_dedup, similarity, curation, sketches, graph, semdedup):
+for mod in (text_analysis, dedup, embedding_dedup, similarity, curation, sketches, graph, semdedup, bpe):
     ALL.update(mod.QUERIES)
     ALL.update(getattr(mod, "QUERIES_TAIL", {}))
 
@@ -541,3 +542,53 @@ def test_quality_sweep_is_monotone(spark, sf_dir):
             assert hi.docs_pass <= lo.docs_pass
             assert hi.tokens_pass <= lo.tokens_pass
             assert hi.doc_survival <= lo.doc_survival
+
+
+def test_bpe_merges_match_python_reference(spark, sf_dir):
+    """Third opinion beyond the SQL oracle: the distributed merges
+    must equal a pure-Python BPE over the same word-frequency table —
+    identical pair counting, the same (count DESC, left, right)
+    tie-break, and leftmost non-overlapping merge application."""
+    from collections import Counter
+
+    from pyspark.sql import functions as F
+
+    from robin_sparkles_spark.functions.text import ws_tokens
+    from robin_sparkles_spark.operators import bpe
+    from robin_sparkles_spark.sources import load_table
+
+    freqs = {
+        r.word: r.n
+        for r in load_table(spark, sf_dir, "documents")
+        .select(F.explode(ws_tokens()).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    seqs = {" ".join(w): n for w, n in freqs.items()}
+    expected = []
+    for _ in range(bpe.BPE_ITERS):
+        counts: Counter = Counter()
+        for seq, n in seqs.items():
+            toks = seq.split(" ")
+            for a, b in zip(toks, toks[1:]):
+                counts[(a, b)] += n
+        (s1, s2), cnt = min(
+            counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        expected.append((s1, s2, cnt))
+        merged = {}
+        for seq, n in seqs.items():
+            # str.replace is leftmost non-overlapping, same as the
+            # engine's replace
+            merged[seq.replace(f"{s1} {s2}", f"{s1}{s2}")] = (
+                merged.get(seq.replace(f"{s1} {s2}", f"{s1}{s2}"), 0) + n
+            )
+        seqs = merged
+    got = [
+        (r.lsym, r.rsym, r.pair_count)
+        for r in bpe.bpe_merge_training(spark, sf_dir)
+        .orderBy("merge_rank")
+        .collect()
+    ]
+    assert got == expected
