@@ -136,8 +136,10 @@ m{i} AS (
   ORDER BY cnt DESC, s1 ASC, s2 ASC LIMIT 1
 ),
 seq{i} AS (
-  SELECT replace(seq, (SELECT s1 || ' ' || s2 FROM m{i}),
-                 (SELECT s1 || s2 FROM m{i})) AS seq, n
+  -- * REPLACE keeps any carried columns (the tokenize oracle's seq0
+  -- also carries `word`; the training oracle's carries only seq, n)
+  SELECT * REPLACE (replace(seq, (SELECT s1 || ' ' || s2 FROM m{i}),
+                            (SELECT s1 || s2 FROM m{i})) AS seq)
   FROM {prev}
 )"""
 
@@ -163,8 +165,84 @@ FROM ({finals})
 """
 
 
+def docs_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply the learned merges — the train→apply round trip: per
+    document, whitespace-token count vs subword count under the
+    ``BPE_ITERS`` learned merges, plus the resulting subwords-per-
+    token ratio (the compression a tokenizer buys; 1.0 merges
+    nothing, chars-per-token merges everything).
+
+    Plan — the apply side of the vocab-scale trick: subword counts
+    are computed ONCE per distinct word (vocab-sized projection
+    through the merge replaces, merges inlined as literals from the
+    memoized fit) and broadcast-joined onto the per-doc word explode;
+    the corpus pays one explode + one broadcast join + one doc
+    aggregation, never the per-word merge work. Oracle re-derives the
+    merges via the same unrolled CTE chain as the training oracle and
+    joins the seq3 vocabulary back to the documents — the whole
+    train→apply path replayed in SQL."""
+    merges = _fit_merges(spark, sf_dir)
+    chars = F.filter(F.split(F.col("word"), ""), lambda c: F.length(c) > 0)
+    seq = F.array_join(chars, " ")
+    for s1, s2, _ in merges:
+        seq = F.replace(seq, F.lit(f"{s1} {s2}"), F.lit(f"{s1}{s2}"))
+    word_sub = (
+        _word_freqs(spark, sf_dir)
+        .select("word", (F.size(F.split(seq, " "))).cast("long").alias("n_sub"))
+    )
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.explode(ws_tokens()).alias("word")
+    )
+    return (
+        d.join(F.broadcast(word_sub), "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum("n_sub").alias("n_subwords"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_subwords",
+            (
+                F.col("n_subwords").cast("double")
+                / F.col("n_tokens").cast("double")
+            ).alias("subwords_per_token"),
+        )
+    )
+
+
+def _bpe_tokenize_sql() -> str:
+    iters = ",".join(_iter_sql(i) for i in range(1, BPE_ITERS + 1))
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest({ws_tokens_sql()}) AS word FROM documents
+),
+words AS (
+  SELECT word, COUNT(*) AS n
+  FROM (SELECT unnest({ws_tokens_sql()}) AS word FROM documents)
+  GROUP BY word
+),
+seq0 AS (
+  SELECT word, array_to_string(string_split(word, ''), ' ') AS seq, n
+  FROM words
+),{iters},
+word_sub AS (
+  SELECT word, CAST(len(string_split(seq, ' ')) AS BIGINT) AS n_sub
+  FROM seq{BPE_ITERS}
+)
+SELECT t.doc_id, COUNT(*) AS n_tokens,
+       CAST(SUM(w.n_sub) AS BIGINT) AS n_subwords,
+       CAST(SUM(w.n_sub) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+         AS subwords_per_token
+FROM tok t JOIN word_sub w USING (word)
+GROUP BY t.doc_id
+"""
+
+
 QUERIES: dict = {}
 
 QUERIES_TAIL = {
     "bpe_merge_training": (bpe_merge_training, _bpe_sql()),
+    "docs_bpe_tokenize": (docs_bpe_tokenize, _bpe_tokenize_sql()),
 }

@@ -194,8 +194,9 @@ def _collect() -> dict[str, QuerySpec]:
 # stale-r03 list above. Also never-driver-gated from late r5:
 # docs_pack_assign, orders_snapshot_diff, embedding_gram_matrix,
 # docs_token_budget_sample, quality_threshold_sweep,
-# table_fingerprints, orders_mv_incremental, bpe_merge_training
-# (each builder-verified at sf0.01 AND sf0.1 on addition).
+# table_fingerprints, orders_mv_incremental, bpe_merge_training,
+# docs_bpe_tokenize (each builder-verified at sf0.01 AND sf0.1 on
+# addition).
 GATE_FRONT: tuple[str, ...] = (
     # r05: new real-decode queries — first driver rows
     "bmp_decode_stats",
