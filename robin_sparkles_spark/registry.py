@@ -84,6 +84,7 @@ def _collect() -> dict[str, QuerySpec]:
         relational5,
         relational6,
         llm_prep,
+        pysource,
         similarity,
         skew_queries,
         stats,
@@ -140,6 +141,7 @@ def _collect() -> dict[str, QuerySpec]:
         timeseries,
         stats,
         bpe,
+        pysource,
     )
 
     def add(name: str, spec: tuple) -> None:
@@ -195,8 +197,8 @@ def _collect() -> dict[str, QuerySpec]:
 # docs_pack_assign, orders_snapshot_diff, embedding_gram_matrix,
 # docs_token_budget_sample, quality_threshold_sweep,
 # table_fingerprints, orders_mv_incremental, bpe_merge_training,
-# docs_bpe_tokenize (each builder-verified at sf0.01 AND sf0.1 on
-# addition).
+# docs_bpe_tokenize, pysource_events_agg (each builder-verified at
+# sf0.01 AND sf0.1 on addition; pysource is scale-independent).
 GATE_FRONT: tuple[str, ...] = (
     # r05: new real-decode queries — first driver rows
     "bmp_decode_stats",
