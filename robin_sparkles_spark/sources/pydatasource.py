@@ -29,7 +29,12 @@ keeps the demo dependency-free.
 
 from __future__ import annotations
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 
 SOURCE_NAME = "synthetic_events"
 DEFAULT_ROWS = 20_000
@@ -84,6 +89,32 @@ class SyntheticEventsReader(DataSourceReader):
             yield (i, etype, (i * VALUE_MULT) % VALUE_MOD)
 
 
+class SyntheticEventsArrowReader(SyntheticEventsReader):
+    """Arrow-batch read path — the production variant: read() yields
+    one ``pyarrow.RecordBatch`` per partition built with vectorized
+    numpy arithmetic instead of a Python tuple per row. Same rows,
+    same pushdown, ~row-loop-free; selected with
+    ``.option("arrow", "true")``."""
+
+    def read(self, partition: _Slice):
+        import numpy as np
+        import pyarrow as pa
+
+        ids = np.arange(partition.start, partition.end, dtype=np.int64)
+        types = np.array([f"type_{t}" for t in ids % N_TYPES])
+        if partition.type_filter is not None:
+            keep = types == partition.type_filter
+            ids, types = ids[keep], types[keep]
+        yield pa.RecordBatch.from_arrays(
+            [
+                pa.array(ids, type=pa.int64()),
+                pa.array(types, type=pa.string()),
+                pa.array((ids * VALUE_MULT) % VALUE_MOD, type=pa.int64()),
+            ],
+            names=["event_id", "event_type", "value"],
+        )
+
+
 class SyntheticEventsDataSource(DataSource):
     @classmethod
     def name(cls):
@@ -93,7 +124,46 @@ class SyntheticEventsDataSource(DataSource):
         return "event_id bigint, event_type string, value bigint"
 
     def reader(self, schema):
+        if str(self.options.get("arrow", "false")).lower() == "true":
+            return SyntheticEventsArrowReader(self.options)
         return SyntheticEventsReader(self.options)
+
+    def simpleStreamReader(self, schema):
+        return SyntheticEventsStreamReader(self.options)
+
+
+class SyntheticEventsStreamReader(SimpleDataSourceStreamReader):
+    """Streaming half of the source — the same deterministic stream
+    delivered as offset-tracked micro-batches: offsets are row
+    positions, ``read(start)`` returns the next ``batch_rows`` slice
+    plus the advanced offset (no progress once the cap is reached, so
+    ``availableNow`` drains and terminates), and
+    ``readBetweenOffsets`` replays any committed range exactly —
+    which is the recovery contract that makes the stream
+    exactly-once under checkpoint restart. A stream==batch parity
+    test pins that draining the stream yields the batch reader's
+    rows bit-for-bit (the repo's standard twin discipline)."""
+
+    def __init__(self, options):
+        self.n = int(options.get("n", DEFAULT_ROWS))
+        self.batch_rows = int(options.get("batch_rows", 4096))
+
+    def initialOffset(self):
+        return {"pos": 0}
+
+    def _rows(self, lo: int, hi: int):
+        return [
+            (i, f"type_{i % N_TYPES}", (i * VALUE_MULT) % VALUE_MOD)
+            for i in range(lo, hi)
+        ]
+
+    def read(self, start):
+        lo = int(start["pos"])
+        hi = min(lo + self.batch_rows, self.n)
+        return iter(self._rows(lo, hi)), {"pos": hi}
+
+    def readBetweenOffsets(self, start, end):
+        return iter(self._rows(int(start["pos"]), int(end["pos"])))
 
 
 _registered: set[int] = set()
