@@ -40,7 +40,16 @@ def main() -> int:
             print(f"unknown query names: {sorted(unknown)}", file=sys.stderr)
             return 2
 
-    spark = get_spark(app_name="gate_check", master="local[8]", shuffle_partitions=8)
+    # Session-shape overrides for partition-invariance sweeps: every
+    # declared query claims its result is independent of parallelism
+    # and shuffle width (the determinism rules in registry.py) — a
+    # gate run with an adversarial shape (odd widths, fewer cores)
+    # executes that claim instead of asserting it.
+    master = os.environ.get("SPARK_GRAFT_GATE_MASTER", "local[8]")
+    shuffle = int(os.environ.get("SPARK_GRAFT_GATE_SHUFFLE", "8"))
+    spark = get_spark(
+        app_name="gate_check", master=master, shuffle_partitions=shuffle
+    )
     results: dict[str, dict] = {}
     t_all = time.time()
     for name, spec in registry.all_queries().items():
