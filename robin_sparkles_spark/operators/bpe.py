@@ -21,10 +21,12 @@ Scale design — the classic BPE trick, made explicit:
   single winning row is collected driver-side per iteration, the same
   tiny model-fit collect as ``clustering.kmeans_fit`` (a k-row
   centroid table there, a 1-row merge table here).
-- The merge application is one ``replace`` projection over the
-  vocabulary (leftmost non-overlapping, identical in Java and DuckDB:
-  'a a a' → 'aa a' — verified), so iteration i+1's input is a
-  same-size map-only transform of iteration i's.
+- The merge application is a sentinel-padded, boundary-anchored
+  iterated ``replace`` projection over the vocabulary (see
+  ``_apply_merge``: ' l r ' → ' lr ' to fixpoint — a bare substring
+  replace would merge across symbol boundaries, e.g. 'th e y' +
+  (h,e) → 'the y'), so iteration i+1's input is a same-size map-only
+  transform of iteration i's.
 
 Oracle: the DuckDB twin unrolls the same ``BPE_ITERS`` iterations as
 chained CTEs, computing each winning pair WITH SCALAR SUBQUERIES — the
@@ -80,12 +82,43 @@ def _pair_counts(seqs: DataFrame) -> DataFrame:
     )
 
 
+# A bare `replace(seq, 'l r', 'lr')` merges ACROSS symbol boundaries
+# ('th e y' + merge (h,e) -> 'the y': the tail of symbol 'th' is not
+# an adjacent pair, an r5 review caught this with that reproduction).
+# Correct anchoring without lookarounds (DuckDB's RE2 has none): pad
+# the sequence with sentinel spaces and replace the fully-delimited
+# ' l r ' -> ' lr '. One pass can still miss matches whose leading
+# delimiter was consumed as a previous match's trailing delimiter
+# ('a b a b': the two occurrences share the middle space), so the
+# replace iterates MERGE_PASSES times to fixpoint. This EQUALS greedy
+# left-to-right BPE: replacements preserve both boundary spaces, a
+# consumed token can never re-match, and any still-valid pair's
+# ' l r ' text survives verbatim until a later pass takes it (the
+# pure-token-list reference in tests/test_llm_ops.py pins the
+# equivalence). Words cap out far below 2*MERGE_PASSES symbols, so
+# the fixpoint always lands.
+MERGE_PASSES = 8
+
+
+def _apply_merge(seq: F.Column, l: str, r: str) -> F.Column:
+    s = F.concat(F.lit(" "), seq, F.lit(" "))
+    for _ in range(MERGE_PASSES):
+        s = F.replace(s, F.lit(f" {l} {r} "), F.lit(f" {l}{r} "))
+    return F.trim(s)
+
+
 def _fit_merges(spark: SparkSession, sf_dir: str) -> list[tuple[str, str, int]]:
     if sf_dir in _BPE_CACHE:
         return _BPE_CACHE[sf_dir]
     chars = F.filter(F.split(F.col("word"), ""), lambda c: F.length(c) > 0)
-    seqs = _word_freqs(spark, sf_dir).select(
-        F.array_join(chars, " ").alias("seq"), "n"
+    # localCheckpoint: every iteration's collect() would otherwise
+    # replay the corpus scan + tokenize + word groupBy from parquet —
+    # the barrier makes iterations genuinely vocab-scale (the
+    # kmeans_fit lesson, r5 review)
+    seqs = (
+        _word_freqs(spark, sf_dir)
+        .select(F.array_join(chars, " ").alias("seq"), "n")
+        .localCheckpoint()
     )
     merges: list[tuple[str, str, int]] = []
     for _ in range(BPE_ITERS):
@@ -97,12 +130,7 @@ def _fit_merges(spark: SparkSession, sf_dir: str) -> list[tuple[str, str, int]]:
         )
         merges.append((best.s1, best.s2, best.cnt))
         seqs = seqs.select(
-            F.replace(
-                F.col("seq"),
-                F.lit(f"{best.s1} {best.s2}"),
-                F.lit(f"{best.s1}{best.s2}"),
-            ).alias("seq"),
-            "n",
+            _apply_merge(F.col("seq"), best.s1, best.s2).alias("seq"), "n"
         )
     _BPE_CACHE[sf_dir] = merges
     return merges
@@ -124,6 +152,13 @@ def bpe_merge_training(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _iter_sql(i: int) -> str:
     """CTE block for iteration i (1-based): pairs → argmax → merged seqs."""
     prev = f"seq{i - 1}"
+    merged_expr = f"' ' || seq || ' '"
+    for _ in range(MERGE_PASSES):
+        merged_expr = (
+            f"replace({merged_expr},"
+            f" (SELECT ' ' || s1 || ' ' || s2 || ' ' FROM m{i}),"
+            f" (SELECT ' ' || s1 || s2 || ' ' FROM m{i}))"
+        )
     return f"""
 p{i} AS (
   SELECT t.toks[g.i] AS s1, t.toks[g.i + 1] AS s2, SUM(t.n) AS cnt
@@ -131,15 +166,21 @@ p{i} AS (
        LATERAL (SELECT unnest(range(1, len(t.toks))) AS i) g
   GROUP BY 1, 2
 ),
-m{i} AS (
+-- MATERIALIZED: DuckDB inlines CTEs by default, and m{i} is
+-- referenced 2×MERGE_PASSES times by the nested replaces below —
+-- inlining re-evaluates the whole upstream chain per reference
+-- (exponential across iterations; the triangle-oracle lesson)
+m{i} AS MATERIALIZED (
   SELECT s1, s2, cnt FROM p{i}
   ORDER BY cnt DESC, s1 ASC, s2 ASC LIMIT 1
 ),
-seq{i} AS (
+seq{i} AS MATERIALIZED (
   -- * REPLACE keeps any carried columns (the tokenize oracle's seq0
-  -- also carries `word`; the training oracle's carries only seq, n)
-  SELECT * REPLACE (replace(seq, (SELECT s1 || ' ' || s2 FROM m{i}),
-                            (SELECT s1 || s2 FROM m{i})) AS seq)
+  -- also carries `word`; the training oracle's carries only seq, n).
+  -- The merge is the sentinel-padded ' l r ' -> ' lr ' replace
+  -- iterated MERGE_PASSES times (see _apply_merge) — boundary-exact
+  -- and fixpoint-equal to greedy BPE, unlike a bare replace.
+  SELECT * REPLACE (trim({merged_expr}) AS seq)
   FROM {prev}
 )"""
 
@@ -174,24 +215,31 @@ def docs_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Plan — the apply side of the vocab-scale trick: subword counts
     are computed ONCE per distinct word (vocab-sized projection
-    through the merge replaces, merges inlined as literals from the
-    memoized fit) and broadcast-joined onto the per-doc word explode;
-    the corpus pays one explode + one broadcast join + one doc
-    aggregation, never the per-word merge work. Oracle re-derives the
-    merges via the same unrolled CTE chain as the training oracle and
-    joins the seq3 vocabulary back to the documents — the whole
-    train→apply path replayed in SQL."""
+    through the anchored merge replaces, merges inlined as literals
+    from the memoized fit) and broadcast-joined onto the per-doc word
+    explode; the explode is checkpointed and the vocabulary derives
+    from IT, so the apply pays exactly one corpus scan + one
+    broadcast join + one doc aggregation (the fit's own scan is
+    memoized per sf_dir). Oracle re-derives the merges via the same
+    unrolled CTE chain as the training oracle — sharing its `tok`
+    scan — and joins the final vocabulary back to the documents: the
+    whole train→apply path replayed in SQL."""
     merges = _fit_merges(spark, sf_dir)
     chars = F.filter(F.split(F.col("word"), ""), lambda c: F.length(c) > 0)
     seq = F.array_join(chars, " ")
     for s1, s2, _ in merges:
-        seq = F.replace(seq, F.lit(f"{s1} {s2}"), F.lit(f"{s1}{s2}"))
-    word_sub = (
-        _word_freqs(spark, sf_dir)
-        .select("word", (F.size(F.split(seq, " "))).cast("long").alias("n_sub"))
+        seq = _apply_merge(seq, s1, s2)
+    # ONE corpus scan: the per-doc explode is checkpointed and the
+    # DISTINCT-word vocabulary derives from it (an r5 review caught
+    # a second scan via _word_freqs here — and the frequency column
+    # it carried was never used by the apply side)
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", F.explode(ws_tokens()).alias("word"))
+        .localCheckpoint(eager=False)
     )
-    d = load_table(spark, sf_dir, "documents").select(
-        "doc_id", F.explode(ws_tokens()).alias("word")
+    word_sub = d.select("word").distinct().select(
+        "word", (F.size(F.split(seq, " "))).cast("long").alias("n_sub")
     )
     return (
         d.join(F.broadcast(word_sub), "word")
@@ -215,13 +263,11 @@ def docs_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _bpe_tokenize_sql() -> str:
     iters = ",".join(_iter_sql(i) for i in range(1, BPE_ITERS + 1))
     return f"""
-WITH tok AS (
+WITH tok AS MATERIALIZED (
   SELECT doc_id, unnest({ws_tokens_sql()}) AS word FROM documents
 ),
-words AS (
-  SELECT word, COUNT(*) AS n
-  FROM (SELECT unnest({ws_tokens_sql()}) AS word FROM documents)
-  GROUP BY word
+words AS MATERIALIZED (
+  SELECT word, COUNT(*) AS n FROM tok GROUP BY word
 ),
 seq0 AS (
   SELECT word, array_to_string(string_split(word, ''), ' ') AS seq, n

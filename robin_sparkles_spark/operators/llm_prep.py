@@ -687,7 +687,7 @@ def docs_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     non-decreasing in the hash order key, per the
     ``functions.prefix`` contract — the helper generalizes across
     order keys). The mixture weights (``source_mixture``'s τ=0.5
-    formula, one shared source of truth via ``_mix_weight_terms``)
+    formula, single-sourced via ``_mix_weight``/``_sum_sqrt_tokens``)
     are derived from the SAME checkpointed projection the prefix sum
     reads — per-source token totals are a tiny groupBy over it, so
     the corpus is scanned and tokenized exactly ONCE (an r5 review

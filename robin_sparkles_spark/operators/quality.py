@@ -350,7 +350,10 @@ def _fp_rowh_spark(terms: list[tuple[str, str]]) -> F.Column:
         "text": lambda c: poly_fingerprint(F.col(c)),
     }
     acc = None
-    for coef, (kind, col) in zip(_FP_COEFS, terms):
+    # strict: zip silently dropping a 7th column would quietly void
+    # the "every column is hashed" guarantee (r5 review); grow
+    # _FP_COEFS before growing any spec past six columns
+    for coef, (kind, col) in zip(_FP_COEFS[: len(terms)], terms, strict=True):
         term = (builders[kind](col) * F.lit(coef)) % F.lit(_FP_MOD)
         acc = term if acc is None else acc + term
     return acc % F.lit(_FP_MOD)
@@ -370,7 +373,7 @@ def _fp_rowh_sql(terms: list[tuple[str, str]]) -> str:
     }
     parts = [
         f"(({builders[kind](col)}) * {coef}) % {_FP_MOD}"
-        for coef, (kind, col) in zip(_FP_COEFS, terms)
+        for coef, (kind, col) in zip(_FP_COEFS[: len(terms)], terms, strict=True)
     ]
     return f"({' + '.join(parts)}) % {_FP_MOD}"
 

@@ -746,8 +746,11 @@ WITH snap_b AS (
 SELECT status, COUNT(*) AS n_orders,
        CAST(SUM(cents) AS BIGINT) AS total_cents
 FROM snap_b GROUP BY status
-HAVING COUNT(*) > 0
 """
+# no HAVING twin for Spark's n_orders > 0 filter: a group whose
+# deltas net to zero has zero snap_b rows and is absent from the
+# GROUP BY by construction (a COUNT(*) > 0 clause would be
+# vacuously true — r5 review flagged the false symmetry)
 
 
 QUERIES: dict = {}

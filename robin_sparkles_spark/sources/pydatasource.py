@@ -166,16 +166,13 @@ class SyntheticEventsStreamReader(SimpleDataSourceStreamReader):
         return iter(self._rows(int(start["pos"]), int(end["pos"])))
 
 
-_registered: set[int] = set()
-
-
 def register(spark) -> None:
-    """Register the source once per SparkSession (idempotent). Also
-    enables Python-source filter pushdown — Spark 4 gates it behind a
-    conf and ERRORS (rather than ignoring) when a reader implements
-    pushFilters with the conf off; it is a runtime-settable SQL conf."""
+    """Register the source on the session (dataSource.register is an
+    idempotent overwrite, so no memoization — an id(spark) memo could
+    be fooled by CPython recycling a stopped session's id, r5
+    review). Also enables Python-source filter pushdown — Spark 4
+    gates it behind a conf and ERRORS (rather than ignoring) when a
+    reader implements pushFilters with the conf off; it is a
+    runtime-settable SQL conf."""
     spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
-    key = id(spark)
-    if key not in _registered:
-        spark.dataSource.register(SyntheticEventsDataSource)
-        _registered.add(key)
+    spark.dataSource.register(SyntheticEventsDataSource)

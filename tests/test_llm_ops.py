@@ -565,25 +565,38 @@ def test_bpe_merges_match_python_reference(spark, sf_dir):
         .agg(F.count("*").alias("n"))
         .collect()
     }
-    seqs = {" ".join(w): n for w, n in freqs.items()}
+    def greedy_merge(toks, a, b):
+        # TRUE token-list BPE merge (greedy left-to-right on symbol
+        # lists) — deliberately NOT a string replace, so this pins
+        # that the engine's anchored-fixpoint replace construction
+        # equals real BPE, boundary cases included
+        out, i = [], 0
+        while i < len(toks):
+            if i + 1 < len(toks) and toks[i] == a and toks[i + 1] == b:
+                out.append(a + b)
+                i += 2
+            else:
+                out.append(toks[i])
+                i += 1
+        return out
+
+    seqs = {}
+    for w, n in freqs.items():
+        seqs[tuple(w)] = seqs.get(tuple(w), 0) + n
     expected = []
     for _ in range(bpe.BPE_ITERS):
         counts: Counter = Counter()
-        for seq, n in seqs.items():
-            toks = seq.split(" ")
+        for toks, n in seqs.items():
             for a, b in zip(toks, toks[1:]):
                 counts[(a, b)] += n
         (s1, s2), cnt = min(
             counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
         )
         expected.append((s1, s2, cnt))
-        merged = {}
-        for seq, n in seqs.items():
-            # str.replace is leftmost non-overlapping, same as the
-            # engine's replace
-            merged[seq.replace(f"{s1} {s2}", f"{s1}{s2}")] = (
-                merged.get(seq.replace(f"{s1} {s2}", f"{s1}{s2}"), 0) + n
-            )
+        merged: dict = {}
+        for toks, n in seqs.items():
+            key = tuple(greedy_merge(list(toks), s1, s2))
+            merged[key] = merged.get(key, 0) + n
         seqs = merged
     got = [
         (r.lsym, r.rsym, r.pair_count)
