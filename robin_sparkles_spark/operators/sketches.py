@@ -232,6 +232,11 @@ GROUP BY pb.user_id, pb.exact_n
 
 QSKETCH_K = 256  # sample size per estimate
 QSKETCH_QS = (0.25, 0.5, 0.75, 0.95)
+# Price-range shard width for the exact side's distributed prefix sum:
+# o_totalprice spans ~[900, 560k], so ~70 shards — the offset table is
+# bounded by the price DOMAIN / width (a constant in row count), never
+# by table size.
+QSKETCH_SHARD_WIDTH = 8192
 
 
 def orders_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -249,9 +254,17 @@ def orders_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     merge, never a global sort (the r4 ROW_NUMBER form compiled to a
     single-partition WindowExec, which the docstring wrongly claimed
     it didn't). The downstream rank windows run over the K-row sample
-    only (bounded by construction). The EXACT side is the verification
-    baseline and *is* a global ranking — a real deployment keeps only
-    the sample and drops that side."""
+    only (bounded by construction). The EXACT side (r6, VERDICT r5
+    "What's wrong" #2) no longer ranks the whole table through one
+    window: it groups to DISTINCT prices with counts (one shuffle,
+    output bounded by the price domain), runs the two-level sharded
+    prefix sum from ``functions.prefix`` over price-range shards
+    (every window holds one shard; the shard-offset reduction is ~70
+    rows, bounded by domain/width, not by table size), and picks the
+    value whose cumulative run covers the target rank ceil(q·n) —
+    identical to the r5 ROW_NUMBER pick for any tie order because
+    ranking is by price alone. The ORACLE keeps the global-ranking
+    form, so the hash gate proves the decomposition exact."""
     a, b = affine_params(1)
     o = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_totalprice"
@@ -280,14 +293,29 @@ def orders_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
         estimates = est if estimates is None else estimates.union(est)
-    exact = (
-        o.withColumn("ern", F.row_number().over(W.orderBy(F.col("o_totalprice").asc())))
+    from ..functions.prefix import sharded_exclusive_prefix_sum
+
+    counts = (
+        o.groupBy("o_totalprice")
+        .agg(F.count("*").cast("long").alias("cnt"))
+        .withColumn(
+            "_shard",
+            F.floor(F.col("o_totalprice") / F.lit(QSKETCH_SHARD_WIDTH)).cast("long"),
+        )
+        # both the intra-shard window and the shard-total aggregate
+        # consume this — barrier per the functions.prefix contract
+        .localCheckpoint(eager=False)
+    )
+    cum = sharded_exclusive_prefix_sum(
+        counts, [], ["o_totalprice"], "_shard", "cnt", "cum_before"
     )
     exacts = None
     for q in QSKETCH_QS:
-        ex = exact.where(F.col("ern") == int(math.ceil(q * n_total))).select(
-            F.lit(q).alias("q"), F.col("o_totalprice").alias("exact")
-        )
+        r = int(math.ceil(q * n_total))
+        ex = cum.where(
+            (F.col("cum_before") < F.lit(r))
+            & (F.col("cum_before") + F.col("cnt") >= F.lit(r))
+        ).select(F.lit(q).alias("q"), F.col("o_totalprice").alias("exact"))
         exacts = ex if exacts is None else exacts.union(ex)
     return (
         estimates.join(exacts, "q")

@@ -422,7 +422,18 @@ def bigram_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top bigrams with conditional probability P(w2 | w1) — the
     simplest n-gram language-model statistic. Probability is a ratio
     of two exact counts (one double division), deterministic across
-    engines. Top-k by (count desc, w1, w2): total order."""
+    engines. Top-k by (count desc, w1, w2): total order.
+
+    Plan shape (r6): the r1–r5 form computed P(w2|w1) via a
+    ``PARTITION BY w1`` window *before* the global rank filter, and
+    Catalyst's TransposeWindow reordered the two Window nodes — the
+    global rank ran first, separated from its filter, so
+    InferWindowGroupLimit could NOT rewrite it and every bigram moved
+    through one task (caught by the r6 registry-wide global-window
+    plan test). Now the rank-filter runs first (Filter directly above
+    the Window → WindowGroupLimit keeps ≤ K rows per partition) and
+    the per-w1 denominators join onto the K surviving rows as a
+    broadcast — the denominator aggregate is one ordinary shuffle."""
     from pyspark.sql import Window as W
 
     d = load_table(spark, sf_dir, "documents")
@@ -436,19 +447,27 @@ def bigram_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("bg")
     )
-    bg = pairs.select("bg.w1", "bg.w2").groupBy("w1", "w2").agg(F.count("*").alias("n_bigram"))
-    n1 = F.sum("n_bigram").over(W.partitionBy("w1"))
-    ranked = bg.select(
+    bg = (
+        pairs.select("bg.w1", "bg.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count("*").alias("n_bigram"))
+        # rank side and denominator side both consume this aggregate
+        .localCheckpoint(eager=False)
+    )
+    w = W.orderBy(F.desc("n_bigram"), F.asc("w1"), F.asc("w2"))
+    top = (
+        bg.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= BIGRAM_TOP_K)
+        .drop("rn")
+    )
+    n1 = bg.groupBy("w1").agg(F.sum("n_bigram").alias("_n1"))
+    return n1.join(F.broadcast(top), "w1").select(
         "w1",
         "w2",
         "n_bigram",
-        (F.col("n_bigram").cast("double") / n1.cast("double")).alias("p_w2_given_w1"),
-    )
-    w = W.orderBy(F.desc("n_bigram"), F.asc("w1"), F.asc("w2"))
-    return (
-        ranked.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") <= BIGRAM_TOP_K)
-        .drop("rn")
+        (F.col("n_bigram").cast("double") / F.col("_n1").cast("double")).alias(
+            "p_w2_given_w1"
+        ),
     )
 
 

@@ -130,6 +130,7 @@ _BNL_ALLOWED = {
     "ann_bruteforce_topk",
     "q22_idle_balance_by_segment",
     "q11_part_value_share",  # same scalar shape: 1-row nation total
+    "supplier_revenue_share",  # same scalar shape: 1-row grand total (r6)
     "source_mixture",  # same scalar shape: 1-row corpus totals
     "docs_token_budget_sample",  # inherits source_mixture's 1-row scalar
     "docs_rarity_topk",  # same scalar shape: 1-row doc count N
@@ -151,6 +152,36 @@ def test_no_nested_loop_joins_in_declared_plans(spark, sf_dir):
             continue
         a = audit_plan(spec.fn(spark, sf_dir))
         assert a.bnl_joins == 0, f"{name} has a nested-loop join:\n{a.formatted}"
+
+
+def test_no_unbounded_global_windows_in_declared_plans(spark, sf_dir):
+    """Registry-wide single-partition-window ban (VERDICT r5 ask #4):
+    no declared plan may contain a Window with an empty partition spec
+    unless its input subtree is bounded by a limiting node
+    (TakeOrderedAndProject / GlobalLimit / WindowGroupLimit — Spark's
+    rank-limit rewrite). Prose claims about window shapes drifted twice
+    (r4 quantile docstring; supplier_revenue_share survived 3 rounds);
+    this turns the wart class into a CI failure — it caught
+    bigram_stats' TransposeWindow regression the day it was written.
+
+    One structural exemption: ``functions.prefix``'s shard-offset
+    window (``sum(_shard_total)``) runs over the per-shard totals — a
+    1/SPAN (or domain/width) row reduction whose boundedness is the
+    documented contract of the two-level prefix-sum decomposition, not
+    visible as a plan node."""
+    from robin_sparkles_spark import registry
+
+    for name, spec in registry.all_queries().items():
+        a = audit_plan(spec.fn(spark, sf_dir))
+        offenders = [
+            o
+            for o in a.unbounded_global_windows
+            if "sum(_shard_total" not in o
+        ]
+        assert not offenders, (
+            f"{name} funnels its input through an unpartitioned, "
+            f"unlimited Window:\n" + "\n".join(offenders) + f"\n{a.formatted}"
+        )
 
 
 def test_salted_join_spreads_hot_keys(spark, sf_dir):
