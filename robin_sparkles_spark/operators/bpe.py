@@ -21,12 +21,22 @@ Scale design — the classic BPE trick, made explicit:
   single winning row is collected driver-side per iteration, the same
   tiny model-fit collect as ``clustering.kmeans_fit`` (a k-row
   centroid table there, a 1-row merge table here).
-- The merge application is a sentinel-padded, boundary-anchored
-  iterated ``replace`` projection over the vocabulary (see
-  ``_apply_merge``: ' l r ' → ' lr ' to fixpoint — a bare substring
-  replace would merge across symbol boundaries, e.g. 'th e y' +
-  (h,e) → 'the y'), so iteration i+1's input is a same-size map-only
-  transform of iteration i's.
+- The merge application is a DOUBLE-DELIMITED boundary-anchored
+  ``replace`` projection over the vocabulary (see ``_apply_merge``):
+  symbols are joined by TWO spaces and the string padded with two
+  more, so every boundary owns a delimiter *pair*; the pattern
+  ' l  r ' → ' lr ' consumes the inner space of each flanking
+  boundary and the replacement restores it. Because adjacent matches
+  no longer share a delimiter, one left-to-right non-overlapping
+  replace IS greedy BPE exactly — including self-pair merges over
+  runs of identical symbols ('ooooo' + (o,o) → 'oo oo o'), where the
+  r5 single-space fixpoint construction diverged (it gave
+  'oo o oo'; an r6 review caught it, and a 400k-case randomized
+  simulation pins the new construction equal to token-list greedy
+  BPE, chained merges included). A bare single-space replace would
+  also merge across symbol boundaries ('th e y' + (h,e) → 'the y').
+  Iteration i+1's input is a same-size map-only transform of
+  iteration i's.
 
 Oracle: the DuckDB twin unrolls the same ``BPE_ITERS`` iterations as
 chained CTEs, computing each winning pair WITH SCALAR SUBQUERIES — the
@@ -67,7 +77,7 @@ def _word_freqs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _pair_counts(seqs: DataFrame) -> DataFrame:
     """Adjacent-symbol pair counts weighted by word frequency."""
-    toks = F.split(F.col("seq"), " ")
+    toks = F.split(F.col("seq"), SEQ_SEP)
     lefts = F.slice(toks, 1, F.size(toks) - 1)
     rights = F.slice(toks, 2, F.size(toks) - 1)
     pairs = F.zip_with(
@@ -82,28 +92,27 @@ def _pair_counts(seqs: DataFrame) -> DataFrame:
     )
 
 
-# A bare `replace(seq, 'l r', 'lr')` merges ACROSS symbol boundaries
-# ('th e y' + merge (h,e) -> 'the y': the tail of symbol 'th' is not
-# an adjacent pair, an r5 review caught this with that reproduction).
-# Correct anchoring without lookarounds (DuckDB's RE2 has none): pad
-# the sequence with sentinel spaces and replace the fully-delimited
-# ' l r ' -> ' lr '. One pass can still miss matches whose leading
-# delimiter was consumed as a previous match's trailing delimiter
-# ('a b a b': the two occurrences share the middle space), so the
-# replace iterates MERGE_PASSES times to fixpoint. This EQUALS greedy
-# left-to-right BPE: replacements preserve both boundary spaces, a
-# consumed token can never re-match, and any still-valid pair's
-# ' l r ' text survives verbatim until a later pass takes it (the
-# pure-token-list reference in tests/test_llm_ops.py pins the
-# equivalence). Words cap out far below 2*MERGE_PASSES symbols, so
-# the fixpoint always lands.
-MERGE_PASSES = 8
+# Symbols are joined with a DOUBLE space so each inter-symbol boundary
+# owns its own delimiter pair; the merge pattern ' l  r ' consumes one
+# space from each flank and the replacement ' lr ' puts them back.
+# Why double, not single: with single-space joins, adjacent matches
+# SHARE a delimiter ('a b a b': both 'a b' occurrences own the middle
+# space), so a left-to-right non-overlapping replace skips the second
+# occurrence, and the r5 fixpoint iteration then diverged from greedy
+# BPE on self-pair merges over identical-symbol runs ('ooooo' + (o,o)
+# fixpointed to 'oo o oo' where greedy gives 'oo oo o' — ADVICE r5).
+# With doubled delimiters no two matches share a character, so ONE
+# non-overlapping replace is exactly Sennrich's greedy left-to-right
+# merge — no fixpoint loop, boundary cases included (a merged token
+# is l+r, which can never equal l, so it cannot re-match within the
+# pass). tests/test_llm_ops.py pins the equivalence against a pure
+# token-list reference, including the 'ooooo' shapes.
+SEQ_SEP = "  "
 
 
 def _apply_merge(seq: F.Column, l: str, r: str) -> F.Column:
-    s = F.concat(F.lit(" "), seq, F.lit(" "))
-    for _ in range(MERGE_PASSES):
-        s = F.replace(s, F.lit(f" {l} {r} "), F.lit(f" {l}{r} "))
+    s = F.concat(F.lit(SEQ_SEP), seq, F.lit(SEQ_SEP))
+    s = F.replace(s, F.lit(f" {l}  {r} "), F.lit(f" {l}{r} "))
     return F.trim(s)
 
 
@@ -117,17 +126,24 @@ def _fit_merges(spark: SparkSession, sf_dir: str) -> list[tuple[str, str, int]]:
     # kmeans_fit lesson, r5 review)
     seqs = (
         _word_freqs(spark, sf_dir)
-        .select(F.array_join(chars, " ").alias("seq"), "n")
+        .select(F.array_join(chars, SEQ_SEP).alias("seq"), "n")
         .localCheckpoint()
     )
     merges: list[tuple[str, str, int]] = []
     for _ in range(BPE_ITERS):
-        best = (
+        top = (
             _pair_counts(seqs)
             .orderBy(F.col("cnt").desc(), F.col("s1").asc(), F.col("s2").asc())
             .limit(1)
-            .collect()[0]
+            .collect()
         )
+        if not top:
+            # degenerate corpus (e.g. all single-symbol words): no
+            # adjacent pairs left — emit fewer merges rather than
+            # IndexError (ADVICE r5); the SQL twin's empty-m{i}
+            # UNION legs likewise emit no rows
+            break
+        best = top[0]
         merges.append((best.s1, best.s2, best.cnt))
         seqs = seqs.select(
             _apply_merge(F.col("seq"), best.s1, best.s2).alias("seq"), "n"
@@ -152,22 +168,26 @@ def bpe_merge_training(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _iter_sql(i: int) -> str:
     """CTE block for iteration i (1-based): pairs → argmax → merged seqs."""
     prev = f"seq{i - 1}"
-    merged_expr = f"' ' || seq || ' '"
-    for _ in range(MERGE_PASSES):
-        merged_expr = (
-            f"replace({merged_expr},"
-            f" (SELECT ' ' || s1 || ' ' || s2 || ' ' FROM m{i}),"
-            f" (SELECT ' ' || s1 || s2 || ' ' FROM m{i}))"
-        )
+    # COALESCE with an unmatchable sentinel (chr(1) never occurs in a
+    # sequence) so an EMPTY m{i} — fewer distinct pairs than BPE_ITERS
+    # on a degenerate corpus — makes the replace a no-op instead of
+    # NULLing every seq via NULL scalar subqueries (ADVICE r5); the
+    # final UNION leg over the empty m{i} then emits no row, matching
+    # the Spark loop's early break.
+    merged_expr = (
+        f"replace('{SEQ_SEP}' || seq || '{SEQ_SEP}',"
+        f" COALESCE((SELECT ' ' || s1 || '{SEQ_SEP}' || s2 || ' ' FROM m{i}), chr(1)),"
+        f" COALESCE((SELECT ' ' || s1 || s2 || ' ' FROM m{i}), chr(1)))"
+    )
     return f"""
 p{i} AS (
   SELECT t.toks[g.i] AS s1, t.toks[g.i + 1] AS s2, SUM(t.n) AS cnt
-  FROM (SELECT string_split(seq, ' ') AS toks, n FROM {prev}) t,
+  FROM (SELECT string_split(seq, '{SEQ_SEP}') AS toks, n FROM {prev}) t,
        LATERAL (SELECT unnest(range(1, len(t.toks))) AS i) g
   GROUP BY 1, 2
 ),
 -- MATERIALIZED: DuckDB inlines CTEs by default, and m{i} is
--- referenced 2×MERGE_PASSES times by the nested replaces below —
+-- referenced by both scalar subqueries of the replace below —
 -- inlining re-evaluates the whole upstream chain per reference
 -- (exponential across iterations; the triangle-oracle lesson)
 m{i} AS MATERIALIZED (
@@ -177,9 +197,9 @@ m{i} AS MATERIALIZED (
 seq{i} AS MATERIALIZED (
   -- * REPLACE keeps any carried columns (the tokenize oracle's seq0
   -- also carries `word`; the training oracle's carries only seq, n).
-  -- The merge is the sentinel-padded ' l r ' -> ' lr ' replace
-  -- iterated MERGE_PASSES times (see _apply_merge) — boundary-exact
-  -- and fixpoint-equal to greedy BPE, unlike a bare replace.
+  -- The merge is the double-delimited ' l  r ' -> ' lr ' replace
+  -- (see _apply_merge) — one non-overlapping pass IS greedy BPE
+  -- because no two matches share a delimiter.
   SELECT * REPLACE (trim({merged_expr}) AS seq)
   FROM {prev}
 )"""
@@ -199,7 +219,7 @@ WITH words AS (
   GROUP BY word
 ),
 seq0 AS (
-  SELECT array_to_string(string_split(word, ''), ' ') AS seq, n FROM words
+  SELECT array_to_string(string_split(word, ''), '{SEQ_SEP}') AS seq, n FROM words
 ),{iters}
 SELECT CAST(merge_rank AS BIGINT) AS merge_rank, lsym, rsym, merged, pair_count
 FROM ({finals})
@@ -226,7 +246,7 @@ def docs_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     whole train→apply path replayed in SQL."""
     merges = _fit_merges(spark, sf_dir)
     chars = F.filter(F.split(F.col("word"), ""), lambda c: F.length(c) > 0)
-    seq = F.array_join(chars, " ")
+    seq = F.array_join(chars, SEQ_SEP)
     for s1, s2, _ in merges:
         seq = _apply_merge(seq, s1, s2)
     # ONE corpus scan: the per-doc explode is checkpointed and the
@@ -239,7 +259,7 @@ def docs_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=False)
     )
     word_sub = d.select("word").distinct().select(
-        "word", (F.size(F.split(seq, " "))).cast("long").alias("n_sub")
+        "word", (F.size(F.split(seq, SEQ_SEP))).cast("long").alias("n_sub")
     )
     return (
         d.join(F.broadcast(word_sub), "word")
@@ -270,11 +290,11 @@ words AS MATERIALIZED (
   SELECT word, COUNT(*) AS n FROM tok GROUP BY word
 ),
 seq0 AS (
-  SELECT word, array_to_string(string_split(word, ''), ' ') AS seq, n
+  SELECT word, array_to_string(string_split(word, ''), '{SEQ_SEP}') AS seq, n
   FROM words
 ),{iters},
 word_sub AS (
-  SELECT word, CAST(len(string_split(seq, ' ')) AS BIGINT) AS n_sub
+  SELECT word, CAST(len(string_split(seq, '{SEQ_SEP}')) AS BIGINT) AS n_sub
   FROM seq{BPE_ITERS}
 )
 SELECT t.doc_id, COUNT(*) AS n_tokens,

@@ -173,6 +173,16 @@ def register(spark) -> None:
     review). Also enables Python-source filter pushdown — Spark 4
     gates it behind a conf and ERRORS (rather than ignoring) when a
     reader implements pushFilters with the conf off; it is a
-    runtime-settable SQL conf."""
+    runtime-settable SQL conf.
+
+    CONTRACT (ADVICE r5): the conf flip is deliberately PERMANENT for
+    the session, unlike kmeans_fit's save/restore codegen toggle. The
+    DataFrames built over this source are lazy — the pushdown rule
+    consults the conf when the *caller* later plans/executes them, so
+    restoring the conf on return would make every downstream execution
+    error with a pushFilters-implementing reader. The flip is
+    enable-only (never turns pushdown off), idempotent, and its only
+    observable effect on other Python data sources is that their own
+    pushFilters implementations become active instead of erroring."""
     spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     spark.dataSource.register(SyntheticEventsDataSource)

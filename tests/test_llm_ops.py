@@ -544,6 +544,63 @@ def test_quality_sweep_is_monotone(spark, sf_dir):
             assert hi.doc_survival <= lo.doc_survival
 
 
+def test_bpe_apply_merge_is_greedy_on_adversarial_shapes(spark):
+    """Pin ``_apply_merge``'s double-delimited replace to token-list
+    greedy BPE on exactly the shapes where the r5 single-space
+    fixpoint construction diverged (ADVICE r5): self-pair merges over
+    runs of ≥5 identical symbols, shared-delimiter alternations, and
+    chained merges whose later pairs involve earlier merge outputs.
+    The corpus-level reference test below can't see these — the
+    fixture corpus happens to lack the triggering words."""
+    from pyspark.sql import functions as F
+
+    from robin_sparkles_spark.operators import bpe
+
+    def greedy(toks, l, r):
+        out, i = [], 0
+        while i < len(toks):
+            if i + 1 < len(toks) and toks[i] == l and toks[i + 1] == r:
+                out.append(l + r)
+                i += 2
+            else:
+                out.append(toks[i])
+                i += 1
+        return out
+
+    cases = [
+        ("ooooo", [("o", "o")]),           # ADVICE reproduction
+        ("aaaaa", [("a", "a")]),
+        ("aaaa", [("a", "a")]),
+        ("abab", [("a", "b")]),
+        ("they", [("h", "e")]),            # cross-boundary guard
+        ("banana", [("a", "n"), ("an", "a")]),
+        ("oooooooo", [("o", "o"), ("oo", "oo")]),
+        ("mississippi", [("s", "s"), ("i", "ss")]),
+    ]
+    rows = [(w,) for w, _ in cases]
+    df = spark.createDataFrame(rows, "word string")
+    chars = F.filter(F.split(F.col("word"), ""), lambda c: F.length(c) > 0)
+    df = df.select("word", F.array_join(chars, bpe.SEQ_SEP).alias("seq"))
+    # each case gets its own merge chain: apply per-word via a CASE of
+    # per-case columns (tiny literal plan; this is a semantics test)
+    for w, merges in cases:
+        col = F.col("seq")
+        for l, r in merges:
+            col = bpe._apply_merge(col, l, r)
+        df = df.withColumn(
+            "seq", F.when(F.col("word") == w, col).otherwise(F.col("seq"))
+        )
+    got = {
+        r.word: [t for t in r.seq.split(" ") if t]
+        for r in df.collect()
+    }
+    for w, merges in cases:
+        toks = list(w)
+        for l, r in merges:
+            toks = greedy(toks, l, r)
+        assert got[w] == toks, (w, merges, got[w], toks)
+
+
 def test_bpe_merges_match_python_reference(spark, sf_dir):
     """Third opinion beyond the SQL oracle: the distributed merges
     must equal a pure-Python BPE over the same word-frequency table —

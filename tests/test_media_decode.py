@@ -120,3 +120,54 @@ def test_synth_tiff_roundtrip_single():
         (mid + 2 * x + 5 * y) % 256 for y in range(h) for x in range(w)
     ]
     assert px.tolist() == want
+
+
+def test_png_payload_is_spec_valid_and_uses_all_filters():
+    import zlib
+
+    # corpus-wide filter coverage: (id + y) % 5 over h ∈ 3..8 rows
+    seen = set()
+    for mid in (0, 1, 2, 3, 4, 7):
+        blob = M.synth_png(mid)
+        assert blob[:8] == M._PNG_SIG
+        (ilen,) = struct.unpack_from(">I", blob, 8)
+        assert blob[12:16] == b"IHDR" and ilen == 13
+        w, h = struct.unpack_from(">II", blob, 16)
+        assert w == 5 + mid % 12 and h == 3 + mid % 6
+        # inflate the IDAT and read each scanline's filter byte
+        pos, idat = 8, bytearray()
+        while pos < len(blob):
+            (length,) = struct.unpack_from(">I", blob, pos)
+            tag = blob[pos + 4 : pos + 8]
+            if tag == b"IDAT":
+                idat += blob[pos + 8 : pos + 8 + length]
+            pos += 12 + length
+        raw = zlib.decompress(bytes(idat))
+        stride = w * 3
+        assert len(raw) == h * (1 + stride)
+        seen.update(raw[y * (1 + stride)] for y in range(h))
+    assert seen == {0, 1, 2, 3, 4}  # every PNG filter type exercised
+
+
+def test_png_decode_matches_closed_form(spark, sf_dir):
+    rows = M.png_decode_stats(spark, sf_dir).collect()
+    assert len(rows) > 0
+    by_id = {r.media_id: r for r in rows}
+    for mid in (0, 1, 42, max(by_id)):
+        r = by_id[mid]
+        w, h = 5 + mid % 12, 3 + mid % 6
+        px = [M._png_pixel(mid, x, y) for x in range(w) for y in range(h)]
+        assert (r.width, r.height, r.n_pixels) == (w, h, w * h)
+        assert r.sum_r == sum(p[0] for p in px)
+        assert r.sum_g == sum(p[1] for p in px)
+        assert r.sum_b == sum(p[2] for p in px)
+
+
+def test_png_decode_rejects_corrupt_crc(spark):
+    blob = bytearray(M.synth_png(3))
+    blob[-20] ^= 0xFF  # flip a byte inside the IDAT payload
+    df = spark.createDataFrame(
+        [(3, bytes(blob))], "media_id long, payload binary"
+    )
+    with pytest.raises(Exception, match="CRC"):
+        M.decode_png(df).collect()

@@ -67,7 +67,12 @@ def test_semi_anti_join_shapes(spark, sf_dir):
 # The sanctioned Python path (SURVEY.md §2.10 exception): byte-format
 # decode has no Catalyst expression, so exactly these queries may run
 # an Arrow-batched MapInPandas kernel — and nothing else may.
-MAP_IN_PANDAS_ALLOWLIST = {"bmp_decode_stats", "wav_decode_stats", "tiff_frame_sample"}
+MAP_IN_PANDAS_ALLOWLIST = {
+    "bmp_decode_stats",
+    "wav_decode_stats",
+    "tiff_frame_sample",
+    "png_decode_stats",
+}
 
 
 def test_no_python_eval_anywhere_in_registry(spark, sf_dir):
