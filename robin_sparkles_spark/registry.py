@@ -172,101 +172,82 @@ def _collect() -> dict[str, QuerySpec]:
 
 
 # The first 50 registry entries are the driver's correctness window
-# (see _collect). Keep this list ≤ 50; names must exist.
+# (see _collect). Keep this list <= 50; names must exist.
 #
-# ROUND-6 ROTATION PLAN (computed end of r5 from CORRECTNESS_r01–r04 +
-# this window): after r5 the stalest driver rows are the 21 queries
-# last gated in r03 — bigram_stats, corpus_vocabulary,
-# curation_pipeline, dedup_incremental, embedding_array_stats,
-# orders_monthly_gapfill, orders_rollup, q10_returned_revenue,
-# q12_priority_shipping, q13_order_count_distribution,
-# q14_promo_revenue_pct, q17_small_quantity_revenue,
-# q18_large_quantity_orders, q19_disjunctive_revenue,
-# q22_idle_balance_by_segment, q4_late_shipment_priority,
-# q6_forecast_revenue, q7_nation_trade_flows, q8_nation_market_share,
-# supplier_revenue_share, window_order_analytics. Pin those first in
-# r6 (plus anything whose plan/oracle changes), together with the
-# never-driver-gated r5 additions custkey_overlap_kmv,
-# docs_token_diversity, events_ewma_value, docs_split_assign,
-# orders_price_winsorized, and lineitem_qty_price_ols, plus
-# pagerank_trade_graph (its contribution accumulator moved from a
-# DECIMAL(38,12) cast to functions.qsum late in r5 — plan+oracle
-# changed after its last driver row), then fill with r4-last-green
-# names. embedding_array_stats (same qsum change) is already in the
-# stale-r03 list above. Also never-driver-gated from late r5:
-# docs_pack_assign, orders_snapshot_diff, embedding_gram_matrix,
-# docs_token_budget_sample, quality_threshold_sweep,
-# table_fingerprints, orders_mv_incremental, bpe_merge_training,
-# docs_bpe_tokenize, pysource_events_agg (each builder-verified at
-# sf0.01 AND sf0.1 on addition; pysource is scale-independent).
+# ROUND-6 ROTATION (executes the plan written at end of r5; r5's window
+# came back 50/50 hash-green). Composition of the 50 slots:
+#   * 17 never-driver-gated queries (16 late-r5 additions + the new
+#     png_decode_stats) — judge-verified green in r5's full sweep, but
+#     the driver row is the hard signal.
+#   * orders_quantile_sketch — its exact side was replanned after its
+#     r5 row (single-partition rank -> distinct-count + two-level
+#     sharded prefix sum, commit 31ce0b4), so the r5 row no longer
+#     describes the shipped plan.
+#   * pagerank_trade_graph — accumulator moved to functions.qsum after
+#     its last (r4) row.
+#   * the 21 stalest queries, last gated r03 (two testdata
+#     regenerations ago) — includes supplier_revenue_share and
+#     bigram_stats, both also replanned in 31ce0b4.
+#   * remaining slots: new r6 queries + oldest r4-last-green names.
+# Everything displaced keeps its hard signal through the parametrized
+# local oracle sweep in tests/ (the pytest replica of this gate).
 GATE_FRONT: tuple[str, ...] = (
-    # r05: new real-decode queries — first driver rows
-    "bmp_decode_stats",
-    "wav_decode_stats",
-    # r05: new TPC-H adaptations + multires rollup — first driver rows
-    "q2_min_cost_supplier",
-    "q11_part_value_share",
-    "q16_supplier_count_by_class",
-    "q20_excess_shippers",
-    "events_multires_rollup",
-    # r05: new training-mix prep queries — first driver rows
-    "source_mixture",
-    "padding_waste_by_bucket",
-    "docs_balanced_sample",
-    "events_cohort_enriched",
-    # r05: plans/oracles changed this round — need fresh driver rows
-    "users_kmv_by_type",  # per-group hash cap before the distinct (plan)
-    "orders_quantile_sketch",  # sample via TakeOrderedAndProject (plan)
-    "events_rolling_anomaly",  # Σx² accumulator DECIMAL(38,8) → (38,6) (both dialects)
-    "dedup_groups",  # pointer-doubling label propagation (plan)
-    # r05 second batch: behavioral analytics, context chunking,
-    # rarity-topk, SemDeDup — first driver rows
-    "events_funnel_conversion",
-    "user_retention_cohorts",
-    "events_transition_matrix",
-    "docs_chunked_context",
-    "docs_rarity_topk",
-    "semdedup_dropped",
-    # r05 second batch: scale-story operators (bloom prune / z-order
-    # layout / CDC upsert) — first driver rows
-    "orders_bloom_prune",
-    "lineitem_zorder_stats",
-    "orders_upsert_latest",
-    # r05: transformWithState batch twin — first driver row
-    "events_spend_alerts",
-    # r05 third batch: data-quality audits + retrieval — first driver rows
-    "referential_integrity_audit",
-    "column_profile",
-    "docs_search_and",
-    "orders_price_histogram",
-    "docs_chunk_dedup",
-    "tiff_frame_sample",
-    # r05 fourth batch: warehouse/affinity operators — first driver rows
-    # (custkey_overlap_kmv and docs_token_diversity didn't fit the 50-cap;
-    # they head the r6 rotation list above)
-    "orders_scd2_history",
-    "copurchase_part_pairs",
-    "triangle_count_copurchase",
-    # r05 rotation (VERDICT r4 "What's wrong" #2): these last saw a
-    # driver row in r02 — two testdata regenerations ago; the builder's
-    # local sf0.1 sweeps cover them but the driver gate is the hard
-    # signal, so they re-enter the window this round.
-    "orders_cube",
-    "window_top_order_per_cust",
-    "window_order_gap_days",
-    "window_running_user_spend",
-    "customers_with_big_orders",
-    "customers_without_urgent_orders",
-    "order_slices_setops",
-    "orders_by_month",
-    "part_filter_projection",
-    "order_lineitem_rollup",
-    "nation_region_names",
-    "orders_pivot_status",
-    "lineitem_unpivot_charges",
-    "orders_grouping_sets",
-    "orders_price_quantiles",
-    "part_string_features",
+    # never driver-gated (late r5 + r6 PNG kernel) — first driver rows
+    "png_decode_stats",
+    "bpe_merge_training",
+    "docs_bpe_tokenize",
+    "pysource_events_agg",
+    "docs_pack_assign",
+    "docs_token_budget_sample",
+    "orders_snapshot_diff",
+    "orders_mv_incremental",
+    "table_fingerprints",
+    "embedding_gram_matrix",
+    "lineitem_qty_price_ols",
+    "orders_price_winsorized",
+    "quality_threshold_sweep",
+    "docs_token_diversity",
+    "docs_split_assign",
+    "events_ewma_value",
+    "custkey_overlap_kmv",
+    # plan/oracle changed after their last driver row
+    "orders_quantile_sketch",
+    "pagerank_trade_graph",
+    # stale-r03 rotation (supplier_revenue_share and bigram_stats were
+    # also replanned in 31ce0b4)
+    "supplier_revenue_share",
+    "bigram_stats",
+    "corpus_vocabulary",
+    "curation_pipeline",
+    "dedup_incremental",
+    "embedding_array_stats",
+    "orders_monthly_gapfill",
+    "orders_rollup",
+    "q10_returned_revenue",
+    "q12_priority_shipping",
+    "q13_order_count_distribution",
+    "q14_promo_revenue_pct",
+    "q17_small_quantity_revenue",
+    "q18_large_quantity_orders",
+    "q19_disjunctive_revenue",
+    "q22_idle_balance_by_segment",
+    "q4_late_shipment_priority",
+    "q6_forecast_revenue",
+    "q7_nation_trade_flows",
+    "q8_nation_market_share",
+    "window_order_analytics",
+    # oldest r4-last-green fills (swapped out for new r6 queries as
+    # they land — see the ROUND-7 ROTATION note added at end of round)
+    "wordcount_stopword",
+    "multimodal_meta",
+    "events_tumbling_1h",
+    "events_sliding_30_15",
+    "user_sessions",
+    "kmeans_assign",
+    "ann_ivf_topk",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
 )
 
 
