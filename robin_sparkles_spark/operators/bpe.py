@@ -55,6 +55,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from ..functions.barrier import barrier
 from ..functions.text import ws_tokens, ws_tokens_sql
 from ..sources import load_table
 
@@ -124,10 +125,12 @@ def _fit_merges(spark: SparkSession, sf_dir: str) -> list[tuple[str, str, int]]:
     # replay the corpus scan + tokenize + word groupBy from parquet —
     # the barrier makes iterations genuinely vocab-scale (the
     # kmeans_fit lesson, r5 review)
-    seqs = (
-        _word_freqs(spark, sf_dir)
-        .select(F.array_join(chars, SEQ_SEP).alias("seq"), "n")
-        .localCheckpoint()
+    seqs = barrier(
+        _word_freqs(spark, sf_dir).select(
+            F.array_join(chars, SEQ_SEP).alias("seq"), "n"
+        ),
+        "vocab",
+        "BPE distinct-word sequences",
     )
     merges: list[tuple[str, str, int]] = []
     for _ in range(BPE_ITERS):
@@ -253,10 +256,13 @@ def docs_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     # DISTINCT-word vocabulary derives from it (an r5 review caught
     # a second scan via _word_freqs here — and the frequency column
     # it carried was never used by the apply side)
-    d = (
-        load_table(spark, sf_dir, "documents")
-        .select("doc_id", F.explode(ws_tokens()).alias("word"))
-        .localCheckpoint(eager=False)
+    d = barrier(
+        load_table(spark, sf_dir, "documents").select(
+            "doc_id", F.explode(ws_tokens()).alias("word")
+        ),
+        "corpus",
+        "BPE-apply per-doc token explode",
+        eager=False,
     )
     word_sub = d.select("word").distinct().select(
         "word", (F.size(F.split(seq, SEQ_SEP))).cast("long").alias("n_sub")

@@ -37,6 +37,7 @@ import threading
 
 from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
+from ..functions.barrier import barrier
 from ..functions.vectors import as_double, dot, dot_sql
 from ..sources import load_table
 
@@ -96,7 +97,9 @@ def kmeans_fit(
     # materialize the cast vectors once: every iteration (and the init
     # collect) reuses the persisted partitions instead of re-scanning
     # parquet + re-casting
-    vecs = _vectors(spark, sf_dir).localCheckpoint()
+    vecs = barrier(
+        _vectors(spark, sf_dir), "corpus", "kmeans_fit cast vectors"
+    )
     dim = len(vecs.first().v)
     centroids = [r.v for r in vecs.orderBy("vec_id").limit(k).collect()]
     # Codegen OFF for the fit only: each iteration's centroid literals

@@ -41,6 +41,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
+from ..functions.barrier import barrier
 from ..functions.hashing import MERSENNE_P, affine_params
 from ..functions.vectors import dot as vdot, dot_sql
 from ..sources import load_table
@@ -544,7 +545,11 @@ def embedding_similar_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     build-once-index shape as ann_lsh_topk."""
     from .similarity import _unit_vectors, sign_banded_from
 
-    e = _unit_vectors(spark, sf_dir).localCheckpoint()
+    e = barrier(
+        _unit_vectors(spark, sf_dir),
+        "corpus",
+        "embedding_similar_pairs unit-vector index",
+    )
     banded = sign_banded_from(e)
     a = banded.alias("a")
     b = banded.alias("b")
@@ -633,7 +638,7 @@ def propagate_min_labels(
     silent partial result would mismatch the transitive-closure oracle
     downstream with no error here)."""
     labels = nodes.select("doc_id", F.col("doc_id").alias("group_id"))
-    labels = labels.localCheckpoint(eager=True)
+    labels = barrier(labels, "corpus", "label-propagation initial labels")
     changed = -1
     for _ in range(max_rounds):
         nmin = (
@@ -655,10 +660,16 @@ def propagate_min_labels(
         lol = cand.alias("l1").join(
             cand.alias("l2"), F.col("l1.group_id") == F.col("l2.doc_id")
         )
-        new_labels = lol.select(
-            F.col("l1.doc_id").alias("doc_id"),
-            F.least(F.col("l1.group_id"), F.col("l2.group_id")).alias("group_id"),
-        ).localCheckpoint(eager=True)
+        new_labels = barrier(
+            lol.select(
+                F.col("l1.doc_id").alias("doc_id"),
+                F.least(
+                    F.col("l1.group_id"), F.col("l2.group_id")
+                ).alias("group_id"),
+            ),
+            "corpus",
+            "label-propagation iteration labels",
+        )
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "doc_id")
@@ -703,23 +714,23 @@ def dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = dedup_minhash_lsh(spark, sf_dir).select("doc1", "doc2")
     fwd = pairs.select(F.col("doc1").alias("src"), F.col("doc2").alias("dst"))
     rev = pairs.select(F.col("doc2").alias("src"), F.col("doc1").alias("dst"))
-    edges = fwd.union(rev).localCheckpoint(eager=True)
+    edges = barrier(fwd.union(rev), "corpus", "dedup pair-graph edges")
 
     labels = propagate_min_labels(docs, edges)
     sizes = labels.groupBy("group_id").agg(F.count("*").alias("group_size"))
-    out = (
-        labels.join(sizes, "group_id")
-        .select(
+    # converged labels are checkpointed, so caching the RESULT (not
+    # re-iterating per action) is safe; memoized like kmeans_fit —
+    # the gate executes each query twice (toPandas + count) and the
+    # iterations carry the cost
+    out = barrier(
+        labels.join(sizes, "group_id").select(
             "doc_id",
             "group_id",
             "group_size",
             (F.col("doc_id") == F.col("group_id")).alias("is_canonical"),
-        )
-        # converged labels are checkpointed, so caching the RESULT (not
-        # re-iterating per action) is safe; memoized like kmeans_fit —
-        # the gate executes each query twice (toPandas + count) and the
-        # iterations carry the cost
-        .localCheckpoint(eager=True)
+        ),
+        "corpus",
+        "dedup_groups memoized labels+sizes result",
     )
     _GROUPS_CACHE[key] = out
     return out

@@ -42,6 +42,7 @@ from ..functions.vectors import (
     normalized_sql,
     dot as vdot,
 )
+from ..functions.barrier import barrier
 from ..sources import load_table
 from ..sources.staging import is_staged, staged_path
 from .similarity import _BANDS_SQL, sign_banded_from
@@ -117,11 +118,13 @@ def embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     8×5 sign bands, exact cosine on candidates only), at the real dup
     threshold over data that actually contains dups."""
     corpus = spark.read.parquet(build_neardup_corpus(spark, sf_dir))
-    e = (
+    # build-once index (see similarity.ann_lsh_topk)
+    e = barrier(
         corpus.select("vec_id", normalized(as_double(F.col("embedding"))).alias("vn"))
         .groupBy("vec_id")
-        .agg(F.first("vn").alias("v"))
-        .localCheckpoint()  # build-once index (see similarity.ann_lsh_topk)
+        .agg(F.first("vn").alias("v")),
+        "corpus",
+        "embedding_dedup unit-vector index",
     )
     banded = sign_banded_from(e)
     a = banded.alias("a")

@@ -33,6 +33,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
+from ..functions.barrier import barrier
 from ..functions.qsum import qsum, qsum_sql
 from ..sources import load_table
 
@@ -63,7 +64,8 @@ def pagerank_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-{PAGERANK_TOP_N} nodes by PageRank after
     {N_PAGERANK_ITER} damped iterations from a uniform start.
     Output: (node_type, node_key, rank, rk)."""
-    edges = _edges(spark, sf_dir).localCheckpoint()  # reused every iteration
+    # reused every iteration
+    edges = barrier(_edges(spark, sf_dir), "groups", "pagerank trade-graph edges")
     out_deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
     nodes = edges.select(F.col("src").alias("node")).distinct()
     n_nodes = nodes.count()  # driver scalar: node count only

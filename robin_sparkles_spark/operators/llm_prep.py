@@ -14,6 +14,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
+from ..functions.barrier import barrier
 from ..functions.hashing import MERSENNE_P, affine_params
 from ..functions.qsum import qsum, qsum_sql
 from ..functions.text import ws_tokens, ws_tokens_sql
@@ -306,10 +307,11 @@ def docs_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     branch (no common-subtree elimination across self-join inputs;
     an r5 review verified the double FileScan in the plan). Chunk
     text never shuffles, only fingerprints."""
-    chunks = (
-        docs_chunked_context(spark, sf_dir)
-        .select("doc_id", "chunk_fp")
-        .localCheckpoint(eager=False)
+    chunks = barrier(
+        docs_chunked_context(spark, sf_dir).select("doc_id", "chunk_fp"),
+        "corpus",
+        "chunk-dedup per-chunk fingerprints",
+        eager=False,
     )
     fp_docs = chunks.groupBy("chunk_fp").agg(
         F.countDistinct("doc_id").alias("n_docs_with_fp")
@@ -617,11 +619,11 @@ def docs_pack_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
             # quotient cast to long is only correct below 2^53)
             F.expr(f"doc_id div {PACK_SHARD_SPAN}").alias("shard"),
         )
-        # both the window branch and the shard-total aggregate consume
-        # this projection; without the checkpoint each branch re-scans
-        # parquet and re-tokenizes (the docs_chunk_dedup lesson)
-        .localCheckpoint(eager=False)
     )
+    # both the window branch and the shard-total aggregate consume
+    # this projection; without the barrier each branch re-scans
+    # parquet and re-tokenizes (the docs_chunk_dedup lesson)
+    d = barrier(d, "corpus", "pack-assign per-doc token projection", eager=False)
     packed = sharded_exclusive_prefix_sum(
         d, ["source"], ["doc_id"], "shard", "n_tokens", "start_tok"
     ).select("doc_id", "source", "n_tokens", "start_tok")
@@ -708,7 +710,9 @@ def docs_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             ((F.col("doc_id") * a + b) % MERSENNE_P).alias("h"),
         )
         .withColumn("shard", F.expr(f"h div {2**BUDGET_SHARD_SHIFT}"))
-        .localCheckpoint(eager=False)
+    )
+    d = barrier(
+        d, "corpus", "token-budget per-doc hash projection", eager=False
     )
     cum = sharded_exclusive_prefix_sum(
         d, ["source"], ["h", "doc_id"], "shard", "n_tokens", "cum_before"

@@ -39,6 +39,7 @@ from ..functions.vectors import (
     normalized,
     normalized_sql,
 )
+from ..functions.barrier import barrier
 from .clustering import _assign_expr, _centroids_cte, kmeans_fit
 from .embedding_dedup import DEDUP_COS_THRESHOLD, build_neardup_corpus
 
@@ -70,16 +71,18 @@ def semdedup_dropped(spark: SparkSession, sf_dir: str) -> DataFrame:
     changes."""
     centroids = kmeans_fit(spark, sf_dir)
     corpus = spark.read.parquet(build_neardup_corpus(spark, sf_dir))
-    assigned = (
+    # build-once index (lazy: plan construction must not launch the
+    # staging/assignment jobs — r5 review; materializes at first
+    # action, both join sides then reuse the persisted partitions)
+    assigned = barrier(
         corpus.select("vec_id", as_double(F.col("embedding")).alias("v"))
         .withColumn("cluster", _assign_expr(centroids))
         .select("vec_id", "cluster", normalized(F.col("v")).alias("vn"))
-        .groupBy("vec_id")  # barrier: argmin + normalize once per vector
-        .agg(F.first("vn").alias("vn"), F.first("cluster").alias("cluster"))
-        .localCheckpoint(eager=False)  # build-once index (lazy: plan
-        # construction must not launch the staging/assignment jobs —
-        # r5 review; materializes at first action, both join sides
-        # then reuse the persisted partitions)
+        .groupBy("vec_id")  # agg barrier: argmin + normalize once per vector
+        .agg(F.first("vn").alias("vn"), F.first("cluster").alias("cluster")),
+        "corpus",
+        "semdedup assigned unit-vector index",
+        eager=False,
     )
     a = assigned.alias("a")
     b = assigned.alias("b")

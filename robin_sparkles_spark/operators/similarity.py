@@ -28,6 +28,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
+from ..functions.barrier import barrier
 from ..functions.vectors import as_double, dot, dot_sql, normalized, normalized_sql
 from ..sources import load_table
 
@@ -166,7 +167,9 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     BASELINE.md). At 100 TB the materialization IS the ANN index —
     built once, reused by every probe — so the shape is kept for the
     scale story, not the sf0.1 number."""
-    e = _unit_vectors(spark, sf_dir).localCheckpoint()
+    e = barrier(
+        _unit_vectors(spark, sf_dir), "corpus", "ann_lsh unit-vector index"
+    )
     banded = sign_banded_from(e)
     q = banded.where(F.col("vec_id") < N_QUERIES).alias("q")
     c = banded.alias("c")

@@ -35,6 +35,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
+from ..functions.barrier import barrier
 from ..functions.hashing import MERSENNE_P, affine_params
 from ..sources import load_table
 
@@ -295,16 +296,18 @@ def orders_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         estimates = est if estimates is None else estimates.union(est)
     from ..functions.prefix import sharded_exclusive_prefix_sum
 
-    counts = (
+    # both the intra-shard window and the shard-total aggregate
+    # consume this — barrier per the functions.prefix contract
+    counts = barrier(
         o.groupBy("o_totalprice")
         .agg(F.count("*").cast("long").alias("cnt"))
         .withColumn(
             "_shard",
             F.floor(F.col("o_totalprice") / F.lit(QSKETCH_SHARD_WIDTH)).cast("long"),
-        )
-        # both the intra-shard window and the shard-total aggregate
-        # consume this — barrier per the functions.prefix contract
-        .localCheckpoint(eager=False)
+        ),
+        "domain",
+        "quantile-sketch distinct-price counts",
+        eager=False,
     )
     cum = sharded_exclusive_prefix_sum(
         counts, [], ["o_totalprice"], "_shard", "cnt", "cum_before"

@@ -25,6 +25,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
+from ..functions.barrier import barrier
 from ..functions.hashing import MERSENNE_P, affine_params
 from ..sources import load_table
 
@@ -202,7 +203,9 @@ def copurchase_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     At 100 TB: the pair fan-out is bounded by cap²/2 per order; the
     support floor keeps the affinity table sparse; part frequencies
     are |parts|-sized (broadcast)."""
-    capped = _capped_items(spark, sf_dir).localCheckpoint()
+    capped = barrier(
+        _capped_items(spark, sf_dir), "corpus", "copurchase capped order-items"
+    )
     n_orders_total = capped.select("l_orderkey").distinct().count()
     occ = capped.groupBy("l_partkey").agg(F.count("*").alias("occ"))
     pairs = _pair_counts(capped).where(F.col("n_orders") >= PAIR_MIN_SUPPORT)
@@ -290,8 +293,9 @@ def triangle_count_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         _pair_counts(_capped_items(spark, sf_dir))
         .where(F.col("n_orders") >= PAIR_MIN_SUPPORT)
         .select(F.col("part_a").alias("pa"), F.col("part_b").alias("pb"))
-        .localCheckpoint()  # reused: degrees, orientation, wedge close
     )
+    # reused by: degrees, orientation, wedge close
+    edges = barrier(edges, "groups", "copurchase support-floored edge set")
     return triangle_summary(edges)
 
 
@@ -300,25 +304,29 @@ def triangle_summary(edges: DataFrame) -> DataFrame:
     (columns ``pa < pb``, one row per distinct edge) — the graph core
     of ``triangle_count_copurchase``, factored out so property tests
     can drive it with planted cliques/cycles of known triangle count."""
-    deg = (
+    deg = barrier(
         edges.select(F.col("pa").alias("node"))
         .unionAll(edges.select(F.col("pb").alias("node")))
         .groupBy("node")
-        .agg(F.count("*").alias("deg"))
-    ).localCheckpoint()
+        .agg(F.count("*").alias("deg")),
+        "groups",
+        "triangle node degrees",
+    )
     da = deg.select(F.col("node").alias("pa"), F.col("deg").alias("deg_a"))
     db = deg.select(F.col("node").alias("pb"), F.col("deg").alias("deg_b"))
     a_first = (F.col("deg_a") < F.col("deg_b")) | (
         (F.col("deg_a") == F.col("deg_b")) & (F.col("pa") < F.col("pb"))
     )
-    oriented = (
+    oriented = barrier(
         edges.join(F.broadcast(da), "pa")
         .join(F.broadcast(db), "pb")
         .select(
             F.when(a_first, F.col("pa")).otherwise(F.col("pb")).alias("src"),
             F.when(a_first, F.col("pb")).otherwise(F.col("pa")).alias("dst"),
-        )
-    ).localCheckpoint()
+        ),
+        "groups",
+        "triangle degree-oriented edges",
+    )
     e1, e2 = oriented.alias("e1"), oriented.alias("e2")
     wedges = e1.join(e2, F.col("e1.dst") == F.col("e2.src")).select(
         F.col("e1.src").alias("wa"), F.col("e2.dst").alias("wc")
@@ -443,8 +451,8 @@ def custkey_overlap_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
         # distinct hashes, so the top-K needs no second distinct
         return s.select(h.alias("h")).orderBy("h").limit(OVERLAP_K)
 
-    sk_a = sketch(set_a).localCheckpoint()
-    sk_b = sketch(set_b).localCheckpoint()
+    sk_a = barrier(sketch(set_a), "sample", "KMV overlap sketch A (K rows)")
+    sk_b = barrier(sketch(set_b), "sample", "KMV overlap sketch B (K rows)")
     union_k = (
         sk_a.unionAll(sk_b).distinct().orderBy("h").limit(OVERLAP_K)
     )

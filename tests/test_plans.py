@@ -210,6 +210,112 @@ def test_salted_join_spreads_hot_keys(spark, sf_dir):
     assert len(key_lines) >= 2, a.formatted
 
 
+# --- reuse-barrier size contracts (VERDICT r6 ask #6) -----------------------
+# Every barrier declares a bound class in functions/barrier.py; the
+# corpus class (proportional to input) is allowed ONLY at these
+# documented index-build / iterative sites — each is the materialized
+# artifact a production deployment would persist anyway, and each
+# honors the SPARK_GRAFT_BARRIER_DIR parquet-staging knob.
+_CORPUS_BARRIER_ALLOWLIST = {
+    "embedding_similar_pairs unit-vector index",
+    "embedding_dedup unit-vector index",
+    "semdedup assigned unit-vector index",
+    "ann_lsh unit-vector index",
+    "kmeans_fit cast vectors",
+    "label-propagation initial labels",
+    "label-propagation iteration labels",
+    "dedup pair-graph edges",
+    "dedup_groups memoized labels+sizes result",
+    "copurchase capped order-items",
+    "chunk-dedup per-chunk fingerprints",
+    "pack-assign per-doc token projection",
+    "token-budget per-doc hash projection",
+    "BPE-apply per-doc token explode",
+}
+
+
+def test_all_localcheckpoints_route_through_barrier_helper():
+    """No bare localCheckpoint anywhere in the package: every reuse
+    barrier must go through functions.barrier.barrier() so its size
+    class is declared and the corpus-class staging knob applies."""
+    import pathlib
+
+    import robin_sparkles_spark
+
+    pkg = pathlib.Path(robin_sparkles_spark.__file__).parent
+    offenders = []
+    for path in sorted(pkg.rglob("*.py")):
+        if path.name == "barrier.py":
+            continue
+        for i, line in enumerate(path.read_text().splitlines(), 1):
+            code = line.split("#", 1)[0]
+            if ".localCheckpoint(" in code:
+                offenders.append(f"{path.relative_to(pkg)}:{i}: {line.strip()}")
+    assert not offenders, (
+        "bare localCheckpoint outside functions/barrier.py — route "
+        "through barrier() with a bound class:\n" + "\n".join(offenders)
+    )
+
+
+def test_no_unallowlisted_corpus_barrier_in_declared_plans(spark, sf_dir):
+    """Building every declared plan, the corpus-scale (input-
+    proportional) barriers taken are exactly the documented
+    index-build / iterative sites. Bounded classes (domain / vocab /
+    groups / sample) need no allowlist — their size contract already
+    says executor storage holds at 100 TB. NOTE: memoized operators
+    (kmeans_fit, dedup_groups, BPE fit) record their barriers only on
+    first construction; this test inventories whatever the full
+    registry build triggers in this session, which covers every site
+    at least once when run standalone and is a subset check (never
+    flaky) when caches are warm."""
+    from robin_sparkles_spark import registry
+    from robin_sparkles_spark.functions import barrier as B
+
+    B.CALLS.clear()
+    for name, spec in registry.all_queries().items():
+        spec.fn(spark, sf_dir)
+    bad_class = [c for c in B.CALLS if c[0] not in B.BOUNDS]
+    assert not bad_class, bad_class
+    stray_corpus = sorted(
+        {
+            note
+            for bound, note in B.CALLS
+            if bound == "corpus" and note not in _CORPUS_BARRIER_ALLOWLIST
+        }
+    )
+    assert not stray_corpus, (
+        "corpus-scale barrier outside the documented allowlist — either "
+        "reclassify honestly or add it with a staging story: "
+        f"{stray_corpus}"
+    )
+
+
+def test_corpus_barrier_stages_to_parquet_when_knob_set(
+    spark, tmp_path, monkeypatch
+):
+    """The 100 TB path: with SPARK_GRAFT_BARRIER_DIR set, a corpus-
+    class barrier round-trips through parquet under that directory
+    (fault-tolerant, object-store-spillable) instead of executor-local
+    blocks — same rows either way."""
+    from robin_sparkles_spark.functions.barrier import barrier
+
+    df = spark.range(100).selectExpr("id", "id * 2 AS v")
+    plain = barrier(df, "corpus", "knob test plain")
+    assert sorted(r.v for r in plain.collect()) == [2 * i for i in range(100)]
+
+    stage = tmp_path / "barriers"
+    monkeypatch.setenv("SPARK_GRAFT_BARRIER_DIR", str(stage))
+    staged = barrier(df, "corpus", "knob test staged")
+    assert sorted(r.v for r in staged.collect()) == [2 * i for i in range(100)]
+    staged_dirs = list(stage.glob("knob_test_staged_*"))
+    assert len(staged_dirs) == 1, staged_dirs
+    assert list(staged_dirs[0].glob("*.parquet")), "no parquet files staged"
+    # bounded classes never stage — executor storage is their contract
+    bounded = barrier(df, "vocab", "knob test bounded")
+    assert bounded.count() == 100
+    assert not list(stage.glob("knob_test_bounded*"))
+
+
 def test_signature_barrier_survives(spark, sf_dir):
     """Regression guard for the per-pair recompute bug: the simhash
     pair scan's join predicate must reference plain attributes, i.e.
