@@ -63,11 +63,16 @@ HEADLINE = [
 ]
 
 
-# Round-5 additions, timed in a SEPARATE key so the headline total
-# stays comparable to BENCH_r01–r04. Same linear-shuffle rule; spans
-# the new families (analytics, chunk pipeline, semantic dedup, scale
-# ops, quality audits, retrieval).
-EXTENDED_R5 = [
+# Heavy / newer families, timed in a SEPARATE key so the headline
+# total stays comparable to BENCH_r01–r06, but — r7 (VERDICT r6 ask
+# #1) — now run with the SAME N≥3 interleaved-median protocol as the
+# headline set (the single-pass "extended_r5" key is retired): their
+# regressions are judgeable round-over-round from BENCH_r07 on. Same
+# linear-shuffle rule. One-time model/corpus staging (k-means fit,
+# planted-dup corpus, BPE merge fit) is timed separately as
+# model_staging_sec so rep-1 doesn't charge it to whichever consumer
+# runs first.
+EXTENDED = [
     "events_funnel_conversion",
     "user_retention_cohorts",
     "docs_chunked_context",
@@ -81,6 +86,10 @@ EXTENDED_R5 = [
     "column_profile",
     "docs_search_and",
     "events_spend_alerts",
+    # promoted r7: previously un-benched heavy families
+    "bpe_merge_training",
+    "embedding_gram_matrix",
+    "png_decode_stats",
 ]
 
 
@@ -160,8 +169,27 @@ def main() -> None:
     # measure the query, not session startup.
     specs[names[0]].fn(spark, sf_dir).count()
 
+    # Shared model/corpus staging (k-means fit, planted-dup corpus,
+    # BPE merge fit), timed SEPARATELY and BEFORE the reps: the
+    # consumers (kmeans_assign / ann_ivf_topk / semdedup_dropped /
+    # bpe_merge_training) share memoized fits, so charging staging to
+    # whichever runs first misattributes ~15 s of one-time cost as
+    # that query's per-run cost (r5: semdedup_dropped read as 18 s
+    # when its steady-state scan is ~5 s).
+    t0 = time.perf_counter()
+    from robin_sparkles_spark.operators import bpe
+    from robin_sparkles_spark.operators.clustering import kmeans_fit
+    from robin_sparkles_spark.operators.embedding_dedup import build_neardup_corpus
+
+    kmeans_fit(spark, sf_dir)
+    build_neardup_corpus(spark, sf_dir)
+    bpe._fit_merges(spark, sf_dir)
+    staging_sec = round(time.perf_counter() - t0, 4)
+
     reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
-    passes = [_run_set(spark, specs, sf_dir) for _ in range(reps)]
+    ext_names = [n for n in EXTENDED if n in specs]
+    both = names + ext_names
+    passes = [_run_set(spark, specs, sf_dir, both) for _ in range(reps)]
     med = {n: round(statistics.median(p[n] for p in passes), 4) for n in names}
     low = {n: round(min(p[n] for p in passes), 4) for n in names}
     payload = {
@@ -172,29 +200,19 @@ def main() -> None:
         "queries": med,
         "queries_min": low,
         "min_value": round(sum(low.values()), 4),
-        "first_pass_value": round(sum(passes[0].values()), 4),
+        "first_pass_value": round(sum(passes[0][n] for n in names), 4),
         "sf": _parse_sf(sf_dir),
     }
-    # Shared model/corpus staging (k-means fit + planted-dup corpus),
-    # timed SEPARATELY: three queries (kmeans_assign / ann_ivf_topk /
-    # semdedup_dropped) share one memoized fit, so charging it to
-    # whichever runs first misattributes ~15 s of one-time staging as
-    # that query's per-run cost (r5: semdedup_dropped read as 18 s when
-    # its steady-state scan is ~5 s).
-    t0 = time.perf_counter()
-    from robin_sparkles_spark.operators.clustering import kmeans_fit
-    from robin_sparkles_spark.operators.embedding_dedup import build_neardup_corpus
-
-    kmeans_fit(spark, sf_dir)
-    build_neardup_corpus(spark, sf_dir)
-    staging_sec = round(time.perf_counter() - t0, 4)
-    # r5 extended set: single pass (new queries have no prior rounds to
-    # compare against; medians matter once a comparison base exists)
-    ext = _run_set(spark, specs, sf_dir, EXTENDED_R5)
-    payload["extended_r5"] = {
-        "value": round(sum(ext.values()), 4),
+    ext_med = {
+        n: round(statistics.median(p[n] for p in passes), 4) for n in ext_names
+    }
+    ext_low = {n: round(min(p[n] for p in passes), 4) for n in ext_names}
+    payload["extended"] = {
+        "value": round(sum(ext_med.values()), 4),
+        "min_value": round(sum(ext_low.values()), 4),
         "model_staging_sec": staging_sec,
-        "queries": ext,
+        "queries": ext_med,
+        "queries_min": ext_low,
     }
     if scale_dir and os.path.isdir(scale_dir) and scale_dir != sf_dir:
         small = _run_set(spark, specs, scale_dir)

@@ -192,7 +192,11 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     the query side explodes to nprobe (query, cell) rows, the corpus
     side stays single-cell, and the join output grows ∝ nprobe, not
     corpus size (measured recall@5 vs exact: 0.36 at nprobe=1 → 0.54
-    at nprobe=2 on the sf0.01 fixture; tests assert monotonicity)."""
+    at nprobe=2 on the sf0.01 fixture; tests assert monotonicity).
+    Full recall/latency curve at sf0.1 recorded in BASELINE.md
+    ("ann_ivf_topk multi-probe", r7): 0.336 / 0.502 / 0.760 / 1.000
+    at nprobe 1/2/4/8 — 1.000 at 8 is the exact-search limit since
+    the fixture fit has K_CLUSTERS=8 cells."""
     return _ivf_topk(spark, sf_dir, IVF_NPROBE)
 
 
