@@ -90,6 +90,9 @@ EXTENDED = [
     "bpe_merge_training",
     "embedding_gram_matrix",
     "png_decode_stats",
+    # new r7 queries (share the staged fits/fixtures above)
+    "ann_ivf_recall_at_k",
+    "bpe_fertility_by_lang",
 ]
 
 
@@ -181,9 +184,12 @@ def main() -> None:
     from robin_sparkles_spark.operators.clustering import kmeans_fit
     from robin_sparkles_spark.operators.embedding_dedup import build_neardup_corpus
 
+    from robin_sparkles_spark.operators.similarity import build_exact_topk
+
     kmeans_fit(spark, sf_dir)
     build_neardup_corpus(spark, sf_dir)
     bpe._fit_merges(spark, sf_dir)
+    build_exact_topk(spark, sf_dir)  # ANN ground-truth fixture (disk-memoized)
     staging_sec = round(time.perf_counter() - t0, 4)
 
     reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))

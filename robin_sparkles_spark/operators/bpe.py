@@ -312,9 +312,63 @@ GROUP BY t.doc_id
 """
 
 
+def bpe_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility by language: subwords emitted per
+    whitespace word under the learned merges, aggregated per ``lang``
+    — the standard multilingual-tokenizer equity metric (a language
+    with fertility 2× pays twice the sequence length per word, i.e.
+    half the effective context window; the number a vocab-size /
+    mix-weight decision reads). NOTE the fixture corpus is synthetic
+    (every lang draws from one vocabulary), so per-lang values here
+    are near-identical — the operator is the point, exercised and
+    hash-checked on real columns.
+
+    Plan: reuses the declared train→apply per-doc counts
+    (``docs_bpe_tokenize`` — vocab-sized merge application broadcast
+    onto one corpus scan), joins a thin (doc_id, lang) projection on
+    doc_id, and reduces to a |langs|-row aggregate: one extra shuffle
+    over the per-doc counts, nothing corpus-scale materialized."""
+    per_doc = docs_bpe_tokenize(spark, sf_dir)
+    langs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    return (
+        per_doc.join(langs, "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("n_tokens"),
+            F.sum("n_subwords").alias("n_subwords"),
+        )
+        .select(
+            "lang",
+            "n_docs",
+            "n_tokens",
+            "n_subwords",
+            (
+                F.col("n_subwords").cast("double")
+                / F.col("n_tokens").cast("double")
+            ).alias("fertility"),
+        )
+    )
+
+
+def _bpe_fertility_sql() -> str:
+    return f"""
+WITH per_doc AS ({_bpe_tokenize_sql()})
+SELECT d.lang,
+       COUNT(*) AS n_docs,
+       CAST(SUM(p.n_tokens) AS BIGINT) AS n_tokens,
+       CAST(SUM(p.n_subwords) AS BIGINT) AS n_subwords,
+       CAST(SUM(p.n_subwords) AS DOUBLE) / CAST(SUM(p.n_tokens) AS DOUBLE)
+         AS fertility
+FROM per_doc p JOIN documents d USING (doc_id)
+GROUP BY d.lang
+"""
+
+
 QUERIES: dict = {}
 
 QUERIES_TAIL = {
     "bpe_merge_training": (bpe_merge_training, _bpe_sql()),
     "docs_bpe_tokenize": (docs_bpe_tokenize, _bpe_tokenize_sql()),
+    "bpe_fertility_by_lang": (bpe_fertility_by_lang, _bpe_fertility_sql()),
 }

@@ -330,6 +330,71 @@ FROM topk WHERE rk <= {IVF_TOP_K}
 """
 
 
+def ann_ivf_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of the IVF multi-probe index vs the exact top-k — the
+    IVF twin of ``similarity.ann_recall_at_k`` (VERDICT r6 ask #8
+    recorded the full nprobe curve in BASELINE.md; this makes the
+    shipped-default point a DECLARED, hash-gated query so a regression
+    in either the fit or the probe logic shows up as a recall drop in
+    the driver gate, not just a table going stale). Same staged exact
+    ground-truth fixture (``similarity.build_exact_topk`` — k parity
+    asserted below); the declared plan is scan + left join +
+    aggregate, no quadratic step. recall = hits / (n_queries · k)
+    divides exact ints, bit-identical across engines."""
+    from .similarity import TOP_K, build_exact_topk
+
+    assert TOP_K == IVF_TOP_K, "ground-truth k must match IVF k"
+    bf = spark.read.parquet(build_exact_topk(spark, sf_dir))
+    ivf = (
+        ann_ivf_topk(spark, sf_dir)
+        .select("query_id", "neighbor_id")
+        .withColumn("m", F.lit(1))
+    )
+    return (
+        bf.join(ivf, ["query_id", "neighbor_id"], "left")
+        .agg(
+            F.countDistinct("query_id").alias("n_queries"),
+            F.sum(F.coalesce(F.col("m"), F.lit(0))).cast("long").alias("hits"),
+        )
+        .select(
+            F.lit(IVF_TOP_K).cast("long").alias("k"),
+            F.lit(IVF_NPROBE).cast("long").alias("nprobe"),
+            "n_queries",
+            "hits",
+            (
+                F.col("hits").cast("double")
+                / (F.col("n_queries") * IVF_TOP_K)
+            ).alias("recall_at_k"),
+        )
+    )
+
+
+def ann_ivf_recall_oracle(sf_dir: str) -> str:
+    """DuckDB twin: recomputes BOTH sides from scratch — the exact
+    top-k via the sanctioned brute-force SQL and the IVF side via the
+    centroid-literal probe SQL — so the staged fixture itself is
+    hash-checked too (same structure as ANN_RECALL_SQL)."""
+    from .similarity import ANN_BRUTEFORCE_SQL
+
+    return f"""
+WITH bf AS ({ANN_BRUTEFORCE_SQL}),
+ivf AS (SELECT query_id, neighbor_id FROM ({ann_ivf_topk_oracle(sf_dir)})),
+j AS (
+  SELECT bf.query_id,
+         CASE WHEN ivf.neighbor_id IS NOT NULL THEN 1 ELSE 0 END AS m
+  FROM bf LEFT JOIN ivf
+    ON bf.query_id = ivf.query_id AND bf.neighbor_id = ivf.neighbor_id
+)
+SELECT CAST({IVF_TOP_K} AS BIGINT) AS k,
+       CAST({IVF_NPROBE} AS BIGINT) AS nprobe,
+       COUNT(DISTINCT query_id) AS n_queries,
+       CAST(SUM(m) AS BIGINT) AS hits,
+       CAST(SUM(m) AS DOUBLE) / (COUNT(DISTINCT query_id) * {IVF_TOP_K})
+         AS recall_at_k
+FROM j
+"""
+
+
 # The fit is iterative (multi-job), but assignment/search are pure
 # projections/joins once centroids are fixed — so the oracles are
 # lazy callables (sf_dir -> SQL) that run the fit and inline the
@@ -337,4 +402,5 @@ FROM topk WHERE rk <= {IVF_TOP_K}
 QUERIES = {
     "kmeans_assign": (kmeans_assign, kmeans_assign_oracle),
     "ann_ivf_topk": (ann_ivf_topk, ann_ivf_topk_oracle),
+    "ann_ivf_recall_at_k": (ann_ivf_recall_at_k, ann_ivf_recall_oracle),
 }

@@ -191,16 +191,21 @@ def _collect() -> dict[str, QuerySpec]:
 #
 # ROUND-7 ROTATION (the note promised at end of r6). With full
 # coverage achieved, the policy is now purely staleness + replan:
+#   * the two queries ADDED this round (never driver-gated):
+#     ann_ivf_recall_at_k, bpe_fertility_by_lang.
 #   * bigram_stats — replanned THIS round (semi-join denominator prune,
 #     VERDICT r6 ask #7), so its r6 row no longer describes the shipped
 #     plan.
 #   * all 35 queries whose last green row is r4 (the stalest block —
 #     one testdata regeneration ago).
-#   * the 14 stalest r5-last-green names, in registry order.
+#   * the 12 stalest r5-last-green names, in registry order.
 # The 49 queries gated green in r6 rotate out. Everything displaced
 # keeps its hard signal through the parametrized local oracle sweep in
 # tests/ (the pytest replica of this gate).
 GATE_FRONT: tuple[str, ...] = (
+    # new this round — first driver rows
+    "ann_ivf_recall_at_k",
+    "bpe_fertility_by_lang",
     # replanned this round (semi-join denominator prune)
     "bigram_stats",
     # r4-last-green block (stalest, 35 names)
@@ -239,7 +244,7 @@ GATE_FRONT: tuple[str, ...] = (
     "q21_waiting_suppliers",
     "orders_overlap_pairs",
     "nation_coverage_recon",
-    # stalest r5-last-green fills (registry order, 14 names)
+    # stalest r5-last-green fills (registry order, 12 names)
     "bmp_decode_stats",
     "wav_decode_stats",
     "dedup_groups",
@@ -252,8 +257,6 @@ GATE_FRONT: tuple[str, ...] = (
     "order_slices_setops",
     "orders_by_month",
     "part_filter_projection",
-    "order_lineitem_rollup",
-    "nation_region_names",
 )
 
 
