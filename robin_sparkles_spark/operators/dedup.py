@@ -543,13 +543,9 @@ def embedding_similar_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     the normalization on both score sides under that volume costs
     ~35% of the query (interleaved A/B: 4.5 s → 3.0 s). Same
     build-once-index shape as ann_lsh_topk."""
-    from .similarity import _unit_vectors, sign_banded_from
+    from .similarity import sign_banded_from, unit_vector_index
 
-    e = barrier(
-        _unit_vectors(spark, sf_dir),
-        "corpus",
-        "embedding_similar_pairs unit-vector index",
-    )
+    e = unit_vector_index(spark, sf_dir)
     banded = sign_banded_from(e)
     a = banded.alias("a")
     b = banded.alias("b")

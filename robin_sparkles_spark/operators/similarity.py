@@ -57,6 +57,31 @@ _UNIT_VECTORS_SQL = f"""
 """
 
 
+_INDEX_CACHE: dict[tuple, "DataFrame"] = {}
+
+
+def unit_vector_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The build-once ANN index: ``_unit_vectors`` materialized through
+    a corpus-class barrier and MEMOIZED per (application, sf_dir) — so
+    every banded consumer (``ann_lsh_topk``,
+    ``dedup.embedding_similar_pairs``) probes the SAME materialized
+    index instead of each rebuilding it. Before r7 each consumer paid
+    its own scan + 64-wide normalize + groupBy barrier within one
+    session; at 100 TB the memo is the difference between "the index"
+    and "an index per query" — the build-once story the docstrings
+    already told, now literally true in-process. Keyed by
+    applicationId: a fresh session (fresh executors, dropped blocks)
+    rebuilds."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _INDEX_CACHE.get(key)
+    if cached is None:
+        cached = barrier(
+            _unit_vectors(spark, sf_dir), "corpus", "shared unit-vector ANN index"
+        )
+        _INDEX_CACHE[key] = cached
+    return cached
+
+
 def ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact cosine top-k: for each query vector (vec_id < N_QUERIES),
     the K nearest corpus vectors. Ties broken by neighbor id."""
@@ -167,9 +192,7 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     BASELINE.md). At 100 TB the materialization IS the ANN index —
     built once, reused by every probe — so the shape is kept for the
     scale story, not the sf0.1 number."""
-    e = barrier(
-        _unit_vectors(spark, sf_dir), "corpus", "ann_lsh unit-vector index"
-    )
+    e = unit_vector_index(spark, sf_dir)
     banded = sign_banded_from(e)
     q = banded.where(F.col("vec_id") < N_QUERIES).alias("q")
     c = banded.alias("c")

@@ -217,10 +217,9 @@ def test_salted_join_spreads_hot_keys(spark, sf_dir):
 # artifact a production deployment would persist anyway, and each
 # honors the SPARK_GRAFT_BARRIER_DIR parquet-staging knob.
 _CORPUS_BARRIER_ALLOWLIST = {
-    "embedding_similar_pairs unit-vector index",
+    "shared unit-vector ANN index",
     "embedding_dedup unit-vector index",
     "semdedup assigned unit-vector index",
-    "ann_lsh unit-vector index",
     "kmeans_fit cast vectors",
     "label-propagation initial labels",
     "label-propagation iteration labels",
