@@ -93,6 +93,7 @@ EXTENDED = [
     # new r7 queries (share the staged fits/fixtures above)
     "ann_ivf_recall_at_k",
     "bpe_fertility_by_lang",
+    "orders_custkey_hll",
 ]
 
 

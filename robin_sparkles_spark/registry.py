@@ -191,14 +191,14 @@ def _collect() -> dict[str, QuerySpec]:
 #
 # ROUND-7 ROTATION (the note promised at end of r6). With full
 # coverage achieved, the policy is now purely staleness + replan:
-#   * the two queries ADDED this round (never driver-gated):
-#     ann_ivf_recall_at_k, bpe_fertility_by_lang.
+#   * the three queries ADDED this round (never driver-gated):
+#     ann_ivf_recall_at_k, bpe_fertility_by_lang, orders_custkey_hll.
 #   * bigram_stats — replanned THIS round (semi-join denominator prune,
 #     VERDICT r6 ask #7), so its r6 row no longer describes the shipped
 #     plan.
 #   * all 35 queries whose last green row is r4 (the stalest block —
 #     one testdata regeneration ago).
-#   * the 12 stalest r5-last-green names, in registry order.
+#   * the 11 stalest r5-last-green names, in registry order.
 # The 49 queries gated green in r6 rotate out. Everything displaced
 # keeps its hard signal through the parametrized local oracle sweep in
 # tests/ (the pytest replica of this gate).
@@ -206,6 +206,7 @@ GATE_FRONT: tuple[str, ...] = (
     # new this round — first driver rows
     "ann_ivf_recall_at_k",
     "bpe_fertility_by_lang",
+    "orders_custkey_hll",
     # replanned this round (semi-join denominator prune)
     "bigram_stats",
     # r4-last-green block (stalest, 35 names)
@@ -244,7 +245,7 @@ GATE_FRONT: tuple[str, ...] = (
     "q21_waiting_suppliers",
     "orders_overlap_pairs",
     "nation_coverage_recon",
-    # stalest r5-last-green fills (registry order, 12 names)
+    # stalest r5-last-green fills (registry order, 11 names)
     "bmp_decode_stats",
     "wav_decode_stats",
     "dedup_groups",
@@ -256,7 +257,6 @@ GATE_FRONT: tuple[str, ...] = (
     "customers_without_urgent_orders",
     "order_slices_setops",
     "orders_by_month",
-    "part_filter_projection",
 )
 
 

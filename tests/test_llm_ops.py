@@ -662,3 +662,56 @@ def test_bpe_merges_match_python_reference(spark, sf_dir):
         .collect()
     ]
     assert got == expected
+
+
+def test_hll_matches_python_replica_and_accuracy(spark, sf_dir):
+    """orders_custkey_hll: (a) the register path is pinned against a
+    pure-Python replica of the exact same integer algebra (hash →
+    bucket/remainder → rank → max-register → scaled harmonic sum), so
+    a silent change in either dialect breaks here even if both
+    dialects drift together; (b) the estimate at the mid-range fixture
+    (n=1500, m=256 — inside the raw estimator's band) is within 3σ of
+    the 1.04/√m error bound. The small-range regime (n ≪ 2.5m, raw
+    estimator overshoots without the ln-based linear-counting
+    correction the oracle-parity rules ban) is asserted OBSERVABLE:
+    n_empty_registers > 0 flags it at the tiny fixture."""
+    from robin_sparkles_spark.functions.hashing import MERSENNE_P, affine_params
+    from robin_sparkles_spark.operators.sketches import (
+        HLL_HASH_IDX,
+        HLL_HASH_IDX2,
+        HLL_M,
+        HLL_REM_BITS,
+        _HLL_C,
+        orders_custkey_hll,
+    )
+
+    row = orders_custkey_hll(spark, "/root/testdata/sf0.01").collect()[0]
+
+    # pure-Python replica over the same parquet column
+    import pyarrow.parquet as pq
+
+    custkeys = pq.read_table(
+        "/root/testdata/sf0.01/orders.parquet", columns=["o_custkey"]
+    )["o_custkey"].to_pylist()
+    a, b = affine_params(HLL_HASH_IDX)
+    a2, b2 = affine_params(HLL_HASH_IDX2)
+    regs: dict[int, int] = {}
+    for x in custkeys:
+        h1 = (x * a + b) % MERSENNE_P
+        h = ((h1 * h1) % MERSENNE_P * a2 + b2) % MERSENNE_P
+        bucket, r = h >> HLL_REM_BITS, h & ((1 << HLL_REM_BITS) - 1)
+        rank = HLL_REM_BITS + 1 - r.bit_length() if r else HLL_REM_BITS + 1
+        regs[bucket] = max(regs.get(bucket, 0), rank)
+    s = sum(
+        1 << (HLL_REM_BITS + 1 - regs.get(j, 0)) for j in range(HLL_M)
+    )
+    assert row.harmonic_sum_scaled == s
+    assert row.n_empty_registers == HLL_M - len(regs)
+    assert row.hll_estimate == _HLL_C / float(s)
+
+    # accuracy in the raw estimator's operating range (3σ of 1.04/√m)
+    assert row.rel_error < 3 * 1.04 / (HLL_M ** 0.5), row
+
+    # small-range regime is flagged, not hidden
+    tiny = orders_custkey_hll(spark, "/root/testdata/sf0.001").collect()[0]
+    assert tiny.n_empty_registers > 0

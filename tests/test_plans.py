@@ -143,6 +143,7 @@ _BNL_ALLOWED = {
     "orders_price_histogram",  # same scalar shape: 1-row total for shares
     "triangle_count_copurchase",  # scalar shape: 1-row stat × 1-row stat summary
     "custkey_overlap_kmv",  # scalar shape: 1-row sketch stats × 1-row exacts
+    "orders_custkey_hll",  # scalar shape: 1-row registers × 1-row exact
 }
 
 
