@@ -94,6 +94,7 @@ EXTENDED = [
     "ann_ivf_recall_at_k",
     "bpe_fertility_by_lang",
     "orders_custkey_hll",
+    "users_hll_by_type",
 ]
 
 

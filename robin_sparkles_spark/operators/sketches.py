@@ -387,6 +387,38 @@ _HLL_ALPHA = 0.7213 / (1.0 + 1.079 / HLL_M)
 # registers (empty registers contribute 2^(REM_BITS+1), i.e. 2^-0
 # before scaling).
 _HLL_C = _HLL_ALPHA * HLL_M * HLL_M * float(1 << (HLL_REM_BITS + 1))
+# Small-range (linear counting) correction WITHOUT a query-time ln():
+# n̂_lc = m·ln(m/V) depends only on V = n_empty_registers ∈ [1, m] —
+# 256 possible inputs — so the whole function is PRECOMPUTED here and
+# embedded as the identical array literal in both dialects (Python's
+# libm is the single source; the engines only index). Applied, per the
+# standard HLL rule, when the raw estimate ≤ 2.5·m and V > 0.
+import math as _math
+
+_HLL_LC = [HLL_M * _math.log(HLL_M / v) for v in range(1, HLL_M + 1)]
+_HLL_RAW_CUTOFF = 2.5 * HLL_M
+
+
+def _hll_estimate_col(s_total, zeros) -> F.Column:
+    """Corrected estimate: raw harmonic estimate, switched to the
+    table-driven linear count in the small-range regime."""
+    raw = F.lit(_HLL_C) / s_total.cast("double")
+    lc = F.element_at(
+        F.array(*[F.lit(v) for v in _HLL_LC]), zeros.cast("int")
+    )
+    return F.when(
+        (raw <= F.lit(_HLL_RAW_CUTOFF)) & (zeros > F.lit(0)), lc
+    ).otherwise(raw)
+
+
+def _hll_estimate_sql(s_expr: str, zeros_expr: str) -> str:
+    arr = "[" + ", ".join(f"CAST('{v!r}' AS DOUBLE)" for v in _HLL_LC) + "]"
+    raw = f"CAST('{_HLL_C!r}' AS DOUBLE) / CAST({s_expr} AS DOUBLE)"
+    return (
+        f"CASE WHEN {raw} <= {_HLL_RAW_CUTOFF!r} AND {zeros_expr} > 0 "
+        f"THEN list_extract({arr}, CAST({zeros_expr} AS INTEGER)) "
+        f"ELSE {raw} END"
+    )
 
 
 def _hll_rank_col(r) -> F.Column:
@@ -414,10 +446,13 @@ def orders_custkey_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     is bit-identical in DuckDB and the sketch's accuracy is a
     gate-checked number (same move as users_kmv_by_type / recall@k).
 
-    Documented divergences from production HLL++: raw estimator only —
-    the small-range (linear counting) and bias corrections need ln(),
-    a libm call the oracle-parity rules ban; expected |rel error| is
-    the classic 1.04/√m ≈ 6.5% at m=256. The 31-bit hash domain adds
+    Small-range correction INCLUDED without breaking parity: linear
+    counting m·ln(m/V) only ever needs ln at 256 points, so the whole
+    correction is a Python-precomputed array literal both engines
+    merely index (``_HLL_LC``) — no libm at query time. Remaining
+    divergence from production HLL++ is just its empirical
+    bias-correction band; expected |rel error| is the classic
+    1.04/√m ≈ 6.5% at m=256. The 31-bit hash domain adds
     ~n²/2^32 birthday collisions (0.35% at n=15k) — acceptable here,
     and a 61-bit Mersenne lift is mechanical if ever needed.
 
@@ -474,7 +509,7 @@ def orders_custkey_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(HLL_M).cast("long").alias("m"),
             zeros.cast("long").alias("n_empty_registers"),
             s_total.cast("long").alias("harmonic_sum_scaled"),
-            (F.lit(_HLL_C) / s_total.cast("double")).alias("hll_estimate"),
+            _hll_estimate_col(s_total, zeros).alias("hll_estimate"),
             "exact_distinct",
         )
         .select(
@@ -513,14 +548,129 @@ est AS (
          CAST({HLL_M} - n_nonempty AS BIGINT) AS n_empty_registers,
          CAST(s_nonempty + ({HLL_M} - n_nonempty) * {scale} AS BIGINT)
            AS harmonic_sum_scaled,
-         CAST('{_HLL_C!r}' AS DOUBLE)
-           / CAST(s_nonempty + ({HLL_M} - n_nonempty) * {scale} AS DOUBLE)
+         {_hll_estimate_sql(
+             f"s_nonempty + ({HLL_M} - n_nonempty) * {scale}",
+             f"{HLL_M} - n_nonempty",
+         )}
            AS hll_estimate,
          exact_distinct
   FROM agg CROSS JOIN ex
 )
 SELECT *, abs(hll_estimate - CAST(exact_distinct AS DOUBLE))
           / CAST(exact_distinct AS DOUBLE) AS rel_error
+FROM est
+"""
+
+
+def _hll_hash_col(col: F.Column) -> F.Column:
+    """The affine ∘ square ∘ affine chain over an integer column (see
+    orders_custkey_hll for why the quadratic round is required)."""
+    a, b = affine_params(HLL_HASH_IDX)
+    a2, b2 = affine_params(HLL_HASH_IDX2)
+    h1 = (col * F.lit(a) + F.lit(b)) % F.lit(MERSENNE_P)
+    h2 = (h1 * h1) % F.lit(MERSENNE_P)
+    return (h2 * F.lit(a2) + F.lit(b2)) % F.lit(MERSENNE_P)
+
+
+def users_hll_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct users per event_type via GROUP-KEYED HyperLogLog — the
+    shape that makes HLL *the* 100 TB distinct-by-key sketch, shown
+    in-plan: stage 1 reduces (event_type, bucket) to a max-rank
+    register (partial max on the map side, so the shuffle carries at
+    most |types|·m rows per partition REGARDLESS of input size — no
+    per-group cap machinery like the KMV path needs), stage 2 folds
+    each type's ≤ m registers into the exact integer harmonic sum.
+    Register vectors merge by element-wise max, which is what lets a
+    1000-executor cluster combine partials without ever seeing raw
+    members. Same raw estimator + documented small-range divergence
+    as ``orders_custkey_hll`` (incl. the table-driven linear-counting
+    correction); exact side joins back per type
+    (broadcast equi-join on the tiny type domain) purely for the
+    declared accuracy report — KMV twin: ``users_kmv_by_type``."""
+    e = load_table(spark, sf_dir, "events")
+    buckets = e.select(
+        "event_type", _hll_hash_col(F.col("user_id")).alias("h")
+    ).select(
+        "event_type",
+        F.expr(f"h div {1 << HLL_REM_BITS}").alias("bucket"),
+        (F.col("h") % F.lit(1 << HLL_REM_BITS)).alias("r"),
+    )
+    regs = (
+        buckets.select(
+            "event_type", "bucket", _hll_rank_col(F.col("r")).alias("rank")
+        )
+        .groupBy("event_type", "bucket")
+        .agg(F.max("rank").alias("m_j"))
+    )
+    summary = regs.groupBy("event_type").agg(
+        F.count("*").alias("n_nonempty"),
+        F.sum(
+            F.expr(f"shiftleft(CAST(1 AS BIGINT), {HLL_REM_BITS + 1} - m_j)")
+        ).alias("s_nonempty"),
+    )
+    exact = e.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_users")
+    )
+    zeros = F.lit(HLL_M) - F.col("n_nonempty")
+    s_total = F.col("s_nonempty") + zeros * F.lit(1 << (HLL_REM_BITS + 1))
+    return (
+        summary.join(F.broadcast(exact), "event_type")
+        .select(
+            "event_type",
+            zeros.cast("long").alias("n_empty_registers"),
+            _hll_estimate_col(s_total, zeros).alias("hll_estimate"),
+            "exact_users",
+        )
+        .select(
+            "*",
+            (
+                F.abs(F.col("hll_estimate") - F.col("exact_users").cast("double"))
+                / F.col("exact_users").cast("double")
+            ).alias("rel_error"),
+        )
+    )
+
+
+def _users_hll_sql() -> str:
+    a, b = affine_params(HLL_HASH_IDX)
+    a2, b2 = affine_params(HLL_HASH_IDX2)
+    rem = 1 << HLL_REM_BITS
+    scale = 1 << (HLL_REM_BITS + 1)
+    chain = " ".join(
+        f"WHEN r >= {1 << (k - 1)} THEN {HLL_REM_BITS + 1 - k}"
+        for k in range(HLL_REM_BITS, 0, -1)
+    )
+    return f"""
+WITH h AS (
+  SELECT event_type,
+         (((user_id * {a} + {b}) % {MERSENNE_P})
+          * ((user_id * {a} + {b}) % {MERSENNE_P}) % {MERSENNE_P}
+          * {a2} + {b2}) % {MERSENNE_P} AS h
+  FROM events
+),
+b AS (SELECT event_type, h // {rem} AS bucket, h % {rem} AS r FROM h),
+rk AS (SELECT event_type, bucket,
+              CASE {chain} ELSE {HLL_REM_BITS + 1} END AS rank FROM b),
+regs AS (SELECT event_type, bucket, MAX(rank) AS m_j
+         FROM rk GROUP BY event_type, bucket),
+agg AS (SELECT event_type, COUNT(*) AS n_nonempty,
+               SUM(CAST(1 AS BIGINT) << ({HLL_REM_BITS + 1} - m_j)) AS s_nonempty
+        FROM regs GROUP BY event_type),
+ex AS (SELECT event_type, COUNT(DISTINCT user_id) AS exact_users
+       FROM events GROUP BY event_type),
+est AS (
+  SELECT agg.event_type,
+         CAST({HLL_M} - n_nonempty AS BIGINT) AS n_empty_registers,
+         {_hll_estimate_sql(
+             f"s_nonempty + ({HLL_M} - n_nonempty) * {scale}",
+             f"{HLL_M} - n_nonempty",
+         )}
+           AS hll_estimate,
+         exact_users
+  FROM agg JOIN ex ON agg.event_type = ex.event_type
+)
+SELECT *, abs(hll_estimate - CAST(exact_users AS DOUBLE))
+          / CAST(exact_users AS DOUBLE) AS rel_error
 FROM est
 """
 
@@ -534,4 +684,5 @@ QUERIES_TAIL = {
     "events_countmin_users": (events_countmin_users, _countmin_sql()),
     "orders_quantile_sketch": (orders_quantile_sketch, _quantile_sketch_sql()),
     "orders_custkey_hll": (orders_custkey_hll, _hll_sql()),
+    "users_hll_by_type": (users_hll_by_type, _users_hll_sql()),
 }

@@ -191,14 +191,15 @@ def _collect() -> dict[str, QuerySpec]:
 #
 # ROUND-7 ROTATION (the note promised at end of r6). With full
 # coverage achieved, the policy is now purely staleness + replan:
-#   * the three queries ADDED this round (never driver-gated):
-#     ann_ivf_recall_at_k, bpe_fertility_by_lang, orders_custkey_hll.
+#   * the four queries ADDED this round (never driver-gated):
+#     ann_ivf_recall_at_k, bpe_fertility_by_lang, orders_custkey_hll,
+#     users_hll_by_type.
 #   * bigram_stats — replanned THIS round (semi-join denominator prune,
 #     VERDICT r6 ask #7), so its r6 row no longer describes the shipped
 #     plan.
 #   * all 35 queries whose last green row is r4 (the stalest block —
 #     one testdata regeneration ago).
-#   * the 11 stalest r5-last-green names, in registry order.
+#   * the 10 stalest r5-last-green names, in registry order.
 # The 49 queries gated green in r6 rotate out. Everything displaced
 # keeps its hard signal through the parametrized local oracle sweep in
 # tests/ (the pytest replica of this gate).
@@ -207,6 +208,7 @@ GATE_FRONT: tuple[str, ...] = (
     "ann_ivf_recall_at_k",
     "bpe_fertility_by_lang",
     "orders_custkey_hll",
+    "users_hll_by_type",
     # replanned this round (semi-join denominator prune)
     "bigram_stats",
     # r4-last-green block (stalest, 35 names)
@@ -245,7 +247,7 @@ GATE_FRONT: tuple[str, ...] = (
     "q21_waiting_suppliers",
     "orders_overlap_pairs",
     "nation_coverage_recon",
-    # stalest r5-last-green fills (registry order, 11 names)
+    # stalest r5-last-green fills (registry order, 10 names)
     "bmp_decode_stats",
     "wav_decode_stats",
     "dedup_groups",
@@ -256,7 +258,6 @@ GATE_FRONT: tuple[str, ...] = (
     "customers_with_big_orders",
     "customers_without_urgent_orders",
     "order_slices_setops",
-    "orders_by_month",
 )
 
 

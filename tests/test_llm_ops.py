@@ -682,6 +682,8 @@ def test_hll_matches_python_replica_and_accuracy(spark, sf_dir):
         HLL_M,
         HLL_REM_BITS,
         _HLL_C,
+        _HLL_LC,
+        _HLL_RAW_CUTOFF,
         orders_custkey_hll,
     )
 
@@ -706,12 +708,19 @@ def test_hll_matches_python_replica_and_accuracy(spark, sf_dir):
         1 << (HLL_REM_BITS + 1 - regs.get(j, 0)) for j in range(HLL_M)
     )
     assert row.harmonic_sum_scaled == s
-    assert row.n_empty_registers == HLL_M - len(regs)
-    assert row.hll_estimate == _HLL_C / float(s)
+    zeros = HLL_M - len(regs)
+    assert row.n_empty_registers == zeros
+    raw = _HLL_C / float(s)
+    expect = (
+        _HLL_LC[zeros - 1] if (raw <= _HLL_RAW_CUTOFF and zeros > 0) else raw
+    )
+    assert row.hll_estimate == expect
 
     # accuracy in the raw estimator's operating range (3σ of 1.04/√m)
     assert row.rel_error < 3 * 1.04 / (HLL_M ** 0.5), row
 
-    # small-range regime is flagged, not hidden
+    # small-range regime: the table-driven linear-counting correction
+    # applies (V > 0) and lands within a few percent of exact
     tiny = orders_custkey_hll(spark, "/root/testdata/sf0.001").collect()[0]
     assert tiny.n_empty_registers > 0
+    assert tiny.rel_error < 0.10, tiny
