@@ -111,21 +111,38 @@ def build_neardup_corpus(spark: SparkSession, sf_dir: str) -> str:
     return path
 
 
+_NEARDUP_INDEX_CACHE: dict[tuple, DataFrame] = {}
+
+
+def _neardup_unit_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build-once unit-vector index over the planted near-dup corpus,
+    memoized per (application, sf_dir) — the same r7 pattern as
+    ``similarity.unit_vector_index`` / ``semdedup._assigned_index``:
+    repeated calls reuse executor-resident blocks."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _NEARDUP_INDEX_CACHE.get(key)
+    if cached is None:
+        corpus = spark.read.parquet(build_neardup_corpus(spark, sf_dir))
+        cached = barrier(
+            corpus.select(
+                "vec_id", normalized(as_double(F.col("embedding"))).alias("vn")
+            )
+            .groupBy("vec_id")
+            .agg(F.first("vn").alias("v")),
+            "corpus",
+            "embedding_dedup unit-vector index",
+        )
+        _NEARDUP_INDEX_CACHE[key] = cached
+    return cached
+
+
 def embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Banded sign-LSH dedup at cos ≥ 0.9 over the planted corpus:
     same equi-join-on-(band_idx, band_key) shape as
     ``dedup.embedding_similar_pairs`` (candidates sharing ≥1 of the
     8×5 sign bands, exact cosine on candidates only), at the real dup
     threshold over data that actually contains dups."""
-    corpus = spark.read.parquet(build_neardup_corpus(spark, sf_dir))
-    # build-once index (see similarity.ann_lsh_topk)
-    e = barrier(
-        corpus.select("vec_id", normalized(as_double(F.col("embedding"))).alias("vn"))
-        .groupBy("vec_id")
-        .agg(F.first("vn").alias("v")),
-        "corpus",
-        "embedding_dedup unit-vector index",
-    )
+    e = _neardup_unit_index(spark, sf_dir)
     banded = sign_banded_from(e)
     a = banded.alias("a")
     b = banded.alias("b")

@@ -194,12 +194,12 @@ def _collect() -> dict[str, QuerySpec]:
 #   * the four queries ADDED this round (never driver-gated):
 #     ann_ivf_recall_at_k, bpe_fertility_by_lang, orders_custkey_hll,
 #     users_hll_by_type.
-#   * bigram_stats — replanned THIS round (semi-join denominator prune,
-#     VERDICT r6 ask #7), so its r6 row no longer describes the shipped
-#     plan.
+#   * bigram_stats (semi-join denominator prune, VERDICT r6 ask #7)
+#     and semdedup_dropped (memoized assigned index) — replanned THIS
+#     round, so their prior rows no longer describe the shipped plans.
 #   * all 35 queries whose last green row is r4 (the stalest block —
 #     one testdata regeneration ago).
-#   * the 10 stalest r5-last-green names, in registry order.
+#   * the 9 stalest r5-last-green names, in registry order.
 # The 49 queries gated green in r6 rotate out. Everything displaced
 # keeps its hard signal through the parametrized local oracle sweep in
 # tests/ (the pytest replica of this gate).
@@ -209,8 +209,9 @@ GATE_FRONT: tuple[str, ...] = (
     "bpe_fertility_by_lang",
     "orders_custkey_hll",
     "users_hll_by_type",
-    # replanned this round (semi-join denominator prune)
+    # replanned this round
     "bigram_stats",
+    "semdedup_dropped",
     # r4-last-green block (stalest, 35 names)
     "dedup_simhash",
     "embedding_similar_pairs",
@@ -247,7 +248,7 @@ GATE_FRONT: tuple[str, ...] = (
     "q21_waiting_suppliers",
     "orders_overlap_pairs",
     "nation_coverage_recon",
-    # stalest r5-last-green fills (registry order, 10 names)
+    # stalest r5-last-green fills (registry order, 9 names)
     "bmp_decode_stats",
     "wav_decode_stats",
     "dedup_groups",
@@ -257,7 +258,6 @@ GATE_FRONT: tuple[str, ...] = (
     "window_running_user_spend",
     "customers_with_big_orders",
     "customers_without_urgent_orders",
-    "order_slices_setops",
 )
 
 
