@@ -259,6 +259,14 @@ GATE_FRONT: tuple[str, ...] = (
     "customers_with_big_orders",
     "customers_without_urgent_orders",
 )
+# ROUND-8 ROTATION (write it at the start of r8): rotate out the 50
+# names above once CORRECTNESS_r07 comes back green. Staleness order
+# at that point: the ~40 remaining r5-last-green names (bmp/wav
+# decode, dedup_groups, orders_cube, the window/setops/pivot family,
+# q2/q11/q16/q20, retention/funnel/transition, bloom/zorder/upsert/
+# RI-audit/column_profile, scd2, copurchase/triangles, …) fill first,
+# then the oldest r6-gated names; plus, as always, anything whose
+# plan or oracle changes in r8 and any newly added queries.
 
 
 _REGISTRY: dict[str, QuerySpec] | None = None
