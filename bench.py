@@ -95,6 +95,9 @@ EXTENDED = [
     "bpe_fertility_by_lang",
     "orders_custkey_hll",
     "users_hll_by_type",
+    "mp4_box_stats",
+    "mp3_frame_stats",
+    "jpeg_marker_stats",
 ]
 
 

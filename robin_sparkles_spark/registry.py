@@ -65,6 +65,7 @@ def _collect() -> dict[str, QuerySpec]:
         analytics,
         bpe,
         clustering,
+        container_parse,
         curation,
         dedup,
         embedding_dedup,
@@ -112,6 +113,7 @@ def _collect() -> dict[str, QuerySpec]:
         wordcount_queries,
         multimodal,
         media_decode,
+        container_parse,
         streaming_queries,
         clustering,
         dedup,
@@ -191,15 +193,16 @@ def _collect() -> dict[str, QuerySpec]:
 #
 # ROUND-7 ROTATION (the note promised at end of r6). With full
 # coverage achieved, the policy is now purely staleness + replan:
-#   * the four queries ADDED this round (never driver-gated):
+#   * the seven queries ADDED this round (never driver-gated):
 #     ann_ivf_recall_at_k, bpe_fertility_by_lang, orders_custkey_hll,
-#     users_hll_by_type.
+#     users_hll_by_type, mp4_box_stats, mp3_frame_stats,
+#     jpeg_marker_stats.
 #   * bigram_stats (semi-join denominator prune, VERDICT r6 ask #7)
 #     and semdedup_dropped (memoized assigned index) — replanned THIS
 #     round, so their prior rows no longer describe the shipped plans.
 #   * all 35 queries whose last green row is r4 (the stalest block —
 #     one testdata regeneration ago).
-#   * the 9 stalest r5-last-green names, in registry order.
+#   * the 6 stalest r5-last-green names, in registry order.
 # The 49 queries gated green in r6 rotate out. Everything displaced
 # keeps its hard signal through the parametrized local oracle sweep in
 # tests/ (the pytest replica of this gate).
@@ -209,6 +212,9 @@ GATE_FRONT: tuple[str, ...] = (
     "bpe_fertility_by_lang",
     "orders_custkey_hll",
     "users_hll_by_type",
+    "mp4_box_stats",
+    "mp3_frame_stats",
+    "jpeg_marker_stats",
     # replanned this round
     "bigram_stats",
     "semdedup_dropped",
@@ -248,16 +254,13 @@ GATE_FRONT: tuple[str, ...] = (
     "q21_waiting_suppliers",
     "orders_overlap_pairs",
     "nation_coverage_recon",
-    # stalest r5-last-green fills (registry order, 9 names)
+    # stalest r5-last-green fills (registry order, 6 names)
     "bmp_decode_stats",
     "wav_decode_stats",
     "dedup_groups",
     "orders_cube",
     "window_top_order_per_cust",
     "window_order_gap_days",
-    "window_running_user_spend",
-    "customers_with_big_orders",
-    "customers_without_urgent_orders",
 )
 # ROUND-8 ROTATION (write it at the start of r8): rotate out the 50
 # names above once CORRECTNESS_r07 comes back green. Staleness order

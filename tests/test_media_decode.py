@@ -171,3 +171,70 @@ def test_png_decode_rejects_corrupt_crc(spark):
     )
     with pytest.raises(Exception, match="CRC"):
         M.decode_png(df).collect()
+
+
+# --- r7 structural container parsers (ISO BMFF / MPEG frames / JFIF) --------
+
+
+def test_container_roundtrips_pure_python():
+    """Every synthesized payload parses back to its closed-form
+    parameters — the pure-Python contract the Spark kernels and the
+    DuckDB oracles both re-express."""
+    from robin_sparkles_spark.operators import container_parse as C
+
+    for m in (0, 1, 7, 40, 137, 499):
+        d = C.parse_mp4(C.synth_mp4(m))
+        ts, n, delta = C._mp4_params(m)
+        sizes = [C._mp4_sample_size(m, i) for i in range(n)]
+        assert d["n_boxes"] == C.MP4_N_BOXES
+        assert (d["timescale"], d["duration_ticks"]) == (ts, n * delta)
+        assert (d["n_samples"], d["sum_sample_bytes"], d["max_sample_bytes"]) == (
+            n, sum(sizes), max(sizes),
+        )
+        d = C.parse_mp3(C.synth_mp3(m))
+        frames = [C._mp3_frame(m, i) for i in range(C._mp3_params(m))]
+        assert d["n_frames"] == len(frames)
+        assert d["total_bytes"] == sum(f[2] for f in frames)
+        d = C.parse_jpeg(C.synth_jpeg(m))
+        w, h, e = C._jpeg_params(m)
+        assert (d["width"], d["height"], d["entropy_bytes"]) == (w, h, e)
+
+
+def test_container_parsers_reject_corruption():
+    """Integrity checks are real: a flipped size field / lost sync /
+    truncated stream raises instead of returning garbage."""
+    from robin_sparkles_spark.operators import container_parse as C
+
+    mp4 = bytearray(C.synth_mp4(3))
+    mp4[0] ^= 0x40  # corrupt ftyp box size
+    with pytest.raises(ValueError):
+        C.parse_mp4(bytes(mp4))
+    # mdat/stsz disagreement: chop the last payload byte
+    with pytest.raises(ValueError):
+        C.parse_mp4(C.synth_mp4(3)[:-1])
+
+    mp3 = bytearray(C.synth_mp3(3))
+    mp3[0] = 0x00  # lost sync
+    with pytest.raises(ValueError):
+        C.parse_mp3(bytes(mp3))
+
+    jpg = C.synth_jpeg(3)
+    with pytest.raises(ValueError):
+        C.parse_jpeg(jpg[:-2])  # missing EOI
+    with pytest.raises(ValueError):
+        C.parse_jpeg(b"\x00" + jpg[1:])  # missing SOI
+
+
+@pytest.mark.parametrize(
+    "name", ["mp4_box_stats", "mp3_frame_stats", "jpeg_marker_stats"]
+)
+def test_container_oracle_parity(spark, sf_dir, name):
+    from robin_sparkles_spark.operators import container_parse as C
+    from robin_sparkles_spark.registry import resolve_oracle
+
+    from .oracle_utils import assert_query_matches_oracle
+
+    fn, oracle = C.QUERIES_TAIL[name]
+    assert_query_matches_oracle(
+        fn(spark, sf_dir), resolve_oracle(oracle, sf_dir), sf_dir
+    )

@@ -72,6 +72,11 @@ MAP_IN_PANDAS_ALLOWLIST = {
     "wav_decode_stats",
     "tiff_frame_sample",
     "png_decode_stats",
+    # r7 structural container parsers (ISO BMFF / MPEG frames / JFIF
+    # markers) — byte parses like the decode kernels
+    "mp4_box_stats",
+    "mp3_frame_stats",
+    "jpeg_marker_stats",
 }
 
 
