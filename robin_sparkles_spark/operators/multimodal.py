@@ -1,11 +1,17 @@
 """Multimodal-column operators (EXT — BASELINE.json north star):
 image/audio/video as opaque ``binary`` columns with typed metadata.
 
-The container has no image/audio libraries, so the decode kernels are
-STUBBED (deterministic fakes / NotImplementedError, clearly marked) —
-but the Spark-side plumbing is real and tested: schemas, Arrow batch
-shape, ``mapInPandas`` iteration, partition behavior. Swapping a stub
-for Pillow/torchaudio is a one-function change that touches no plan.
+The container has no image/audio libraries, so the decode kernels
+HERE are STUBBED (deterministic fakes / NotImplementedError, clearly
+marked) — but the Spark-side plumbing is real and tested: schemas,
+Arrow batch shape, ``mapInPandas`` iteration, partition behavior.
+Swapping a stub for Pillow/torchaudio is a one-function change that
+touches no plan. The REAL kernels live next door where the stdlib
+suffices: full pixel/audio decodes for BMP/WAV/TIFF/PNG
+(``media_decode``, ``video_decode``) and structural container parses
+for MP4/MP3/JPEG (``container_parse`` — box trees, frame walks,
+marker scans; only the entropy/signal layer of those three formats
+remains library-gated).
 
 Design notes (100 TB):
 - binary payloads ride parquet as BYTE_ARRAY; metadata extraction is
