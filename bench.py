@@ -98,6 +98,7 @@ EXTENDED = [
     "mp4_box_stats",
     "mp3_frame_stats",
     "jpeg_marker_stats",
+    "jpeg_entropy_stats",
 ]
 
 

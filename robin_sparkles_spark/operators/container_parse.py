@@ -21,8 +21,14 @@ arithmetic, so these three kernels are REAL spec implementations:
   duration from the 1152-samples-per-frame constant (ISO/IEC 11172-3).
 - ``jpeg_marker_stats``: JPEG/JFIF marker-segment scan — SOI→EOI walk
   over length-prefixed segments, SOF0 dimensions/components, DQT
-  table count, entropy-coded-data length (ITU-T T.81 syntax layer;
-  the huffman+IDCT pixel path is the library-gated boundary).
+  table count, entropy-coded-data length (ITU-T T.81 syntax layer).
+- ``jpeg_entropy_stats``: one level deeper — a REAL baseline-JPEG
+  entropy DECODE (T.81 §F.2): canonical huffman tables built from the
+  file's own DHT segments, bit reader with 0xFF00 un-stuffing, DC
+  prediction, AC run/size + ZRL + EOB. Planted integer coefficients +
+  a unit quant table make the layer lossless, so the oracle is closed
+  form; after this only the float IDCT (pixel reconstruction) remains
+  behind the library boundary.
 
 Same verification contract as ``media_decode``: payloads are
 synthesized DETERMINISTICALLY from ``media_id`` (driver-side, staged
@@ -350,6 +356,244 @@ def parse_jpeg(blob: bytes) -> dict:
     raise ValueError("missing EOI")
 
 
+# --- JPEG baseline ENTROPY layer (huffman-coded DCT coefficients) -----------
+#
+# One level deeper than the marker scan: a real baseline-JPEG entropy
+# DECODE — canonical huffman tables built from the file's own DHT
+# segments, a bit reader with 0xFF00 un-stuffing, DC difference
+# accumulation, AC run/size + ZRL + EOB semantics (ITU-T T.81 §F.2).
+# The synthesizer plants integer DCT coefficients and a unit quant
+# table, so the entropy layer is LOSSLESS and the oracle is closed
+# form; only the float IDCT (pixel reconstruction) stays behind the
+# library boundary.
+
+_JDC_BITS = [0] * 16
+_JDC_BITS[3] = 9  # DC categories 0..8, all length-4 codes
+_JDC_VALS = list(range(9))
+_JAC_BITS = [0] * 16
+_JAC_BITS[3] = 2   # EOB, ZRL at length 4
+_JAC_BITS[6] = 64  # (run 0..15 × size 1..4) at length 7
+_JAC_VALS = [0x00, 0xF0] + [(r << 4) | s for r in range(16) for s in range(1, 5)]
+
+
+def _huff_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
+    """Canonical JPEG code assignment (T.81 §C.2): symbol -> (code,
+    length)."""
+    codes: dict[int, tuple[int, int]] = {}
+    code = k = 0
+    for i, count in enumerate(bits):
+        for _ in range(count):
+            codes[vals[k]] = (code, i + 1)
+            code += 1
+            k += 1
+        code <<= 1
+    return codes
+
+
+def _jpeg_cat(v: int) -> int:
+    return abs(v).bit_length()
+
+
+def _jpeg_coeffs(m: int, b: int) -> tuple[int, list[tuple[int, int]]]:
+    """Planted coefficients for block ``b``: a signed DC and two ACs
+    at zigzag positions (p1 < 10 ≤ p2, so ordering always holds)."""
+    dc = ((m * 5 + b * 3) % 201) - 100
+    p1, p2 = 1 + b % 5, 10 + m % 20
+    v1 = 1 + (m + b) % 15
+    v2 = -(1 + (m + 3 * b) % 7)
+    return dc, [(p1, v1), (p2, v2)]
+
+
+def _jpeg_blocks(m: int) -> tuple[int, int]:
+    return 1 + m % 4, 1 + m % 3  # blocks across, blocks down
+
+
+class _BitWriter:
+    def __init__(self) -> None:
+        self.buf = bytearray()
+        self.acc = self.n = 0
+
+    def write(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | code
+        self.n += length
+        while self.n >= 8:
+            b = (self.acc >> (self.n - 8)) & 0xFF
+            self.buf.append(b)
+            if b == 0xFF:  # T.81 §F.1.2.3 byte stuffing
+                self.buf.append(0x00)
+            self.n -= 8
+        self.acc &= (1 << self.n) - 1
+
+    def done(self) -> bytes:
+        if self.n:
+            pad = 8 - self.n
+            self.write((1 << pad) - 1, pad)  # 1-bit padding per spec
+        return bytes(self.buf)
+
+
+class _BitReader:
+    def __init__(self, data: bytes) -> None:
+        self.data = data
+        self.pos = self.acc = self.n = 0
+
+    def read(self, length: int) -> int:
+        while self.n < length:
+            b = self.data[self.pos]
+            self.pos += 1
+            if b == 0xFF:
+                if self.data[self.pos] != 0x00:
+                    raise ValueError("marker inside entropy data")
+                self.pos += 1
+            self.acc = (self.acc << 8) | b
+            self.n += 8
+        v = (self.acc >> (self.n - length)) & ((1 << length) - 1)
+        self.n -= length
+        self.acc &= (1 << self.n) - 1
+        return v
+
+    def read_symbol(self, decode_map: dict) -> int:
+        code = length = 0
+        while True:
+            code = (code << 1) | self.read(1)
+            length += 1
+            sym = decode_map.get((code, length))
+            if sym is not None:
+                return sym
+            if length > 16:
+                raise ValueError("invalid huffman code")
+
+
+def synth_jpeg_baseline(media_id: int) -> bytes:
+    """A decodable grayscale baseline JPEG: unit quant table, our own
+    (spec-canonical) huffman tables in DHT, and a scan that huffman-
+    codes the planted coefficients with DC prediction, run/size AC
+    coding, ZRL and EOB — byte-stuffed per the spec."""
+    bx, by = _jpeg_blocks(media_id)
+    n_blocks = bx * by
+    dc_codes = _huff_codes(_JDC_BITS, _JDC_VALS)
+    ac_codes = _huff_codes(_JAC_BITS, _JAC_VALS)
+
+    w = _BitWriter()
+    prev_dc = 0
+    for b in range(n_blocks):
+        dc, acs = _jpeg_coeffs(media_id, b)
+        diff, prev_dc = dc - prev_dc, dc
+        s = _jpeg_cat(diff)
+        code, ln = dc_codes[s]
+        w.write(code, ln)
+        if s:
+            w.write(diff if diff >= 0 else diff + (1 << s) - 1, s)
+        pos = 0
+        for p, v in acs:
+            run = p - pos - 1
+            while run >= 16:
+                code, ln = ac_codes[0xF0]
+                w.write(code, ln)
+                run -= 16
+            s = _jpeg_cat(v)
+            code, ln = ac_codes[(run << 4) | s]
+            w.write(code, ln)
+            w.write(v if v >= 0 else v + (1 << s) - 1, s)
+            pos = p
+        if pos < 63:
+            code, ln = ac_codes[0x00]
+            w.write(code, ln)
+    scan = w.done()
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return bytes((0xFF, marker)) + struct.pack(">H", 2 + len(payload)) + payload
+
+    dqt = seg(0xDB, bytes([0x00]) + bytes([1] * 64))  # unit table: lossless
+    sof0 = seg(
+        0xC0,
+        bytes([8])
+        + struct.pack(">HH", 8 * by, 8 * bx)
+        + bytes([1])
+        + bytes((1, 0x11, 0)),
+    )
+    dht_dc = seg(0xC4, bytes([0x00]) + bytes(_JDC_BITS) + bytes(_JDC_VALS))
+    dht_ac = seg(0xC4, bytes([0x10]) + bytes(_JAC_BITS) + bytes(_JAC_VALS))
+    sos = seg(0xDA, bytes([1]) + bytes((1, 0x00)) + bytes((0, 63, 0)))
+    return b"\xff\xd8" + dqt + sof0 + dht_dc + dht_ac + sos + scan + b"\xff\xd9"
+
+
+def parse_jpeg_entropy(blob: bytes) -> dict:
+    """Real baseline entropy decode: huffman tables come from the
+    file's DHT segments (not shared constants), dimensions from SOF0,
+    then every block's DC (predicted) and AC (run/size) coefficients
+    are decoded from the bit stream."""
+    if blob[:2] != b"\xff\xd8":
+        raise ValueError("missing SOI")
+    pos, w, h = 2, 0, 0
+    tables: dict[int, dict] = {}
+    while pos < len(blob):
+        if blob[pos] != 0xFF:
+            raise ValueError(f"expected marker at {pos}")
+        marker = blob[pos + 1]
+        if marker == 0xD9:
+            raise ValueError("EOI before SOS")
+        length = struct.unpack_from(">H", blob, pos + 2)[0]
+        body = blob[pos + 4 : pos + 2 + length]
+        if marker == 0xC0:
+            h, w = struct.unpack_from(">HH", body, 1)
+        elif marker == 0xC4:
+            tc_th = body[0]
+            bits = list(body[1:17])
+            vals = list(body[17 : 17 + sum(bits)])
+            tables[tc_th] = {
+                (c, ln): sym for sym, (c, ln) in _huff_codes(bits, vals).items()
+            }
+        pos += 2 + length
+        if marker == 0xDA:
+            break
+    else:
+        raise ValueError("missing SOS")
+    end = pos
+    while end + 1 < len(blob) and not (
+        blob[end] == 0xFF and blob[end + 1] != 0x00
+    ):
+        end += 1
+    if blob[end : end + 2] != b"\xff\xd9":
+        raise ValueError("scan not terminated by EOI")
+    if w % 8 or h % 8 or 0x00 not in tables or 0x10 not in tables:
+        raise ValueError("unsupported frame")
+    n_blocks = (w // 8) * (h // 8)
+
+    r = _BitReader(blob[pos:end])
+    prev_dc = sum_dc = n_ac = sum_ac_abs = 0
+    for _ in range(n_blocks):
+        s = r.read_symbol(tables[0x00])
+        if s:
+            bits = r.read(s)
+            diff = bits if bits >= (1 << (s - 1)) else bits - (1 << s) + 1
+        else:
+            diff = 0
+        prev_dc += diff
+        sum_dc += prev_dc
+        zz = 0
+        while zz < 63:
+            sym = r.read_symbol(tables[0x10])
+            if sym == 0x00:
+                break
+            if sym == 0xF0:
+                zz += 16
+                continue
+            run, s = sym >> 4, sym & 0xF
+            zz += run + 1
+            if zz > 63:
+                raise ValueError("AC index overflow")
+            bits = r.read(s)
+            v = bits if bits >= (1 << (s - 1)) else bits - (1 << s) + 1
+            n_ac += 1
+            sum_ac_abs += abs(v)
+    return {
+        "n_blocks": n_blocks,
+        "sum_dc": sum_dc,
+        "n_nonzero_ac": n_ac,
+        "sum_ac_abs": sum_ac_abs,
+    }
+
+
 # --- staging + kernels + declared queries -----------------------------------
 
 def container_corpus_path(sf_dir: str) -> str:
@@ -508,6 +752,70 @@ FROM fr GROUP BY media_id, n
 """
 
 
+def jpeg_entropy_corpus_path(sf_dir: str) -> str:
+    return staged_path(sf_dir, "jpeg_entropy_corpus", "documents")
+
+
+def stage_jpeg_entropy_corpus(spark: SparkSession, sf_dir: str) -> str:
+    """Separate staged table (fingerprint contract: appending a new
+    mime to container_corpus would be masked by its _SUCCESS)."""
+    path = jpeg_entropy_corpus_path(sf_dir)
+    if is_staged(path):
+        return path
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    n = min(CONTAINER_N, n_docs)
+    rows = [(i, "image/jpeg", synth_jpeg_baseline(i)) for i in range(n)]
+    spark.createDataFrame(
+        rows, "media_id long, mime string, payload binary"
+    ).coalesce(1).write.mode("overwrite").parquet(path)
+    return path
+
+
+def jpeg_entropy_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Huffman-decode every staged baseline JPEG's scan data (tables
+    from the file's own DHT) and report exact integer coefficient
+    stats — (real entropy decode) vs (closed-form planted
+    coefficients)."""
+    media = spark.read.parquet(stage_jpeg_entropy_corpus(spark, sf_dir))
+    kernel, schema = _kernel_over(
+        parse_jpeg_entropy,
+        {
+            "n_blocks": "int",
+            "sum_dc": "bigint",
+            "n_nonzero_ac": "bigint",
+            "sum_ac_abs": "bigint",
+        },
+    )
+    return media.where(F.col("mime") == "image/jpeg").mapInPandas(
+        kernel, schema=schema
+    )
+
+
+def jpeg_entropy_oracle(sf_dir: str) -> str:
+    from ..session import active_or_local
+
+    path = stage_jpeg_entropy_corpus(active_or_local("container_oracle"), sf_dir)
+    max_nb = 4 * 3
+    return f"""
+WITH m AS (SELECT media_id FROM read_parquet('{path}/*.parquet')
+           WHERE mime = 'image/jpeg'),
+p AS (SELECT media_id, (1 + media_id % 4) * (1 + media_id % 3) AS nb FROM m),
+c AS (
+  SELECT p.media_id, p.nb,
+         ((p.media_id * 5 + b.range * 3) % 201) - 100 AS dc,
+         1 + (p.media_id + b.range) % 15 AS v1_abs,
+         1 + (p.media_id + 3 * b.range) % 7 AS v2_abs
+  FROM p, range({max_nb}) b WHERE b.range < p.nb
+)
+SELECT media_id,
+       CAST(nb AS INT) AS n_blocks,
+       CAST(SUM(dc) AS BIGINT) AS sum_dc,
+       CAST(2 * nb AS BIGINT) AS n_nonzero_ac,
+       CAST(SUM(v1_abs + v2_abs) AS BIGINT) AS sum_ac_abs
+FROM c GROUP BY media_id, nb
+"""
+
+
 def jpeg_oracle(sf_dir: str) -> str:
     rel = _staged_rel(sf_dir)
     return f"""
@@ -527,4 +835,5 @@ QUERIES_TAIL = {
     "mp4_box_stats": (mp4_box_stats, mp4_oracle),
     "mp3_frame_stats": (mp3_frame_stats, mp3_oracle),
     "jpeg_marker_stats": (jpeg_marker_stats, jpeg_oracle),
+    "jpeg_entropy_stats": (jpeg_entropy_stats, jpeg_entropy_oracle),
 }

@@ -193,16 +193,16 @@ def _collect() -> dict[str, QuerySpec]:
 #
 # ROUND-7 ROTATION (the note promised at end of r6). With full
 # coverage achieved, the policy is now purely staleness + replan:
-#   * the seven queries ADDED this round (never driver-gated):
+#   * the eight queries ADDED this round (never driver-gated):
 #     ann_ivf_recall_at_k, bpe_fertility_by_lang, orders_custkey_hll,
 #     users_hll_by_type, mp4_box_stats, mp3_frame_stats,
-#     jpeg_marker_stats.
+#     jpeg_marker_stats, jpeg_entropy_stats.
 #   * bigram_stats (semi-join denominator prune, VERDICT r6 ask #7)
 #     and semdedup_dropped (memoized assigned index) — replanned THIS
 #     round, so their prior rows no longer describe the shipped plans.
 #   * all 35 queries whose last green row is r4 (the stalest block —
 #     one testdata regeneration ago).
-#   * the 6 stalest r5-last-green names, in registry order.
+#   * the 5 stalest r5-last-green names, in registry order.
 # The 49 queries gated green in r6 rotate out. Everything displaced
 # keeps its hard signal through the parametrized local oracle sweep in
 # tests/ (the pytest replica of this gate).
@@ -215,6 +215,7 @@ GATE_FRONT: tuple[str, ...] = (
     "mp4_box_stats",
     "mp3_frame_stats",
     "jpeg_marker_stats",
+    "jpeg_entropy_stats",
     # replanned this round
     "bigram_stats",
     "semdedup_dropped",
@@ -254,13 +255,12 @@ GATE_FRONT: tuple[str, ...] = (
     "q21_waiting_suppliers",
     "orders_overlap_pairs",
     "nation_coverage_recon",
-    # stalest r5-last-green fills (registry order, 6 names)
+    # stalest r5-last-green fills (registry order, 5 names)
     "bmp_decode_stats",
     "wav_decode_stats",
     "dedup_groups",
     "orders_cube",
     "window_top_order_per_cust",
-    "window_order_gap_days",
 )
 # ROUND-8 ROTATION (write it at the start of r8): rotate out the 50
 # names above once CORRECTNESS_r07 comes back green. Staleness order

@@ -238,3 +238,45 @@ def test_container_oracle_parity(spark, sf_dir, name):
     assert_query_matches_oracle(
         fn(spark, sf_dir), resolve_oracle(oracle, sf_dir), sf_dir
     )
+
+
+def test_jpeg_entropy_roundtrip_and_rejects():
+    """The baseline entropy codec: huffman tables parsed from the
+    file's own DHT reproduce the planted coefficients exactly for a
+    spread of ids (DC prediction, run/size ACs, ZRL, EOB, byte
+    stuffing all exercised), and corruption raises."""
+    from robin_sparkles_spark.operators import container_parse as C
+
+    for m in (0, 1, 5, 11, 23, 137, 400, 499):
+        d = C.parse_jpeg_entropy(C.synth_jpeg_baseline(m))
+        bx, by = C._jpeg_blocks(m)
+        nb = bx * by
+        coeffs = [C._jpeg_coeffs(m, b) for b in range(nb)]
+        assert d["n_blocks"] == nb
+        assert d["sum_dc"] == sum(c[0] for c in coeffs)
+        assert d["n_nonzero_ac"] == 2 * nb
+        assert d["sum_ac_abs"] == sum(
+            abs(v) for _, acs in coeffs for _, v in acs
+        )
+
+    blob = bytearray(C.synth_jpeg_baseline(7))
+    # corrupt a DHT count byte → huffman table no longer matches the
+    # scan; the decoder must fail loudly, not return wrong stats
+    dht_at = bytes(blob).index(b"\xff\xc4")
+    blob[dht_at + 5] ^= 0x01
+    with pytest.raises((ValueError, KeyError, IndexError)):
+        C.parse_jpeg_entropy(bytes(blob))
+    with pytest.raises(ValueError):
+        C.parse_jpeg_entropy(C.synth_jpeg_baseline(7)[:-2])  # no EOI
+
+
+def test_jpeg_entropy_oracle_parity(spark, sf_dir):
+    from robin_sparkles_spark.operators import container_parse as C
+    from robin_sparkles_spark.registry import resolve_oracle
+
+    from .oracle_utils import assert_query_matches_oracle
+
+    fn, oracle = C.QUERIES_TAIL["jpeg_entropy_stats"]
+    assert_query_matches_oracle(
+        fn(spark, sf_dir), resolve_oracle(oracle, sf_dir), sf_dir
+    )

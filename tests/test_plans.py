@@ -77,6 +77,7 @@ MAP_IN_PANDAS_ALLOWLIST = {
     "mp4_box_stats",
     "mp3_frame_stats",
     "jpeg_marker_stats",
+    "jpeg_entropy_stats",
 }
 
 
