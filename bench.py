@@ -99,6 +99,9 @@ EXTENDED = [
     "mp3_frame_stats",
     "jpeg_marker_stats",
     "jpeg_entropy_stats",
+    "warc_record_stats",
+    "zip_members_stats",
+    "tar_archive_stats",
 ]
 
 

@@ -1,0 +1,456 @@
+"""REAL archive/web-corpus format parsers (r7) — the ingestion layer
+of a training-data pipeline.
+
+Web-scale text corpora arrive as WARC (Common Crawl), and bulk
+document drops arrive as ZIP/TAR — so before any tokenizer or dedup
+runs, a 100 TB pipeline walks these containers: record framing,
+central directories, header checksums, member decompression. All of
+it is stdlib byte arithmetic, so these are REAL spec implementations:
+
+- ``warc_record_stats``: WARC/1.0 record walk (ISO 28500): version
+  line, named headers, ``Content-Length``-framed payloads, CRLF CRLF
+  record separators — counts by record type, payload totals, exact
+  per-record framing validation.
+- ``zip_members_stats``: a byte-level ZIP reader written against the
+  PKWARE APPNOTE format — EOCD locate, central-directory walk, local
+  header cross-check, then REAL member decodes: raw-DEFLATE inflate
+  (zlib, wbits=-15) for deflated members, with CRC-32 and
+  uncompressed-size verification per member (a corrupted byte fails
+  loudly). The synthesis side uses stdlib ``zipfile`` — writer and
+  parser share no code.
+- ``tar_archive_stats``: POSIX ustar header walk — 512-byte blocks,
+  octal size fields, the spec's space-substituted header checksum
+  verified per member, end-of-archive zero blocks.
+
+Verification contract matches ``media_decode``/``container_parse``:
+payloads are synthesized deterministically from ``media_id`` and
+staged once; the DuckDB oracle recomputes every reported number in
+closed form (member counts, payload byte sums — including the sum of
+DECOMPRESSED zip payload bytes, which only matches if the DEFLATE
+round trip is byte-exact).
+
+UDF policy: sanctioned MapInPandas byte parses (allowlisted in
+``tests/test_plans.py``). Plan: mime-filtered scan → per-row Arrow
+projection, no shuffle — embarrassingly parallel.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..sources import load_table
+from ..sources.staging import is_staged, staged_path
+
+ARCHIVE_N = 500  # rows per format (min'd with the doc count)
+
+# --- WARC / ISO 28500 -------------------------------------------------------
+
+
+def _warc_params(m: int) -> int:
+    return 5 + m % 20  # records per file (record 0 is warcinfo)
+
+
+def _warc_payload_len(m: int, i: int) -> int:
+    return 30 + (m * 7 + i * 11) % 200
+
+
+def _warc_type(m: int, i: int) -> str:
+    if i == 0:
+        return "warcinfo"
+    return "response" if (m + i) % 2 == 0 else "request"
+
+
+def synth_warc(media_id: int) -> bytes:
+    """A valid WARC/1.0 file: version line + named headers + a
+    Content-Length-framed payload + CRLF CRLF separator per record."""
+    out = bytearray()
+    for i in range(_warc_params(media_id)):
+        rtype = _warc_type(media_id, i)
+        n = _warc_payload_len(media_id, i)
+        payload = bytes((media_id + i + j) % 95 + 32 for j in range(n))
+        headers = [
+            "WARC/1.0",
+            f"WARC-Type: {rtype}",
+            f"WARC-Record-ID: <urn:uuid:{media_id:08d}-{i:04d}>",
+        ]
+        if rtype != "warcinfo":
+            headers.append(
+                f"WARC-Target-URI: http://host-{media_id}.test/page/{i}"
+            )
+        headers.append(f"Content-Length: {n}")
+        out += ("\r\n".join(headers) + "\r\n\r\n").encode("ascii")
+        out += payload
+        out += b"\r\n\r\n"
+    return bytes(out)
+
+
+def parse_warc(blob: bytes) -> dict:
+    """Strict record walk: every record must start with the WARC/1.0
+    version line, carry a Content-Length, frame exactly that many
+    payload bytes, and terminate with CRLF CRLF."""
+    pos = 0
+    n = n_resp = n_req = total = max_len = 0
+    while pos < len(blob):
+        end_hdr = blob.index(b"\r\n\r\n", pos)
+        lines = blob[pos:end_hdr].decode("ascii").split("\r\n")
+        if lines[0] != "WARC/1.0":
+            raise ValueError(f"bad version line at {pos}: {lines[0]!r}")
+        fields = {}
+        for line in lines[1:]:
+            k, _, v = line.partition(": ")
+            fields[k] = v
+        length = int(fields["Content-Length"])
+        rtype = fields["WARC-Type"]
+        body_lo = end_hdr + 4
+        if blob[body_lo + length : body_lo + length + 4] != b"\r\n\r\n":
+            raise ValueError(f"record at {pos} not CRLF-CRLF terminated")
+        n += 1
+        n_resp += rtype == "response"
+        n_req += rtype == "request"
+        total += length
+        max_len = max(max_len, length)
+        pos = body_lo + length + 4
+    return {
+        "n_records": n,
+        "n_responses": n_resp,
+        "n_requests": n_req,
+        "sum_content_length": total,
+        "max_content_length": max_len,
+    }
+
+
+# --- ZIP / PKWARE APPNOTE ---------------------------------------------------
+
+
+def _zip_params(m: int) -> int:
+    return 3 + m % 10  # members per archive
+
+
+def _zip_member_len(m: int, i: int) -> int:
+    return 50 + (m * 3 + i * 17) % 300
+
+
+def _zip_member_content(m: int, i: int) -> bytes:
+    return bytes(
+        (m + i + j) % 95 + 32 for j in range(_zip_member_len(m, i))
+    )
+
+
+def synth_zip(media_id: int) -> bytes:
+    """Written with stdlib ``zipfile`` (fixed 1980 timestamp so bytes
+    are deterministic); even members DEFLATE, odd members STORED —
+    the parser is an independent byte-level implementation."""
+    import io
+    import zipfile
+
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as zf:
+        for i in range(_zip_params(media_id)):
+            info = zipfile.ZipInfo(
+                f"doc_{i}.txt", date_time=(1980, 1, 1, 0, 0, 0)
+            )
+            info.compress_type = (
+                zipfile.ZIP_DEFLATED if i % 2 == 0 else zipfile.ZIP_STORED
+            )
+            zf.writestr(info, _zip_member_content(media_id, i))
+    return buf.getvalue()
+
+
+def parse_zip(blob: bytes) -> dict:
+    """Byte-level ZIP walk: locate EOCD, read the central directory,
+    cross-check each local header, inflate/copy every member, and
+    verify CRC-32 + uncompressed size per member."""
+    eocd = blob.rfind(b"PK\x05\x06")
+    if eocd < 0:
+        raise ValueError("no end-of-central-directory record")
+    n_entries = struct.unpack_from("<H", blob, eocd + 10)[0]
+    _cd_size, cd_off = struct.unpack_from("<II", blob, eocd + 12)
+    pos = cd_off
+    n = n_deflated = sum_unc = sum_payload = 0
+    for _ in range(n_entries):
+        if blob[pos : pos + 4] != b"PK\x01\x02":
+            raise ValueError(f"bad central header at {pos}")
+        method = struct.unpack_from("<H", blob, pos + 10)[0]
+        crc, csize, usize = struct.unpack_from("<III", blob, pos + 16)
+        name_len, extra_len, cmt_len = struct.unpack_from("<HHH", blob, pos + 28)
+        local_off = struct.unpack_from("<I", blob, pos + 42)[0]
+        if blob[local_off : local_off + 4] != b"PK\x03\x04":
+            raise ValueError(f"bad local header at {local_off}")
+        lname, lextra = struct.unpack_from("<HH", blob, local_off + 26)
+        data_lo = local_off + 30 + lname + lextra
+        raw = blob[data_lo : data_lo + csize]
+        if method == 8:
+            data = zlib.decompress(raw, wbits=-15)
+            n_deflated += 1
+        elif method == 0:
+            data = raw
+        else:
+            raise ValueError(f"unsupported method {method}")
+        if len(data) != usize:
+            raise ValueError("uncompressed size mismatch")
+        if zlib.crc32(data) & 0xFFFFFFFF != crc:
+            raise ValueError("CRC-32 mismatch")
+        n += 1
+        sum_unc += usize
+        sum_payload += sum(data)
+        pos += 46 + name_len + extra_len + cmt_len
+    if n != n_entries:
+        raise ValueError("central directory truncated")
+    return {
+        "n_members": n,
+        "n_deflated": n_deflated,
+        "sum_uncompressed": sum_unc,
+        "sum_payload_bytes": sum_payload,
+    }
+
+
+# --- TAR / POSIX ustar ------------------------------------------------------
+
+
+def _tar_params(m: int) -> int:
+    return 3 + m % 8
+
+
+def _tar_member_len(m: int, i: int) -> int:
+    return 10 + (m * 5 + i * 13) % 400
+
+
+def synth_tar(media_id: int) -> bytes:
+    """Hand-built POSIX ustar archive: 512-byte headers with octal
+    fields and the spec checksum (header bytes summed with the chksum
+    field as 8 spaces), payload blocks zero-padded, two zero blocks at
+    the end."""
+    out = bytearray()
+    for i in range(_tar_params(media_id)):
+        size = _tar_member_len(media_id, i)
+        payload = bytes((media_id + 2 * i + j) % 251 for j in range(size))
+        hdr = bytearray(512)
+        name = f"member_{i}.bin".encode()
+        hdr[0 : len(name)] = name
+        hdr[100:108] = b"0000644\x00"            # mode
+        hdr[108:116] = b"0000000\x00"            # uid
+        hdr[116:124] = b"0000000\x00"            # gid
+        hdr[124:136] = f"{size:011o}\x00".encode()  # size, octal
+        hdr[136:148] = b"00000000000\x00"        # mtime
+        hdr[148:156] = b" " * 8                  # chksum placeholder
+        hdr[156] = ord("0")                      # typeflag: regular file
+        hdr[257:263] = b"ustar\x00"
+        hdr[263:265] = b"00"
+        chksum = sum(hdr)
+        hdr[148:156] = f"{chksum:06o}\x00 ".encode()
+        out += hdr
+        out += payload
+        if size % 512:
+            out += bytes(512 - size % 512)
+    out += bytes(1024)
+    return bytes(out)
+
+
+def parse_tar(blob: bytes) -> dict:
+    """ustar block walk with per-member checksum verification."""
+    pos = 0
+    n = sum_bytes = n_blocks = 0
+    while pos + 512 <= len(blob):
+        hdr = blob[pos : pos + 512]
+        if hdr == bytes(512):  # end-of-archive marker
+            break
+        if hdr[257:262] != b"ustar":
+            raise ValueError(f"bad magic at block {pos // 512}")
+        # chksum is 6 octal digits + NUL + space by convention; accept
+        # any NUL/space trailing mix (the spec tolerates both)
+        recorded = int(hdr[148:156].decode("ascii").strip("\x00 "), 8)
+        actual = sum(hdr) - sum(hdr[148:156]) + 8 * ord(" ")
+        if recorded != actual:
+            raise ValueError(f"header checksum mismatch at {pos // 512}")
+        size = int(hdr[124:135].decode("ascii"), 8)
+        n += 1
+        sum_bytes += size
+        data_blocks = (size + 511) // 512
+        n_blocks += 1 + data_blocks
+        pos += 512 * (1 + data_blocks)
+    return {"n_members": n, "sum_member_bytes": sum_bytes, "n_blocks": n_blocks}
+
+
+# --- staging + kernels + declared queries -----------------------------------
+
+
+def archive_corpus_path(sf_dir: str) -> str:
+    return staged_path(sf_dir, "archive_corpus", "documents")
+
+
+def stage_archive_corpus(spark: SparkSession, sf_dir: str) -> str:
+    path = archive_corpus_path(sf_dir)
+    if is_staged(path):
+        return path
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    n = min(ARCHIVE_N, n_docs)
+    rows = [(i, "application/warc", synth_warc(i)) for i in range(n)]
+    rows += [(i, "application/zip", synth_zip(i)) for i in range(n)]
+    rows += [(i, "application/x-tar", synth_tar(i)) for i in range(n)]
+    spark.createDataFrame(
+        rows, "media_id long, mime string, payload binary"
+    ).coalesce(1).write.mode("overwrite").parquet(path)
+    return path
+
+
+def _kernel_over(parse, columns: dict[str, str]):
+    schema = "media_id long, " + ", ".join(
+        f"{name} {typ}" for name, typ in columns.items()
+    )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {"media_id": list(pdf["media_id"])}
+            parsed = [parse(bytes(p)) for p in pdf["payload"]]
+            for name in columns:
+                rows[name] = [r[name] for r in parsed]
+            yield pd.DataFrame(rows)
+
+    return kernel, schema
+
+
+def warc_record_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = spark.read.parquet(stage_archive_corpus(spark, sf_dir))
+    kernel, schema = _kernel_over(
+        parse_warc,
+        {
+            "n_records": "int",
+            "n_responses": "int",
+            "n_requests": "int",
+            "sum_content_length": "bigint",
+            "max_content_length": "int",
+        },
+    )
+    return media.where(F.col("mime") == "application/warc").mapInPandas(
+        kernel, schema=schema
+    )
+
+
+def zip_members_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = spark.read.parquet(stage_archive_corpus(spark, sf_dir))
+    kernel, schema = _kernel_over(
+        parse_zip,
+        {
+            "n_members": "int",
+            "n_deflated": "int",
+            "sum_uncompressed": "bigint",
+            "sum_payload_bytes": "bigint",
+        },
+    )
+    return media.where(F.col("mime") == "application/zip").mapInPandas(
+        kernel, schema=schema
+    )
+
+
+def tar_archive_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = spark.read.parquet(stage_archive_corpus(spark, sf_dir))
+    kernel, schema = _kernel_over(
+        parse_tar,
+        {
+            "n_members": "int",
+            "sum_member_bytes": "bigint",
+            "n_blocks": "bigint",
+        },
+    )
+    return media.where(F.col("mime") == "application/x-tar").mapInPandas(
+        kernel, schema=schema
+    )
+
+
+# --- closed-form oracles ----------------------------------------------------
+
+
+def _staged_rel(sf_dir: str) -> str:
+    from ..session import active_or_local
+
+    path = stage_archive_corpus(active_or_local("archive_oracle"), sf_dir)
+    return f"read_parquet('{path}/*.parquet')"
+
+
+def warc_oracle(sf_dir: str) -> str:
+    rel = _staged_rel(sf_dir)
+    max_n = 5 + 19
+    return f"""
+WITH m AS (SELECT media_id FROM {rel} WHERE mime = 'application/warc'),
+p AS (SELECT media_id, 5 + media_id % 20 AS n FROM m),
+rec AS (
+  SELECT p.media_id, p.n, i.range AS i,
+         30 + (p.media_id * 7 + i.range * 11) % 200 AS len,
+         CASE WHEN i.range = 0 THEN 'warcinfo'
+              WHEN (p.media_id + i.range) % 2 = 0 THEN 'response'
+              ELSE 'request' END AS rtype
+  FROM p, range({max_n}) i WHERE i.range < p.n
+)
+SELECT media_id,
+       CAST(n AS INT) AS n_records,
+       CAST(SUM(CASE WHEN rtype = 'response' THEN 1 ELSE 0 END) AS INT)
+         AS n_responses,
+       CAST(SUM(CASE WHEN rtype = 'request' THEN 1 ELSE 0 END) AS INT)
+         AS n_requests,
+       CAST(SUM(len) AS BIGINT) AS sum_content_length,
+       CAST(MAX(len) AS INT) AS max_content_length
+FROM rec GROUP BY media_id, n
+"""
+
+
+def zip_oracle(sf_dir: str) -> str:
+    """Closed form incl. the sum of DECOMPRESSED payload bytes — the
+    inner j-sum over each member's generated content, which only
+    matches the Spark side if the DEFLATE round trip is exact."""
+    rel = _staged_rel(sf_dir)
+    max_n, max_len = 3 + 9, 50 + 299
+    return f"""
+WITH m AS (SELECT media_id FROM {rel} WHERE mime = 'application/zip'),
+p AS (SELECT media_id, 3 + media_id % 10 AS n FROM m),
+mem AS (
+  SELECT p.media_id, p.n, i.range AS i,
+         50 + (p.media_id * 3 + i.range * 17) % 300 AS len
+  FROM p, range({max_n}) i WHERE i.range < p.n
+),
+pay AS (
+  SELECT mem.media_id, mem.n, mem.i, mem.len,
+         SUM((mem.media_id + mem.i + j.range) % 95 + 32) AS member_sum
+  FROM mem, range({max_len}) j WHERE j.range < mem.len
+  GROUP BY mem.media_id, mem.n, mem.i, mem.len
+)
+SELECT media_id,
+       CAST(n AS INT) AS n_members,
+       CAST(SUM(CASE WHEN i % 2 = 0 THEN 1 ELSE 0 END) AS INT) AS n_deflated,
+       CAST(SUM(len) AS BIGINT) AS sum_uncompressed,
+       CAST(SUM(member_sum) AS BIGINT) AS sum_payload_bytes
+FROM pay GROUP BY media_id, n
+"""
+
+
+def tar_oracle(sf_dir: str) -> str:
+    rel = _staged_rel(sf_dir)
+    max_n = 3 + 7
+    return f"""
+WITH m AS (SELECT media_id FROM {rel} WHERE mime = 'application/x-tar'),
+p AS (SELECT media_id, 3 + media_id % 8 AS n FROM m),
+mem AS (
+  SELECT p.media_id, p.n,
+         10 + (p.media_id * 5 + i.range * 13) % 400 AS size
+  FROM p, range({max_n}) i WHERE i.range < p.n
+)
+SELECT media_id,
+       CAST(n AS INT) AS n_members,
+       CAST(SUM(size) AS BIGINT) AS sum_member_bytes,
+       CAST(SUM(1 + (size + 511) // 512) AS BIGINT) AS n_blocks
+FROM mem GROUP BY media_id, n
+"""
+
+
+QUERIES: dict = {}
+
+QUERIES_TAIL = {
+    "warc_record_stats": (warc_record_stats, warc_oracle),
+    "zip_members_stats": (zip_members_stats, zip_oracle),
+    "tar_archive_stats": (tar_archive_stats, tar_oracle),
+}

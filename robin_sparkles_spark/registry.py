@@ -63,6 +63,7 @@ def _collect() -> dict[str, QuerySpec]:
     # to localize, and so pyspark import cost is paid once.
     from .operators import (
         analytics,
+        archive_parse,
         bpe,
         clustering,
         container_parse,
@@ -114,6 +115,7 @@ def _collect() -> dict[str, QuerySpec]:
         multimodal,
         media_decode,
         container_parse,
+        archive_parse,
         streaming_queries,
         clustering,
         dedup,
@@ -193,16 +195,17 @@ def _collect() -> dict[str, QuerySpec]:
 #
 # ROUND-7 ROTATION (the note promised at end of r6). With full
 # coverage achieved, the policy is now purely staleness + replan:
-#   * the eight queries ADDED this round (never driver-gated):
+#   * the eleven queries ADDED this round (never driver-gated):
 #     ann_ivf_recall_at_k, bpe_fertility_by_lang, orders_custkey_hll,
 #     users_hll_by_type, mp4_box_stats, mp3_frame_stats,
-#     jpeg_marker_stats, jpeg_entropy_stats.
+#     jpeg_marker_stats, jpeg_entropy_stats, warc_record_stats,
+#     zip_members_stats, tar_archive_stats.
 #   * bigram_stats (semi-join denominator prune, VERDICT r6 ask #7)
 #     and semdedup_dropped (memoized assigned index) — replanned THIS
 #     round, so their prior rows no longer describe the shipped plans.
 #   * all 35 queries whose last green row is r4 (the stalest block —
 #     one testdata regeneration ago).
-#   * the 5 stalest r5-last-green names, in registry order.
+#   * the 2 stalest r5-last-green names, in registry order.
 # The 49 queries gated green in r6 rotate out. Everything displaced
 # keeps its hard signal through the parametrized local oracle sweep in
 # tests/ (the pytest replica of this gate).
@@ -216,6 +219,9 @@ GATE_FRONT: tuple[str, ...] = (
     "mp3_frame_stats",
     "jpeg_marker_stats",
     "jpeg_entropy_stats",
+    "warc_record_stats",
+    "zip_members_stats",
+    "tar_archive_stats",
     # replanned this round
     "bigram_stats",
     "semdedup_dropped",
@@ -255,12 +261,9 @@ GATE_FRONT: tuple[str, ...] = (
     "q21_waiting_suppliers",
     "orders_overlap_pairs",
     "nation_coverage_recon",
-    # stalest r5-last-green fills (registry order, 5 names)
+    # stalest r5-last-green fills (registry order, 2 names)
     "bmp_decode_stats",
     "wav_decode_stats",
-    "dedup_groups",
-    "orders_cube",
-    "window_top_order_per_cust",
 )
 # ROUND-8 ROTATION (write it at the start of r8): rotate out the 50
 # names above once CORRECTNESS_r07 comes back green. Staleness order

@@ -1,0 +1,78 @@
+"""Archive/web-corpus parser tests (r7): pure-Python round trips,
+corruption rejection, and Spark-vs-DuckDB oracle parity."""
+
+from __future__ import annotations
+
+import zlib
+
+import pytest
+
+from robin_sparkles_spark.operators import archive_parse as A
+from robin_sparkles_spark.registry import resolve_oracle
+
+from .oracle_utils import assert_query_matches_oracle
+
+
+def test_archive_roundtrips_pure_python():
+    for m in (0, 1, 7, 40, 137, 499):
+        d = A.parse_warc(A.synth_warc(m))
+        n = A._warc_params(m)
+        lens = [A._warc_payload_len(m, i) for i in range(n)]
+        types = [A._warc_type(m, i) for i in range(n)]
+        assert d["n_records"] == n
+        assert d["n_responses"] == types.count("response")
+        assert d["n_requests"] == types.count("request")
+        assert (d["sum_content_length"], d["max_content_length"]) == (
+            sum(lens), max(lens),
+        )
+
+        d = A.parse_zip(A.synth_zip(m))
+        n = A._zip_params(m)
+        assert d["n_members"] == n
+        assert d["n_deflated"] == sum(1 for i in range(n) if i % 2 == 0)
+        assert d["sum_uncompressed"] == sum(
+            A._zip_member_len(m, i) for i in range(n)
+        )
+        # decompressed content reproduced byte-exactly
+        assert d["sum_payload_bytes"] == sum(
+            sum(A._zip_member_content(m, i)) for i in range(n)
+        )
+
+        d = A.parse_tar(A.synth_tar(m))
+        n = A._tar_params(m)
+        sizes = [A._tar_member_len(m, i) for i in range(n)]
+        assert (d["n_members"], d["sum_member_bytes"]) == (n, sum(sizes))
+        assert d["n_blocks"] == sum(1 + (s + 511) // 512 for s in sizes)
+
+
+def test_archive_parsers_reject_corruption():
+    """Integrity checks are real: framing, CRC, and checksum
+    violations raise instead of returning garbage stats."""
+    warc = bytearray(A.synth_warc(3))
+    warc[0] = ord("X")  # break the version line
+    with pytest.raises(ValueError):
+        A.parse_warc(bytes(warc))
+    with pytest.raises((ValueError, IndexError)):
+        A.parse_warc(A.synth_warc(3)[:-2])  # broken record terminator
+
+    z = bytearray(A.synth_zip(3))
+    # flip a byte inside the first member's compressed data (after the
+    # 30-byte local header + name) → CRC-32 or inflate must fail
+    z[30 + len("doc_0.txt") + 2] ^= 0xFF
+    with pytest.raises((ValueError, zlib.error)):
+        A.parse_zip(bytes(z))
+
+    t = bytearray(A.synth_tar(3))
+    t[0] ^= 0x01  # name byte changes → header checksum mismatch
+    with pytest.raises(ValueError):
+        A.parse_tar(bytes(t))
+
+
+@pytest.mark.parametrize(
+    "name", ["warc_record_stats", "zip_members_stats", "tar_archive_stats"]
+)
+def test_archive_oracle_parity(spark, sf_dir, name):
+    fn, oracle = A.QUERIES_TAIL[name]
+    assert_query_matches_oracle(
+        fn(spark, sf_dir), resolve_oracle(oracle, sf_dir), sf_dir
+    )

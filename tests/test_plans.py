@@ -78,6 +78,11 @@ MAP_IN_PANDAS_ALLOWLIST = {
     "mp3_frame_stats",
     "jpeg_marker_stats",
     "jpeg_entropy_stats",
+    # r7 archive/web-corpus parsers (WARC records, ZIP central
+    # directory + DEFLATE members, ustar headers)
+    "warc_record_stats",
+    "zip_members_stats",
+    "tar_archive_stats",
 }
 
 
