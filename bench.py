@@ -102,6 +102,8 @@ EXTENDED = [
     "warc_record_stats",
     "zip_members_stats",
     "tar_archive_stats",
+    "html_extract_text",
+    "url_normalize_stats",
 ]
 
 

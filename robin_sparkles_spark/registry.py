@@ -94,6 +94,7 @@ def _collect() -> dict[str, QuerySpec]:
         text_analysis,
         timeseries,
         warehouse,
+        web_text,
         wordcount_queries,
     )
 
@@ -144,6 +145,7 @@ def _collect() -> dict[str, QuerySpec]:
         stats,
         bpe,
         pysource,
+        web_text,
     )
 
     def add(name: str, spec: tuple) -> None:
@@ -195,17 +197,18 @@ def _collect() -> dict[str, QuerySpec]:
 #
 # ROUND-7 ROTATION (the note promised at end of r6). With full
 # coverage achieved, the policy is now purely staleness + replan:
-#   * the eleven queries ADDED this round (never driver-gated):
+#   * the queries ADDED this round (never driver-gated):
 #     ann_ivf_recall_at_k, bpe_fertility_by_lang, orders_custkey_hll,
 #     users_hll_by_type, mp4_box_stats, mp3_frame_stats,
 #     jpeg_marker_stats, jpeg_entropy_stats, warc_record_stats,
-#     zip_members_stats, tar_archive_stats.
+#     zip_members_stats, tar_archive_stats, html_extract_text,
+#     url_normalize_stats (thirteen total with these).
 #   * bigram_stats (semi-join denominator prune, VERDICT r6 ask #7)
 #     and semdedup_dropped (memoized assigned index) — replanned THIS
 #     round, so their prior rows no longer describe the shipped plans.
 #   * all 35 queries whose last green row is r4 (the stalest block —
 #     one testdata regeneration ago).
-#   * the 2 stalest r5-last-green names, in registry order.
+#   * no staleness fills remain — new queries filled the window.
 # The 49 queries gated green in r6 rotate out. Everything displaced
 # keeps its hard signal through the parametrized local oracle sweep in
 # tests/ (the pytest replica of this gate).
@@ -222,6 +225,8 @@ GATE_FRONT: tuple[str, ...] = (
     "warc_record_stats",
     "zip_members_stats",
     "tar_archive_stats",
+    "html_extract_text",
+    "url_normalize_stats",
     # replanned this round
     "bigram_stats",
     "semdedup_dropped",
@@ -261,9 +266,6 @@ GATE_FRONT: tuple[str, ...] = (
     "q21_waiting_suppliers",
     "orders_overlap_pairs",
     "nation_coverage_recon",
-    # stalest r5-last-green fills (registry order, 2 names)
-    "bmp_decode_stats",
-    "wav_decode_stats",
 )
 # ROUND-8 ROTATION (write it at the start of r8): rotate out the 50
 # names above once CORRECTNESS_r07 comes back green. Staleness order

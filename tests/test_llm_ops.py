@@ -15,12 +15,13 @@ from robin_sparkles_spark.operators import (
     similarity,
     sketches,
     text_analysis,
+    web_text,
 )
 
 from .oracle_utils import assert_query_matches_oracle
 
 ALL = {}
-for mod in (text_analysis, dedup, embedding_dedup, similarity, curation, sketches, graph, semdedup, bpe):
+for mod in (text_analysis, dedup, embedding_dedup, similarity, curation, sketches, graph, semdedup, bpe, web_text):
     ALL.update(mod.QUERIES)
     ALL.update(getattr(mod, "QUERIES_TAIL", {}))
 
@@ -724,3 +725,36 @@ def test_hll_matches_python_replica_and_accuracy(spark, sf_dir):
     tiny = orders_custkey_hll(spark, "/root/testdata/sf0.001").collect()[0]
     assert tiny.n_empty_registers > 0
     assert tiny.rel_error < 0.10, tiny
+
+
+def test_html_extract_strips_all_markup(spark, sf_dir):
+    """The extracted sample must contain no residual markup, scripts,
+    styles, or undecoded entities, and must contain decoded entity
+    characters (the decode step is non-vacuous by construction)."""
+    from robin_sparkles_spark.operators.web_text import html_extract_text
+
+    rows = html_extract_text(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert "<" not in r.sample and ">" not in r.sample
+        assert "script" not in r.sample and "color: red" not in r.sample
+        assert "&amp;" not in r.sample and "&quot;" not in r.sample
+        assert r.n_links == r.doc_id % 3 + 1
+        assert r.n_words > 0 and r.extracted_len > 0
+
+
+def test_url_normalize_drops_tracking_and_lowercases_host(spark, sf_dir):
+    from robin_sparkles_spark.operators.web_text import url_normalize_stats
+
+    rows = url_normalize_stats(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.host == f"www.host-{r.doc_id % 50}.test"
+        assert "utm_" not in r.normalized_url
+        assert r.n_params_kept == 2  # a=, b= survive
+        # params sorted → order-independent canonical key
+        assert r.normalized_url.endswith(
+            f"?a={r.doc_id % 3}&b={r.doc_id % 7}"
+        )
+        # path case preserved (only scheme/host are case-insensitive)
+        assert "/Path/" in r.normalized_url
