@@ -269,12 +269,15 @@ GATE_FRONT: tuple[str, ...] = (
 )
 # ROUND-8 ROTATION (write it at the start of r8): rotate out the 50
 # names above once CORRECTNESS_r07 comes back green. Staleness order
-# at that point: the ~40 remaining r5-last-green names (bmp/wav
-# decode, dedup_groups, orders_cube, the window/setops/pivot family,
-# q2/q11/q16/q20, retention/funnel/transition, bloom/zorder/upsert/
-# RI-audit/column_profile, scd2, copurchase/triangles, …) fill first,
-# then the oldest r6-gated names; plus, as always, anything whose
-# plan or oracle changes in r8 and any newly added queries.
+# at that point: the ~45 remaining r5-last-green names fill first
+# (bmp/wav decode, dedup_groups, orders_cube, the window/setops/
+# pivot family, q2/q11/q16/q20, retention/funnel/transition,
+# bloom/zorder/upsert/RI-audit/column_profile, scd2, copurchase/
+# triangles, …; late-r7 additions displaced bmp/wav and friends from
+# THIS window, so they lead the r8 fill), then the oldest r6-gated
+# names; plus, as always, anything whose plan or oracle changes in
+# r8 and any newly added queries. All 13 r7-new queries will then
+# have driver rows and rotate out with the rest.
 
 
 _REGISTRY: dict[str, QuerySpec] | None = None
