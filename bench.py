@@ -104,6 +104,7 @@ EXTENDED = [
     "tar_archive_stats",
     "html_extract_text",
     "url_normalize_stats",
+    "tfrecord_stats",
 ]
 
 

@@ -277,6 +277,145 @@ def parse_tar(blob: bytes) -> dict:
     return {"n_members": n, "sum_member_bytes": sum_bytes, "n_blocks": n_blocks}
 
 
+# --- TFRecord + protobuf wire format ----------------------------------------
+#
+# The TensorFlow/JAX training-shard container: each record is framed
+# as length(u64 LE) + masked-CRC32C(length) + payload +
+# masked-CRC32C(payload), and the payload is a protobuf wire message.
+# CRC32C is the Castagnoli polynomial (NOT zlib's CRC32) — implemented
+# table-driven below; the mask is TF's ((crc>>15)|(crc<<17)) +
+# 0xa282ead8. The parser verifies BOTH CRCs per record and then walks
+# the protobuf wire format (varint tags, wire types 0 and 2) without
+# any generated code — the raw byte grammar, not a library.
+
+_CRC32C_POLY = 0x82F63B78
+_CRC32C_TABLE = []
+for _b in range(256):
+    _c = _b
+    for _ in range(8):
+        _c = (_c >> 1) ^ (_CRC32C_POLY if _c & 1 else 0)
+    _CRC32C_TABLE.append(_c)
+
+
+def crc32c(data: bytes) -> int:
+    crc = 0xFFFFFFFF
+    for byte in data:
+        crc = (crc >> 8) ^ _CRC32C_TABLE[(crc ^ byte) & 0xFF]
+    return crc ^ 0xFFFFFFFF
+
+
+def _masked_crc(data: bytes) -> int:
+    crc = crc32c(data)
+    return (((crc >> 15) | (crc << 17)) + 0xA282EAD8) & 0xFFFFFFFF
+
+
+def _varint(v: int) -> bytes:
+    out = bytearray()
+    while True:
+        b = v & 0x7F
+        v >>= 7
+        if v:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def _read_varint(buf: bytes, pos: int) -> tuple[int, int]:
+    v = shift = 0
+    while True:
+        b = buf[pos]
+        pos += 1
+        v |= (b & 0x7F) << shift
+        if not b & 0x80:
+            return v, pos
+        shift += 7
+        if shift > 63:
+            raise ValueError("varint overflow")
+
+
+def _tfrec_params(m: int) -> int:
+    return 4 + m % 12  # records per shard
+
+
+def _tfrec_tokens(m: int, i: int) -> int:
+    return 10 + (m + i * 3) % 90
+
+
+def _tfrec_text_len(m: int, i: int) -> int:
+    return 5 + (m + i) % 20
+
+
+def synth_tfrecord(media_id: int) -> bytes:
+    """A valid TFRecord shard: per record a protobuf message with a
+    varint id (field 1), a varint token count (field 2), and a
+    length-delimited text (field 3), framed with both masked CRC32Cs."""
+    out = bytearray()
+    for i in range(_tfrec_params(media_id)):
+        msg = bytearray()
+        msg += b"\x08" + _varint(media_id * 100 + i)          # field 1, varint
+        msg += b"\x10" + _varint(_tfrec_tokens(media_id, i))  # field 2, varint
+        text = bytes(
+            (media_id + i + j) % 95 + 32
+            for j in range(_tfrec_text_len(media_id, i))
+        )
+        msg += b"\x1a" + _varint(len(text)) + text            # field 3, LEN
+        length = struct.pack("<Q", len(msg))
+        out += length
+        out += struct.pack("<I", _masked_crc(length))
+        out += msg
+        out += struct.pack("<I", _masked_crc(bytes(msg)))
+    return bytes(out)
+
+
+def parse_tfrecord(blob: bytes) -> dict:
+    """Record walk with both masked-CRC32C verifications, then a raw
+    protobuf wire walk per record (varint tags; wire type 0 varint,
+    wire type 2 length-delimited)."""
+    pos = 0
+    n_records = n_fields = sum_tokens = sum_text_len = 0
+    while pos < len(blob):
+        if pos + 12 > len(blob):
+            raise ValueError("truncated record header")
+        length_bytes = blob[pos : pos + 8]
+        (length,) = struct.unpack("<Q", length_bytes)
+        (len_crc,) = struct.unpack_from("<I", blob, pos + 8)
+        if _masked_crc(length_bytes) != len_crc:
+            raise ValueError(f"length CRC mismatch at {pos}")
+        data = blob[pos + 12 : pos + 12 + length]
+        if len(data) != length:
+            raise ValueError("truncated record payload")
+        (data_crc,) = struct.unpack_from("<I", blob, pos + 12 + length)
+        if _masked_crc(data) != data_crc:
+            raise ValueError(f"payload CRC mismatch at {pos}")
+        n_records += 1
+        mp = 0
+        while mp < len(data):
+            tag, mp = _read_varint(data, mp)
+            field_num, wire = tag >> 3, tag & 0x7
+            n_fields += 1
+            if wire == 0:
+                v, mp = _read_varint(data, mp)
+                if field_num == 2:
+                    sum_tokens += v
+            elif wire == 2:
+                ln, mp = _read_varint(data, mp)
+                if field_num == 3:
+                    sum_text_len += ln
+                mp += ln
+            else:
+                raise ValueError(f"unsupported wire type {wire}")
+        if mp != len(data):
+            raise ValueError("message walk overran record")
+        pos += 12 + length + 4
+    return {
+        "n_records": n_records,
+        "n_fields": n_fields,
+        "sum_tokens": sum_tokens,
+        "sum_text_len": sum_text_len,
+    }
+
+
 # --- staging + kernels + declared queries -----------------------------------
 
 
@@ -313,6 +452,67 @@ def _kernel_over(parse, columns: dict[str, str]):
             yield pd.DataFrame(rows)
 
     return kernel, schema
+
+
+def tfrecord_corpus_path(sf_dir: str) -> str:
+    return staged_path(sf_dir, "tfrecord_corpus", "documents")
+
+
+def stage_tfrecord_corpus(spark: SparkSession, sf_dir: str) -> str:
+    """Separate staged table (fingerprint contract — see
+    container_parse.stage_jpeg_entropy_corpus)."""
+    path = tfrecord_corpus_path(sf_dir)
+    if is_staged(path):
+        return path
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    n = min(ARCHIVE_N, n_docs)
+    rows = [
+        (i, "application/tfrecord", synth_tfrecord(i)) for i in range(n)
+    ]
+    spark.createDataFrame(
+        rows, "media_id long, mime string, payload binary"
+    ).coalesce(1).write.mode("overwrite").parquet(path)
+    return path
+
+
+def tfrecord_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = spark.read.parquet(stage_tfrecord_corpus(spark, sf_dir))
+    kernel, schema = _kernel_over(
+        parse_tfrecord,
+        {
+            "n_records": "int",
+            "n_fields": "bigint",
+            "sum_tokens": "bigint",
+            "sum_text_len": "bigint",
+        },
+    )
+    return media.where(F.col("mime") == "application/tfrecord").mapInPandas(
+        kernel, schema=schema
+    )
+
+
+def tfrecord_oracle(sf_dir: str) -> str:
+    from ..session import active_or_local
+
+    path = stage_tfrecord_corpus(active_or_local("archive_oracle"), sf_dir)
+    max_n = 4 + 11
+    return f"""
+WITH m AS (SELECT media_id FROM read_parquet('{path}/*.parquet')
+           WHERE mime = 'application/tfrecord'),
+p AS (SELECT media_id, 4 + media_id % 12 AS n FROM m),
+rec AS (
+  SELECT p.media_id, p.n,
+         10 + (p.media_id + i.range * 3) % 90 AS toks,
+         5 + (p.media_id + i.range) % 20 AS tlen
+  FROM p, range({max_n}) i WHERE i.range < p.n
+)
+SELECT media_id,
+       CAST(n AS INT) AS n_records,
+       CAST(3 * n AS BIGINT) AS n_fields,
+       CAST(SUM(toks) AS BIGINT) AS sum_tokens,
+       CAST(SUM(tlen) AS BIGINT) AS sum_text_len
+FROM rec GROUP BY media_id, n
+"""
 
 
 def warc_record_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -453,4 +653,5 @@ QUERIES_TAIL = {
     "warc_record_stats": (warc_record_stats, warc_oracle),
     "zip_members_stats": (zip_members_stats, zip_oracle),
     "tar_archive_stats": (tar_archive_stats, tar_oracle),
+    "tfrecord_stats": (tfrecord_stats, tfrecord_oracle),
 }

@@ -202,12 +202,15 @@ def _collect() -> dict[str, QuerySpec]:
 #     users_hll_by_type, mp4_box_stats, mp3_frame_stats,
 #     jpeg_marker_stats, jpeg_entropy_stats, warc_record_stats,
 #     zip_members_stats, tar_archive_stats, html_extract_text,
-#     url_normalize_stats (thirteen total with these).
+#     url_normalize_stats, tfrecord_stats (fourteen total with these;
+#     tfrecord displaced nation_coverage_recon — the last r4-stale
+#     name — which leads the r8 fills with bmp/wav).
 #   * bigram_stats (semi-join denominator prune, VERDICT r6 ask #7)
 #     and semdedup_dropped (memoized assigned index) — replanned THIS
 #     round, so their prior rows no longer describe the shipped plans.
-#   * all 35 queries whose last green row is r4 (the stalest block —
-#     one testdata regeneration ago).
+#   * 34 of the 35 queries whose last green row is r4 (the stalest
+#     block — one testdata regeneration ago; nation_coverage_recon
+#     displaced late-round, leads the r8 fill).
 #   * no staleness fills remain — new queries filled the window.
 # The 49 queries gated green in r6 rotate out. Everything displaced
 # keeps its hard signal through the parametrized local oracle sweep in
@@ -227,6 +230,7 @@ GATE_FRONT: tuple[str, ...] = (
     "tar_archive_stats",
     "html_extract_text",
     "url_normalize_stats",
+    "tfrecord_stats",
     # replanned this round
     "bigram_stats",
     "semdedup_dropped",
@@ -265,7 +269,6 @@ GATE_FRONT: tuple[str, ...] = (
     "q15_top_supplier",
     "q21_waiting_suppliers",
     "orders_overlap_pairs",
-    "nation_coverage_recon",
 )
 # ROUND-8 ROTATION (write it at the start of r8): rotate out the 50
 # names above once CORRECTNESS_r07 comes back green. Staleness order

@@ -76,3 +76,35 @@ def test_archive_oracle_parity(spark, sf_dir, name):
     assert_query_matches_oracle(
         fn(spark, sf_dir), resolve_oracle(oracle, sf_dir), sf_dir
     )
+
+
+def test_tfrecord_roundtrip_crc_and_rejects():
+    """CRC32C pinned against the standard known-answer vector
+    (crc32c('123456789') == 0xE3069283), TFRecord framing + protobuf
+    wire walk round-trips, and both CRC checks reject corruption."""
+    assert A.crc32c(b"123456789") == 0xE3069283
+
+    for m in (0, 1, 7, 40, 137, 499):
+        d = A.parse_tfrecord(A.synth_tfrecord(m))
+        n = A._tfrec_params(m)
+        assert d["n_records"] == n and d["n_fields"] == 3 * n
+        assert d["sum_tokens"] == sum(A._tfrec_tokens(m, i) for i in range(n))
+        assert d["sum_text_len"] == sum(
+            A._tfrec_text_len(m, i) for i in range(n)
+        )
+
+    blob = bytearray(A.synth_tfrecord(3))
+    blob[14] ^= 0x01  # flip a payload byte → payload CRC mismatch
+    with pytest.raises(ValueError):
+        A.parse_tfrecord(bytes(blob))
+    blob = bytearray(A.synth_tfrecord(3))
+    blob[0] ^= 0x01  # flip the length field → length CRC mismatch
+    with pytest.raises(ValueError):
+        A.parse_tfrecord(bytes(blob))
+
+
+def test_tfrecord_oracle_parity(spark, sf_dir):
+    fn, oracle = A.QUERIES_TAIL["tfrecord_stats"]
+    assert_query_matches_oracle(
+        fn(spark, sf_dir), resolve_oracle(oracle, sf_dir), sf_dir
+    )

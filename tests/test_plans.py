@@ -83,6 +83,7 @@ MAP_IN_PANDAS_ALLOWLIST = {
     "warc_record_stats",
     "zip_members_stats",
     "tar_archive_stats",
+    "tfrecord_stats",
 }
 
 
