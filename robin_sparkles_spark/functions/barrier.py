@@ -56,10 +56,13 @@ parquet with identical results.
 from __future__ import annotations
 
 import itertools
+import logging
 import os
 import re
 
 from pyspark.sql import DataFrame
+
+log = logging.getLogger(__name__)
 
 BOUNDS = frozenset({"domain", "vocab", "groups", "sample", "corpus"})
 
@@ -82,9 +85,12 @@ def barrier(
     is a short stable identifier for the site — it keys the plan
     test's allowlist and names the staged parquet directory.
     ``eager=False`` defers materialization to the first action (plan
-    construction must not launch jobs — the r5 semdedup lesson);
-    staging is inherently eager, so the flag only affects the
-    localCheckpoint path.
+    construction must not launch jobs — the r5 semdedup lesson).
+    Staging is inherently eager, so lazy barriers NEVER stage: with
+    the knob set they stay on the block manager via
+    ``localCheckpoint(eager=False)`` and a warning is logged once per
+    site — honoring the no-jobs-at-plan-construction contract beats
+    rerouting storage (ADVICE r7).
     """
     if bound not in BOUNDS:
         raise ValueError(
@@ -94,9 +100,24 @@ def barrier(
     CALLS.append((bound, note))
     if bound == "corpus":
         stage_dir = os.environ.get("SPARK_GRAFT_BARRIER_DIR")
-        if stage_dir:
+        if stage_dir and not eager:
+            log.warning(
+                "corpus barrier %r is lazy (eager=False) — staging to "
+                "SPARK_GRAFT_BARRIER_DIR would launch a job at plan "
+                "construction, so it stays on the block manager", note,
+            )
+        elif stage_dir:
+            # Path is unique per (application, process, call): the app
+            # id keeps a restarted driver pointed at the same dir from
+            # colliding with a previous run's stages (ADVICE r7); the
+            # counter keeps iterative callers from overwriting still-
+            # referenced prior stages. Stages accumulate by design —
+            # the dir is per-deployment scratch; prune by app id.
+            app = re.sub(
+                r"[^a-zA-Z0-9]+", "", df.sparkSession.sparkContext.applicationId
+            )[-12:]
             slug = re.sub(r"[^a-z0-9]+", "_", note.lower()).strip("_")[:60]
-            path = os.path.join(stage_dir, f"{slug}_{next(_seq):04d}")
+            path = os.path.join(stage_dir, f"{slug}_{app}_{next(_seq):04d}")
             df.write.mode("error").parquet(path)
             return df.sparkSession.read.parquet(path)
     return df.localCheckpoint(eager=eager)

@@ -38,9 +38,7 @@ from __future__ import annotations
 
 import struct
 import zlib
-from collections.abc import Iterator
 
-import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
@@ -438,20 +436,7 @@ def stage_archive_corpus(spark: SparkSession, sf_dir: str) -> str:
     return path
 
 
-def _kernel_over(parse, columns: dict[str, str]):
-    schema = "media_id long, " + ", ".join(
-        f"{name} {typ}" for name, typ in columns.items()
-    )
-
-    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            rows = {"media_id": list(pdf["media_id"])}
-            parsed = [parse(bytes(p)) for p in pdf["payload"]]
-            for name in columns:
-                rows[name] = [r[name] for r in parsed]
-            yield pd.DataFrame(rows)
-
-    return kernel, schema
+from .arrow_kernel import kernel_over as _kernel_over  # shared (ADVICE r7)
 
 
 def tfrecord_corpus_path(sf_dir: str) -> str:

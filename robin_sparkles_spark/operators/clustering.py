@@ -343,7 +343,11 @@ def ann_ivf_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     divides exact ints, bit-identical across engines."""
     from .similarity import TOP_K, build_exact_topk
 
-    assert TOP_K == IVF_TOP_K, "ground-truth k must match IVF k"
+    if TOP_K != IVF_TOP_K:  # not assert: survives python -O (ADVICE r7)
+        raise ValueError(
+            f"ground-truth k ({TOP_K}) must match IVF k ({IVF_TOP_K}); "
+            "recall@k would silently mis-scale"
+        )
     bf = spark.read.parquet(build_exact_topk(spark, sf_dir))
     ivf = (
         ann_ivf_topk(spark, sf_dir)

@@ -47,9 +47,7 @@ shuffle, no state, embarrassingly parallel at any scale.
 from __future__ import annotations
 
 import struct
-from collections.abc import Iterator
 
-import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
@@ -618,20 +616,7 @@ def stage_container_corpus(spark: SparkSession, sf_dir: str) -> str:
     return path
 
 
-def _kernel_over(parse, columns: dict[str, str]):
-    schema = "media_id long, " + ", ".join(
-        f"{name} {typ}" for name, typ in columns.items()
-    )
-
-    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            rows = {"media_id": list(pdf["media_id"])}
-            parsed = [parse(bytes(p)) for p in pdf["payload"]]
-            for name in columns:
-                rows[name] = [r[name] for r in parsed]
-            yield pd.DataFrame(rows)
-
-    return kernel, schema
+from .arrow_kernel import kernel_over as _kernel_over  # shared (ADVICE r7)
 
 
 def mp4_box_stats(spark: SparkSession, sf_dir: str) -> DataFrame:

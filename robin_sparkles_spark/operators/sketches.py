@@ -305,7 +305,12 @@ def orders_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
             "_shard",
             F.floor(F.col("o_totalprice") / F.lit(QSKETCH_SHARD_WIDTH)).cast("long"),
         ),
-        "domain",
+        # 'groups': rows = distinct o_totalprice values, which grow
+        # ~1:1 with orders until the cents-precision lattice saturates
+        # (prices span ~[900, 560k) at 2 decimals → ≤ ~56M distinct
+        # values, ~1 GB of (double, long) rows — executor-storable,
+        # but an entity domain, not an O(1) value domain (ADVICE r7).
+        "groups",
         "quantile-sketch distinct-price counts",
         eager=False,
     )

@@ -328,6 +328,38 @@ def test_corpus_barrier_stages_to_parquet_when_knob_set(
     assert not list(stage.glob("knob_test_bounded*"))
 
 
+def test_staged_barrier_paths_are_app_unique_and_lazy_never_stages(
+    spark, tmp_path, monkeypatch
+):
+    """ADVICE r7: (a) staged paths embed the application id, so a
+    restarted driver pointed at the same non-empty dir cannot collide
+    with a previous app's stages; (b) ``eager=False`` corpus barriers
+    never stage — plan construction must not launch jobs — and fall
+    back to the lazy localCheckpoint path with a warning."""
+    from robin_sparkles_spark.functions.barrier import barrier
+
+    stage = tmp_path / "barriers"
+    monkeypatch.setenv("SPARK_GRAFT_BARRIER_DIR", str(stage))
+    df = spark.range(10).selectExpr("id", "id * 3 AS v")
+
+    staged = barrier(df, "corpus", "appid test")
+    assert staged.count() == 10
+    (d,) = stage.glob("appid_test_*")
+    app = "".join(
+        ch for ch in spark.sparkContext.applicationId if ch.isalnum()
+    )[-12:]
+    assert app in d.name, (d.name, app)
+
+    # same note, same dir, different process counter → no collision
+    again = barrier(df, "corpus", "appid test")
+    assert again.count() == 10
+    assert len(list(stage.glob("appid_test_*"))) == 2
+
+    lazy = barrier(df, "corpus", "lazy stays local", eager=False)
+    assert not list(stage.glob("lazy_stays_local*")), "lazy barrier staged"
+    assert lazy.count() == 10
+
+
 def test_signature_barrier_survives(spark, sf_dir):
     """Regression guard for the per-pair recompute bug: the simhash
     pair scan's join predicate must reference plain attributes, i.e.
