@@ -93,7 +93,7 @@ def parse_warc(blob: bytes) -> dict:
     version line, carry a Content-Length, frame exactly that many
     payload bytes, and terminate with CRLF CRLF."""
     pos = 0
-    n = n_resp = n_req = total = max_len = 0
+    n = n_resp = n_req = total = max_len = pay = 0
     while pos < len(blob):
         end_hdr = blob.index(b"\r\n\r\n", pos)
         lines = blob[pos:end_hdr].decode("ascii").split("\r\n")
@@ -113,6 +113,7 @@ def parse_warc(blob: bytes) -> dict:
         n_req += rtype == "request"
         total += length
         max_len = max(max_len, length)
+        pay += sum(blob[body_lo : body_lo + length])
         pos = body_lo + length + 4
     return {
         "n_records": n,
@@ -120,7 +121,109 @@ def parse_warc(blob: bytes) -> dict:
         "n_requests": n_req,
         "sum_content_length": total,
         "max_content_length": max_len,
+        "sum_payload_bytes": pay,
     }
+
+
+# --- record-gzipped WARC (the Common Crawl wire format) ---------------------
+#
+# Common Crawl ships ``.warc.gz`` files where EVERY record is an
+# independent gzip member (RFC 1952) so readers can seek to a record
+# and inflate it alone. The synthesizer gzips each record with stdlib
+# ``gzip`` (fixed mtime → deterministic bytes); the parser is an
+# independent byte-level member walk — header flag handling, raw
+# DEFLATE inflate, CRC-32 + ISIZE trailer verification per member —
+# then the strict single-record WARC parse on the inflated bytes.
+
+
+def synth_warc_gz(media_id: int) -> bytes:
+    """The same records as :func:`synth_warc`, but framed the Common
+    Crawl way: one gzip member per record, concatenated."""
+    import gzip
+
+    out = bytearray()
+    for i in range(_warc_params(media_id)):
+        rtype = _warc_type(media_id, i)
+        n = _warc_payload_len(media_id, i)
+        payload = bytes((media_id + i + j) % 95 + 32 for j in range(n))
+        headers = [
+            "WARC/1.0",
+            f"WARC-Type: {rtype}",
+            f"WARC-Record-ID: <urn:uuid:{media_id:08d}-{i:04d}>",
+        ]
+        if rtype != "warcinfo":
+            headers.append(
+                f"WARC-Target-URI: http://host-{media_id}.test/page/{i}"
+            )
+        headers.append(f"Content-Length: {n}")
+        record = (
+            ("\r\n".join(headers) + "\r\n\r\n").encode("ascii")
+            + payload
+            + b"\r\n\r\n"
+        )
+        out += gzip.compress(record, mtime=0)
+    return bytes(out)
+
+
+def _gzip_member(blob: bytes, pos: int) -> tuple[bytes, int]:
+    """Inflate ONE gzip member starting at ``pos`` (RFC 1952): magic +
+    CM=8, the four optional header fields the flag byte can declare,
+    raw DEFLATE body, then the CRC-32/ISIZE trailer — both verified.
+    Returns (inflated bytes, offset of the next member)."""
+    if blob[pos : pos + 2] != b"\x1f\x8b":
+        raise ValueError(f"bad gzip magic at {pos}")
+    if blob[pos + 2] != 8:
+        raise ValueError(f"unsupported compression method {blob[pos + 2]}")
+    flg = blob[pos + 3]
+    p = pos + 10  # magic(2) cm(1) flg(1) mtime(4) xfl(1) os(1)
+    if flg & 0x04:  # FEXTRA
+        xlen = struct.unpack_from("<H", blob, p)[0]
+        p += 2 + xlen
+    if flg & 0x08:  # FNAME (NUL-terminated)
+        p = blob.index(b"\x00", p) + 1
+    if flg & 0x10:  # FCOMMENT
+        p = blob.index(b"\x00", p) + 1
+    if flg & 0x02:  # FHCRC
+        p += 2
+    d = zlib.decompressobj(wbits=-15)
+    data = d.decompress(blob[p:])
+    if not d.eof:
+        raise ValueError(f"truncated DEFLATE stream in member at {pos}")
+    trailer_at = len(blob) - len(d.unused_data)
+    if trailer_at + 8 > len(blob):
+        raise ValueError(f"truncated gzip trailer in member at {pos}")
+    crc, isize = struct.unpack_from("<II", blob, trailer_at)
+    if zlib.crc32(data) & 0xFFFFFFFF != crc:
+        raise ValueError(f"gzip CRC-32 mismatch in member at {pos}")
+    if isize != len(data) % (1 << 32):
+        raise ValueError(f"gzip ISIZE mismatch in member at {pos}")
+    return data, trailer_at + 8
+
+
+def parse_warc_gz(blob: bytes) -> dict:
+    """Walk every gzip member; each must inflate to EXACTLY one valid
+    WARC/1.0 record (the Common Crawl seekability contract)."""
+    pos = 0
+    agg = {
+        "n_members": 0,
+        "n_responses": 0,
+        "n_requests": 0,
+        "sum_content_length": 0,
+        "sum_payload_bytes": 0,
+    }
+    while pos < len(blob):
+        data, pos = _gzip_member(blob, pos)
+        r = parse_warc(data)
+        if r["n_records"] != 1:
+            raise ValueError(
+                f"gzip member holds {r['n_records']} records, expected 1"
+            )
+        agg["n_members"] += 1
+        agg["n_responses"] += r["n_responses"]
+        agg["n_requests"] += r["n_requests"]
+        agg["sum_content_length"] += r["sum_content_length"]
+        agg["sum_payload_bytes"] += r["sum_payload_bytes"]
+    return agg
 
 
 # --- ZIP / PKWARE APPNOTE ---------------------------------------------------
@@ -632,10 +735,90 @@ FROM mem GROUP BY media_id, n
 """
 
 
+def warc_gz_corpus_path(sf_dir: str) -> str:
+    return staged_path(sf_dir, "warc_gz_corpus", "documents")
+
+
+def stage_warc_gz_corpus(spark: SparkSession, sf_dir: str) -> str:
+    """Separate staged table (fingerprint contract — see
+    stage_tfrecord_corpus)."""
+    path = warc_gz_corpus_path(sf_dir)
+    if is_staged(path):
+        return path
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    n = min(ARCHIVE_N, n_docs)
+    rows = [(i, "application/warc+gzip", synth_warc_gz(i)) for i in range(n)]
+    spark.createDataFrame(
+        rows, "media_id long, mime string, payload binary"
+    ).coalesce(1).write.mode("overwrite").parquet(path)
+    return path
+
+
+def warc_gzip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Member-gzipped WARC walk — the actual Common Crawl ``.warc.gz``
+    framing (VERDICT r7 ask #2): per-member RFC 1952 header + raw
+    DEFLATE + CRC-32/ISIZE verification, then the strict WARC record
+    parse on the inflated bytes. ``sum_payload_bytes`` (the sum of
+    DECOMPRESSED payload byte values) only matches the closed-form
+    oracle if the inflate round trip is byte-exact."""
+    media = spark.read.parquet(stage_warc_gz_corpus(spark, sf_dir))
+    kernel, schema = _kernel_over(
+        parse_warc_gz,
+        {
+            "n_members": "int",
+            "n_responses": "int",
+            "n_requests": "int",
+            "sum_content_length": "bigint",
+            "sum_payload_bytes": "bigint",
+        },
+    )
+    return media.where(F.col("mime") == "application/warc+gzip").mapInPandas(
+        kernel, schema=schema
+    )
+
+
+def warc_gz_oracle(sf_dir: str) -> str:
+    """Closed form incl. the inner j-sum over each record's payload
+    bytes ((m + i + j) % 95 + 32) — the decompressed-byte-sum check."""
+    from ..session import active_or_local
+
+    path = stage_warc_gz_corpus(active_or_local("archive_oracle"), sf_dir)
+    max_n, max_len = 5 + 19, 30 + 199
+    return f"""
+WITH m AS (SELECT media_id FROM read_parquet('{path}/*.parquet')
+           WHERE mime = 'application/warc+gzip'),
+p AS (SELECT media_id, 5 + media_id % 20 AS n FROM m),
+rec AS (
+  SELECT p.media_id, p.n, i.range AS i,
+         30 + (p.media_id * 7 + i.range * 11) % 200 AS len,
+         CASE WHEN i.range = 0 THEN 'warcinfo'
+              WHEN (p.media_id + i.range) % 2 = 0 THEN 'response'
+              ELSE 'request' END AS rtype
+  FROM p, range({max_n}) i WHERE i.range < p.n
+),
+pay AS (
+  SELECT rec.media_id, rec.n, rec.i, rec.len, rec.rtype,
+         SUM((rec.media_id + rec.i + j.range) % 95 + 32) AS rec_sum
+  FROM rec, range({max_len}) j WHERE j.range < rec.len
+  GROUP BY rec.media_id, rec.n, rec.i, rec.len, rec.rtype
+)
+SELECT media_id,
+       CAST(n AS INT) AS n_members,
+       CAST(SUM(CASE WHEN rtype = 'response' THEN 1 ELSE 0 END) AS INT)
+         AS n_responses,
+       CAST(SUM(CASE WHEN rtype = 'request' THEN 1 ELSE 0 END) AS INT)
+         AS n_requests,
+       CAST(SUM(len) AS BIGINT) AS sum_content_length,
+       CAST(SUM(rec_sum) AS BIGINT) AS sum_payload_bytes
+FROM pay GROUP BY media_id, n
+"""
+
+
 QUERIES: dict = {}
 
 QUERIES_TAIL = {
     "warc_record_stats": (warc_record_stats, warc_oracle),
+    "warc_gzip_stats": (warc_gzip_stats, warc_gz_oracle),
     "zip_members_stats": (zip_members_stats, zip_oracle),
     "tar_archive_stats": (tar_archive_stats, tar_oracle),
     "tfrecord_stats": (tfrecord_stats, tfrecord_oracle),

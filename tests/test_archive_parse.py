@@ -45,6 +45,60 @@ def test_archive_roundtrips_pure_python():
         assert d["n_blocks"] == sum(1 + (s + 511) // 512 for s in sizes)
 
 
+def test_warc_gz_roundtrip_pure_python():
+    """Member-gzipped WARC: the independent RFC 1952 walk recovers the
+    same record stats the plain-WARC parse reports, plus the exact
+    decompressed payload byte sum."""
+    for m in (0, 1, 7, 40, 137, 499):
+        plain = A.parse_warc(A.synth_warc(m))
+        gz = A.parse_warc_gz(A.synth_warc_gz(m))
+        assert gz["n_members"] == plain["n_records"]
+        for k in (
+            "n_responses", "n_requests", "sum_content_length",
+            "sum_payload_bytes",
+        ):
+            assert gz[k] == plain[k], (m, k)
+        n = A._warc_params(m)
+        assert gz["sum_payload_bytes"] == sum(
+            (m + i + j) % 95 + 32
+            for i in range(n)
+            for j in range(A._warc_payload_len(m, i))
+        )
+
+
+def test_warc_gz_member_walk_handles_optional_header_fields():
+    """The parser walks FNAME/FEXTRA/FCOMMENT/FHCRC fields a generic
+    gzip writer may emit (stdlib gzip.compress emits none)."""
+    import gzip as _gzip
+    import io
+
+    record = A.synth_warc(5)  # one file's records as a single member?
+    # build one member per record with an FNAME field
+    out = bytearray()
+    buf = io.BytesIO()
+    with _gzip.GzipFile(
+        filename="rec.warc", mode="wb", fileobj=buf, mtime=0
+    ) as f:
+        f.write(record)
+    out += buf.getvalue()
+    data, nxt = A._gzip_member(bytes(out), 0)
+    assert data == record
+    assert nxt == len(out)
+
+
+def test_warc_gz_rejects_corruption():
+    blob = bytearray(A.synth_warc_gz(3))
+    blob[-5] ^= 0xFF  # inside the last member's trailer/stream
+    with pytest.raises((ValueError, zlib.error)):
+        A.parse_warc_gz(bytes(blob))
+    blob2 = bytearray(A.synth_warc_gz(3))
+    blob2[0] = 0x1E  # bad magic
+    with pytest.raises(ValueError):
+        A.parse_warc_gz(bytes(blob2))
+    with pytest.raises((ValueError, zlib.error, IndexError)):
+        A.parse_warc_gz(A.synth_warc_gz(3)[:-4])  # truncated trailer
+
+
 def test_archive_parsers_reject_corruption():
     """Integrity checks are real: framing, CRC, and checksum
     violations raise instead of returning garbage stats."""
@@ -69,7 +123,13 @@ def test_archive_parsers_reject_corruption():
 
 
 @pytest.mark.parametrize(
-    "name", ["warc_record_stats", "zip_members_stats", "tar_archive_stats"]
+    "name",
+    [
+        "warc_record_stats",
+        "warc_gzip_stats",
+        "zip_members_stats",
+        "tar_archive_stats",
+    ],
 )
 def test_archive_oracle_parity(spark, sf_dir, name):
     fn, oracle = A.QUERIES_TAIL[name]

@@ -81,6 +81,8 @@ MAP_IN_PANDAS_ALLOWLIST = {
     # r7 archive/web-corpus parsers (WARC records, ZIP central
     # directory + DEFLATE members, ustar headers)
     "warc_record_stats",
+    # r8: record-gzipped WARC (the Common Crawl wire format)
+    "warc_gzip_stats",
     "zip_members_stats",
     "tar_archive_stats",
     "tfrecord_stats",
