@@ -27,8 +27,10 @@ arithmetic, so these three kernels are REAL spec implementations:
   file's own DHT segments, bit reader with 0xFF00 un-stuffing, DC
   prediction, AC run/size + ZRL + EOB. Planted integer coefficients +
   a unit quant table make the layer lossless, so the oracle is closed
-  form; after this only the float IDCT (pixel reconstruction) remains
-  behind the library boundary.
+  form; ``jpeg_pixel_stats`` (r8) finishes the decode — dequant +
+  fixed-point integer IDCT + level shift + clamp — leaving only the
+  progressive/arithmetic-coded JPEG variants behind the library
+  boundary.
 
 Same verification contract as ``media_decode``: payloads are
 synthesized DETERMINISTICALLY from ``media_id`` (driver-side, staged
@@ -362,7 +364,8 @@ def parse_jpeg(blob: bytes) -> dict:
 # accumulation, AC run/size + ZRL + EOB semantics (ITU-T T.81 §F.2).
 # The synthesizer plants integer DCT coefficients and a unit quant
 # table, so the entropy layer is LOSSLESS and the oracle is closed
-# form; only the float IDCT (pixel reconstruction) stays behind the
+# form. The PIXEL layer below (r8) finishes the decode with an exact
+# integer IDCT; only progressive/arithmetic variants stay behind the
 # library boundary.
 
 _JDC_BITS = [0] * 16
@@ -461,11 +464,12 @@ class _BitReader:
                 raise ValueError("invalid huffman code")
 
 
-def synth_jpeg_baseline(media_id: int) -> bytes:
-    """A decodable grayscale baseline JPEG: unit quant table, our own
-    (spec-canonical) huffman tables in DHT, and a scan that huffman-
-    codes the planted coefficients with DC prediction, run/size AC
-    coding, ZRL and EOB — byte-stuffed per the spec."""
+def synth_jpeg_baseline(media_id: int, quant: list[int] | None = None) -> bytes:
+    """A decodable grayscale baseline JPEG: unit quant table (or the
+    caller's, in zigzag order — the pixel corpus plants a real one),
+    our own (spec-canonical) huffman tables in DHT, and a scan that
+    huffman-codes the planted coefficients with DC prediction,
+    run/size AC coding, ZRL and EOB — byte-stuffed per the spec."""
     bx, by = _jpeg_blocks(media_id)
     n_blocks = bx * by
     dc_codes = _huff_codes(_JDC_BITS, _JDC_VALS)
@@ -501,7 +505,7 @@ def synth_jpeg_baseline(media_id: int) -> bytes:
     def seg(marker: int, payload: bytes) -> bytes:
         return bytes((0xFF, marker)) + struct.pack(">H", 2 + len(payload)) + payload
 
-    dqt = seg(0xDB, bytes([0x00]) + bytes([1] * 64))  # unit table: lossless
+    dqt = seg(0xDB, bytes([0x00]) + bytes(quant or [1] * 64))
     sof0 = seg(
         0xC0,
         bytes([8])
@@ -513,6 +517,187 @@ def synth_jpeg_baseline(media_id: int) -> bytes:
     dht_ac = seg(0xC4, bytes([0x10]) + bytes(_JAC_BITS) + bytes(_JAC_VALS))
     sos = seg(0xDA, bytes([1]) + bytes((1, 0x00)) + bytes((0, 63, 0)))
     return b"\xff\xd8" + dqt + sof0 + dht_dc + dht_ac + sos + scan + b"\xff\xd9"
+
+
+# --- JPEG PIXEL layer: dequant + fixed-point integer IDCT -------------------
+#
+# The final decode stage (VERDICT r7 ask #3): entropy-decoded
+# coefficients → dequantization (the file's own DQT, zigzag order) →
+# an exact table-driven fixed-point 2-D inverse DCT → +128 level
+# shift → [0,255] clamp. No float IDCT, no library: the basis
+# products cos((2x+1)uπ/16)·cos((2y+1)vπ/16)·C(u)C(v)/4 are
+# pre-scaled to 16-bit fixed point and the accumulator rounds ONCE at
+# the end (a table IDCT, the shape embedded decoders use) — so every
+# pixel is a deterministic integer function of the coefficients, and
+# the DuckDB oracle replays the identical arithmetic from the planted
+# coefficients + the same table. The remaining library boundary is
+# only the entropy-PROGRESSIVE / arithmetic-coded JPEG variants.
+
+
+def _zigzag_order() -> list[tuple[int, int]]:
+    """Zigzag index -> (u, v) natural position (T.81 Figure A.6):
+    anti-diagonals, even diagonals walked bottom-up."""
+    order: list[tuple[int, int]] = []
+    for s in range(15):
+        diag = [(i, s - i) for i in range(8) if 0 <= s - i < 8]
+        if s % 2 == 0:
+            diag.reverse()
+        order.extend(diag)
+    return order
+
+
+_ZIGZAG = _zigzag_order()
+_IDCT_S = 16  # fixed-point fraction bits
+_IDCT_HALF = 1 << (_IDCT_S - 1)
+
+
+def _idct_table() -> list[list[int]]:
+    """TAB[zz][8*x + y] = round(2^S · C(u)C(v)/4 ·
+    cos((2x+1)uπ/16) · cos((2y+1)vπ/16)) for (u,v) = zigzag[zz].
+
+    Computed once at import from libm cos at the 8 fixed angles; the
+    round() is ~9 orders of magnitude away from any half-integer at
+    these irrational cos products, so the table is stable across any
+    IEEE-754 libm (and oracle SQL is generated from THIS table in the
+    same process anyway)."""
+    import math
+
+    tab = []
+    for u, v in _ZIGZAG:
+        cu = 1 / math.sqrt(2) if u == 0 else 1.0
+        cv = 1 / math.sqrt(2) if v == 0 else 1.0
+        row = [
+            round(
+                (1 << _IDCT_S) * 0.25 * cu * cv
+                * math.cos((2 * x + 1) * u * math.pi / 16)
+                * math.cos((2 * y + 1) * v * math.pi / 16)
+            )
+            for x in range(8)
+            for y in range(8)
+        ]
+        tab.append(row)
+    return tab
+
+
+_IDCT_TAB = _idct_table()
+
+
+def _idct_block_raw(zz_coeffs: list[int], quant: list[int]) -> list[int]:
+    """64 UNCLAMPED level-shifted values from one block's
+    zigzag-ordered coefficients: 128 + ((Σ_zz F[zz]·Q[zz]·TAB[zz][p]
+    + 2^(S-1)) >> S). Single final rounding — exactly the arithmetic
+    the oracle replays."""
+    nz = [(zz, c * quant[zz]) for zz, c in enumerate(zz_coeffs) if c]
+    out = []
+    for p in range(64):
+        acc = 0
+        for zz, cq in nz:
+            acc += cq * _IDCT_TAB[zz][p]
+        out.append(128 + ((acc + _IDCT_HALF) >> _IDCT_S))
+    return out
+
+
+def idct_block_int(zz_coeffs: list[int], quant: list[int]) -> list[int]:
+    """The clamped [0,255] pixel block (the public decode kernel)."""
+    return [
+        0 if raw < 0 else 255 if raw > 255 else raw
+        for raw in _idct_block_raw(zz_coeffs, quant)
+    ]
+
+
+def parse_jpeg_pixels(blob: bytes) -> dict:
+    """Full baseline decode to pixels: marker walk (DQT in zigzag
+    order, DHT, SOF0 dims), per-block entropy decode into the full
+    64-coefficient vector, dequant, integer IDCT, level shift, clamp —
+    and exact pixel stats (n_clipped counts values the clamp moved)."""
+    if blob[:2] != b"\xff\xd8":
+        raise ValueError("missing SOI")
+    pos, w, h = 2, 0, 0
+    quant: list[int] | None = None
+    tables: dict[int, dict] = {}
+    while pos < len(blob):
+        if blob[pos] != 0xFF:
+            raise ValueError(f"expected marker at {pos}")
+        marker = blob[pos + 1]
+        if marker == 0xD9:
+            raise ValueError("EOI before SOS")
+        length = struct.unpack_from(">H", blob, pos + 2)[0]
+        body = blob[pos + 4 : pos + 2 + length]
+        if marker == 0xC0:
+            h, w = struct.unpack_from(">HH", body, 1)
+        elif marker == 0xDB:
+            if body[0] & 0xF0:
+                raise ValueError("only 8-bit quant tables supported")
+            quant = list(body[1:65])
+        elif marker == 0xC4:
+            tc_th = body[0]
+            bits = list(body[1:17])
+            vals = list(body[17 : 17 + sum(bits)])
+            tables[tc_th] = {
+                (c, ln): sym for sym, (c, ln) in _huff_codes(bits, vals).items()
+            }
+        pos += 2 + length
+        if marker == 0xDA:
+            break
+    else:
+        raise ValueError("missing SOS")
+    end = pos
+    while end + 1 < len(blob) and not (
+        blob[end] == 0xFF and blob[end + 1] != 0x00
+    ):
+        end += 1
+    if blob[end : end + 2] != b"\xff\xd9":
+        raise ValueError("scan not terminated by EOI")
+    if w % 8 or h % 8 or quant is None or 0x00 not in tables or 0x10 not in tables:
+        raise ValueError("unsupported frame")
+    n_blocks = (w // 8) * (h // 8)
+
+    r = _BitReader(blob[pos:end])
+    prev_dc = 0
+    sum_pix = n_clip = 0
+    mn, mx = 255, 0
+    for _ in range(n_blocks):
+        coeffs = [0] * 64
+        s = r.read_symbol(tables[0x00])
+        if s:
+            bits = r.read(s)
+            diff = bits if bits >= (1 << (s - 1)) else bits - (1 << s) + 1
+        else:
+            diff = 0
+        prev_dc += diff
+        coeffs[0] = prev_dc
+        zz = 0
+        while zz < 63:
+            sym = r.read_symbol(tables[0x10])
+            if sym == 0x00:
+                break
+            if sym == 0xF0:
+                zz += 16
+                continue
+            run, s = sym >> 4, sym & 0xF
+            zz += run + 1
+            if zz > 63:
+                raise ValueError("AC index overflow")
+            bits = r.read(s)
+            coeffs[zz] = (
+                bits if bits >= (1 << (s - 1)) else bits - (1 << s) + 1
+            )
+        for raw in _idct_block_raw(coeffs, quant):
+            pix = 0 if raw < 0 else 255 if raw > 255 else raw
+            n_clip += pix != raw
+            sum_pix += pix
+            if pix < mn:
+                mn = pix
+            if pix > mx:
+                mx = pix
+    return {
+        "n_blocks": n_blocks,
+        "n_pixels": 64 * n_blocks,
+        "sum_pixels": sum_pix,
+        "min_pixel": mn,
+        "max_pixel": mx,
+        "n_clipped": n_clip,
+    }
 
 
 def parse_jpeg_entropy(blob: bytes) -> dict:
@@ -801,6 +986,118 @@ FROM c GROUP BY media_id, nb
 """
 
 
+def _pixel_quant(m: int) -> list[int]:
+    """The pixel corpus's REAL quant table (zigzag order): a wide DC
+    step so the ±100 planted DC swings ±300 levels around 128 (both
+    clamp branches fire), AC steps 1..8."""
+    return [8 + m % 17] + [1 + (m + zz) % 8 for zz in range(1, 64)]
+
+
+def jpeg_pixel_corpus_path(sf_dir: str) -> str:
+    return staged_path(sf_dir, "jpeg_pixel_corpus", "documents")
+
+
+def stage_jpeg_pixel_corpus(spark: SparkSession, sf_dir: str) -> str:
+    """Separate staged table (fingerprint contract): the same planted
+    coefficients as the entropy corpus, but with a real (non-unit)
+    quant table so dequantization is exercised end to end."""
+    path = jpeg_pixel_corpus_path(sf_dir)
+    if is_staged(path):
+        return path
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    n = min(CONTAINER_N, n_docs)
+    rows = [
+        (i, "image/jpeg", synth_jpeg_baseline(i, quant=_pixel_quant(i)))
+        for i in range(n)
+    ]
+    spark.createDataFrame(
+        rows, "media_id long, mime string, payload binary"
+    ).coalesce(1).write.mode("overwrite").parquet(path)
+    return path
+
+
+def jpeg_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Baseline JPEG decoded to PIXELS (huffman → dequant → integer
+    IDCT → level shift → clamp) with exact per-image stats; the
+    oracle replays the identical fixed-point arithmetic from the
+    planted coefficients and the same basis table."""
+    media = spark.read.parquet(stage_jpeg_pixel_corpus(spark, sf_dir))
+    kernel, schema = _kernel_over(
+        parse_jpeg_pixels,
+        {
+            "n_blocks": "int",
+            "n_pixels": "bigint",
+            "sum_pixels": "bigint",
+            "min_pixel": "int",
+            "max_pixel": "int",
+            "n_clipped": "bigint",
+        },
+    )
+    return media.where(F.col("mime") == "image/jpeg").mapInPandas(
+        kernel, schema=schema
+    )
+
+
+def jpeg_pixel_oracle(sf_dir: str) -> str:
+    """Closed-form pixel replay: planted (dc, v1@p1, v2@p2) per block,
+    quant steps from `_pixel_quant`'s formula, and the SAME fixed-point
+    basis table embedded as a VALUES relation — acc summed per pixel,
+    one floor-rounded descale, clamp, aggregate. Every reported number
+    (including n_clipped) is recomputed from first principles."""
+    from ..session import active_or_local
+
+    path = stage_jpeg_pixel_corpus(active_or_local("container_oracle"), sf_dir)
+    # basis rows only for positions the corpus can plant: DC, p1 in
+    # 1..5, p2 in 10..29
+    zzs = [0] + list(range(1, 6)) + list(range(10, 30))
+    tab_rows = ",".join(
+        f"({zz},{p},{_IDCT_TAB[zz][p]})" for zz in zzs for p in range(64)
+    )
+    half, scale = _IDCT_HALF, 1 << _IDCT_S
+    return f"""
+WITH m AS (SELECT media_id FROM read_parquet('{path}/*.parquet')
+           WHERE mime = 'image/jpeg'),
+tab(zz, p, t) AS (VALUES {tab_rows}),
+par AS (SELECT media_id, (1 + media_id % 4) * (1 + media_id % 3) AS nb FROM m),
+blk AS (
+  SELECT par.media_id, par.nb,
+         ((par.media_id * 5 + b.range * 3) % 201) - 100 AS dc,
+         1 + b.range % 5 AS p1,
+         1 + (par.media_id + b.range) % 15 AS v1,
+         10 + par.media_id % 20 AS p2,
+         -(1 + (par.media_id + 3 * b.range) % 7) AS v2,
+         8 + par.media_id % 17 AS q0
+  FROM par, range(12) b WHERE b.range < par.nb
+),
+px AS (
+  SELECT blk.media_id, blk.nb,
+         128 + CAST(FLOOR((
+             blk.dc * blk.q0 * t0.t
+           + blk.v1 * (1 + (blk.media_id + blk.p1) % 8) * t1.t
+           + blk.v2 * (1 + (blk.media_id + blk.p2) % 8) * t2.t
+           + {half}) / {scale}.0) AS INT) AS raw
+  FROM blk
+  JOIN tab t0 ON t0.zz = 0
+  JOIN tab t1 ON t1.zz = blk.p1 AND t1.p = t0.p
+  JOIN tab t2 ON t2.zz = blk.p2 AND t2.p = t0.p
+),
+val AS (
+  SELECT media_id, nb, raw,
+         LEAST(255, GREATEST(0, raw)) AS pix
+  FROM px
+)
+SELECT media_id,
+       CAST(nb AS INT) AS n_blocks,
+       CAST(64 * nb AS BIGINT) AS n_pixels,
+       CAST(SUM(pix) AS BIGINT) AS sum_pixels,
+       CAST(MIN(pix) AS INT) AS min_pixel,
+       CAST(MAX(pix) AS INT) AS max_pixel,
+       CAST(SUM(CASE WHEN raw <> pix THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_clipped
+FROM val GROUP BY media_id, nb
+"""
+
+
 def jpeg_oracle(sf_dir: str) -> str:
     rel = _staged_rel(sf_dir)
     return f"""
@@ -821,4 +1118,5 @@ QUERIES_TAIL = {
     "mp3_frame_stats": (mp3_frame_stats, mp3_oracle),
     "jpeg_marker_stats": (jpeg_marker_stats, jpeg_oracle),
     "jpeg_entropy_stats": (jpeg_entropy_stats, jpeg_entropy_oracle),
+    "jpeg_pixel_stats": (jpeg_pixel_stats, jpeg_pixel_oracle),
 }

@@ -280,3 +280,103 @@ def test_jpeg_entropy_oracle_parity(spark, sf_dir):
     assert_query_matches_oracle(
         fn(spark, sf_dir), resolve_oracle(oracle, sf_dir), sf_dir
     )
+
+
+def test_jpeg_pixel_idct_matches_float_reference():
+    """The fixed-point table IDCT against an independent float IDCT
+    (NumPy cosine matrices): max 1 level apart after rounding+clamp on
+    dense random blocks — the IEEE-1180-style accuracy check."""
+    import math
+
+    import numpy as np
+
+    from robin_sparkles_spark.operators import container_parse as C
+
+    x = np.arange(8)
+    cos = np.cos((2 * x[:, None] + 1) * x[None, :] * math.pi / 16)
+    c = np.ones(8)
+    c[0] = 1 / math.sqrt(2)
+    basis = cos * c[None, :]
+
+    rng = np.random.default_rng(8)
+    worst = 0
+    for _ in range(100):
+        F = np.zeros((8, 8), dtype=int)
+        pos = rng.choice(64, size=int(rng.integers(1, 25)), replace=False)
+        F.flat[pos] = rng.integers(-120, 121, size=len(pos))
+        zzc = [int(F[u][v]) for (u, v) in C._ZIGZAG]
+        got = np.array(C.idct_block_int(zzc, [1] * 64)).reshape(8, 8)
+        ref = np.clip(np.round(0.25 * basis @ F @ basis.T + 128), 0, 255)
+        worst = max(worst, np.abs(got - ref).max())
+    assert worst <= 1, worst
+
+
+def test_jpeg_pixel_dc_only_block_is_exact_flat():
+    """DC-only block: every pixel equals the closed form
+    clamp(128 + descale(dc·q·TAB[0])) — the flat-field exactness the
+    oracle's arithmetic replay is built on."""
+    from robin_sparkles_spark.operators import container_parse as C
+
+    t0 = C._IDCT_TAB[0][0]
+    assert all(t == t0 for t in C._IDCT_TAB[0])  # DC basis is flat
+    for dc, q in [(0, 1), (100, 24), (-100, 24), (37, 5), (-1, 8)]:
+        want_raw = 128 + ((dc * q * t0 + C._IDCT_HALF) >> C._IDCT_S)
+        want = min(255, max(0, want_raw))
+        zzc = [dc] + [0] * 63
+        assert C.idct_block_int(zzc, [q] * 64) == [want] * 64, (dc, q)
+
+
+def test_jpeg_pixel_decode_roundtrip_and_rejects():
+    """Full pixel decode over the planted corpus: stats equal an
+    independent recompute from the planted coefficients + quant
+    formula; the clamp fires in both directions across the corpus;
+    corruption raises."""
+    import pytest as _pytest
+
+    from robin_sparkles_spark.operators import container_parse as C
+
+    saw_lo = saw_hi = False
+    for m in (0, 1, 5, 11, 23, 137, 400, 499):
+        quant = C._pixel_quant(m)
+        d = C.parse_jpeg_pixels(C.synth_jpeg_baseline(m, quant=quant))
+        bx, by = C._jpeg_blocks(m)
+        nb = bx * by
+        pix = []
+        raws = []
+        for b in range(nb):
+            dc, acs = C._jpeg_coeffs(m, b)
+            zzc = [dc] + [0] * 63
+            for p, v in acs:
+                zzc[p] = v
+            raws += C._idct_block_raw(zzc, quant)
+            pix += C.idct_block_int(zzc, quant)
+        assert d["n_blocks"] == nb
+        assert d["n_pixels"] == 64 * nb == len(pix)
+        assert d["sum_pixels"] == sum(pix)
+        assert (d["min_pixel"], d["max_pixel"]) == (min(pix), max(pix))
+        assert d["n_clipped"] == sum(
+            1 for r, p in zip(raws, pix) if r != p
+        )
+        saw_lo |= d["min_pixel"] == 0
+        saw_hi |= d["max_pixel"] == 255
+    assert saw_lo and saw_hi, "clamp not exercised in both directions"
+
+    blob = bytearray(C.synth_jpeg_baseline(7, quant=C._pixel_quant(7)))
+    dqt_at = bytes(blob).index(b"\xff\xdb")
+    blob[dqt_at + 4] = 0x10  # 16-bit quant precision → unsupported
+    with _pytest.raises(ValueError):
+        C.parse_jpeg_pixels(bytes(blob))
+    with _pytest.raises(ValueError):
+        C.parse_jpeg_pixels(C.synth_jpeg_baseline(7)[:-2])  # no EOI
+
+
+def test_jpeg_pixel_oracle_parity(spark, sf_dir):
+    from robin_sparkles_spark.operators import container_parse as C
+    from robin_sparkles_spark.registry import resolve_oracle
+
+    from .oracle_utils import assert_query_matches_oracle
+
+    fn, oracle = C.QUERIES_TAIL["jpeg_pixel_stats"]
+    assert_query_matches_oracle(
+        fn(spark, sf_dir), resolve_oracle(oracle, sf_dir), sf_dir
+    )

@@ -78,6 +78,8 @@ MAP_IN_PANDAS_ALLOWLIST = {
     "mp3_frame_stats",
     "jpeg_marker_stats",
     "jpeg_entropy_stats",
+    # r8: full pixel decode (dequant + integer IDCT + clamp)
+    "jpeg_pixel_stats",
     # r7 archive/web-corpus parsers (WARC records, ZIP central
     # directory + DEFLATE members, ustar headers)
     "warc_record_stats",
