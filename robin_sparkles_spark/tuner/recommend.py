@@ -18,7 +18,7 @@ from __future__ import annotations
 import logging
 from dataclasses import dataclass
 
-from pyspark.sql import SparkSession
+from pyspark.sql import SparkSession, functions as F
 
 from ..metrics.collector import collect_app_metrics, current_max_stage_id
 from ..metrics.store import MetricsStore
@@ -53,6 +53,78 @@ def apply_recommendation(spark: SparkSession, rec: Recommendation) -> None:
     twin of the reference's ``conf.set("spark.default.parallelism", …)``
     (CountingApp.scala:77)."""
     spark.conf.set("spark.sql.shuffle.partitions", str(rec.partitions))
+
+
+# -- second knob: broadcast threshold from recorded build-side size ----------
+#
+# The reference tunes exactly one conf from recorded metrics (shuffle
+# width, H8). This extends the same record → recommend → mutate-conf →
+# rerun loop (VERDICT r7 ask #7) to `spark.sql.autoBroadcastJoinThreshold`:
+# if the last recorded run contains a stage that SCANNED input and then
+# WROTE a shuffle (a scan→exchange map stage — i.e. a join side that
+# was shuffled), and the smallest such side fits comfortably in
+# executor memory, raise the threshold to cover it so the next run
+# broadcasts it instead of exchanging both sides.
+
+BROADCAST_CAP_BYTES = 512 << 20  # never recommend broadcasting > 512 MiB
+BROADCAST_HEADROOM = 4  # scan bytes → plan size-estimate slop factor
+BROADCAST_FLOOR_BYTES = 4 << 10
+
+
+@dataclass
+class BroadcastRecommendation:
+    threshold_bytes: int  # -1 = no recommendation (leave conf alone)
+    build_side_bytes: int  # smallest scanned-then-exchanged stage's input
+    runs_considered: int
+
+
+def recommend_broadcast_threshold(
+    store: MetricsStore, cap_bytes: int = BROADCAST_CAP_BYTES
+) -> BroadcastRecommendation:
+    """Pick the broadcast threshold from the LAST recorded run: among
+    stages with ``bytes_read > 0`` and ``shuffle_bytes_written > 0``
+    (file-scan map stages feeding an exchange — the shuffled join
+    sides; pure-exchange stages like a post-agg shuffle read no file
+    input and are excluded), take the smallest ``bytes_read`` as the
+    observed build side. Recommend the next power of two above
+    ``BROADCAST_HEADROOM ×`` that size (compressed-scan → plan
+    size-estimate slop), floored at 4 KiB; recommend nothing when no
+    such stage exists or the build side exceeds ``cap_bytes``."""
+    runs = store.contiguous_runs()
+    if not runs:
+        return BroadcastRecommendation(-1, 0, 0)
+    last = runs[-1]
+    rows = (
+        store.stage_summary()
+        .where(
+            (F.col("run") == last)
+            & (F.col("bytes_read") > 0)
+            & (F.col("shuffle_bytes_written") > 0)
+        )
+        .agg(F.min("bytes_read").alias("build"))
+        .collect()
+    )
+    build = rows[0]["build"]
+    if build is None or build > cap_bytes:
+        return BroadcastRecommendation(-1, int(build or 0), len(runs))
+    threshold = max(BROADCAST_FLOOR_BYTES, BROADCAST_HEADROOM * int(build))
+    threshold = 1 << (threshold - 1).bit_length()  # next power of two
+    return BroadcastRecommendation(
+        min(threshold, cap_bytes), int(build), len(runs)
+    )
+
+
+def apply_broadcast_recommendation(
+    spark: SparkSession, rec: BroadcastRecommendation
+) -> None:
+    """Mutate ``spark.sql.autoBroadcastJoinThreshold`` (session-level,
+    no restart — same injection point as the shuffle-width knob). A
+    ``threshold_bytes`` of -1 means "no evidence" and leaves the
+    current conf untouched."""
+    if rec.threshold_bytes > 0:
+        spark.conf.set(
+            "spark.sql.autoBroadcastJoinThreshold", str(rec.threshold_bytes)
+        )
 
 
 def record_run(

@@ -229,3 +229,138 @@ def test_tuner_loop_on_declared_q18(spark, tmp_path, sf_dir):
     for run_id in (1, 2):
         widths = {s.num_partitions_used for s in history[run_id]}
         assert applied[run_id] in widths, (run_id, applied[run_id], widths)
+
+
+def test_broadcast_threshold_record_recommend_rerun(spark, tmp_path, sf_dir):
+    """VERDICT r7 ask #7: a SECOND tuner knob driven by recorded
+    metrics — record a shuffled join (broadcast disabled), recommend
+    `spark.sql.autoBroadcastJoinThreshold` from the recorded build-side
+    scan bytes, apply it, and rerun: the plan flips SortMergeJoin →
+    BroadcastHashJoin and the recorded shuffle-write volume drops."""
+    if spark.sparkContext.uiWebUrl is None:
+        pytest.skip("driver UI disabled — REST collector unavailable")
+    from robin_sparkles_spark.metrics.collector import current_max_stage_id
+    from robin_sparkles_spark.tuner.recommend import (
+        apply_broadcast_recommendation,
+        recommend_broadcast_threshold,
+        record_run,
+    )
+
+    store = MetricsStore(spark, str(tmp_path / "metrics"), "bcast_app")
+    before = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+
+    def join_df(s):
+        # big fact (lineitem) ⋈ small dim (supplier): the shape the
+        # broadcast knob exists for
+        li = s.read.parquet(f"{sf_dir}/lineitem.parquet")
+        supp = s.read.parquet(f"{sf_dir}/supplier.parquet")
+        return (
+            li.join(supp, li.l_suppkey == supp.s_suppkey)
+            .groupBy("s_nationkey")
+            .agg(F.count("*").alias("n"))
+        )
+
+    def shuffle_written(run_id):
+        return (
+            store.stage_summary()
+            .where(F.col("run") == run_id)
+            .agg(F.sum("shuffle_bytes_written"))
+            .collect()[0][0]
+        )
+
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        df0 = join_df(spark)
+        plan0 = df0._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" not in plan0, plan0
+        since = current_max_stage_id(spark)
+        df0.collect()
+        assert record_run(store, 0, since_stage_id=since)
+
+        rec = recommend_broadcast_threshold(store)
+        assert rec.runs_considered == 1
+        # the observed build side is the supplier scan: positive, small
+        supp_bytes = __import__("os").path.getsize(
+            f"{sf_dir}/supplier.parquet"
+        )
+        assert 0 < rec.build_side_bytes <= supp_bytes * 2, rec
+        # threshold covers the dim's plan size estimate but not the fact
+        li_bytes = __import__("os").path.getsize(f"{sf_dir}/lineitem.parquet")
+        assert rec.threshold_bytes >= supp_bytes, rec
+        assert rec.threshold_bytes < li_bytes, (rec, li_bytes)
+
+        apply_broadcast_recommendation(spark, rec)
+        assert spark.conf.get("spark.sql.autoBroadcastJoinThreshold") == str(
+            rec.threshold_bytes
+        )
+        df1 = join_df(spark)
+        plan1 = df1._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan1, plan1
+        since = current_max_stage_id(spark)
+        df1.collect()
+        assert record_run(store, 1, since_stage_id=since)
+
+        # same results, less exchanged data: the broadcast run only
+        # shuffles the tiny post-agg exchange
+        assert sorted(map(tuple, df0.collect())) == sorted(
+            map(tuple, df1.collect())
+        )
+        assert shuffle_written(1) < shuffle_written(0), (
+            shuffle_written(0), shuffle_written(1),
+        )
+
+        # no-history store → no recommendation, conf untouched
+        empty = MetricsStore(spark, str(tmp_path / "empty"), "none_app")
+        none_rec = recommend_broadcast_threshold(empty)
+        assert none_rec.threshold_bytes == -1
+        marker = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        apply_broadcast_recommendation(spark, none_rec)
+        assert spark.conf.get("spark.sql.autoBroadcastJoinThreshold") == marker
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", before)
+
+
+def test_broadcast_recommendation_selection_and_cap(spark, tmp_path):
+    """Selection logic on synthetic history: the build side is the
+    smallest stage that both scanned input AND wrote shuffle
+    (pure-exchange stages are excluded); next-pow2 threshold with the
+    4 KiB floor; oversized build sides yield no recommendation."""
+    from robin_sparkles_spark.tuner.recommend import (
+        BROADCAST_CAP_BYTES,
+        recommend_broadcast_threshold,
+    )
+
+    store = MetricsStore(spark, str(tmp_path / "m"), "synth_app")
+
+    def stage(sid, br, sw):
+        return {
+            "app_id": "app", "stage_id": sid, "stage_duration_ms": 10,
+            "executor_cpu_time_ms": 5, "bytes_read": br,
+            "shuffle_bytes_written": sw, "shuffle_bytes_read": 0,
+        }
+
+    def tasks(sids, run):
+        return [
+            {"stage_id": s, "task_id": s, "executor_id": "0", "duration_ms": 5}
+            for s in sids
+        ]
+
+    store.write_run(
+        0,
+        [
+            stage(0, 1_000_000, 500_000),  # fact side
+            stage(1, 2048, 1000),          # dim side → the build side
+            stage(2, 0, 64),               # post-agg exchange: excluded
+        ],
+        tasks([0, 1, 2], 0),
+    )
+    rec = recommend_broadcast_threshold(store)
+    assert rec.build_side_bytes == 2048
+    assert rec.threshold_bytes == 8192  # next_pow2(4 × 2048)
+
+    # only the LAST run counts; an oversized build side → no rec
+    store.write_run(1, [stage(0, 600 << 20, 10 << 20)], tasks([0], 1))
+    rec = recommend_broadcast_threshold(store)
+    assert rec.threshold_bytes == -1
+    assert rec.build_side_bytes == 600 << 20
+    assert BROADCAST_CAP_BYTES == 512 << 20
