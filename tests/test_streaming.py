@@ -137,3 +137,85 @@ def test_attribution_outer_stream_equals_batch_within_horizon(spark, sf_dir):
 def test_watermark_is_set(spark, sf_dir):
     stream = se.tumbling_counts_stream(se.events_stream(spark, sf_dir))
     assert stream.isStreaming
+
+
+def test_checkpoint_crash_recovery_exactly_once(spark, tmp_path):
+    """VERDICT r7 ask #4: kill a checkpointed file-source query
+    mid-drain, restart it from the same checkpoint (with MORE data
+    having landed), and prove exactly-once: the file sink's committed
+    output equals the batch read of the full input — no replayed
+    duplicates from the interrupted batch, no lost rows. Progress is
+    awaited via the commit log (no sleep-and-hope)."""
+    import time
+
+    src = tmp_path / "src"
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    src.mkdir()
+
+    def land(i):
+        (
+            spark.range(i * 100, (i + 1) * 100)
+            .selectExpr("id", "id * 2 AS v")
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(str(src / f"batch_{i}.parquet"))
+        )
+
+    for i in range(4):
+        land(i)
+
+    schema = "id long, v long"
+
+    def start(trigger_kwargs):
+        return (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{src}/*")
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(**trigger_kwargs)
+            .start()
+        )
+
+    # phase 1: continuous trigger, stop as soon as ≥2 micro-batches
+    # committed — a mid-drain kill with work still pending
+    q = start({"processingTime": "0 seconds"})
+    deadline = time.time() + 120
+    try:
+        while time.time() < deadline:
+            done = [p for p in q.recentProgress if p["numInputRows"] > 0]
+            if len(done) >= 2:
+                break
+            time.sleep(0.2)
+        else:
+            pytest.fail("stream never committed 2 batches")
+    finally:
+        q.stop()
+    q.awaitTermination(30)
+    committed = spark.read.parquet(sink).count()
+    assert committed < 600, "phase 1 already drained everything"
+
+    # more data lands while the query is down
+    for i in range(4, 6):
+        land(i)
+
+    # phase 2: restart from the SAME checkpoint; availableNow drains
+    # the interrupted batch + the remainder + the new files, then stops
+    q2 = start({"availableNow": True})
+    q2.awaitTermination(120)
+    assert not q2.isActive
+
+    got = spark.read.parquet(sink)  # batch read honors _spark_metadata
+    want = spark.read.parquet(f"{src}/*")
+    assert got.count() == want.count() == 600
+    g = got.selectExpr("sum(id) s", "sum(v) sv", "count(distinct id) d").collect()[0]
+    w = want.selectExpr("sum(id) s", "sum(v) sv", "count(distinct id) d").collect()[0]
+    assert tuple(g) == tuple(w)
+    assert g.d == 600  # exactly-once: no duplicated replays
+
+    # idempotent restart: nothing new to do, output unchanged
+    q3 = start({"availableNow": True})
+    q3.awaitTermination(60)
+    assert spark.read.parquet(sink).count() == 600
