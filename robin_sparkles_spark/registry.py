@@ -58,9 +58,11 @@ def resolve_oracle(
     return oracle(sf_dir) if callable(oracle) else oracle
 
 
-def _collect() -> dict[str, QuerySpec]:
-    # Imported lazily so a syntax error in one operator module is easy
-    # to localize, and so pyspark import cost is paid once.
+def _modules() -> tuple:
+    """The operator modules contributing declared queries, in registry
+    enumeration order (see the ordering note in `_collect`). Imported
+    lazily so a syntax error in one operator module is easy to
+    localize, and so pyspark import cost is paid once."""
     from .operators import (
         analytics,
         archive_parse,
@@ -98,20 +100,7 @@ def _collect() -> dict[str, QuerySpec]:
         wordcount_queries,
     )
 
-    registry: dict[str, QuerySpec] = {}
-    # Enumeration order is deliberate: the driver gate records rows for
-    # exactly the first 50 registry entries and none after (r01 + r02
-    # both confirmed the cap), so GATE_FRONT pins this round's
-    # must-check queries into the window explicitly. Rotation history
-    # lives in the comment block above GATE_FRONT (single source of
-    # truth); as of r6 every one of the 134 registry queries has had at
-    # least one green driver row, so each round now rotates in the
-    # stalest last-green names plus anything replanned since its last
-    # row. Everything else follows in module order; displaced
-    # previously-green queries keep their hard signal through the
-    # parametrized local oracle sweep in tests/ (the pytest replica of
-    # this gate).
-    modules = (
+    return (
         wordcount_queries,
         multimodal,
         media_decode,
@@ -147,6 +136,22 @@ def _collect() -> dict[str, QuerySpec]:
         pysource,
         web_text,
     )
+
+
+def _collect() -> dict[str, QuerySpec]:
+    registry: dict[str, QuerySpec] = {}
+    # Enumeration order is deliberate: the driver gate records rows for
+    # exactly the first 50 registry entries and none after (r01 + r02
+    # both confirmed the cap), so GATE_FRONT pins this round's
+    # must-check queries into the window explicitly. Rotation history
+    # lives in the comment block above GATE_FRONT (single source of
+    # truth); as of r6 every registry query has had at least one green
+    # driver row, so each round now rotates in the stalest last-green
+    # names plus anything replanned since its last row. Everything else
+    # follows in module order; displaced previously-green queries keep
+    # their hard signal through the parametrized local oracle sweep in
+    # tests/ (the pytest replica of this gate).
+    modules = _modules()
 
     def add(name: str, spec: tuple) -> None:
         if name in registry:
@@ -311,3 +316,25 @@ def oracle_queries(sf_dir: str = DRIVER_GATE_SF_DIR) -> dict[str, str]:
         for name, spec in all_queries().items()
         if spec.oracle is not None
     }
+
+
+def by_family() -> dict[str, list[str]]:
+    """Registry names grouped by contributing operator module (the
+    'family'), in module enumeration order, names in declaration order
+    within each family (VERDICT r7 ask #8 — the generated README table
+    and any coverage reporting derive from this, so grouping cannot
+    drift from the registry itself)."""
+    names = set(all_queries())
+    fams: dict[str, list[str]] = {}
+    for module in _modules():
+        fam = module.__name__.rsplit(".", 1)[-1]
+        qnames = [
+            n
+            for n in (
+                list(module.QUERIES) + list(getattr(module, "QUERIES_TAIL", {}))
+            )
+            if n in names
+        ]
+        if qnames:
+            fams[fam] = qnames
+    return fams

@@ -1,0 +1,30 @@
+"""Registry-grouping ergonomics (VERDICT r7 ask #8): ``by_family()``
+partitions the registry, and the README's generated table is in sync
+with it (CI check of the generator's --check mode)."""
+
+from __future__ import annotations
+
+import os
+import subprocess
+import sys
+
+from robin_sparkles_spark import registry
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def test_by_family_partitions_the_registry():
+    fams = registry.by_family()
+    flat = [n for names in fams.values() for n in names]
+    assert len(flat) == len(set(flat)), "a query appears in two families"
+    assert set(flat) == set(registry.all_queries())
+    assert all(names for names in fams.values()), "empty family emitted"
+
+
+def test_readme_registry_table_in_sync():
+    proc = subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools", "gen_registry_table.py"),
+         "--check"],
+        capture_output=True, text=True, timeout=120, cwd=REPO,
+    )
+    assert proc.returncode == 0, proc.stderr or proc.stdout
