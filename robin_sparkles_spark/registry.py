@@ -200,92 +200,84 @@ def _collect() -> dict[str, QuerySpec]:
 # block — 50/50 green every round, and as of r6 the never-gated set is
 # empty.
 #
-# ROUND-7 ROTATION (the note promised at end of r6). With full
-# coverage achieved, the policy is now purely staleness + replan:
-#   * the queries ADDED this round (never driver-gated):
-#     ann_ivf_recall_at_k, bpe_fertility_by_lang, orders_custkey_hll,
-#     users_hll_by_type, mp4_box_stats, mp3_frame_stats,
-#     jpeg_marker_stats, jpeg_entropy_stats, warc_record_stats,
-#     zip_members_stats, tar_archive_stats, html_extract_text,
-#     url_normalize_stats, tfrecord_stats (fourteen total with these;
-#     tfrecord displaced nation_coverage_recon — the last r4-stale
-#     name — which leads the r8 fills with bmp/wav).
-#   * bigram_stats (semi-join denominator prune, VERDICT r6 ask #7)
-#     and semdedup_dropped (memoized assigned index) — replanned THIS
-#     round, so their prior rows no longer describe the shipped plans.
-#   * 34 of the 35 queries whose last green row is r4 (the stalest
-#     block — one testdata regeneration ago; nation_coverage_recon
-#     displaced late-round, leads the r8 fill).
-#   * no staleness fills remain — new queries filled the window.
-# The 49 queries gated green in r6 rotate out. Everything displaced
+# ROUND-7 ROTATION pinned the 14 then-new parser/sketch queries, the
+# 2 r7 replans, and 34 of the 35 r4-stale names — 50/50 green
+# (CORRECTNESS_r07, zero reds ever recorded r1–r7).
+#
+# ROUND-8 ROTATION (this window; executes the note written at the end
+# of r7). Policy: new queries + replans first, then strict staleness.
+#   * the 2 queries ADDED this round (never driver-gated):
+#     warc_gzip_stats (record-gzipped WARC, VERDICT r7 ask #2) and
+#     jpeg_pixel_stats (integer-IDCT pixel stage, ask #3).
+#   * nation_coverage_recon — the one remaining r4-last-green name,
+#     displaced late in r7; leads the fill as promised.
+#   * 47 of the 48 r5-last-green names (the stalest block);
+#     nation_region_names is the one deferred — it leads the r9 fill.
+#   * no plans or oracles changed in r8 at rotation time.
+# The 50 queries gated green in r7 rotate out. Everything displaced
 # keeps its hard signal through the parametrized local oracle sweep in
 # tests/ (the pytest replica of this gate).
 GATE_FRONT: tuple[str, ...] = (
     # new this round — first driver rows
-    "ann_ivf_recall_at_k",
-    "bpe_fertility_by_lang",
-    "orders_custkey_hll",
-    "users_hll_by_type",
-    "mp4_box_stats",
-    "mp3_frame_stats",
-    "jpeg_marker_stats",
-    "jpeg_entropy_stats",
-    "warc_record_stats",
-    "zip_members_stats",
-    "tar_archive_stats",
-    "html_extract_text",
-    "url_normalize_stats",
-    "tfrecord_stats",
-    # replanned this round
-    "bigram_stats",
-    "semdedup_dropped",
-    # r4-last-green block (stalest, 35 names)
-    "dedup_simhash",
-    "embedding_similar_pairs",
-    "embedding_dedup",
-    "ann_bruteforce_topk",
-    "ann_lsh_topk",
-    "ann_recall_at_k",
-    "scrub_pii_docs",
-    "text_token_count",
-    "text_quality",
-    "text_langid",
-    "doc_fingerprint",
-    "text_top_terms",
-    "text_repetition",
-    "docs_stable_sample",
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q5_region_revenue",
-    "top_customers_revenue",
-    "window_event_ranks",
-    "events_json_extract",
-    "events_user_stats",
-    "events_argmax",
-    "orders_asof_last_event",
-    "events_props_map",
-    "decontaminate_train",
-    "events_salted_type_join",
-    "view_purchase_attribution",
-    "view_purchase_attribution_outer",
-    "vocab_typo_pairs",
-    "events_countmin_users",
-    "q9_profit_by_nation_year",
-    "q15_top_supplier",
-    "q21_waiting_suppliers",
-    "orders_overlap_pairs",
+    "warc_gzip_stats",
+    "jpeg_pixel_stats",
+    # last r4-stale name (displaced from the r7 window late-round)
+    "nation_coverage_recon",
+    # r5-last-green block (47 of 48; nation_region_names leads r9)
+    "bmp_decode_stats",
+    "column_profile",
+    "copurchase_part_pairs",
+    "customers_with_big_orders",
+    "customers_without_urgent_orders",
+    "dedup_groups",
+    "docs_balanced_sample",
+    "docs_chunk_dedup",
+    "docs_chunked_context",
+    "docs_rarity_topk",
+    "docs_search_and",
+    "events_cohort_enriched",
+    "events_funnel_conversion",
+    "events_multires_rollup",
+    "events_rolling_anomaly",
+    "events_spend_alerts",
+    "events_transition_matrix",
+    "lineitem_unpivot_charges",
+    "lineitem_zorder_stats",
+    "order_lineitem_rollup",
+    "order_slices_setops",
+    "orders_bloom_prune",
+    "orders_by_month",
+    "orders_cube",
+    "orders_grouping_sets",
+    "orders_pivot_status",
+    "orders_price_histogram",
+    "orders_price_quantiles",
+    "orders_scd2_history",
+    "orders_upsert_latest",
+    "padding_waste_by_bucket",
+    "part_filter_projection",
+    "part_string_features",
+    "q11_part_value_share",
+    "q16_supplier_count_by_class",
+    "q20_excess_shippers",
+    "q2_min_cost_supplier",
+    "referential_integrity_audit",
+    "source_mixture",
+    "tiff_frame_sample",
+    "triangle_count_copurchase",
+    "user_retention_cohorts",
+    "users_kmv_by_type",
+    "wav_decode_stats",
+    "window_order_gap_days",
+    "window_running_user_spend",
+    "window_top_order_per_cust",
 )
-# ROUND-8 ROTATION (write it at the start of r8): rotate out the 50
-# names above once CORRECTNESS_r07 comes back green. Staleness order
-# at that point: the ~45 remaining r5-last-green names fill first
-# (bmp/wav decode, dedup_groups, orders_cube, the window/setops/
-# pivot family, q2/q11/q16/q20, retention/funnel/transition,
-# bloom/zorder/upsert/RI-audit/column_profile, scd2, copurchase/
-# triangles, …; late-r7 additions displaced bmp/wav and friends from
-# THIS window, so they lead the r8 fill), then the oldest r6-gated
-# names; plus, as always, anything whose plan or oracle changes in
-# r8 and any newly added queries. All 13 r7-new queries will then
-# have driver rows and rotate out with the rest.
+# ROUND-9 ROTATION (write it at the start of r9): rotate out the 50
+# names above once CORRECTNESS_r08 comes back green. Fill order:
+# nation_region_names (the deferred r5 name) first, then the oldest
+# r6-gated names (the 31ce0b4 replans + r03-stale block), then the
+# r7-gated block as needed; plus, as always, anything whose plan or
+# oracle changes in r9 and any newly added queries.
 
 
 _REGISTRY: dict[str, QuerySpec] | None = None
