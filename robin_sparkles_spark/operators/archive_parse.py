@@ -735,6 +735,44 @@ FROM mem GROUP BY media_id, n
 """
 
 
+def parse_warc_gz_members(blob: bytes) -> list[dict]:
+    """Per-MEMBER walk of a record-gzipped WARC: one dict per gzip
+    member (offset, compressed size, record type, framed length,
+    payload byte sum). This is the split index a 100 TB Common Crawl
+    reader builds once per .warc.gz: because every record is an
+    independent gzip member, a 1 GB file with ~100k records
+    parallelizes INSIDE the file — stage (offset, member_bytes) once,
+    then any executor can range-read + inflate a member slice with no
+    coordination. ``rtype`` derivation assumes the corpus's three
+    record types (warcinfo/response/request)."""
+    out = []
+    pos = idx = 0
+    while pos < len(blob):
+        start = pos
+        data, pos = _gzip_member(blob, pos)
+        r = parse_warc(data)
+        if r["n_records"] != 1:
+            raise ValueError(
+                f"gzip member holds {r['n_records']} records, expected 1"
+            )
+        out.append(
+            {
+                "rec_idx": idx,
+                "rtype": (
+                    "response"
+                    if r["n_responses"]
+                    else "request" if r["n_requests"] else "warcinfo"
+                ),
+                "content_length": r["sum_content_length"],
+                "payload_sum": r["sum_payload_bytes"],
+                "offset": start,
+                "member_bytes": pos - start,
+            }
+        )
+        idx += 1
+    return out
+
+
 def warc_gz_corpus_path(sf_dir: str) -> str:
     return staged_path(sf_dir, "warc_gz_corpus", "documents")
 
@@ -775,6 +813,70 @@ def warc_gzip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return media.where(F.col("mime") == "application/warc+gzip").mapInPandas(
         kernel, schema=schema
     )
+
+
+def warc_gz_member_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cardinality-EXPANDING member explosion: one output row per gzip
+    member (≈14.5× the input rows) — the shape that turns whole-file
+    parallelism into per-record parallelism for .warc.gz ingestion.
+    Each member is independently inflated + CRC-verified; per-record
+    framing and payload byte sums are hash-gated row by row."""
+    import pandas as pd
+
+    media = spark.read.parquet(stage_warc_gz_corpus(spark, sf_dir))
+
+    def kernel(batches):
+        for pdf in batches:
+            rows: dict[str, list] = {
+                "media_id": [], "rec_idx": [], "rtype": [],
+                "content_length": [], "payload_sum": [],
+            }
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                for r in parse_warc_gz_members(bytes(payload)):
+                    rows["media_id"].append(mid)
+                    rows["rec_idx"].append(r["rec_idx"])
+                    rows["rtype"].append(r["rtype"])
+                    rows["content_length"].append(r["content_length"])
+                    rows["payload_sum"].append(r["payload_sum"])
+            yield pd.DataFrame(rows)
+
+    return media.where(F.col("mime") == "application/warc+gzip").mapInPandas(
+        kernel,
+        schema=(
+            "media_id long, rec_idx int, rtype string, "
+            "content_length int, payload_sum bigint"
+        ),
+    )
+
+
+def warc_gz_member_oracle(sf_dir: str) -> str:
+    """Per-record closed form — same generators as `warc_gz_oracle`
+    but WITHOUT the per-file aggregation: one row per member."""
+    from ..session import active_or_local
+
+    path = stage_warc_gz_corpus(active_or_local("archive_oracle"), sf_dir)
+    max_n, max_len = 5 + 19, 30 + 199
+    return f"""
+WITH m AS (SELECT media_id FROM read_parquet('{path}/*.parquet')
+           WHERE mime = 'application/warc+gzip'),
+p AS (SELECT media_id, 5 + media_id % 20 AS n FROM m),
+rec AS (
+  SELECT p.media_id, i.range AS i,
+         30 + (p.media_id * 7 + i.range * 11) % 200 AS len,
+         CASE WHEN i.range = 0 THEN 'warcinfo'
+              WHEN (p.media_id + i.range) % 2 = 0 THEN 'response'
+              ELSE 'request' END AS rtype
+  FROM p, range({max_n}) i WHERE i.range < p.n
+)
+SELECT rec.media_id,
+       CAST(rec.i AS INT) AS rec_idx,
+       rec.rtype,
+       CAST(rec.len AS INT) AS content_length,
+       CAST(SUM((rec.media_id + rec.i + j.range) % 95 + 32) AS BIGINT)
+         AS payload_sum
+FROM rec, range({max_len}) j WHERE j.range < rec.len
+GROUP BY rec.media_id, rec.i, rec.rtype, rec.len
+"""
 
 
 def warc_gz_oracle(sf_dir: str) -> str:
@@ -819,6 +921,7 @@ QUERIES: dict = {}
 QUERIES_TAIL = {
     "warc_record_stats": (warc_record_stats, warc_oracle),
     "warc_gzip_stats": (warc_gzip_stats, warc_gz_oracle),
+    "warc_gz_member_stats": (warc_gz_member_stats, warc_gz_member_oracle),
     "zip_members_stats": (zip_members_stats, zip_oracle),
     "tar_archive_stats": (tar_archive_stats, tar_oracle),
     "tfrecord_stats": (tfrecord_stats, tfrecord_oracle),

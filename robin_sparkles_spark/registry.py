@@ -206,13 +206,16 @@ def _collect() -> dict[str, QuerySpec]:
 #
 # ROUND-8 ROTATION (this window; executes the note written at the end
 # of r7). Policy: new queries + replans first, then strict staleness.
-#   * the 2 queries ADDED this round (never driver-gated):
-#     warc_gzip_stats (record-gzipped WARC, VERDICT r7 ask #2) and
-#     jpeg_pixel_stats (integer-IDCT pixel stage, ask #3).
+#   * the 3 queries ADDED this round (never driver-gated):
+#     warc_gzip_stats (record-gzipped WARC, VERDICT r7 ask #2),
+#     warc_gz_member_stats (its per-member explosion — the split
+#     index for inside-file parallelism), and jpeg_pixel_stats
+#     (integer-IDCT pixel stage, ask #3).
 #   * nation_coverage_recon — the one remaining r4-last-green name,
 #     displaced late in r7; leads the fill as promised.
-#   * 47 of the 48 r5-last-green names (the stalest block);
-#     nation_region_names is the one deferred — it leads the r9 fill.
+#   * 46 of the 48 r5-last-green names (the stalest block);
+#     nation_region_names and window_top_order_per_cust are the two
+#     deferred — they lead the r9 fill.
 #   * no plans or oracles changed in r8 at rotation time.
 # The 50 queries gated green in r7 rotate out. Everything displaced
 # keeps its hard signal through the parametrized local oracle sweep in
@@ -220,6 +223,7 @@ def _collect() -> dict[str, QuerySpec]:
 GATE_FRONT: tuple[str, ...] = (
     # new this round — first driver rows
     "warc_gzip_stats",
+    "warc_gz_member_stats",
     "jpeg_pixel_stats",
     # last r4-stale name (displaced from the r7 window late-round)
     "nation_coverage_recon",
@@ -270,11 +274,11 @@ GATE_FRONT: tuple[str, ...] = (
     "wav_decode_stats",
     "window_order_gap_days",
     "window_running_user_spend",
-    "window_top_order_per_cust",
 )
 # ROUND-9 ROTATION (write it at the start of r9): rotate out the 50
 # names above once CORRECTNESS_r08 comes back green. Fill order:
-# nation_region_names (the deferred r5 name) first, then the oldest
+# nation_region_names + window_top_order_per_cust (the two deferred
+# r5 names) first, then the oldest
 # r6-gated names (the 31ce0b4 replans + r03-stale block), then the
 # r7-gated block as needed; plus, as always, anything whose plan or
 # oracle changes in r9 and any newly added queries.

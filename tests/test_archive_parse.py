@@ -86,6 +86,35 @@ def test_warc_gz_member_walk_handles_optional_header_fields():
     assert nxt == len(out)
 
 
+def test_warc_gz_member_walk_yields_split_index():
+    """The per-member walk returns a valid split index: offsets start
+    at 0, members tile the file exactly (offset[i+1] = offset[i] +
+    member_bytes[i], summing to the file length), and each member
+    slice decodes independently — the property 100 TB range-request
+    parallelism rests on."""
+    for m in (0, 3, 137, 499):
+        blob = A.synth_warc_gz(m)
+        members = A.parse_warc_gz_members(blob)
+        assert len(members) == A._warc_params(m)
+        pos = 0
+        for i, r in enumerate(members):
+            assert r["rec_idx"] == i
+            assert r["offset"] == pos
+            # the slice alone is a complete, verifiable member
+            data, nxt = A._gzip_member(
+                blob[pos : pos + r["member_bytes"]], 0
+            )
+            assert nxt == r["member_bytes"]
+            assert A.parse_warc(data)["n_records"] == 1
+            pos += r["member_bytes"]
+        assert pos == len(blob)
+        # per-member stats agree with the whole-file aggregate
+        agg = A.parse_warc_gz(blob)
+        assert sum(r["content_length"] for r in members) == agg["sum_content_length"]
+        assert sum(r["payload_sum"] for r in members) == agg["sum_payload_bytes"]
+        assert sum(r["rtype"] == "response" for r in members) == agg["n_responses"]
+
+
 def test_warc_gz_rejects_corruption():
     blob = bytearray(A.synth_warc_gz(3))
     blob[-5] ^= 0xFF  # inside the last member's trailer/stream
@@ -127,6 +156,7 @@ def test_archive_parsers_reject_corruption():
     [
         "warc_record_stats",
         "warc_gzip_stats",
+        "warc_gz_member_stats",
         "zip_members_stats",
         "tar_archive_stats",
     ],

@@ -83,8 +83,10 @@ MAP_IN_PANDAS_ALLOWLIST = {
     # r7 archive/web-corpus parsers (WARC records, ZIP central
     # directory + DEFLATE members, ustar headers)
     "warc_record_stats",
-    # r8: record-gzipped WARC (the Common Crawl wire format)
+    # r8: record-gzipped WARC (the Common Crawl wire format) — per-file
+    # stats + the cardinality-expanding per-member explosion
     "warc_gzip_stats",
+    "warc_gz_member_stats",
     "zip_members_stats",
     "tar_archive_stats",
     "tfrecord_stats",
