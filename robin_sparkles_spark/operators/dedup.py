@@ -55,10 +55,23 @@ SIMHASH_BITS = 32
 # small SFs), while noise explodes from 6 up (~10× truth at 6-7) —
 # the standard simhash recall/precision trade at 31 informative bits.
 SIMHASH_MAX_HAMMING = 5
-# Pigeonhole blocking: k+1 chunks for hamming ≤ k — a qualifying pair
-# differs in ≤ 5 bits, which can dirty at most 5 of the 6 chunks.
-SIMHASH_N_CHUNKS = SIMHASH_MAX_HAMMING + 1
-SIMHASH_CHUNK_BITS = 6  # 6 chunks × 6 bits ≥ 32 bits
+# COMBINATORIAL pigeonhole blocking (r8 — the sf1 scale probe caught
+# the naive k+1-chunk scheme going 16× for a 10× corpus): split the
+# hash into m = 8 disjoint 4-bit chunks; ≤ 5 corrupted bits dirty at
+# most 5 chunks, leaving ≥ m − k = 3 clean — so every qualifying pair
+# agrees EXACTLY on at least one of the C(8,3) = 56 ordered triples
+# of chunks (in particular the triple of its 3 clean chunks). Block
+# on (triple_idx, 12-bit triple key): 2^12 = 4096 bucket values per
+# key instead of the old 2^6 = 64, so expected random-collision
+# candidates drop from Σ_6 N²/2·2^-6 ≈ N²/21 to Σ_56 N²/2·2^-12 ≈
+# N²/146 at IDENTICAL output rows (exact, same hash, same threshold).
+# Sizing law at at 100 TB: candidates ∝ C(m,m−k)·N²/2^(key_bits);
+# grow key_bits with log2(N) — wider fingerprint (64-bit simhash, the
+# Manku WWW'07 design) and/or larger clean-triple width — the knobs
+# are SIMHASH_N_CHUNKS / SIMHASH_CLEAN_CHUNKS below.
+SIMHASH_N_CHUNKS = 8
+SIMHASH_CHUNK_BITS = 4  # 8 chunks × 4 bits = 32 bits, disjoint
+SIMHASH_CLEAN_CHUNKS = SIMHASH_N_CHUNKS - SIMHASH_MAX_HAMMING  # 3
 # Shingle document-frequency cap (dedup_ngram_jaccard): a shingle
 # appearing in f documents contributes f² candidate rows to the
 # inverted-index self-join, so one boilerplate shingle (a license
@@ -446,34 +459,48 @@ def simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup pairs with Hamming(simhash) ≤ k via pigeonhole
-    chunk-blocking: the 32-bit hash splits into k+1 = 6 disjoint
-    6-bit chunks; a pair within hamming ≤ k = 5 differs in at most 5
-    chunks, so at least one chunk is IDENTICAL — exploding to
-    (chunk_idx, chunk_value) and self-equi-joining on that key finds
-    every qualifying pair (exact, not approximate). Hamming is
+    """Near-dup pairs with Hamming(simhash) ≤ k via COMBINATORIAL
+    pigeonhole blocking (see the constants block): the 32-bit hash
+    splits into 8 disjoint 4-bit chunks; ≤ 5 flipped bits leave ≥ 3
+    chunks untouched, so a qualifying pair matches on the 12-bit key
+    formed by SOME index-ordered triple of chunks — exploding each doc
+    to its 56 (triple_idx, triple_key) rows and self-equi-joining on
+    that key finds every qualifying pair (exact, not approximate; the
+    same output as the old k+1-chunk scheme with ~7× fewer random
+    collisions, and the key_bits knob to grow with log2 N). Hamming is
     verified on candidates only; distinct() collapses pairs that agree
-    on several chunks. Mirrors the MinHash band join: linear shuffle
+    on several triples. Mirrors the MinHash band join: linear shuffle
     on short keys, no nested-loop pair scan."""
+    from itertools import combinations
+
     docs = simhash_docs(spark, sf_dir)
-    chunks = F.array(
+
+    def chunk(i: int):
+        return F.shiftright(
+            F.col("simhash"), i * SIMHASH_CHUNK_BITS
+        ).bitwiseAND(F.lit((1 << SIMHASH_CHUNK_BITS) - 1))
+
+    triple_keys = F.array(
         *[
-            F.shiftright(F.col("simhash"), i * SIMHASH_CHUNK_BITS).bitwiseAND(
-                F.lit((1 << SIMHASH_CHUNK_BITS) - 1)
+            sum(
+                (chunk(c) * F.lit(1 << (SIMHASH_CHUNK_BITS * pos)))
+                for pos, c in enumerate(combo)
             )
-            for i in range(SIMHASH_N_CHUNKS)
+            for combo in combinations(
+                range(SIMHASH_N_CHUNKS), SIMHASH_CLEAN_CHUNKS
+            )
         ]
     )
     blocked = docs.select(
-        "doc_id", "simhash", F.posexplode(chunks).alias("chunk_idx", "chunk_val")
+        "doc_id", "simhash", F.posexplode(triple_keys).alias("key_idx", "key")
     )
     a = blocked.alias("a")
     b = blocked.alias("b")
     candidates = (
         a.join(
             b,
-            (F.col("a.chunk_idx") == F.col("b.chunk_idx"))
-            & (F.col("a.chunk_val") == F.col("b.chunk_val"))
+            (F.col("a.key_idx") == F.col("b.key_idx"))
+            & (F.col("a.key") == F.col("b.key"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
         .select(

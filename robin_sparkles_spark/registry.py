@@ -211,12 +211,15 @@ def _collect() -> dict[str, QuerySpec]:
 #     warc_gz_member_stats (its per-member explosion — the split
 #     index for inside-file parallelism), and jpeg_pixel_stats
 #     (integer-IDCT pixel stage, ask #3).
+#   * dedup_simhash — REPLANNED this round (combinatorial triple-key
+#     pigeonhole, the sf1 probe's 16×→3.2× fix): its r7 row describes
+#     the old plan, so it re-gates despite being freshly green.
 #   * nation_coverage_recon — the one remaining r4-last-green name,
 #     displaced late in r7; leads the fill as promised.
-#   * 46 of the 48 r5-last-green names (the stalest block);
-#     nation_region_names and window_top_order_per_cust are the two
-#     deferred — they lead the r9 fill.
-#   * no plans or oracles changed in r8 at rotation time.
+#   * 45 of the 48 r5-last-green names (the stalest block);
+#     nation_region_names, window_top_order_per_cust and
+#     window_running_user_spend are the three deferred — they lead
+#     the r9 fill.
 # The 50 queries gated green in r7 rotate out. Everything displaced
 # keeps its hard signal through the parametrized local oracle sweep in
 # tests/ (the pytest replica of this gate).
@@ -225,6 +228,8 @@ GATE_FRONT: tuple[str, ...] = (
     "warc_gzip_stats",
     "warc_gz_member_stats",
     "jpeg_pixel_stats",
+    # replanned this round (triple-key blocking)
+    "dedup_simhash",
     # last r4-stale name (displaced from the r7 window late-round)
     "nation_coverage_recon",
     # r5-last-green block (47 of 48; nation_region_names leads r9)
@@ -273,12 +278,12 @@ GATE_FRONT: tuple[str, ...] = (
     "users_kmv_by_type",
     "wav_decode_stats",
     "window_order_gap_days",
-    "window_running_user_spend",
 )
 # ROUND-9 ROTATION (write it at the start of r9): rotate out the 50
 # names above once CORRECTNESS_r08 comes back green. Fill order:
-# nation_region_names + window_top_order_per_cust (the two deferred
-# r5 names) first, then the oldest
+# nation_region_names + window_top_order_per_cust +
+# window_running_user_spend (the three deferred r5 names) first,
+# then the oldest
 # r6-gated names (the 31ce0b4 replans + r03-stale block), then the
 # r7-gated block as needed; plus, as always, anything whose plan or
 # oracle changes in r9 and any newly added queries.
