@@ -176,6 +176,93 @@ _BANDS_SQL = f"""
 """
 
 
+# --- random-projection band keys (r8 prototype — the corpus-scale lever) ---
+#
+# The r8 sf1 probe measured the dim-sign banding's candidate term
+# growing with N²/2^5 (32 bucket values per band — SCALE.md sizing
+# law). Dim-sign keys cannot widen past the embedding dim, so the
+# scale lever is a RANDOM-PROJECTION bank: bit j of band t is
+# sign(s_q · v) for a fixed seeded Rademacher (±1) vector s_q,
+# q = t·bits + j — key width now independent of dim (Charikar's
+# hyperplane LSH with ±1 hyperplanes). Engine parity holds exactly:
+# ±1 multiplication is lossless and both engines fold left-to-right
+# (functions.vectors determinism contract), so the keys — not just
+# their distribution — are bit-identical in DuckDB. Prototyped (not
+# yet the declared queries' index): parity + planted-recall +
+# candidate-reduction pinned in tests/test_projection_lsh.py;
+# promotion of the banded consumers is the r9 switch.
+
+PROJ_BANDS = 24
+PROJ_BAND_BITS = 10  # 1024 bucket values/band; grow with log2(N)
+_PROJ_SEED_BASE = 400  # affine_params index space reserved for projections
+
+
+def rademacher_signs(q: int, dim: int) -> list[float]:
+    """The fixed ±1 hyperplane for projection ``q`` (deterministic —
+    parity of the shared affine hash family, same constants both
+    engines)."""
+    from ..functions.hashing import MERSENNE_P, affine_params
+
+    a, b = affine_params(_PROJ_SEED_BASE + q)
+    return [
+        1.0 if ((a * (i + 1) + b) % MERSENNE_P) & 1 else -1.0
+        for i in range(dim)
+    ]
+
+
+def projection_band_keys_expr(
+    dim: int, bands: int = PROJ_BANDS, bits: int = PROJ_BAND_BITS
+) -> F.Column:
+    """Array of ``bands`` keys over a unit-vector column ``v``: band
+    t's key packs sign(s_q·v) msb-first for its ``bits`` projections.
+    Each ±1 array is a folded literal, so the dot is the same
+    sequential fold `functions.vectors.dot` uses everywhere."""
+    keys = []
+    for t in range(bands):
+        key = F.lit(0).cast("long")
+        for j in range(bits):
+            signs = F.array(
+                *[F.lit(s) for s in rademacher_signs(t * bits + j, dim)]
+            )
+            key = key * 2 + (dot(F.col("v"), signs) > 0).cast("long")
+        keys.append(key)
+    return F.array(*keys)
+
+
+def projection_banded_from(
+    e: DataFrame, dim: int, bands: int = PROJ_BANDS, bits: int = PROJ_BAND_BITS
+) -> DataFrame:
+    """(vec_id, band_idx, band_key) rows — drop-in replacement for
+    ``sign_banded_from`` with dim-independent key width."""
+    return e.select(
+        "vec_id",
+        F.posexplode(projection_band_keys_expr(dim, bands, bits)).alias(
+            "band_idx", "band_key"
+        ),
+    )
+
+
+def projection_bands_sql(
+    v: str, dim: int, bands: int = PROJ_BANDS, bits: int = PROJ_BAND_BITS
+) -> str:
+    """DuckDB twin of ``projection_band_keys_expr``: a list literal of
+    band keys, each the same ±1-dot sign bits packed msb-first."""
+    band_exprs = []
+    for t in range(bands):
+        terms = []
+        for j in range(bits):
+            signs = rademacher_signs(t * bits + j, dim)
+            lit = "([" + ",".join(
+                "1.0" if s > 0 else "-1.0" for s in signs
+            ) + "])"
+            terms.append(
+                f"(CASE WHEN {dot_sql(v, lit)} > 0 "
+                f"THEN {1 << (bits - 1 - j)} ELSE 0 END)"
+            )
+        band_exprs.append("(" + " + ".join(terms) + ")")
+    return "[" + ", ".join(band_exprs) + "]"
+
+
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Banded sign-LSH approximate top-k: candidates are (query,
     corpus) pairs sharing ≥1 of the 8 sign bands — an equi-join on

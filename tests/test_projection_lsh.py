@@ -1,0 +1,104 @@
+"""Random-projection LSH bank (r8 prototype — SCALE.md band-key
+sizing law): engine-exact keys, planted-pair recall, and the
+candidate-count reduction that motivates it."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from pyspark.sql import functions as F
+
+from robin_sparkles_spark.operators import similarity as S
+from robin_sparkles_spark.operators.embedding_dedup import (
+    DEDUP_COS_THRESHOLD,
+    _neardup_unit_index,
+    build_neardup_corpus,
+)
+from robin_sparkles_spark.functions.vectors import as_double, dot, normalized
+
+DIM = 64
+
+
+def test_projection_band_keys_engine_parity(spark, sf_dir):
+    """The Spark fold and the DuckDB twin produce BIT-IDENTICAL keys
+    for every vector (±1 products are lossless; both engines fold
+    left-to-right) — the property that lets a promoted projection
+    index keep full hash-gated oracles."""
+    bands, bits = 4, 10  # small geometry: 40 projections
+    e = S._unit_vectors(spark, sf_dir)
+    got = {
+        (r.vec_id, r.band_idx, r.band_key)
+        for r in S.projection_banded_from(e, DIM, bands, bits).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS "
+        f"SELECT * FROM read_parquet('{sf_dir}/embeddings.parquet')"
+    )
+    sql = f"""
+    WITH e AS ({S._UNIT_VECTORS_SQL}),
+    keys AS (SELECT vec_id,
+             {S.projection_bands_sql('v', DIM, bands, bits)} AS ks FROM e)
+    SELECT vec_id, u.band_idx - 1 AS band_idx, ks[u.band_idx] AS band_key
+    FROM keys, (SELECT unnest(generate_series(1, {bands})) AS band_idx) u
+    """
+    want = {(int(a), int(b), int(c)) for a, b, c in con.execute(sql).fetchall()}
+    assert got == want
+    assert len(got) == bands * e.count()
+
+
+def test_projection_banding_recall_and_candidate_reduction(spark, sf_dir):
+    """Over the planted near-dup corpus (cos ≥ 0.923 guaranteed): the
+    24×10 projection bank keeps ≥95% recall of the true cos ≥ 0.9
+    pairs (theory: per-bit p ≈ 0.87 → band 0.26 → 24 bands ≈ 0.999)
+    while generating FEWER candidate pairs than the 8×5 dim-sign
+    banding — wider keys beat wider collisions."""
+    build_neardup_corpus(spark, sf_dir)
+    e = _neardup_unit_index(spark, sf_dir)
+
+    def candidates(banded):
+        a, b = banded.alias("a"), banded.alias("b")
+        return (
+            a.join(
+                b,
+                (F.col("a.band_idx") == F.col("b.band_idx"))
+                & (F.col("a.band_key") == F.col("b.band_key"))
+                & (F.col("a.vec_id") < F.col("b.vec_id")),
+            )
+            .select(
+                F.col("a.vec_id").alias("v1"), F.col("b.vec_id").alias("v2")
+            )
+            .distinct()
+        )
+
+    sign_cands = candidates(S.sign_banded_from(e))
+    proj_cands = candidates(S.projection_banded_from(e, DIM))
+
+    # ground truth: exact threshold pairs via the verified sign-banded
+    # query is NOT usable as truth (it shares the sign candidates), so
+    # verify each candidate set against the exact cosine and compare
+    # coverage of the union of true pairs found by either.
+    def verified(cands):
+        return {
+            (r.v1, r.v2)
+            for r in cands.join(
+                e.alias("e1"), F.col("v1") == F.col("e1.vec_id")
+            )
+            .join(e.alias("e2"), F.col("v2") == F.col("e2.vec_id"))
+            .select(
+                "v1", "v2",
+                dot(F.col("e1.v"), F.col("e2.v")).alias("cs"),
+            )
+            .where(F.col("cs") >= DEDUP_COS_THRESHOLD)
+            .collect()
+        }
+
+    true_sign = verified(sign_cands)
+    true_proj = verified(proj_cands)
+    truth = true_sign | true_proj
+    assert truth, "planted corpus must contain cos >= 0.9 pairs"
+    assert len(true_proj) >= 0.95 * len(truth), (len(true_proj), len(truth))
+
+    n_sign, n_proj = sign_cands.count(), proj_cands.count()
+    assert n_proj < n_sign, (n_proj, n_sign)
