@@ -105,6 +105,10 @@ EXTENDED = [
     "html_extract_text",
     "url_normalize_stats",
     "tfrecord_stats",
+    # new r8 queries (gzip-framed WARC + member explosion, pixel IDCT)
+    "warc_gzip_stats",
+    "warc_gz_member_stats",
+    "jpeg_pixel_stats",
 ]
 
 
