@@ -45,7 +45,9 @@ from ..functions.vectors import (
 from ..functions.barrier import barrier
 from ..sources import load_table
 from ..sources.staging import is_staged, staged_path
-from .similarity import _BANDS_SQL, sign_banded_from
+from .similarity import projection_bands_sql
+
+EMB_DIM = 64  # fixture embedding dimension (TESTDATA.md)
 
 NEARDUP_N = 50
 NEARDUP_ID_OFFSET = 1_000_000
@@ -136,14 +138,40 @@ def _neardup_unit_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cached
 
 
+def _neardup_band_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The projection-band LSH index over the planted corpus,
+    materialized + memoized like the unit-vector index: the 240
+    Rademacher dots per vector are paid once per (application,
+    sf_dir), not once per action — this banded table IS the ANN index
+    a production deployment persists."""
+    key = (spark.sparkContext.applicationId, sf_dir, "bands")
+    cached = _NEARDUP_INDEX_CACHE.get(key)
+    if cached is None:
+        from .similarity import projection_banded_from
+
+        cached = barrier(
+            projection_banded_from(_neardup_unit_index(spark, sf_dir), EMB_DIM),
+            "corpus",
+            "embedding_dedup projection band index",
+        )
+        _NEARDUP_INDEX_CACHE[key] = cached
+    return cached
+
+
 def embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Banded sign-LSH dedup at cos ≥ 0.9 over the planted corpus:
+    """Banded LSH dedup at cos ≥ 0.9 over the planted corpus: the
     same equi-join-on-(band_idx, band_key) shape as
-    ``dedup.embedding_similar_pairs`` (candidates sharing ≥1 of the
-    8×5 sign bands, exact cosine on candidates only), at the real dup
-    threshold over data that actually contains dups."""
+    ``dedup.embedding_similar_pairs``, PROMOTED (r8) to the
+    random-projection bank (24 bands × 10 Rademacher sign bits —
+    ``similarity.projection_banded_from``): 1024 bucket values per
+    band instead of the dim-sign keys' 32, which is what held this
+    query's candidate term to ~linear in the 10× scale probe
+    (SCALE.md sizing law). At the 0.9 threshold the geometry's
+    per-pair recall is ≥0.999; measured: the full planted pair set is
+    found at every fixture scale (identical results to the dim-sign
+    plan). Exact cosine on candidates only."""
     e = _neardup_unit_index(spark, sf_dir)
-    banded = sign_banded_from(e)
+    banded = _neardup_band_index(spark, sf_dir)
     a = banded.alias("a")
     b = banded.alias("b")
     cands = (
@@ -171,16 +199,22 @@ def embedding_dedup_oracle(sf_dir: str) -> str:
     semantics — not a quadratic scan — are what the gate hashes."""
     from ..session import active_or_local
 
+    from .similarity import PROJ_BANDS
+
     path = build_neardup_corpus(active_or_local("embedding_dedup_oracle"), sf_dir)
     rel = f"read_parquet('{path}/*.parquet')"
-    # _BANDS_SQL is written against a CTE named ``e`` — the same name
-    # used here, so the band construction is literally shared with the
-    # ann_lsh / embedding_similar_pairs oracles (one copy to maintain).
+    # the projection-band twin mirrors similarity.projection_banded_from
+    # bit-for-bit (±1 products are lossless; both engines fold
+    # left-to-right — parity asserted in tests/test_projection_lsh.py)
     return f"""
 WITH raw AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
              FROM {rel}),
 e AS (SELECT vec_id, {normalized_sql('v')} AS v FROM raw),
-bands AS ({_BANDS_SQL}),
+keyed AS (SELECT vec_id, {projection_bands_sql('v', EMB_DIM)} AS ks FROM e),
+bands AS (
+  SELECT vec_id, u.band_idx - 1 AS band_idx, ks[u.band_idx] AS band_key
+  FROM keyed, (SELECT unnest(generate_series(1, {PROJ_BANDS})) AS band_idx) u
+),
 cands AS (
   SELECT DISTINCT a.vec_id AS vec1, b.vec_id AS vec2
   FROM bands a JOIN bands b

@@ -214,12 +214,16 @@ def _collect() -> dict[str, QuerySpec]:
 #   * dedup_simhash — REPLANNED this round (combinatorial triple-key
 #     pigeonhole, the sf1 probe's 16×→3.2× fix): its r7 row describes
 #     the old plan, so it re-gates despite being freshly green.
+#   * embedding_dedup — REPLANNED this round (promoted to the
+#     random-projection band index, 24×10, with the memoized banded
+#     table and the unrolled-sum oracle twin): same planted results,
+#     new plan + oracle, so it re-gates.
 #   * nation_coverage_recon — the one remaining r4-last-green name,
 #     displaced late in r7; leads the fill as promised.
-#   * 45 of the 48 r5-last-green names (the stalest block);
-#     nation_region_names, window_top_order_per_cust and
-#     window_running_user_spend are the three deferred — they lead
-#     the r9 fill.
+#   * 44 of the 48 r5-last-green names (the stalest block);
+#     nation_region_names, window_top_order_per_cust,
+#     window_running_user_spend and window_order_gap_days are the
+#     four deferred — they lead the r9 fill.
 # The 50 queries gated green in r7 rotate out. Everything displaced
 # keeps its hard signal through the parametrized local oracle sweep in
 # tests/ (the pytest replica of this gate).
@@ -228,8 +232,9 @@ GATE_FRONT: tuple[str, ...] = (
     "warc_gzip_stats",
     "warc_gz_member_stats",
     "jpeg_pixel_stats",
-    # replanned this round (triple-key blocking)
+    # replanned this round (triple-key blocking; projection-band index)
     "dedup_simhash",
+    "embedding_dedup",
     # last r4-stale name (displaced from the r7 window late-round)
     "nation_coverage_recon",
     # r5-last-green block (47 of 48; nation_region_names leads r9)
@@ -277,7 +282,6 @@ GATE_FRONT: tuple[str, ...] = (
     "user_retention_cohorts",
     "users_kmv_by_type",
     "wav_decode_stats",
-    "window_order_gap_days",
 )
 # ROUND-9 ROTATION (write it at the start of r9): rotate out the 50
 # names above once CORRECTNESS_r08 comes back green. Fill order:

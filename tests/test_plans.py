@@ -238,6 +238,7 @@ def test_salted_join_spreads_hot_keys(spark, sf_dir):
 _CORPUS_BARRIER_ALLOWLIST = {
     "shared unit-vector ANN index",
     "embedding_dedup unit-vector index",
+    "embedding_dedup projection band index",
     "semdedup assigned unit-vector index",
     "kmeans_fit cast vectors",
     "label-propagation initial labels",
