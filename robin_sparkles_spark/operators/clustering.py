@@ -54,22 +54,47 @@ def _vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _assign_expr(centroids: list[list[float]]) -> F.Column:
-    """argmin over squared distances to literal centroids — unrolled
-    into a pure Column expression (k is small; the data side stays a
-    single codegen-able projection). ‖v−c‖² = ‖v‖² − 2⟨v,c⟩ + ‖c‖²;
-    ‖v‖² is cluster-invariant, so argmin needs only ⟨v,c⟩ and ‖c‖²."""
-    best_idx = F.lit(0)
-    best_score = None
-    for i, c in enumerate(centroids):
-        c_arr = F.array(*[F.lit(float(x)) for x in c])
-        c_norm2 = float(sum(x * x for x in c))
-        score = F.lit(c_norm2) - 2.0 * dot(F.col("v"), c_arr)
-        if best_score is None:
-            best_score = score
-        else:
-            best_idx = F.when(score < best_score, F.lit(i)).otherwise(best_idx)
-            best_score = F.least(best_score, score)
-    return best_idx
+    """argmin over squared distances to literal centroids.
+    ‖v−c‖² = ‖v‖² − 2⟨v,c⟩ + ‖c‖²; ‖v‖² is cluster-invariant, so
+    argmin needs only ⟨v,c⟩ and ‖c‖².
+
+    Shape (r8): ONE aggregate over a 2-D centroid-matrix literal, not
+    k chained when/least trees — the adaptive-k SemDeDup fit hit the
+    same Catalyst-analysis wall as the projection bank (k=78 fit:
+    465 s first action with the chain). Semantics preserved exactly:
+    per-centroid dot is the same sequential zip_with/aggregate fold
+    (oracle bit-parity), strict `<` keeps the first minimal index on
+    ties (matching the ROW_NUMBER `ORDER BY s, cluster` oracle rule).
+    Doubles are inlined via repr→CAST (shortest-repr round-trip is
+    exact)."""
+    k = len(centroids)
+
+    def d(x: float) -> str:
+        return f"CAST('{float(x)!r}' AS DOUBLE)"
+
+    c_lit = "array(" + ",".join(
+        "array(" + ",".join(d(x) for x in c) + ")" for c in centroids
+    ) + ")"
+    n2_lit = "array(" + ",".join(
+        d(sum(x * x for x in c)) for c in centroids
+    ) + ")"
+    score = f"""
+      element_at({n2_lit}, i + 1) - CAST(2.0 AS DOUBLE) *
+        aggregate(zip_with(v, element_at({c_lit}, i + 1), (x, c) -> x * c),
+                  CAST(0 AS DOUBLE), (acc, y) -> acc + y)
+    """
+    return F.expr(
+        f"""
+        aggregate(sequence(0, {k - 1}),
+          named_struct('idx', CAST(0 AS INT),
+                       'best', CAST('Infinity' AS DOUBLE)),
+          (st, i) -> IF(({score}) < st.best,
+                        named_struct('idx', CAST(i AS INT),
+                                     'best', CAST(({score}) AS DOUBLE)),
+                        st),
+          st -> st.idx)
+        """
+    )
 
 
 _FIT_CACHE: dict[tuple, list[list[float]]] = {}

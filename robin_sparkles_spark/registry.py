@@ -220,10 +220,16 @@ def _collect() -> dict[str, QuerySpec]:
 #     new plan + oracle, so it re-gates.
 #   * nation_coverage_recon — the one remaining r4-last-green name,
 #     displaced late in r7; leads the fill as promised.
-#   * 44 of the 48 r5-last-green names (the stalest block);
-#     nation_region_names, window_top_order_per_cust,
-#     window_running_user_spend and window_order_gap_days are the
-#     four deferred — they lead the r9 fill.
+#   * semdedup_dropped / kmeans_assign / ann_ivf_topk /
+#     ann_ivf_recall_at_k — REPLANNED late-r8: adaptive-k SemDeDup
+#     fit + the single-expression argmin rewrite in the shared
+#     k-means (identical results, new plans).
+#   * 40 of the 48 r5-last-green names (the stalest block); the
+#     eight deferred to the r9 fill: nation_region_names,
+#     window_top_order_per_cust, window_running_user_spend,
+#     window_order_gap_days, tiff_frame_sample,
+#     triangle_count_copurchase, user_retention_cohorts,
+#     users_kmv_by_type.
 # The 50 queries gated green in r7 rotate out. Everything displaced
 # keeps its hard signal through the parametrized local oracle sweep in
 # tests/ (the pytest replica of this gate).
@@ -232,9 +238,14 @@ GATE_FRONT: tuple[str, ...] = (
     "warc_gzip_stats",
     "warc_gz_member_stats",
     "jpeg_pixel_stats",
-    # replanned this round (triple-key blocking; projection-band index)
+    # replanned this round (triple-key blocking; projection-band index;
+    # adaptive-k fit + single-expression argmin in the shared k-means)
     "dedup_simhash",
     "embedding_dedup",
+    "semdedup_dropped",
+    "kmeans_assign",
+    "ann_ivf_topk",
+    "ann_ivf_recall_at_k",
     # last r4-stale name (displaced from the r7 window late-round)
     "nation_coverage_recon",
     # r5-last-green block (47 of 48; nation_region_names leads r9)
@@ -277,17 +288,11 @@ GATE_FRONT: tuple[str, ...] = (
     "q2_min_cost_supplier",
     "referential_integrity_audit",
     "source_mixture",
-    "tiff_frame_sample",
-    "triangle_count_copurchase",
-    "user_retention_cohorts",
-    "users_kmv_by_type",
     "wav_decode_stats",
 )
 # ROUND-9 ROTATION (write it at the start of r9): rotate out the 50
 # names above once CORRECTNESS_r08 comes back green. Fill order:
-# nation_region_names + window_top_order_per_cust +
-# window_running_user_spend (the three deferred r5 names) first,
-# then the oldest
+# the eight deferred r5 names (see above) first, then the oldest
 # r6-gated names (the 31ce0b4 replans + r03-stale block), then the
 # r7-gated block as needed; plus, as always, anything whose plan or
 # oracle changes in r9 and any newly added queries.
