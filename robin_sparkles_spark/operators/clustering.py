@@ -424,6 +424,115 @@ FROM j
 """
 
 
+# --- IVF-blocked similar pairs (r8) -----------------------------------------
+
+SIMILAR_IVF_NPROBE = 2
+# Adaptive fit width over the embeddings table (same rule as
+# semdedup.SEMDEDUP_TARGET_CELL over its planted corpus): unchanged
+# k = K_CLUSTERS at every gate scale (500 / 2000 rows), cells held
+# ~constant beyond — without it the 10× probe's pair scan inherits
+# 2500-wide cells and goes quadratic.
+IVF_PAIRS_TARGET_CELL = 256
+_PAIRS_K_CACHE: dict[str, int] = {}
+
+
+def _embeddings_k(spark: SparkSession, sf_dir: str) -> int:
+    k = _PAIRS_K_CACHE.get(sf_dir)
+    if k is None:
+        n = load_table(spark, sf_dir, "embeddings").count()
+        k = max(K_CLUSTERS, n // IVF_PAIRS_TARGET_CELL)
+        _PAIRS_K_CACHE[sf_dir] = k
+    return k
+
+
+def embedding_similar_pairs_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Similar pairs at the WEAK τ = 0.40 via learned-cell blocking —
+    the production alternative to sign-LSH banding where wide hash
+    keys collapse recall (SCALE.md band-key note: p≈0.63 per bit at
+    this τ). BOTH sides multi-probe their ``SIMILAR_IVF_NPROBE``
+    nearest k-means cells, so a pair becomes a candidate iff the
+    probe sets intersect; the exact cosine verifies candidates only.
+
+    Scale contract: candidates ∝ Σ_cells (P·|cell|)²; |cell| is held
+    ~constant by growing k with the corpus (the SemDeDup adaptive-k
+    rule — here k is the shared fixture fit), so the pair scan stays
+    ~linear at fixed P, vs the banded form's N²/2^band_bits term.
+    Recall (measured vs the exact all-pairs twin in
+    tests/test_clustering.py) is the P knob, same as ann_ivf_topk's
+    nprobe curve."""
+    from .dedup import COSINE_SIMILAR_THRESHOLD
+
+    centroids = kmeans_fit(spark, sf_dir, k=_embeddings_k(spark, sf_dir))
+    base = (
+        _vectors(spark, sf_dir)
+        .groupBy("vec_id")  # barrier: probe/argmin expressions once
+        .agg(F.first("v").alias("v"))
+    )
+    probed = (
+        base.withColumn(
+            "probe", F.explode(_probe_cells_expr(centroids, SIMILAR_IVF_NPROBE))
+        )
+        .select("vec_id", "probe")
+        .distinct()
+    )
+    a, b = probed.alias("a"), probed.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.probe") == F.col("b.probe"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(F.col("a.vec_id").alias("vec1"), F.col("b.vec_id").alias("vec2"))
+        .distinct()
+    )
+    cos = dot(F.col("e1.v"), F.col("e2.v")) / (
+        F.sqrt(dot(F.col("e1.v"), F.col("e1.v")))
+        * F.sqrt(dot(F.col("e2.v"), F.col("e2.v")))
+    )
+    return (
+        cands.join(base.alias("e1"), F.col("vec1") == F.col("e1.vec_id"))
+        .join(base.alias("e2"), F.col("vec2") == F.col("e2.vec_id"))
+        .select("vec1", "vec2", cos.alias("cos_sim"))
+        .where(F.col("cos_sim") >= COSINE_SIMILAR_THRESHOLD)
+    )
+
+
+def embedding_similar_pairs_ivf_oracle(sf_dir: str) -> str:
+    """DuckDB twin: both sides keep their SIMILAR_IVF_NPROBE nearest
+    cells (same (s, cluster) ordering as the probe expression),
+    candidate pairs share a probe cell, exact cosine mirrored
+    term-for-term."""
+    from ..session import active_or_local
+    from .dedup import COSINE_SIMILAR_THRESHOLD
+
+    spark = active_or_local("ivf_pairs_oracle")
+    centroids = kmeans_fit(spark, sf_dir, k=_embeddings_k(spark, sf_dir))
+    cos = (
+        f"{dot_sql('e1.v', 'e2.v')} / "
+        f"(sqrt({dot_sql('e1.v', 'e1.v')}) * sqrt({dot_sql('e2.v', 'e2.v')}))"
+    )
+    return f"""
+WITH {_scored_ctes(centroids)},
+ranked AS (
+  SELECT vec_id, v, cluster,
+         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY s, cluster) AS rn
+  FROM scored
+),
+probes AS (SELECT DISTINCT vec_id, cluster AS probe FROM ranked
+           WHERE rn <= {SIMILAR_IVF_NPROBE}),
+cand AS (
+  SELECT DISTINCT a.vec_id AS vec1, b.vec_id AS vec2
+  FROM probes a JOIN probes b
+    ON a.probe = b.probe AND a.vec_id < b.vec_id
+)
+SELECT vec1, vec2, {cos} AS cos_sim
+FROM cand
+JOIN vec e1 ON vec1 = e1.vec_id
+JOIN vec e2 ON vec2 = e2.vec_id
+WHERE {cos} >= {COSINE_SIMILAR_THRESHOLD}
+"""
+
+
 # The fit is iterative (multi-job), but assignment/search are pure
 # projections/joins once centroids are fixed — so the oracles are
 # lazy callables (sf_dir -> SQL) that run the fit and inline the
@@ -432,4 +541,8 @@ QUERIES = {
     "kmeans_assign": (kmeans_assign, kmeans_assign_oracle),
     "ann_ivf_topk": (ann_ivf_topk, ann_ivf_topk_oracle),
     "ann_ivf_recall_at_k": (ann_ivf_recall_at_k, ann_ivf_recall_oracle),
+    "embedding_similar_pairs_ivf": (
+        embedding_similar_pairs_ivf,
+        embedding_similar_pairs_ivf_oracle,
+    ),
 }

@@ -224,12 +224,15 @@ def _collect() -> dict[str, QuerySpec]:
 #     ann_ivf_recall_at_k — REPLANNED late-r8: adaptive-k SemDeDup
 #     fit + the single-expression argmin rewrite in the shared
 #     k-means (identical results, new plans).
-#   * 40 of the 48 r5-last-green names (the stalest block); the
-#     eight deferred to the r9 fill: nation_region_names,
+#   * embedding_similar_pairs_ivf — ADDED late-r8 (IVF-blocked
+#     weak-τ pair finder; measured recall 0.82–0.86 vs the banded
+#     form's 0.61–0.65 at the same τ).
+#   * 39 of the 48 r5-last-green names (the stalest block); the
+#     nine deferred to the r9 fill: nation_region_names,
 #     window_top_order_per_cust, window_running_user_spend,
 #     window_order_gap_days, tiff_frame_sample,
 #     triangle_count_copurchase, user_retention_cohorts,
-#     users_kmv_by_type.
+#     users_kmv_by_type, source_mixture.
 # The 50 queries gated green in r7 rotate out. Everything displaced
 # keeps its hard signal through the parametrized local oracle sweep in
 # tests/ (the pytest replica of this gate).
@@ -246,6 +249,8 @@ GATE_FRONT: tuple[str, ...] = (
     "kmeans_assign",
     "ann_ivf_topk",
     "ann_ivf_recall_at_k",
+    # new late-r8: IVF-blocked weak-threshold similar pairs
+    "embedding_similar_pairs_ivf",
     # last r4-stale name (displaced from the r7 window late-round)
     "nation_coverage_recon",
     # r5-last-green block (47 of 48; nation_region_names leads r9)
@@ -287,12 +292,11 @@ GATE_FRONT: tuple[str, ...] = (
     "q20_excess_shippers",
     "q2_min_cost_supplier",
     "referential_integrity_audit",
-    "source_mixture",
     "wav_decode_stats",
 )
 # ROUND-9 ROTATION (write it at the start of r9): rotate out the 50
 # names above once CORRECTNESS_r08 comes back green. Fill order:
-# the eight deferred r5 names (see above) first, then the oldest
+# the nine deferred r5 names (see above) first, then the oldest
 # r6-gated names (the 31ce0b4 replans + r03-stale block), then the
 # r7-gated block as needed; plus, as always, anything whose plan or
 # oracle changes in r9 and any newly added queries.

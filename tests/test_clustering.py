@@ -195,3 +195,65 @@ def test_gapfill_produces_contiguous_calendar(spark, sf_dir):
     assert months == expect  # contiguous, no dup/missing months
     for r in rows:
         assert (r.n_orders == 0) == (r.revenue == 0.0)
+
+
+def test_ivf_similar_pairs_recall_beats_banding(spark, sf_dir):
+    """The IVF-blocked weak-τ pair finder (r8): ≥0.75 recall of the
+    exact all-pairs truth AND at least the banded form's recall at
+    the same τ — learned cells concentrate moderate-cosine neighbors
+    where fixed sign-bands cannot (measured 0.82–0.86 vs 0.61–0.65
+    across fixture scales)."""
+    from pyspark.sql import functions as F
+
+    from robin_sparkles_spark.functions.vectors import dot
+    from robin_sparkles_spark.operators import clustering as C
+    from robin_sparkles_spark.operators.dedup import (
+        COSINE_SIMILAR_THRESHOLD,
+        embedding_similar_pairs,
+    )
+
+    base = C._vectors(spark, sf_dir).groupBy("vec_id").agg(
+        F.first("v").alias("v")
+    )
+    a, b = base.alias("a"), base.alias("b")
+    cos = dot(F.col("a.v"), F.col("b.v")) / (
+        F.sqrt(dot(F.col("a.v"), F.col("a.v")))
+        * F.sqrt(dot(F.col("b.v"), F.col("b.v")))
+    )
+    truth = {
+        (r.vec1, r.vec2)
+        for r in a.join(F.broadcast(b), F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("vec1"),
+            F.col("b.vec_id").alias("vec2"),
+            cos.alias("cs"),
+        )
+        .where(F.col("cs") >= COSINE_SIMILAR_THRESHOLD)
+        .collect()
+    }
+    assert truth
+    ivf = {
+        (r.vec1, r.vec2)
+        for r in C.embedding_similar_pairs_ivf(spark, sf_dir).collect()
+    }
+    banded = {
+        (r.vec1, r.vec2)
+        for r in embedding_similar_pairs(spark, sf_dir).collect()
+    }
+    assert ivf <= truth  # exact verify: no false positives
+    recall_ivf = len(ivf & truth) / len(truth)
+    recall_banded = len(banded & truth) / len(truth)
+    assert recall_ivf >= 0.75, (recall_ivf, len(truth))
+    assert recall_ivf >= recall_banded, (recall_ivf, recall_banded)
+
+
+def test_ivf_similar_pairs_plan_is_equi_join(spark, sf_dir):
+    """The probe-cell candidate join must be a hash/sort-merge EQUI
+    join — no nested-loop pair scan."""
+    from robin_sparkles_spark.operators import clustering as C
+
+    from .test_plans import audit_plan
+
+    a = audit_plan(C.embedding_similar_pairs_ivf(spark, sf_dir))
+    assert a.sortmerge_joins + a.broadcast_joins >= 1, a.formatted
+    assert not a.has_python_eval
