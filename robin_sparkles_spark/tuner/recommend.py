@@ -127,6 +127,100 @@ def apply_broadcast_recommendation(
         )
 
 
+# -- third knob: skew detection from recorded task durations -----------------
+#
+# The same evidence loop, pointed at stragglers: a skewed join key
+# shows up in the flight record as one task in a stage running far
+# longer than its siblings (the reduce task that owns the hot key).
+# Detection is max/median task duration per stage; mitigation is the
+# AQE skew-join conf pair (runtime split) plus — reported, not
+# auto-applied — the named salting helper (`functions.skew`) for the
+# shapes AQE can't split (shuffle-hash feeding stateful stages).
+
+SKEW_RATIO_THRESHOLD = 4.0  # max/median beyond this flags a stage
+SKEW_MIN_TASKS = 4  # below this a max/median ratio is noise
+
+
+@dataclass
+class StageSkew:
+    stage_id: int
+    n_tasks: int
+    median_ms: float
+    max_ms: int
+    ratio: float
+
+
+@dataclass
+class SkewRecommendation:
+    skewed: list  # list[StageSkew], worst ratio first
+    confs: dict  # AQE conf -> value to apply ("" when no skew found)
+    runs_considered: int
+
+
+def detect_task_skew(
+    store: MetricsStore, ratio_threshold: float = SKEW_RATIO_THRESHOLD
+) -> "list[StageSkew]":
+    """Per-stage straggler scan of the LAST recorded run: stages with
+    ≥ SKEW_MIN_TASKS tasks whose max duration is ≥ ``ratio_threshold``
+    × the median. Median over an even count takes the lower-middle
+    element (exact, engine-portable)."""
+    runs = store.contiguous_runs()
+    if not runs:
+        return []
+    rows = (
+        store.task_metrics()
+        .where(F.col("run") == runs[-1])
+        .groupBy("stage_id")
+        .agg(
+            F.count("*").alias("n"),
+            F.expr("percentile_approx(duration_ms, 0.5, 2147483647)").alias(
+                "med"
+            ),
+            F.max("duration_ms").alias("mx"),
+        )
+        .where(F.col("n") >= SKEW_MIN_TASKS)
+        .collect()
+    )
+    out = []
+    for r in rows:
+        med = float(max(r.med, 1))
+        ratio = r.mx / med
+        if ratio >= ratio_threshold:
+            out.append(StageSkew(r.stage_id, r.n, med, r.mx, round(ratio, 2)))
+    return sorted(out, key=lambda s: -s.ratio)
+
+
+def recommend_skew_mitigation(
+    store: MetricsStore, ratio_threshold: float = SKEW_RATIO_THRESHOLD
+) -> SkewRecommendation:
+    """Evidence → conf: when the last run shows straggler stages,
+    recommend AQE's runtime skew split with the split factor tied to
+    the OBSERVED ratio (clamped to AQE's sane range); no skew, no
+    conf churn. On a contended local[*] host the max/median signal is
+    compressed (every sibling task slows while the straggler hogs
+    cores — measured ~2× compression at local[32]), so tests pass an
+    explicit lower threshold; production keeps the default."""
+    runs = store.contiguous_runs()
+    skewed = detect_task_skew(store, ratio_threshold)
+    confs: dict = {}
+    if skewed:
+        factor = max(2, min(10, int(skewed[0].ratio // 2)))
+        confs = {
+            "spark.sql.adaptive.skewJoin.enabled": "true",
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor": str(factor),
+        }
+    return SkewRecommendation(
+        skewed=skewed, confs=confs, runs_considered=len(runs)
+    )
+
+
+def apply_skew_recommendation(
+    spark: SparkSession, rec: SkewRecommendation
+) -> None:
+    for k, v in rec.confs.items():
+        spark.conf.set(k, v)
+
+
 def record_run(
     store: MetricsStore, run_id: int, since_stage_id: int | None = None
 ) -> bool:
