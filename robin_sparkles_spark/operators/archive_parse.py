@@ -773,6 +773,179 @@ def parse_warc_gz_members(blob: bytes) -> list[dict]:
     return out
 
 
+# --- zstd-framed WARC (RFC 8878 frame layer; the .warc.zst direction) -------
+#
+# Common Crawl's successor framing is zstd. A full zstd decoder needs
+# FSE/huffman machinery, but the FRAME layer — magic numbers, frame
+# headers with content-size fields, the block walk, skippable frames
+# (which the seekable format uses for its index), and the RAW/RLE
+# block types — is pure byte arithmetic per RFC 8878, and it is the
+# layer a splitter/indexer walks. The synthesizer emits spec-valid
+# frames using only RAW and RLE blocks (legal zstd any decoder can
+# read), one WARC record per data frame (the .warc.zst record
+# framing), one RLE-coded padding frame, and one skippable frame per
+# file standing in the seekable-index slot.
+
+_ZSTD_MAGIC = b"\x28\xb5\x2f\xfd"
+_ZSTD_SKIP_MAGIC_LO = 0x184D2A50  # ..50-..5F all legal
+_ZSTD_RAW_BLOCK = 101  # raw-block chunk size used by the synthesizer
+
+
+def _zstd_frame(content: bytes, rle_byte: int | None = None) -> bytes:
+    """One spec-valid zstd frame holding ``content``: single-segment
+    frame header with an exact Frame_Content_Size, then RLE blocks
+    (when ``rle_byte`` is given and content is that byte repeated) or
+    RAW blocks of ≤ _ZSTD_RAW_BLOCK bytes."""
+    out = bytearray(_ZSTD_MAGIC)
+    n = len(content)
+    if n < 256:
+        out.append(0b0010_0000)  # FCS flag 0 + single_segment → 1 byte
+        out.append(n)
+    else:
+        out.append(0b0110_0000)  # FCS flag 1 → 2 bytes, value − 256
+        out += struct.pack("<H", n - 256)
+    if rle_byte is not None:
+        # one RLE block: Block_Header size field carries the RUN length
+        out += struct.pack("<I", 1 | (1 << 1) | (n << 3))[:3]
+        out.append(rle_byte)
+    else:
+        chunks = [
+            content[i : i + _ZSTD_RAW_BLOCK]
+            for i in range(0, n, _ZSTD_RAW_BLOCK)
+        ] or [b""]
+        for idx, ch in enumerate(chunks):
+            last = 1 if idx == len(chunks) - 1 else 0
+            out += struct.pack("<I", last | (0 << 1) | (len(ch) << 3))[:3]
+            out += ch
+    return bytes(out)
+
+
+def _zstd_pad_len(m: int) -> int:
+    return 20 + m % 40
+
+
+def synth_warc_zst(media_id: int) -> bytes:
+    """A .warc.zst-shaped file: one skippable frame (the seekable
+    format's index slot, payload length 8 + m % 9), one data frame
+    per WARC record (same records as :func:`synth_warc`), and one
+    RLE-coded padding frame of spaces."""
+    out = bytearray()
+    skip_len = 8 + media_id % 9
+    out += struct.pack("<I", _ZSTD_SKIP_MAGIC_LO | (media_id % 16))
+    out += struct.pack("<I", skip_len)
+    out += bytes((media_id + j) % 251 for j in range(skip_len))
+    for i in range(_warc_params(media_id)):
+        rtype = _warc_type(media_id, i)
+        n = _warc_payload_len(media_id, i)
+        payload = bytes((media_id + i + j) % 95 + 32 for j in range(n))
+        headers = [
+            "WARC/1.0",
+            f"WARC-Type: {rtype}",
+            f"WARC-Record-ID: <urn:uuid:{media_id:08d}-{i:04d}>",
+        ]
+        if rtype != "warcinfo":
+            headers.append(
+                f"WARC-Target-URI: http://host-{media_id}.test/page/{i}"
+            )
+        headers.append(f"Content-Length: {n}")
+        record = (
+            ("\r\n".join(headers) + "\r\n\r\n").encode("ascii")
+            + payload
+            + b"\r\n\r\n"
+        )
+        out += _zstd_frame(record)
+    out += _zstd_frame(b" " * _zstd_pad_len(media_id), rle_byte=0x20)
+    return bytes(out)
+
+
+def _zstd_next_frame(blob: bytes, pos: int) -> tuple[bytes | None, int]:
+    """Walk ONE frame at ``pos`` (RFC 8878 §3): returns (content,
+    next_pos) for a data frame, (None, next_pos) for a skippable
+    frame. Verifies the magic, the single-segment frame header's
+    Frame_Content_Size against the reconstructed bytes, and block
+    headers (RAW and RLE only — compressed blocks are the documented
+    entropy boundary)."""
+    magic = struct.unpack_from("<I", blob, pos)[0]
+    if (magic & 0xFFFFFFF0) == _ZSTD_SKIP_MAGIC_LO:
+        size = struct.unpack_from("<I", blob, pos + 4)[0]
+        return None, pos + 8 + size
+    if blob[pos : pos + 4] != _ZSTD_MAGIC:
+        raise ValueError(f"bad zstd magic at {pos}")
+    p = pos + 4
+    fhd = blob[p]
+    p += 1
+    single_segment = (fhd >> 5) & 1
+    if not single_segment:
+        raise ValueError("synth frames are single-segment")
+    if fhd & 0b11:  # dictionary id present
+        raise ValueError("unexpected dictionary id")
+    fcs_flag = fhd >> 6
+    if fcs_flag == 0:
+        fcs = blob[p]
+        p += 1
+    elif fcs_flag == 1:
+        fcs = struct.unpack_from("<H", blob, p)[0] + 256
+        p += 2
+    else:
+        raise ValueError(f"unsupported FCS field size flag {fcs_flag}")
+    content = bytearray()
+    while True:
+        hdr = int.from_bytes(blob[p : p + 3], "little")
+        if len(blob[p : p + 3]) < 3:
+            raise ValueError(f"truncated block header at {p}")
+        p += 3
+        last, btype, bsize = hdr & 1, (hdr >> 1) & 3, hdr >> 3
+        if btype == 0:  # RAW
+            content += blob[p : p + bsize]
+            p += bsize
+        elif btype == 1:  # RLE: one byte repeated bsize times
+            content += blob[p : p + 1] * bsize
+            p += 1
+        else:
+            raise ValueError(f"compressed block (type {btype}) unsupported")
+        if last:
+            break
+    if len(content) != fcs:
+        raise ValueError(
+            f"Frame_Content_Size {fcs} != reconstructed {len(content)}"
+        )
+    return bytes(content), p
+
+
+def parse_warc_zst(blob: bytes) -> dict:
+    """Full-file walk: skippable frames counted and skipped, every
+    data frame reconstructed and classified (single WARC record vs
+    RLE padding run), record stats accumulated via the strict WARC
+    parse."""
+    pos = 0
+    agg = {
+        "n_records": 0,
+        "n_padding_frames": 0,
+        "n_skippable": 0,
+        "sum_content_length": 0,
+        "sum_payload_bytes": 0,
+        "sum_padding_bytes": 0,
+    }
+    while pos < len(blob):
+        content, pos = _zstd_next_frame(blob, pos)
+        if content is None:
+            agg["n_skippable"] += 1
+            continue
+        if content and content == content[:1] * len(content):
+            agg["n_padding_frames"] += 1
+            agg["sum_padding_bytes"] += len(content)
+            continue
+        r = parse_warc(content)
+        if r["n_records"] != 1:
+            raise ValueError(
+                f"data frame holds {r['n_records']} records, expected 1"
+            )
+        agg["n_records"] += 1
+        agg["sum_content_length"] += r["sum_content_length"]
+        agg["sum_payload_bytes"] += r["sum_payload_bytes"]
+    return agg
+
+
 def warc_gz_corpus_path(sf_dir: str) -> str:
     return staged_path(sf_dir, "warc_gz_corpus", "documents")
 
@@ -879,6 +1052,82 @@ GROUP BY rec.media_id, rec.i, rec.rtype, rec.len
 """
 
 
+def warc_zst_corpus_path(sf_dir: str) -> str:
+    return staged_path(sf_dir, "warc_zst_corpus", "documents")
+
+
+def stage_warc_zst_corpus(spark: SparkSession, sf_dir: str) -> str:
+    """Separate staged table (fingerprint contract — see
+    stage_tfrecord_corpus)."""
+    path = warc_zst_corpus_path(sf_dir)
+    if is_staged(path):
+        return path
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    n = min(ARCHIVE_N, n_docs)
+    rows = [(i, "application/warc+zstd", synth_warc_zst(i)) for i in range(n)]
+    spark.createDataFrame(
+        rows, "media_id long, mime string, payload binary"
+    ).coalesce(1).write.mode("overwrite").parquet(path)
+    return path
+
+
+def warc_zstd_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """zstd-framed WARC walk (RFC 8878 frame layer): skippable-frame
+    skip, single-segment frame headers, RAW/RLE block reconstruction
+    verified against each Frame_Content_Size, then the strict WARC
+    record parse per data frame. ``sum_payload_bytes`` only matches
+    the closed-form oracle if block reconstruction is byte-exact."""
+    media = spark.read.parquet(stage_warc_zst_corpus(spark, sf_dir))
+    kernel, schema = _kernel_over(
+        parse_warc_zst,
+        {
+            "n_records": "int",
+            "n_padding_frames": "int",
+            "n_skippable": "int",
+            "sum_content_length": "bigint",
+            "sum_payload_bytes": "bigint",
+            "sum_padding_bytes": "bigint",
+        },
+    )
+    return media.where(F.col("mime") == "application/warc+zstd").mapInPandas(
+        kernel, schema=schema
+    )
+
+
+def warc_zst_oracle(sf_dir: str) -> str:
+    from ..session import active_or_local
+
+    path = stage_warc_zst_corpus(active_or_local("archive_oracle"), sf_dir)
+    max_n, max_len = 5 + 19, 30 + 199
+    return f"""
+WITH m AS (SELECT media_id FROM read_parquet('{path}/*.parquet')
+           WHERE mime = 'application/warc+zstd'),
+p AS (SELECT media_id, 5 + media_id % 20 AS n FROM m),
+rec AS (
+  SELECT p.media_id, p.n, i.range AS i,
+         30 + (p.media_id * 7 + i.range * 11) % 200 AS len,
+         CASE WHEN i.range = 0 THEN 'warcinfo'
+              WHEN (p.media_id + i.range) % 2 = 0 THEN 'response'
+              ELSE 'request' END AS rtype
+  FROM p, range({max_n}) i WHERE i.range < p.n
+),
+pay AS (
+  SELECT rec.media_id, rec.n, rec.i, rec.len,
+         SUM((rec.media_id + rec.i + j.range) % 95 + 32) AS rec_sum
+  FROM rec, range({max_len}) j WHERE j.range < rec.len
+  GROUP BY rec.media_id, rec.n, rec.i, rec.len
+)
+SELECT media_id,
+       CAST(n AS INT) AS n_records,
+       CAST(1 AS INT) AS n_padding_frames,
+       CAST(1 AS INT) AS n_skippable,
+       CAST(SUM(len) AS BIGINT) AS sum_content_length,
+       CAST(SUM(rec_sum) AS BIGINT) AS sum_payload_bytes,
+       CAST(20 + media_id % 40 AS BIGINT) AS sum_padding_bytes
+FROM pay GROUP BY media_id, n
+"""
+
+
 def warc_gz_oracle(sf_dir: str) -> str:
     """Closed form incl. the inner j-sum over each record's payload
     bytes ((m + i + j) % 95 + 32) — the decompressed-byte-sum check."""
@@ -922,6 +1171,7 @@ QUERIES_TAIL = {
     "warc_record_stats": (warc_record_stats, warc_oracle),
     "warc_gzip_stats": (warc_gzip_stats, warc_gz_oracle),
     "warc_gz_member_stats": (warc_gz_member_stats, warc_gz_member_oracle),
+    "warc_zstd_stats": (warc_zstd_stats, warc_zst_oracle),
     "zip_members_stats": (zip_members_stats, zip_oracle),
     "tar_archive_stats": (tar_archive_stats, tar_oracle),
     "tfrecord_stats": (tfrecord_stats, tfrecord_oracle),

@@ -206,10 +206,11 @@ def _collect() -> dict[str, QuerySpec]:
 #
 # ROUND-8 ROTATION (this window; executes the note written at the end
 # of r7). Policy: new queries + replans first, then strict staleness.
-#   * the 3 queries ADDED this round (never driver-gated):
+#   * the 4 queries ADDED this round (never driver-gated):
 #     warc_gzip_stats (record-gzipped WARC, VERDICT r7 ask #2),
 #     warc_gz_member_stats (its per-member explosion — the split
-#     index for inside-file parallelism), and jpeg_pixel_stats
+#     index for inside-file parallelism), warc_zstd_stats (the RFC
+#     8878 .warc.zst frame layer), and jpeg_pixel_stats
 #     (integer-IDCT pixel stage, ask #3).
 #   * dedup_simhash — REPLANNED this round (combinatorial triple-key
 #     pigeonhole, the sf1 probe's 16×→3.2× fix): its r7 row describes
@@ -227,12 +228,13 @@ def _collect() -> dict[str, QuerySpec]:
 #   * embedding_similar_pairs_ivf — ADDED late-r8 (IVF-blocked
 #     weak-τ pair finder; measured recall 0.82–0.86 vs the banded
 #     form's 0.61–0.65 at the same τ).
-#   * 39 of the 48 r5-last-green names (the stalest block); the
-#     nine deferred to the r9 fill: nation_region_names,
+#   * 38 of the 48 r5-last-green names (the stalest block); the
+#     ten deferred to the r9 fill: nation_region_names,
 #     window_top_order_per_cust, window_running_user_spend,
 #     window_order_gap_days, tiff_frame_sample,
 #     triangle_count_copurchase, user_retention_cohorts,
-#     users_kmv_by_type, source_mixture.
+#     users_kmv_by_type, source_mixture,
+#     referential_integrity_audit.
 # The 50 queries gated green in r7 rotate out. Everything displaced
 # keeps its hard signal through the parametrized local oracle sweep in
 # tests/ (the pytest replica of this gate).
@@ -240,6 +242,7 @@ GATE_FRONT: tuple[str, ...] = (
     # new this round — first driver rows
     "warc_gzip_stats",
     "warc_gz_member_stats",
+    "warc_zstd_stats",
     "jpeg_pixel_stats",
     # replanned this round (triple-key blocking; projection-band index;
     # adaptive-k fit + single-expression argmin in the shared k-means)
@@ -291,12 +294,11 @@ GATE_FRONT: tuple[str, ...] = (
     "q16_supplier_count_by_class",
     "q20_excess_shippers",
     "q2_min_cost_supplier",
-    "referential_integrity_audit",
     "wav_decode_stats",
 )
 # ROUND-9 ROTATION (write it at the start of r9): rotate out the 50
 # names above once CORRECTNESS_r08 comes back green. Fill order:
-# the nine deferred r5 names (see above) first, then the oldest
+# the ten deferred r5 names (see above) first, then the oldest
 # r6-gated names (the 31ce0b4 replans + r03-stale block), then the
 # r7-gated block as needed; plus, as always, anything whose plan or
 # oracle changes in r9 and any newly added queries.

@@ -115,6 +115,32 @@ def test_warc_gz_member_walk_yields_split_index():
         assert sum(r["rtype"] == "response" for r in members) == agg["n_responses"]
 
 
+def test_warc_zst_roundtrip_and_rejects():
+    """zstd frame layer (RFC 8878): the walk recovers exactly the
+    plain-WARC record stats plus the skippable/padding frame counts,
+    and magic/FCS/truncation corruption raises."""
+    for m in (0, 1, 7, 40, 137, 255, 499):
+        d = A.parse_warc_zst(A.synth_warc_zst(m))
+        plain = A.parse_warc(A.synth_warc(m))
+        assert d["n_records"] == plain["n_records"]
+        assert d["sum_content_length"] == plain["sum_content_length"]
+        assert d["sum_payload_bytes"] == plain["sum_payload_bytes"]
+        assert (d["n_skippable"], d["n_padding_frames"]) == (1, 1)
+        assert d["sum_padding_bytes"] == A._zstd_pad_len(m)
+
+    blob = bytearray(A.synth_warc_zst(3))
+    blob[0] ^= 0xFF  # not a data/skippable magic
+    with pytest.raises(ValueError):
+        A.parse_warc_zst(bytes(blob))
+    b2 = bytearray(A.synth_warc_zst(3))
+    p = 8 + (8 + 3 % 9)  # first data frame (after the skippable)
+    b2[p + 5] ^= 0x01  # FCS byte → content-size mismatch
+    with pytest.raises(ValueError):
+        A.parse_warc_zst(bytes(b2))
+    with pytest.raises((ValueError, IndexError, Exception)):
+        A.parse_warc_zst(A.synth_warc_zst(3)[:-3])  # truncated padding frame
+
+
 def test_warc_gz_rejects_corruption():
     blob = bytearray(A.synth_warc_gz(3))
     blob[-5] ^= 0xFF  # inside the last member's trailer/stream
@@ -157,6 +183,7 @@ def test_archive_parsers_reject_corruption():
         "warc_record_stats",
         "warc_gzip_stats",
         "warc_gz_member_stats",
+        "warc_zstd_stats",
         "zip_members_stats",
         "tar_archive_stats",
     ],

@@ -87,6 +87,8 @@ MAP_IN_PANDAS_ALLOWLIST = {
     # stats + the cardinality-expanding per-member explosion
     "warc_gzip_stats",
     "warc_gz_member_stats",
+    # r8: zstd-framed WARC (RFC 8878 frame layer)
+    "warc_zstd_stats",
     "zip_members_stats",
     "tar_archive_stats",
     "tfrecord_stats",
