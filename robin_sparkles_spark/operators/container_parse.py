@@ -1038,6 +1038,215 @@ def jpeg_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- PROGRESSIVE JPEG, DC scan (the thumbnail path) -------------------------
+#
+# Progressive files (SOF2) deliver coefficients across multiple scans;
+# the FIRST scan carries every block's DC and is exactly what a
+# 100 TB thumbnail/preview pipeline decodes — stop after scan 1 and
+# each 8×8 block renders flat at its DC level (1/8-scale preview)
+# without touching the AC refinement scans. DC coding in that scan is
+# the baseline DC algorithm (T.81 §G.1.1, Ah=0), so this reuses the
+# huffman/bit-reader machinery; only AC spectral-selection and
+# successive-approximation refinement scans remain undecoded.
+
+
+def synth_jpeg_progressive_dc(media_id: int) -> bytes:
+    """A DC-only progressive JPEG: SOF2, the quant table from
+    `_pixel_quant`, the DC huffman table, one SOS with spectral
+    selection Ss=Se=0 and Ah=Al=0 (a complete DC scan), then EOI —
+    legal progressive framing whose never-sent AC coefficients decode
+    as zero (the standard preview truncation)."""
+    bx, by = _jpeg_blocks(media_id)
+    dc_codes = _huff_codes(_JDC_BITS, _JDC_VALS)
+    w = _BitWriter()
+    prev_dc = 0
+    for b in range(bx * by):
+        dc, _acs = _jpeg_coeffs(media_id, b)
+        diff, prev_dc = dc - prev_dc, dc
+        s = _jpeg_cat(diff)
+        code, ln = dc_codes[s]
+        w.write(code, ln)
+        if s:
+            w.write(diff if diff >= 0 else diff + (1 << s) - 1, s)
+    scan = w.done()
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return bytes((0xFF, marker)) + struct.pack(">H", 2 + len(payload)) + payload
+
+    dqt = seg(0xDB, bytes([0x00]) + bytes(_pixel_quant(media_id)))
+    sof2 = seg(
+        0xC2,
+        bytes([8])
+        + struct.pack(">HH", 8 * by, 8 * bx)
+        + bytes([1])
+        + bytes((1, 0x11, 0)),
+    )
+    dht_dc = seg(0xC4, bytes([0x00]) + bytes(_JDC_BITS) + bytes(_JDC_VALS))
+    sos = seg(0xDA, bytes([1]) + bytes((1, 0x00)) + bytes((0, 0, 0)))
+    return b"\xff\xd8" + dqt + sof2 + dht_dc + sos + scan + b"\xff\xd9"
+
+
+def parse_jpeg_progressive_dc(blob: bytes) -> dict:
+    """Decode the progressive DC scan to the 1/8-preview pixel stats:
+    marker walk (SOF2 dims, DQT, DC DHT), scan-header validation
+    (Ss=Se=0, Ah=Al=0 — AC or refinement scans raise), DC prediction
+    decode, dequant by Q[0], flat-block pixel via the same fixed-point
+    descale as the baseline pixel stage."""
+    if blob[:2] != b"\xff\xd8":
+        raise ValueError("missing SOI")
+    pos, w, h = 2, 0, 0
+    quant: list[int] | None = None
+    tables: dict[int, dict] = {}
+    progressive = False
+    while pos < len(blob):
+        if blob[pos] != 0xFF:
+            raise ValueError(f"expected marker at {pos}")
+        marker = blob[pos + 1]
+        if marker == 0xD9:
+            raise ValueError("EOI before SOS")
+        length = struct.unpack_from(">H", blob, pos + 2)[0]
+        body = blob[pos + 4 : pos + 2 + length]
+        if marker == 0xC2:
+            progressive = True
+            h, w = struct.unpack_from(">HH", body, 1)
+        elif marker == 0xC0:
+            raise ValueError("baseline frame in progressive parser")
+        elif marker == 0xDB:
+            if body[0] & 0xF0:
+                raise ValueError("only 8-bit quant tables supported")
+            quant = list(body[1:65])
+        elif marker == 0xC4:
+            tc_th = body[0]
+            bits = list(body[1:17])
+            vals = list(body[17 : 17 + sum(bits)])
+            tables[tc_th] = {
+                (c, ln): sym for sym, (c, ln) in _huff_codes(bits, vals).items()
+            }
+        pos += 2 + length
+        if marker == 0xDA:
+            ss, se, a = body[-3], body[-2], body[-1]
+            if (ss, se) != (0, 0):
+                raise ValueError("AC spectral-selection scan unsupported")
+            if a != 0:
+                raise ValueError("successive-approximation scan unsupported")
+            break
+    else:
+        raise ValueError("missing SOS")
+    end = pos
+    while end + 1 < len(blob) and not (
+        blob[end] == 0xFF and blob[end + 1] != 0x00
+    ):
+        end += 1
+    if blob[end : end + 2] != b"\xff\xd9":
+        raise ValueError("scan not terminated by EOI")
+    if not progressive or w % 8 or h % 8 or quant is None or 0x00 not in tables:
+        raise ValueError("unsupported frame")
+    n_blocks = (w // 8) * (h // 8)
+    q0 = quant[0]
+    t0 = _IDCT_TAB[0][0]
+
+    r = _BitReader(blob[pos:end])
+    prev_dc = 0
+    sum_pix = n_clip = 0
+    mn, mx = 255, 0
+    for _ in range(n_blocks):
+        s = r.read_symbol(tables[0x00])
+        if s:
+            bits = r.read(s)
+            diff = bits if bits >= (1 << (s - 1)) else bits - (1 << s) + 1
+        else:
+            diff = 0
+        prev_dc += diff
+        raw = 128 + ((prev_dc * q0 * t0 + _IDCT_HALF) >> _IDCT_S)
+        pix = 0 if raw < 0 else 255 if raw > 255 else raw
+        n_clip += 64 * (pix != raw)
+        sum_pix += 64 * pix
+        mn, mx = min(mn, pix), max(mx, pix)
+    return {
+        "n_blocks": n_blocks,
+        "n_pixels": 64 * n_blocks,
+        "sum_pixels": sum_pix,
+        "min_pixel": mn,
+        "max_pixel": mx,
+        "n_clipped": n_clip,
+    }
+
+
+def jpeg_prog_corpus_path(sf_dir: str) -> str:
+    return staged_path(sf_dir, "jpeg_prog_corpus", "documents")
+
+
+def stage_jpeg_prog_corpus(spark: SparkSession, sf_dir: str) -> str:
+    """Separate staged table (fingerprint contract)."""
+    path = jpeg_prog_corpus_path(sf_dir)
+    if is_staged(path):
+        return path
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    n = min(CONTAINER_N, n_docs)
+    rows = [
+        (i, "image/jpeg", synth_jpeg_progressive_dc(i)) for i in range(n)
+    ]
+    spark.createDataFrame(
+        rows, "media_id long, mime string, payload binary"
+    ).coalesce(1).write.mode("overwrite").parquet(path)
+    return path
+
+
+def jpeg_progressive_dc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Progressive-JPEG DC-scan preview decode (thumbnail pipeline
+    stats), hash-gated against the closed-form flat-block replay."""
+    media = spark.read.parquet(stage_jpeg_prog_corpus(spark, sf_dir))
+    kernel, schema = _kernel_over(
+        parse_jpeg_progressive_dc,
+        {
+            "n_blocks": "int",
+            "n_pixels": "bigint",
+            "sum_pixels": "bigint",
+            "min_pixel": "int",
+            "max_pixel": "int",
+            "n_clipped": "bigint",
+        },
+    )
+    return media.where(F.col("mime") == "image/jpeg").mapInPandas(
+        kernel, schema=schema
+    )
+
+
+def jpeg_progressive_dc_oracle(sf_dir: str) -> str:
+    """Closed form: planted DC per block, q0 from `_pixel_quant`'s
+    DC slot (8 + m % 17), flat-block pixel = clamp(128 +
+    floor((dc·q0·T0 + 2^(S−1)) / 2^S)) with T0 = the DC basis entry —
+    the same fixed-point arithmetic, replayed."""
+    from ..session import active_or_local
+
+    path = stage_jpeg_prog_corpus(active_or_local("container_oracle"), sf_dir)
+    t0, half, scale = _IDCT_TAB[0][0], _IDCT_HALF, 1 << _IDCT_S
+    return f"""
+WITH m AS (SELECT media_id FROM read_parquet('{path}/*.parquet')
+           WHERE mime = 'image/jpeg'),
+par AS (SELECT media_id, (1 + media_id % 4) * (1 + media_id % 3) AS nb FROM m),
+blk AS (
+  SELECT par.media_id, par.nb,
+         128 + CAST(FLOOR((
+             (((par.media_id * 5 + b.range * 3) % 201) - 100)
+             * (8 + par.media_id % 17) * {t0} + {half}) / {scale}.0) AS INT)
+           AS raw
+  FROM par, range(12) b WHERE b.range < par.nb
+),
+val AS (SELECT media_id, nb, raw, LEAST(255, GREATEST(0, raw)) AS pix
+        FROM blk)
+SELECT media_id,
+       CAST(nb AS INT) AS n_blocks,
+       CAST(64 * nb AS BIGINT) AS n_pixels,
+       CAST(64 * SUM(pix) AS BIGINT) AS sum_pixels,
+       CAST(MIN(pix) AS INT) AS min_pixel,
+       CAST(MAX(pix) AS INT) AS max_pixel,
+       CAST(64 * SUM(CASE WHEN raw <> pix THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_clipped
+FROM val GROUP BY media_id, nb
+"""
+
+
 def jpeg_pixel_oracle(sf_dir: str) -> str:
     """Closed-form pixel replay: planted (dc, v1@p1, v2@p2) per block,
     quant steps from `_pixel_quant`'s formula, and the SAME fixed-point
@@ -1119,4 +1328,8 @@ QUERIES_TAIL = {
     "jpeg_marker_stats": (jpeg_marker_stats, jpeg_oracle),
     "jpeg_entropy_stats": (jpeg_entropy_stats, jpeg_entropy_oracle),
     "jpeg_pixel_stats": (jpeg_pixel_stats, jpeg_pixel_oracle),
+    "jpeg_progressive_dc_stats": (
+        jpeg_progressive_dc_stats,
+        jpeg_progressive_dc_oracle,
+    ),
 }

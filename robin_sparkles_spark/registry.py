@@ -210,7 +210,8 @@ def _collect() -> dict[str, QuerySpec]:
 #     warc_gzip_stats (record-gzipped WARC, VERDICT r7 ask #2),
 #     warc_gz_member_stats (its per-member explosion — the split
 #     index for inside-file parallelism), warc_zstd_stats (the RFC
-#     8878 .warc.zst frame layer), and jpeg_pixel_stats
+#     8878 .warc.zst frame layer), jpeg_pixel_stats,
+#     jpeg_progressive_dc_stats (SOF2 DC-scan preview decode), and
 #     (integer-IDCT pixel stage, ask #3).
 #   * dedup_simhash — REPLANNED this round (combinatorial triple-key
 #     pigeonhole, the sf1 probe's 16×→3.2× fix): its r7 row describes
@@ -228,13 +229,13 @@ def _collect() -> dict[str, QuerySpec]:
 #   * embedding_similar_pairs_ivf — ADDED late-r8 (IVF-blocked
 #     weak-τ pair finder; measured recall 0.82–0.86 vs the banded
 #     form's 0.61–0.65 at the same τ).
-#   * 38 of the 48 r5-last-green names (the stalest block); the
-#     ten deferred to the r9 fill: nation_region_names,
+#   * 37 of the 48 r5-last-green names (the stalest block); the
+#     eleven deferred to the r9 fill: nation_region_names,
 #     window_top_order_per_cust, window_running_user_spend,
 #     window_order_gap_days, tiff_frame_sample,
 #     triangle_count_copurchase, user_retention_cohorts,
 #     users_kmv_by_type, source_mixture,
-#     referential_integrity_audit.
+#     referential_integrity_audit, part_string_features.
 # The 50 queries gated green in r7 rotate out. Everything displaced
 # keeps its hard signal through the parametrized local oracle sweep in
 # tests/ (the pytest replica of this gate).
@@ -244,6 +245,7 @@ GATE_FRONT: tuple[str, ...] = (
     "warc_gz_member_stats",
     "warc_zstd_stats",
     "jpeg_pixel_stats",
+    "jpeg_progressive_dc_stats",
     # replanned this round (triple-key blocking; projection-band index;
     # adaptive-k fit + single-expression argmin in the shared k-means)
     "dedup_simhash",
@@ -289,7 +291,6 @@ GATE_FRONT: tuple[str, ...] = (
     "orders_upsert_latest",
     "padding_waste_by_bucket",
     "part_filter_projection",
-    "part_string_features",
     "q11_part_value_share",
     "q16_supplier_count_by_class",
     "q20_excess_shippers",
@@ -298,7 +299,7 @@ GATE_FRONT: tuple[str, ...] = (
 )
 # ROUND-9 ROTATION (write it at the start of r9): rotate out the 50
 # names above once CORRECTNESS_r08 comes back green. Fill order:
-# the ten deferred r5 names (see above) first, then the oldest
+# the eleven deferred r5 names (see above) first, then the oldest
 # r6-gated names (the 31ce0b4 replans + r03-stale block), then the
 # r7-gated block as needed; plus, as always, anything whose plan or
 # oracle changes in r9 and any newly added queries.

@@ -380,3 +380,56 @@ def test_jpeg_pixel_oracle_parity(spark, sf_dir):
     assert_query_matches_oracle(
         fn(spark, sf_dir), resolve_oracle(oracle, sf_dir), sf_dir
     )
+
+
+def test_jpeg_progressive_dc_roundtrip_and_rejects():
+    """Progressive (SOF2) DC-scan preview decode: flat-block pixel
+    stats equal an independent recompute from the planted DCs + quant
+    + DC basis entry; baseline frames and AC/refinement scan headers
+    are rejected loudly."""
+    import pytest as _pytest
+
+    from robin_sparkles_spark.operators import container_parse as C
+
+    for m in (0, 1, 5, 23, 137, 400, 499):
+        d = C.parse_jpeg_progressive_dc(C.synth_jpeg_progressive_dc(m))
+        bx, by = C._jpeg_blocks(m)
+        nb = bx * by
+        q0, t0 = C._pixel_quant(m)[0], C._IDCT_TAB[0][0]
+        raws = [
+            128
+            + ((C._jpeg_coeffs(m, b)[0] * q0 * t0 + C._IDCT_HALF)
+               >> C._IDCT_S)
+            for b in range(nb)
+        ]
+        pix = [min(255, max(0, r)) for r in raws]
+        assert d["n_blocks"] == nb and d["n_pixels"] == 64 * nb
+        assert d["sum_pixels"] == 64 * sum(pix)
+        assert (d["min_pixel"], d["max_pixel"]) == (min(pix), max(pix))
+        assert d["n_clipped"] == 64 * sum(
+            1 for r, p in zip(raws, pix) if r != p
+        )
+
+    with _pytest.raises(ValueError):
+        C.parse_jpeg_progressive_dc(C.synth_jpeg_baseline(7))
+    blob = bytearray(C.synth_jpeg_progressive_dc(7))
+    sos_at = bytes(blob).index(b"\xff\xda")
+    blob[sos_at + 7] = 63  # Se=63 → an AC spectral-selection scan
+    with _pytest.raises(ValueError):
+        C.parse_jpeg_progressive_dc(bytes(blob))
+    blob2 = bytearray(C.synth_jpeg_progressive_dc(7))
+    blob2[sos_at + 8] = 0x01  # Al=1 → successive approximation
+    with _pytest.raises(ValueError):
+        C.parse_jpeg_progressive_dc(bytes(blob2))
+
+
+def test_jpeg_progressive_dc_oracle_parity(spark, sf_dir):
+    from robin_sparkles_spark.operators import container_parse as C
+    from robin_sparkles_spark.registry import resolve_oracle
+
+    from .oracle_utils import assert_query_matches_oracle
+
+    fn, oracle = C.QUERIES_TAIL["jpeg_progressive_dc_stats"]
+    assert_query_matches_oracle(
+        fn(spark, sf_dir), resolve_oracle(oracle, sf_dir), sf_dir
+    )

@@ -78,8 +78,10 @@ MAP_IN_PANDAS_ALLOWLIST = {
     "mp3_frame_stats",
     "jpeg_marker_stats",
     "jpeg_entropy_stats",
-    # r8: full pixel decode (dequant + integer IDCT + clamp)
+    # r8: full pixel decode (dequant + integer IDCT + clamp) and the
+    # progressive DC-scan preview decode
     "jpeg_pixel_stats",
+    "jpeg_progressive_dc_stats",
     # r7 archive/web-corpus parsers (WARC records, ZIP central
     # directory + DEFLATE members, ustar headers)
     "warc_record_stats",
