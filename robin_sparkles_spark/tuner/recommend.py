@@ -272,6 +272,28 @@ def record_run(
     return True
 
 
+@dataclass
+class TuneReport:
+    partitions: Recommendation
+    broadcast: BroadcastRecommendation
+    skew: SkewRecommendation
+
+
+def auto_tune(spark: SparkSession, store: MetricsStore) -> TuneReport:
+    """One evidence→conf pass over the recorded history, applying all
+    three knobs: shuffle width (H8), broadcast threshold (smallest
+    scanned-then-exchanged stage), and AQE skew split (straggler
+    ratio). Each knob independently no-ops when its evidence is
+    absent, so calling this before run 0 only applies H8's floor."""
+    rec = recommend_partitions(store)
+    apply_recommendation(spark, rec)
+    b = recommend_broadcast_threshold(store)
+    apply_broadcast_recommendation(spark, b)
+    s = recommend_skew_mitigation(store)
+    apply_skew_recommendation(spark, s)
+    return TuneReport(partitions=rec, broadcast=b, skew=s)
+
+
 def tuned_run(spark: SparkSession, metrics_root: str, app_name: str, job) -> Recommendation:
     """End-to-end tuned execution: recommend → apply → run ``job``
     (a callable taking the SparkSession) → record. The next invocation

@@ -465,3 +465,79 @@ def test_skew_detection_record_detect_mitigate(spark, tmp_path):
     finally:
         for k, v in before.items():
             spark.conf.set(k, v)
+
+
+def test_auto_tune_applies_all_three_knobs(spark, tmp_path):
+    """The composite evidence→conf pass: over a synthetic recorded run
+    containing a small scanned-then-exchanged stage AND a straggler
+    stage, auto_tune sets the shuffle width, the broadcast threshold,
+    and the AQE skew confs in one call — and over an empty store only
+    H8's floor applies, everything else untouched."""
+    from robin_sparkles_spark.tuner.recommend import auto_tune
+
+    confs = (
+        "spark.sql.shuffle.partitions",
+        "spark.sql.autoBroadcastJoinThreshold",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+    )
+    before = {k: spark.conf.get(k) for k in confs}
+    store = MetricsStore(spark, str(tmp_path / "m"), "auto_app")
+
+    def stage(sid, br, sw):
+        return {
+            "app_id": "app", "stage_id": sid, "stage_duration_ms": 1000,
+            "executor_cpu_time_ms": 500, "bytes_read": br,
+            "shuffle_bytes_written": sw, "shuffle_bytes_read": 0,
+        }
+
+    # stage 0: fact scan+exchange; stage 1: dim scan+exchange (build
+    # side 2048 B); stage 2: the reduce stage with one straggler task
+    tasks = [
+        {"stage_id": 0, "task_id": 0, "executor_id": "0", "duration_ms": 100},
+        {"stage_id": 0, "task_id": 1, "executor_id": "0", "duration_ms": 110},
+        {"stage_id": 0, "task_id": 2, "executor_id": "0", "duration_ms": 90},
+        {"stage_id": 0, "task_id": 3, "executor_id": "0", "duration_ms": 105},
+        {"stage_id": 1, "task_id": 4, "executor_id": "0", "duration_ms": 50},
+        {"stage_id": 1, "task_id": 5, "executor_id": "0", "duration_ms": 55},
+        {"stage_id": 1, "task_id": 6, "executor_id": "0", "duration_ms": 45},
+        {"stage_id": 1, "task_id": 7, "executor_id": "0", "duration_ms": 52},
+        {"stage_id": 2, "task_id": 8, "executor_id": "0", "duration_ms": 100},
+        {"stage_id": 2, "task_id": 9, "executor_id": "0", "duration_ms": 120},
+        {"stage_id": 2, "task_id": 10, "executor_id": "0", "duration_ms": 110},
+        {"stage_id": 2, "task_id": 11, "executor_id": "0", "duration_ms": 1200},
+    ]
+    store.write_run(
+        0,
+        [stage(0, 1_000_000, 500_000), stage(1, 2048, 900),
+         stage(2, 0, 64)],
+        tasks,
+    )
+    try:
+        report = auto_tune(spark, store)
+        assert report.partitions.runs_considered == 1
+        assert spark.conf.get("spark.sql.shuffle.partitions") == str(
+            report.partitions.partitions
+        )
+        assert report.broadcast.build_side_bytes == 2048
+        assert spark.conf.get("spark.sql.autoBroadcastJoinThreshold") == str(
+            report.broadcast.threshold_bytes
+        )
+        assert report.skew.skewed and report.skew.skewed[0].stage_id == 2
+        factor = report.skew.confs[
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor"
+        ]
+        assert spark.conf.get(
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor"
+        ) == factor
+
+        # empty store: broadcast + skew untouched
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "123456")
+        empty = MetricsStore(spark, str(tmp_path / "none"), "none_app")
+        r2 = auto_tune(spark, empty)
+        assert r2.broadcast.threshold_bytes == -1 and r2.skew.confs == {}
+        assert (
+            spark.conf.get("spark.sql.autoBroadcastJoinThreshold") == "123456"
+        )
+    finally:
+        for k, v in before.items():
+            spark.conf.set(k, v)
