@@ -219,3 +219,80 @@ def test_checkpoint_crash_recovery_exactly_once(spark, tmp_path):
     q3 = start({"availableNow": True})
     q3.awaitTermination(60)
     assert spark.read.parquet(sink).count() == 600
+
+
+def test_streaming_cdc_upsert_exactly_once(spark, tmp_path):
+    """The changelog SINK side: a checkpointed change stream applied
+    via foreachBatch latest-wins merge. Killed mid-drain, restarted
+    with more changes landed; the final state equals the batch
+    latest-wins over ALL changes (deletes honored), and replaying a
+    batch by hand is a no-op — the idempotence that upgrades
+    at-least-once foreachBatch delivery to exactly-once state."""
+    import time
+
+    from robin_sparkles_spark.streaming import cdc
+
+    src = tmp_path / "changes"
+    state = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+    src.mkdir()
+
+    def land(i):
+        # 50 keys, three generations of updates + a rolling delete
+        (
+            spark.range(50)
+            .selectExpr(
+                "id AS key",
+                f"{i} AS version",
+                f"CAST(id * 10 + {i} AS DOUBLE) AS value",
+                f"(id % 7 = {i % 7}) AS deleted",
+            )
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(str(src / f"gen_{i}.parquet"))
+        )
+
+    for i in range(3):
+        land(i)
+
+    # phase 1: continuous trigger, stop after ≥1 committed batch
+    q = cdc.stream_upsert(spark, str(src), state, ckpt, available_now=False)
+    deadline = time.time() + 120
+    try:
+        while time.time() < deadline:
+            if any(p["numInputRows"] > 0 for p in q.recentProgress):
+                break
+            time.sleep(0.2)
+        else:
+            pytest.fail("no batch committed")
+    finally:
+        q.stop()
+    q.awaitTermination(30)
+
+    for i in range(3, 5):
+        land(i)
+
+    q2 = cdc.stream_upsert(spark, str(src), state, ckpt)
+    q2.awaitTermination(120)
+    assert not q2.isActive
+
+    got = {
+        r.key: (r.version, r.value)
+        for r in spark.read.parquet(state).collect()
+    }
+    all_changes = spark.read.parquet(f"{src}/*")
+    want_df = cdc.latest_wins(all_changes).where("NOT deleted")
+    want = {r.key: (r.version, r.value) for r in want_df.collect()}
+    assert got == want
+    # the final generation deleted keys ≡ 4 (mod 7); they must be gone
+    assert all(k % 7 != 4 for k in got)
+
+    # idempotence: re-applying the last generation changes nothing
+    cdc.apply_changes(
+        spark, state, spark.read.parquet(str(src / "gen_4.parquet"))
+    )
+    again = {
+        r.key: (r.version, r.value)
+        for r in spark.read.parquet(state).collect()
+    }
+    assert again == want
