@@ -798,6 +798,8 @@ def _zstd_frame(content: bytes, rle_byte: int | None = None) -> bytes:
     RAW blocks of ≤ _ZSTD_RAW_BLOCK bytes."""
     out = bytearray(_ZSTD_MAGIC)
     n = len(content)
+    if n > 65791:  # 2-byte FCS ceiling (value − 256); synth stays far below
+        raise ValueError(f"frame content {n} exceeds the 2-byte FCS range")
     if n < 256:
         out.append(0b0010_0000)  # FCS flag 0 + single_segment → 1 byte
         out.append(n)
