@@ -166,6 +166,7 @@ _BNL_ALLOWED = {
     "triangle_count_copurchase",  # scalar shape: 1-row stat × 1-row stat summary
     "custkey_overlap_kmv",  # scalar shape: 1-row sketch stats × 1-row exacts
     "orders_custkey_hll",  # scalar shape: 1-row registers × 1-row exact
+    "ngram_lm_score",  # scalar shape: 1-row vocab size V into the smoother
 }
 
 
