@@ -1256,6 +1256,15 @@ def jpeg_pixel_oracle(sf_dir: str) -> str:
     from ..session import active_or_local
 
     path = stage_jpeg_pixel_corpus(active_or_local("container_oracle"), sf_dir)
+    return _pixel_replay_sql(path)
+
+
+def _pixel_replay_sql(path: str, extra_cols: str = "") -> str:
+    """The shared closed-form pixel replay over a staged corpus whose
+    files plant `_jpeg_coeffs` + `_pixel_quant` (baseline AND full
+    progressive synthesize the same coefficients, so one replay gates
+    both decoders). ``extra_cols`` appends literal columns to the
+    final SELECT (the progressive twin reports n_scans)."""
     # basis rows only for positions the corpus can plant: DC, p1 in
     # 1..5, p2 in 10..29
     zzs = [0] + list(range(1, 6)) + list(range(10, 30))
@@ -1302,7 +1311,7 @@ SELECT media_id,
        CAST(MIN(pix) AS INT) AS min_pixel,
        CAST(MAX(pix) AS INT) AS max_pixel,
        CAST(SUM(CASE WHEN raw <> pix THEN 1 ELSE 0 END) AS BIGINT)
-         AS n_clipped
+         AS n_clipped{extra_cols}
 FROM val GROUP BY media_id, nb
 """
 
@@ -1320,6 +1329,321 @@ FROM {rel} WHERE mime = 'image/jpeg'
 """
 
 
+# --- PROGRESSIVE JPEG, full spectral-selection decode -----------------------
+#
+# The complete progressive pixel stage (closing the r7/r8 "only
+# entropy-progressive variants remain" boundary for the Ah=0 case):
+# a DC scan plus spectral-selection AC scans (T.81 §G.1.2.2) decoded
+# across multiple SOS segments into per-block coefficient state, then
+# the SAME dequant + integer-IDCT pixel stage as baseline. The AC
+# scans use real progressive coding — EOBn end-of-band RUN codes
+# (symbol RRRR<<4 | 0, run length 2^RRRR + RRRR appended bits) that
+# span blocks — which baseline JPEG does not have; the synthesizer
+# emits both the per-block flush (EOB0) and a genuine multi-block
+# EOBn (the final scan's band is all-zero for every block, so it
+# compresses to ONE code for the whole image). The remaining
+# undeclared boundary shrinks to successive-approximation (Ah>0)
+# refinement and arithmetic-coded entropy variants.
+
+# Progressive AC huffman table: baseline's run/size family PLUS the
+# EOBn family (0x00..0xE0). Kraft sum 16/32 + 64/256 = 0.75 < 1.
+_JPAC_BITS = [0] * 16
+_JPAC_BITS[4] = 16  # EOB0..EOB14, ZRL at length 5
+_JPAC_BITS[7] = 64  # (run 0..15 × size 1..4) at length 8
+_JPAC_VALS = [r << 4 for r in range(15)] + [0xF0] + [
+    (r << 4) | s for r in range(16) for s in range(1, 5)
+]
+
+# The two AC scans: band 1..29 covers every planted coefficient
+# (p1 ∈ 1..5, p2 ∈ 10..29); band 30..63 is all-zero by construction.
+_PROG_BANDS = ((1, 29), (30, 63))
+
+
+def synth_jpeg_progressive_full(media_id: int) -> bytes:
+    """A fully-decodable progressive JPEG planting the SAME
+    coefficients and quant table as the baseline pixel corpus: SOF2,
+    scan 1 = complete DC (Ss=Se=0), scans 2..3 = spectral-selection
+    AC bands with EOB-run coding, all with Ah=Al=0."""
+    bx, by = _jpeg_blocks(media_id)
+    n_blocks = bx * by
+    dc_codes = _huff_codes(_JDC_BITS, _JDC_VALS)
+    ac_codes = _huff_codes(_JPAC_BITS, _JPAC_VALS)
+
+    # scan 1: DC, baseline prediction coding (T.81 §G.1.1, Ah=0)
+    w = _BitWriter()
+    prev_dc = 0
+    for b in range(n_blocks):
+        dc, _acs = _jpeg_coeffs(media_id, b)
+        diff, prev_dc = dc - prev_dc, dc
+        s = _jpeg_cat(diff)
+        code, ln = dc_codes[s]
+        w.write(code, ln)
+        if s:
+            w.write(diff if diff >= 0 else diff + (1 << s) - 1, s)
+    scans = [w.done()]
+
+    # AC scans: in-band run/size coding with cross-block EOB runs
+    for ss, se in _PROG_BANDS:
+        w = _BitWriter()
+        eobrun = 0
+
+        def flush() -> None:
+            nonlocal eobrun
+            if eobrun:
+                r = eobrun.bit_length() - 1
+                code, ln = ac_codes[r << 4]
+                w.write(code, ln)
+                if r:
+                    w.write(eobrun - (1 << r), r)
+                eobrun = 0
+
+        for b in range(n_blocks):
+            _dc, acs = _jpeg_coeffs(media_id, b)
+            band = [(p, v) for p, v in acs if ss <= p <= se]
+            if not band:
+                eobrun += 1
+                continue
+            flush()
+            pos = ss - 1
+            for p, v in band:
+                run = p - pos - 1
+                while run >= 16:
+                    code, ln = ac_codes[0xF0]
+                    w.write(code, ln)
+                    run -= 16
+                s = _jpeg_cat(v)
+                code, ln = ac_codes[(run << 4) | s]
+                w.write(code, ln)
+                w.write(v if v >= 0 else v + (1 << s) - 1, s)
+                pos = p
+            if pos < se:
+                eobrun += 1
+        flush()
+        scans.append(w.done())
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return bytes((0xFF, marker)) + struct.pack(">H", 2 + len(payload)) + payload
+
+    out = b"\xff\xd8"
+    out += seg(0xDB, bytes([0x00]) + bytes(_pixel_quant(media_id)))
+    out += seg(
+        0xC2,
+        bytes([8])
+        + struct.pack(">HH", 8 * by, 8 * bx)
+        + bytes([1])
+        + bytes((1, 0x11, 0)),
+    )
+    out += seg(0xC4, bytes([0x00]) + bytes(_JDC_BITS) + bytes(_JDC_VALS))
+    out += seg(0xC4, bytes([0x10]) + bytes(_JPAC_BITS) + bytes(_JPAC_VALS))
+    out += seg(0xDA, bytes([1]) + bytes((1, 0x00)) + bytes((0, 0, 0))) + scans[0]
+    for (ss, se), scan in zip(_PROG_BANDS, scans[1:]):
+        out += seg(0xDA, bytes([1]) + bytes((1, 0x00)) + bytes((ss, se, 0))) + scan
+    return out + b"\xff\xd9"
+
+
+def parse_jpeg_progressive_pixels(blob: bytes) -> dict:
+    """Full progressive decode to pixels: multi-scan marker walk,
+    per-scan entropy decode (DC prediction; AC spectral selection
+    with EOBn run state per T.81 §G.1.2.2) accumulating per-block
+    coefficient state, then dequant + integer IDCT + level shift +
+    clamp — identical pixel arithmetic to the baseline stage.
+    Successive-approximation (Ah>0 or Al>0) and arithmetic coding
+    raise (the documented remaining boundary)."""
+    if blob[:2] != b"\xff\xd8":
+        raise ValueError("missing SOI")
+    pos, w, h = 2, 0, 0
+    quant: list[int] | None = None
+    tables: dict[int, dict] = {}
+    progressive = False
+    coeffs: list[list[int]] | None = None
+    n_scans = 0
+    while pos < len(blob):
+        if blob[pos] != 0xFF:
+            raise ValueError(f"expected marker at {pos}")
+        marker = blob[pos + 1]
+        if marker == 0xD9:
+            pos += 2
+            break
+        length = struct.unpack_from(">H", blob, pos + 2)[0]
+        body = blob[pos + 4 : pos + 2 + length]
+        pos += 2 + length
+        if marker == 0xC2:
+            progressive = True
+            h, w = struct.unpack_from(">HH", body, 1)
+            if w % 8 or h % 8 or body[5] != 1:
+                raise ValueError("unsupported progressive frame")
+            coeffs = [[0] * 64 for _ in range((w // 8) * (h // 8))]
+        elif marker == 0xC0:
+            raise ValueError("baseline frame in progressive parser")
+        elif marker == 0xDB:
+            if body[0] & 0xF0:
+                raise ValueError("only 8-bit quant tables supported")
+            quant = list(body[1:65])
+        elif marker == 0xC4:
+            tc_th = body[0]
+            bits = list(body[1:17])
+            vals = list(body[17 : 17 + sum(bits)])
+            tables[tc_th] = {
+                (c, ln): sym for sym, (c, ln) in _huff_codes(bits, vals).items()
+            }
+        elif marker == 0xDA:
+            if not progressive or coeffs is None:
+                raise ValueError("SOS before SOF2")
+            if body[0] != 1:
+                raise ValueError("multi-component scan unsupported")
+            td_ta = body[2]
+            ss, se, a = body[3], body[4], body[5]
+            if a != 0:
+                raise ValueError(
+                    "successive-approximation scan unsupported"
+                )
+            end = pos
+            while end + 1 < len(blob) and not (
+                blob[end] == 0xFF and blob[end + 1] != 0x00
+            ):
+                end += 1
+            r = _BitReader(blob[pos:end])
+            if ss == 0:
+                if se != 0:
+                    raise ValueError("DC scan must have Se=0")
+                dc_map = tables.get(td_ta >> 4)
+                if dc_map is None:
+                    raise ValueError("missing DC table")
+                prev_dc = 0
+                for blk in coeffs:
+                    s = r.read_symbol(dc_map)
+                    if s:
+                        bits = r.read(s)
+                        diff = (
+                            bits
+                            if bits >= (1 << (s - 1))
+                            else bits - (1 << s) + 1
+                        )
+                    else:
+                        diff = 0
+                    prev_dc += diff
+                    blk[0] = prev_dc
+            else:
+                if not 1 <= ss <= se <= 63:
+                    raise ValueError("bad spectral band")
+                ac_map = tables.get(0x10 | (td_ta & 0x0F))
+                if ac_map is None:
+                    raise ValueError("missing AC table")
+                eobrun = 0
+                for blk in coeffs:
+                    if eobrun:
+                        eobrun -= 1
+                        continue
+                    k = ss
+                    while k <= se:
+                        sym = r.read_symbol(ac_map)
+                        run, s = sym >> 4, sym & 0x0F
+                        if s == 0:
+                            if run == 15:  # ZRL: 16 zeros in band
+                                k += 16
+                                continue
+                            eobrun = 1 << run
+                            if run:
+                                eobrun += r.read(run)
+                            eobrun -= 1  # current block's EOB
+                            break
+                        k += run
+                        if k > se:
+                            raise ValueError("AC index beyond band")
+                        bits = r.read(s)
+                        blk[k] = (
+                            bits
+                            if bits >= (1 << (s - 1))
+                            else bits - (1 << s) + 1
+                        )
+                        k += 1
+                if eobrun:
+                    raise ValueError("EOB run spills past final block")
+            n_scans += 1
+            pos = end
+    else:
+        raise ValueError("missing EOI")
+    if coeffs is None or quant is None or n_scans == 0:
+        raise ValueError("unsupported frame")
+    sum_pix = n_clip = 0
+    mn, mx = 255, 0
+    for blk in coeffs:
+        for raw in _idct_block_raw(blk, quant):
+            pix = 0 if raw < 0 else 255 if raw > 255 else raw
+            n_clip += pix != raw
+            sum_pix += pix
+            if pix < mn:
+                mn = pix
+            if pix > mx:
+                mx = pix
+    n_blocks = len(coeffs)
+    return {
+        "n_blocks": n_blocks,
+        "n_pixels": 64 * n_blocks,
+        "sum_pixels": sum_pix,
+        "min_pixel": mn,
+        "max_pixel": mx,
+        "n_clipped": n_clip,
+        "n_scans": n_scans,
+    }
+
+
+def jpeg_prog_full_corpus_path(sf_dir: str) -> str:
+    return staged_path(sf_dir, "jpeg_prog_full_corpus", "documents")
+
+
+def stage_jpeg_prog_full_corpus(spark: SparkSession, sf_dir: str) -> str:
+    """Separate staged table (fingerprint contract)."""
+    path = jpeg_prog_full_corpus_path(sf_dir)
+    if is_staged(path):
+        return path
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    n = min(CONTAINER_N, n_docs)
+    rows = [
+        (i, "image/jpeg", synth_jpeg_progressive_full(i)) for i in range(n)
+    ]
+    spark.createDataFrame(
+        rows, "media_id long, mime string, payload binary"
+    ).coalesce(1).write.mode("overwrite").parquet(path)
+    return path
+
+
+def jpeg_progressive_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Progressive JPEG decoded to PIXELS across all three scans
+    (DC + two spectral-selection AC bands with EOB-run codes); the
+    oracle replays the identical fixed-point arithmetic from the
+    planted coefficients — the same replay that gates the baseline
+    decoder, because both corpora plant the same blocks."""
+    media = spark.read.parquet(stage_jpeg_prog_full_corpus(spark, sf_dir))
+    kernel, schema = _kernel_over(
+        parse_jpeg_progressive_pixels,
+        {
+            "n_blocks": "int",
+            "n_pixels": "bigint",
+            "sum_pixels": "bigint",
+            "min_pixel": "int",
+            "max_pixel": "int",
+            "n_clipped": "bigint",
+            "n_scans": "int",
+        },
+    )
+    return media.where(F.col("mime") == "image/jpeg").mapInPandas(
+        kernel, schema=schema
+    )
+
+
+def jpeg_progressive_pixel_oracle(sf_dir: str) -> str:
+    from ..session import active_or_local
+
+    path = stage_jpeg_prog_full_corpus(
+        active_or_local("container_oracle"), sf_dir
+    )
+    n_scans = 1 + len(_PROG_BANDS)
+    return _pixel_replay_sql(
+        path, f",\n       CAST({n_scans} AS INT) AS n_scans"
+    )
+
+
 QUERIES: dict = {}
 
 QUERIES_TAIL = {
@@ -1331,5 +1655,9 @@ QUERIES_TAIL = {
     "jpeg_progressive_dc_stats": (
         jpeg_progressive_dc_stats,
         jpeg_progressive_dc_oracle,
+    ),
+    "jpeg_progressive_pixel_stats": (
+        jpeg_progressive_pixel_stats,
+        jpeg_progressive_pixel_oracle,
     ),
 }

@@ -237,7 +237,7 @@ GATE_FRONT: tuple[str, ...] = (
     # <50 with the staleness fill)
     "ngram_lm_score",
     "ngram_repeated_spans",
-    # "jpeg_progressive_pixel_stats",
+    "jpeg_progressive_pixel_stats",
     # r5-last-green block deferred from the r8 fill (all eleven)
     "nation_region_names",
     "window_top_order_per_cust",
@@ -288,11 +288,11 @@ GATE_FRONT: tuple[str, ...] = (
     "q22_idle_balance_by_segment",
     "q4_late_shipment_priority",
     "q6_forecast_revenue",
-    "q7_nation_trade_flows",
 )
 # ROUND-10 ROTATION (write it at the start of r10): rotate out the 50
 # names above once CORRECTNESS_r09 comes back green. Fill order: the
-# r6-last-green names deferred here (q8_nation_market_share,
+# r6-last-green names deferred here (q7_nation_trade_flows,
+# q8_nation_market_share,
 # window_order_analytics,
 # wordcount_stopword, multimodal_meta, events_tumbling_1h,
 # events_sliding_30_15, user_sessions, dedup_exact,

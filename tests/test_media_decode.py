@@ -433,3 +433,54 @@ def test_jpeg_progressive_dc_oracle_parity(spark, sf_dir):
     assert_query_matches_oracle(
         fn(spark, sf_dir), resolve_oracle(oracle, sf_dir), sf_dir
     )
+
+
+def test_jpeg_progressive_full_decodes_to_baseline_pixels():
+    """The complete progressive decode (DC scan + two spectral-
+    selection AC scans with EOB-run codes) must produce EXACTLY the
+    baseline pixel stats — both corpora plant the same coefficients
+    and quant table, so any divergence is a decode bug. Refinement
+    (Ah/Al>0) and multi-component scans are rejected loudly."""
+    import pytest as _pytest
+
+    from robin_sparkles_spark.operators import container_parse as C
+
+    for m in (0, 1, 5, 23, 137, 400, 499):
+        prog = C.parse_jpeg_progressive_pixels(
+            C.synth_jpeg_progressive_full(m)
+        )
+        base = C.parse_jpeg_pixels(
+            C.synth_jpeg_baseline(m, quant=C._pixel_quant(m))
+        )
+        assert prog.pop("n_scans") == 1 + len(C._PROG_BANDS)
+        assert prog == base
+
+    # the final AC scan is a single multi-block EOBn run: every block's
+    # 30..63 band is zero, so the whole scan is one code + extra bits
+    blob = C.synth_jpeg_progressive_full(11)  # 4x3 blocks -> eobrun 12
+    bx, by = C._jpeg_blocks(11)
+    assert bx * by == 12
+    d = C.parse_jpeg_progressive_pixels(blob)
+    assert d["n_blocks"] == 12
+
+    with _pytest.raises(ValueError):
+        C.parse_jpeg_progressive_pixels(
+            C.synth_jpeg_baseline(7, quant=C._pixel_quant(7))
+        )
+    blob = bytearray(C.synth_jpeg_progressive_full(7))
+    sos_at = bytes(blob).index(b"\xff\xda")
+    blob[sos_at + 9] = 0x01  # first SOS AhAl byte -> Al=1 refinement
+    with _pytest.raises(ValueError):
+        C.parse_jpeg_progressive_pixels(bytes(blob))
+
+
+def test_jpeg_progressive_pixel_oracle_parity(spark, sf_dir):
+    from robin_sparkles_spark.operators import container_parse as C
+    from robin_sparkles_spark.registry import resolve_oracle
+
+    from .oracle_utils import assert_query_matches_oracle
+
+    fn, oracle = C.QUERIES_TAIL["jpeg_progressive_pixel_stats"]
+    assert_query_matches_oracle(
+        fn(spark, sf_dir), resolve_oracle(oracle, sf_dir), sf_dir
+    )

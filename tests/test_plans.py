@@ -82,6 +82,9 @@ MAP_IN_PANDAS_ALLOWLIST = {
     # progressive DC-scan preview decode
     "jpeg_pixel_stats",
     "jpeg_progressive_dc_stats",
+    # r9: full progressive decode (multi-scan spectral selection with
+    # EOB-run codes, then the shared integer-IDCT pixel stage)
+    "jpeg_progressive_pixel_stats",
     # r7 archive/web-corpus parsers (WARC records, ZIP central
     # directory + DEFLATE members, ustar headers)
     "warc_record_stats",
