@@ -1,0 +1,532 @@
+"""Product quantization (PQ) over the embeddings table — the
+compressed-index ANN family member (EXT; completes the declared ANN
+ladder brute-force → sign-LSH → IVF → PQ/ADC; Jégou, Douze, Schmid,
+"Product Quantization for Nearest Neighbor Search", TPAMI 2011).
+
+PQ splits each unit vector into M contiguous subvectors and vector-
+quantizes each subspace with its own small codebook (Ks centroids,
+fitted with the same decimal-exact distributed Lloyd's as
+`clustering.kmeans_fit` — that module's bit-reproducibility contract
+is reused verbatim so codebook literals can be inlined into the
+DuckDB twins). With M = 16 and Ks = 16, a vector's code is
+M 4-bit nibbles PACKED INTO TWO 32-BIT WORDS (signed-int64-safe) —
+the 64-dim float vector (512 B as doubles) becomes 8 code bytes, the
+literal on-disk shape of a production PQ index. Query-time distance is ADC (asymmetric
+distance computation): per query, one M × Ks lookup table of exact
+subspace distances, then every candidate costs M nibble-unpack
+lookups + (M−1) adds instead of a dim-wide dot product.
+
+The declared pipeline is the production three-stage shape:
+  1. ``pq_encode``      — build the compressed index (map-only);
+  2. ``pq_adc_topk``    — ADC scan over codes (coarse, cheap);
+  3. ``pq_rerank_topk`` — exact cosine re-rank of the ADC shortlist
+     (R = 100 candidates/query re-read as full vectors —
+     an equi-join, linear in Q·R not Q·N);
+  4. ``pq_recall_at_k`` — recall@k of the re-ranked result vs the
+     exact ground truth (the same staged fixture as the LSH/IVF
+     gates), DECLARED so quantization-loss regressions gate.
+
+Scale notes (100 TB):
+- Codebooks are Ks·M tiny driver-side centroids; each Lloyd's
+  iteration is a per-row argmin projection + one decimal aggregate
+  per subspace (vocab-bound shuffle) — kmeans_fit's exact shape.
+- Encoding is a pure per-row projection over the shared unit-vector
+  index; the packed-code table is what you persist. At 100 TB the
+  codes for 10¹⁰ vectors are ~80 GB — executor-resident, which is
+  the entire point of PQ.
+- The ADC scan is the bounded-Q exact-over-codes baseline (O(Q·N)
+  with M-add pair cost, Q = 100 const — the sanctioned broadcast
+  nested loop, like ``ann_bruteforce_topk``); production composes
+  IVF-PQ (probe cells from ``clustering``, ADC only within them).
+- Re-ranking touches full vectors for only Q·R rows via equi-join —
+  the standard recall-restoring stage (IVFADC+R).
+
+Float-parity contract (gate hashes raw doubles): distances use the
+same left-fold dot products as functions.vectors, codebook literals
+round-trip via repr → CAST(VARCHAR AS DOUBLE), the ADC sum adds the
+M lookups in fixed subspace order, nibble unpack is exact integer
+div/mod, and all ranks tie-break by neighbor id."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
+
+from ..functions.vectors import dot, dot_sql
+
+PQ_M = 16  # subspaces (one 4-bit nibble each in the packed code)
+PQ_SUBDIM = 4  # dims per subspace (M · SUBDIM = embedding dim 64)
+PQ_KS = 16  # codebook entries per subspace
+PQ_ITER = 4  # Lloyd's iterations per subspace
+PQ_SHORTLIST = 100  # ADC shortlist re-ranked exactly
+
+
+def _dlit(x: float) -> str:
+    return f"CAST('{float(x)!r}' AS DOUBLE)"
+
+
+def _sub_spark(m: int, v: str = "v") -> str:
+    return f"slice({v}, {m * PQ_SUBDIM + 1}, {PQ_SUBDIM})"
+
+
+def _sub_duck(m: int, v: str = "v") -> str:
+    return f"{v}[{m * PQ_SUBDIM + 1}:{(m + 1) * PQ_SUBDIM}]"
+
+
+def _subspace_assign_expr(cents: list[list[float]], sub: str) -> F.Column:
+    """argmin code over one subspace's literal codebook — the same
+    2-D-literal aggregate shape (and strict-< first-wins tie rule) as
+    ``clustering._assign_expr``, over a subvector expression."""
+    ks = len(cents)
+    c_lit = "array(" + ",".join(
+        "array(" + ",".join(_dlit(x) for x in c) + ")" for c in cents
+    ) + ")"
+    n2_lit = "array(" + ",".join(
+        _dlit(sum(x * x for x in c)) for c in cents
+    ) + ")"
+    score = f"""
+      element_at({n2_lit}, j + 1) - CAST(2.0 AS DOUBLE) *
+        aggregate(zip_with({sub}, element_at({c_lit}, j + 1), (x, c) -> x * c),
+                  CAST(0 AS DOUBLE), (acc, y) -> acc + y)
+    """
+    return F.expr(
+        f"""
+        aggregate(sequence(0, {ks - 1}),
+          named_struct('idx', CAST(0 AS INT),
+                       'best', CAST('Infinity' AS DOUBLE)),
+          (st, j) -> IF(({score}) < st.best,
+                        named_struct('idx', CAST(j AS INT),
+                                     'best', CAST(({score}) AS DOUBLE)),
+                        st),
+          st -> st.idx)
+        """
+    )
+
+
+_PQ_CACHE: dict[str, list[list[list[float]]]] = {}
+
+
+def pq_fit(spark: SparkSession, sf_dir: str) -> list[list[list[float]]]:
+    """Codebooks[m][ks][subdim] — M independent decimal-exact Lloyd's
+    fits over the shared unit-vector index. Deterministic exactly as
+    `clustering.kmeans_fit` (decimal partial sums, first-Ks init,
+    fixed iterations, codegen off under the shared fit lock) so the
+    oracles can inline the codebooks as literals; memoized per sf_dir
+    (the fit is bit-identical in any session)."""
+    if sf_dir in _PQ_CACHE:
+        return _PQ_CACHE[sf_dir]
+    from .clustering import _FIT_LOCK
+    from .similarity import unit_vector_index
+
+    vecs = unit_vector_index(spark, sf_dir)
+    init_rows = vecs.orderBy("vec_id").limit(PQ_KS).collect()
+    books: list[list[list[float]]] = [
+        [list(r.v[m * PQ_SUBDIM : (m + 1) * PQ_SUBDIM]) for r in init_rows]
+        for m in range(PQ_M)
+    ]
+    with _FIT_LOCK:
+        prev = spark.conf.get("spark.sql.codegen.wholeStage", "true")
+        spark.conf.set("spark.sql.codegen.wholeStage", "false")
+        try:
+            for m in range(PQ_M):
+                sub = vecs.select(F.expr(_sub_spark(m)).alias("s"))
+                for _ in range(PQ_ITER):
+                    assigned = sub.withColumn(
+                        "code", _subspace_assign_expr(books[m], "s")
+                    )
+                    sums = assigned.groupBy("code").agg(
+                        F.count("*").alias("n"),
+                        *[
+                            F.sum(
+                                F.element_at(F.col("s"), i + 1).cast(
+                                    "decimal(38,18)"
+                                )
+                            ).alias(f"s{i}")
+                            for i in range(PQ_SUBDIM)
+                        ],
+                    )
+                    new_book = list(books[m])
+                    for row in sums.collect():
+                        new_book[row.code] = [
+                            float(row[f"s{i}"]) / row.n
+                            for i in range(PQ_SUBDIM)
+                        ]
+                    books[m] = new_book
+        finally:
+            spark.conf.set("spark.sql.codegen.wholeStage", prev)
+    _PQ_CACHE[sf_dir] = books
+    return books
+
+
+def _encoded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """vec_id + unit vector + packed bigint code (pure per-row
+    projection over the shared index)."""
+    from .similarity import unit_vector_index
+
+    books = pq_fit(spark, sf_dir)
+    vecs = unit_vector_index(spark, sf_dir)
+    enc = vecs.withColumns(
+        {
+            f"_c{m}": _subspace_assign_expr(books[m], _sub_spark(m))
+            for m in range(PQ_M)
+        }
+    )
+    lo = " + ".join(
+        f"CAST(_c{m} AS BIGINT) * {1 << (4 * m)}" for m in range(8)
+    )
+    hi = " + ".join(
+        f"CAST(_c{m} AS BIGINT) * {1 << (4 * (m - 8))}"
+        for m in range(8, PQ_M)
+    )
+    return (
+        enc.withColumn("code_lo", F.expr(lo))
+        .withColumn("code_hi", F.expr(hi))
+        .drop(*[f"_c{m}" for m in range(PQ_M)])
+    )
+
+
+def pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PQ index: every vector's M 4-bit codes packed into two
+    32-bit words (8 code bytes per vector — the 64× compression PQ
+    exists for)."""
+    return _encoded(spark, sf_dir).select("vec_id", "code_lo", "code_hi")
+
+
+def _codebook_ctes(books: list[list[list[float]]]) -> str:
+    """``cent(m, ks, c, n2)`` VALUES rows + unit vectors + per-
+    (vector, m) argmin codes + the packed bigint — the DuckDB replay
+    of ``_subspace_assign_expr`` (same ROW_NUMBER (s, ks) tie rule as
+    the kmeans oracles) and the same power-of-two packing."""
+    from .similarity import _UNIT_VECTORS_SQL
+
+    rows = []
+    for m, book in enumerate(books):
+        for j, c in enumerate(book):
+            arr = "[" + ", ".join(_dlit(x) for x in c) + "]"
+            n2 = float(sum(x * x for x in c))
+            rows.append(f"({m}, {j}, {arr}, {_dlit(n2)})")
+    values = ",\n".join(rows)
+    sub_cases = " ".join(
+        f"WHEN {m} THEN {_sub_duck(m)}" for m in range(PQ_M)
+    )
+    pack_lo = " + ".join(
+        f"CAST(MAX(CASE WHEN m = {m} THEN code END) AS BIGINT)"
+        f" * {1 << (4 * m)}"
+        for m in range(8)
+    )
+    pack_hi = " + ".join(
+        f"CAST(MAX(CASE WHEN m = {m} THEN code END) AS BIGINT)"
+        f" * {1 << (4 * (m - 8))}"
+        for m in range(8, PQ_M)
+    )
+    return f"""e AS ({_UNIT_VECTORS_SQL}),
+cent(m, ks, c, n2) AS (VALUES {values}),
+sub AS (
+  SELECT vec_id, ms.m AS m, CASE ms.m {sub_cases} END AS s
+  FROM e CROSS JOIN (SELECT DISTINCT m FROM cent) ms
+),
+scored AS (
+  SELECT sub.vec_id, sub.m, cent.ks,
+         cent.n2 - 2.0 * {dot_sql('sub.s', 'cent.c')} AS sc
+  FROM sub JOIN cent ON sub.m = cent.m
+),
+mcodes AS (
+  SELECT vec_id, m, ks AS code
+  FROM (SELECT vec_id, m, ks,
+               ROW_NUMBER() OVER (PARTITION BY vec_id, m
+                                  ORDER BY sc, ks) AS rn
+        FROM scored)
+  WHERE rn = 1
+),
+codes AS (
+  SELECT vec_id, {pack_lo} AS code_lo, {pack_hi} AS code_hi
+  FROM mcodes GROUP BY vec_id
+)"""
+
+
+def pq_encode_oracle(sf_dir: str) -> str:
+    from ..session import active_or_local
+
+    books = pq_fit(active_or_local("pq_oracle"), sf_dir)
+    return f"""
+WITH {_codebook_ctes(books)}
+SELECT vec_id, code_lo, code_hi FROM codes
+"""
+
+
+def _adc_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(query_id, neighbor_id, adc_dist): the full bounded-Q ADC scan
+    before any rank cut — shared by the top-k and re-rank stages."""
+    from .similarity import N_QUERIES
+
+    books = pq_fit(spark, sf_dir)
+    enc = _encoded(spark, sf_dir)
+
+    luts = {}
+    for m, book in enumerate(books):
+        c_lit = "array(" + ",".join(
+            "array(" + ",".join(_dlit(x) for x in c) + ")" for c in book
+        ) + ")"
+        n2_lit = "array(" + ",".join(
+            _dlit(sum(x * x for x in c)) for c in book
+        ) + ")"
+        sub = _sub_spark(m)
+        luts[f"lut{m}"] = F.expr(
+            f"""
+            transform(sequence(0, {PQ_KS - 1}), j ->
+              element_at({n2_lit}, j + 1) - CAST(2.0 AS DOUBLE) *
+                aggregate(zip_with({sub}, element_at({c_lit}, j + 1),
+                                   (x, c) -> x * c),
+                          CAST(0 AS DOUBLE), (acc, y) -> acc + y)
+              + aggregate(zip_with({sub}, {sub}, (x, y) -> x * y),
+                          CAST(0 AS DOUBLE), (acc, y) -> acc + y))
+            """
+        )
+    q = (
+        enc.where(F.col("vec_id") < N_QUERIES)
+        .withColumns(luts)
+        .select("vec_id", *luts)
+        .alias("q")
+    )
+    c = enc.select("vec_id", "code_lo", "code_hi").alias("c")
+
+    def _nib(m: int) -> str:
+        word = "c.code_lo" if m < 8 else "c.code_hi"
+        shift = 1 << (4 * (m % 8))
+        return f"CAST(({word} div {shift}) % 16 AS INT)"
+
+    adc = " + ".join(
+        f"element_at(q.lut{m}, {_nib(m)} + 1)" for m in range(PQ_M)
+    )
+    return (
+        F.broadcast(q)
+        .join(c, F.col("q.vec_id") != F.col("c.vec_id"))
+        .select(
+            F.col("q.vec_id").alias("query_id"),
+            F.col("c.vec_id").alias("neighbor_id"),
+            F.expr(adc).alias("adc_dist"),
+        )
+    )
+
+
+def pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw ADC top-k (the coarse stage's own order — ascending
+    PQ-approximated squared L2, which over unit vectors is descending
+    approximate cosine)."""
+    from .similarity import TOP_K
+
+    w = W.partitionBy("query_id").orderBy(
+        F.asc("adc_dist"), F.asc("neighbor_id")
+    )
+    return (
+        _adc_scored(spark, sf_dir)
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= TOP_K)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "adc_dist",
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )
+
+
+def pq_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ADC shortlist (R = PQ_SHORTLIST by approximate distance) re-
+    ranked by EXACT cosine — the recall-restoring stage. Only Q·R
+    shortlist rows re-read full vectors, via plain equi-joins on
+    vec_id."""
+    from .similarity import TOP_K, unit_vector_index
+
+    w_short = W.partitionBy("query_id").orderBy(
+        F.asc("adc_dist"), F.asc("neighbor_id")
+    )
+    short = (
+        _adc_scored(spark, sf_dir)
+        .withColumn("srank", F.row_number().over(w_short))
+        .where(F.col("srank") <= PQ_SHORTLIST)
+        .select("query_id", "neighbor_id")
+    )
+    vecs = unit_vector_index(spark, sf_dir)
+    qv = vecs.select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    cv = vecs.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("v").alias("cv")
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id")
+    )
+    return (
+        short.join(F.broadcast(qv), "query_id")
+        .join(cv, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            dot(F.col("qv"), F.col("cv")).alias("cos_sim"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= TOP_K)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "cos_sim",
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )
+
+
+def _adc_pairs_sql(books: list[list[list[float]]]) -> str:
+    """CTE suffix (after `_codebook_ctes`) producing the full ADC
+    pair scores — per-query LUT + nibble unpack + M-lookup sum in
+    subspace order."""
+    from .similarity import N_QUERIES
+
+    lut_d = (
+        "cent.n2 - 2.0 * " + dot_sql("qs.s", "cent.c")
+        + " + " + dot_sql("qs.s", "qs.s")
+    )
+    adc = " + ".join(f"l{m}.d" for m in range(PQ_M))
+    def _nib(m: int) -> str:
+        word = "c.code_lo" if m < 8 else "c.code_hi"
+        return f"(({word} // {1 << (4 * (m % 8))}) % 16)"
+
+    lut_joins = "\n  ".join(
+        f"JOIN lut l{m} ON l{m}.query_id = q.vec_id AND l{m}.m = {m} "
+        f"AND l{m}.ks = {_nib(m)}"
+        for m in range(PQ_M)
+    )
+    return f"""
+qs AS (SELECT vec_id, m, s FROM sub WHERE vec_id < {N_QUERIES}),
+lut AS (
+  SELECT qs.vec_id AS query_id, qs.m, cent.ks, {lut_d} AS d
+  FROM qs JOIN cent ON qs.m = cent.m
+),
+pairs AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, {adc} AS adc_dist
+  FROM (SELECT vec_id FROM e WHERE vec_id < {N_QUERIES}) q
+  JOIN codes c ON q.vec_id != c.vec_id
+  {lut_joins}
+)"""
+
+
+def pq_adc_topk_oracle(sf_dir: str) -> str:
+    from ..session import active_or_local
+    from .similarity import TOP_K
+
+    books = pq_fit(active_or_local("pq_oracle"), sf_dir)
+    return f"""
+WITH {_codebook_ctes(books)},
+{_adc_pairs_sql(books)},
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY adc_dist ASC, neighbor_id ASC) AS rn
+  FROM pairs
+)
+SELECT query_id, neighbor_id, adc_dist, CAST(rn AS BIGINT) AS rank
+FROM ranked WHERE rn <= {TOP_K}
+"""
+
+
+def _rerank_sql(sf_dir: str) -> str:
+    from ..session import active_or_local
+    from .similarity import TOP_K
+
+    books = pq_fit(active_or_local("pq_oracle"), sf_dir)
+    return f"""
+WITH {_codebook_ctes(books)},
+{_adc_pairs_sql(books)},
+short AS (
+  SELECT query_id, neighbor_id
+  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY adc_dist ASC, neighbor_id ASC)
+               AS srn
+        FROM pairs)
+  WHERE srn <= {PQ_SHORTLIST}
+),
+rr AS (
+  SELECT s.query_id, s.neighbor_id,
+         {dot_sql('qe.v', 'ce.v')} AS cos_sim
+  FROM short s
+  JOIN e qe ON qe.vec_id = s.query_id
+  JOIN e ce ON ce.vec_id = s.neighbor_id
+),
+rranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY cos_sim DESC, neighbor_id ASC) AS rn
+  FROM rr
+)
+SELECT query_id, neighbor_id, cos_sim, CAST(rn AS BIGINT) AS rank
+FROM rranked WHERE rn <= {TOP_K}
+"""
+
+
+def pq_rerank_topk_oracle(sf_dir: str) -> str:
+    return _rerank_sql(sf_dir)
+
+
+def pq_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of the re-ranked PQ pipeline vs the exact cosine
+    top-k (same staged ground-truth fixture as the LSH/IVF recall
+    gates) — the quantization-loss dial of the shipped (M, Ks, R)
+    point, as a DECLARED hash-gated number."""
+    from .similarity import TOP_K, build_exact_topk
+
+    bf = spark.read.parquet(build_exact_topk(spark, sf_dir))
+    rr = (
+        pq_rerank_topk(spark, sf_dir)
+        .select("query_id", "neighbor_id")
+        .withColumn("hit", F.lit(1))
+    )
+    return (
+        bf.join(rr, ["query_id", "neighbor_id"], "left")
+        .agg(
+            F.countDistinct("query_id").alias("n_queries"),
+            F.sum(F.coalesce(F.col("hit"), F.lit(0)))
+            .cast("long")
+            .alias("hits"),
+        )
+        .select(
+            F.lit(TOP_K).cast("long").alias("k"),
+            F.lit(PQ_M).cast("long").alias("m"),
+            F.lit(PQ_KS).cast("long").alias("ks"),
+            F.lit(PQ_SHORTLIST).cast("long").alias("shortlist"),
+            "n_queries",
+            "hits",
+            (
+                F.col("hits").cast("double")
+                / (F.col("n_queries") * TOP_K)
+            ).alias("recall_at_k"),
+        )
+    )
+
+
+def pq_recall_oracle(sf_dir: str) -> str:
+    from .similarity import ANN_BRUTEFORCE_SQL, TOP_K
+
+    return f"""
+WITH bf AS ({ANN_BRUTEFORCE_SQL}),
+rr AS (SELECT query_id, neighbor_id FROM ({_rerank_sql(sf_dir)})),
+j AS (
+  SELECT bf.query_id,
+         CASE WHEN rr.neighbor_id IS NOT NULL THEN 1 ELSE 0 END AS hit
+  FROM bf LEFT JOIN rr
+    ON bf.query_id = rr.query_id AND bf.neighbor_id = rr.neighbor_id
+)
+SELECT CAST({TOP_K} AS BIGINT) AS k,
+       CAST({PQ_M} AS BIGINT) AS m,
+       CAST({PQ_KS} AS BIGINT) AS ks,
+       CAST({PQ_SHORTLIST} AS BIGINT) AS shortlist,
+       COUNT(DISTINCT query_id) AS n_queries,
+       CAST(SUM(hit) AS BIGINT) AS hits,
+       CAST(SUM(hit) AS DOUBLE) / (COUNT(DISTINCT query_id) * {TOP_K})
+         AS recall_at_k
+FROM j
+"""
+
+
+QUERIES = {
+    "pq_encode": (pq_encode, pq_encode_oracle),
+    "pq_adc_topk": (pq_adc_topk, pq_adc_topk_oracle),
+    "pq_rerank_topk": (pq_rerank_topk, pq_rerank_topk_oracle),
+    "pq_recall_at_k": (pq_recall_at_k, pq_recall_oracle),
+}

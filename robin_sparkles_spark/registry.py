@@ -89,6 +89,7 @@ def _modules() -> tuple:
         relational6,
         llm_prep,
         ngram_lm,
+        pq,
         pysource,
         similarity,
         skew_queries,
@@ -123,6 +124,7 @@ def _modules() -> tuple:
         relational6,
         llm_prep,
         ngram_lm,
+        pq,
         skew_queries,
         graph,
         analytics,
@@ -238,6 +240,9 @@ GATE_FRONT: tuple[str, ...] = (
     "ngram_lm_score",
     "ngram_repeated_spans",
     "jpeg_progressive_pixel_stats",
+    "pq_encode",
+    "pq_adc_topk",
+    "pq_recall_at_k",
     # r5-last-green block deferred from the r8 fill (all eleven)
     "nation_region_names",
     "window_top_order_per_cust",
@@ -285,13 +290,12 @@ GATE_FRONT: tuple[str, ...] = (
     "q17_small_quantity_revenue",
     "q18_large_quantity_orders",
     "q19_disjunctive_revenue",
-    "q22_idle_balance_by_segment",
-    "q4_late_shipment_priority",
-    "q6_forecast_revenue",
 )
 # ROUND-10 ROTATION (write it at the start of r10): rotate out the 50
 # names above once CORRECTNESS_r09 comes back green. Fill order: the
-# r6-last-green names deferred here (q7_nation_trade_flows,
+# r6-last-green names deferred here (q22_idle_balance_by_segment,
+# q4_late_shipment_priority, q6_forecast_revenue,
+# q7_nation_trade_flows,
 # q8_nation_market_share,
 # window_order_analytics,
 # wordcount_stopword, multimodal_meta, events_tumbling_1h,

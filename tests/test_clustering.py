@@ -257,3 +257,45 @@ def test_ivf_similar_pairs_plan_is_equi_join(spark, sf_dir):
     a = audit_plan(C.embedding_similar_pairs_ivf(spark, sf_dir))
     assert a.sortmerge_joins + a.broadcast_joins >= 1, a.formatted
     assert not a.has_python_eval
+
+
+def test_pq_rerank_restores_recall(spark, sf_dir):
+    """The PQ pipeline's recall ladder: the exact re-rank of the ADC
+    shortlist must dominate the raw ADC order, and the shipped
+    (M=16, Ks=16, R=100) point must clear a 0.85 floor at gate scales
+    (measured 0.974 @ sf0.01, 0.896 @ sf0.1; raw ADC ~0.35/0.25 —
+    re-ranking is what makes the compressed index usable)."""
+    from robin_sparkles_spark.operators import pq as P
+    from robin_sparkles_spark.operators.similarity import TOP_K, build_exact_topk
+
+    bf = {
+        (r.query_id, r.neighbor_id)
+        for r in spark.read.parquet(build_exact_topk(spark, sf_dir)).collect()
+    }
+    adc = {
+        (r.query_id, r.neighbor_id)
+        for r in P.pq_adc_topk(spark, sf_dir).collect()
+    }
+    rr = {
+        (r.query_id, r.neighbor_id)
+        for r in P.pq_rerank_topk(spark, sf_dir).collect()
+    }
+    recall_adc = len(adc & bf) / len(bf)
+    recall_rr = len(rr & bf) / len(bf)
+    assert recall_rr >= recall_adc, (recall_rr, recall_adc)
+    assert recall_rr >= 0.85, recall_rr
+    row = P.pq_recall_at_k(spark, sf_dir).collect()[0]
+    assert row.hits == len(rr & bf)
+
+
+def test_pq_packed_codes_are_nibbles(spark, sf_dir):
+    """Every packed word holds 8 valid 4-bit codes (0..15) and the
+    codebooks are the memoized deterministic fit (two calls, same
+    literals)."""
+    from robin_sparkles_spark.operators import pq as P
+
+    rows = P.pq_encode(spark, sf_dir).collect()
+    assert len(rows) == len({r.vec_id for r in rows})
+    for r in rows[:50]:
+        assert 0 <= r.code_lo < (1 << 32) and 0 <= r.code_hi < (1 << 32)
+    assert P.pq_fit(spark, sf_dir) == P.pq_fit(spark, sf_dir)

@@ -11,6 +11,8 @@ from robin_sparkles_spark.operators import (
     dedup,
     embedding_dedup,
     graph,
+    ngram_lm,
+    pq,
     semdedup,
     similarity,
     sketches,
@@ -21,7 +23,7 @@ from robin_sparkles_spark.operators import (
 from .oracle_utils import assert_query_matches_oracle
 
 ALL = {}
-for mod in (text_analysis, dedup, embedding_dedup, similarity, curation, sketches, graph, semdedup, bpe, web_text):
+for mod in (text_analysis, dedup, embedding_dedup, similarity, curation, sketches, graph, semdedup, bpe, web_text, ngram_lm, pq):
     ALL.update(mod.QUERIES)
     ALL.update(getattr(mod, "QUERIES_TAIL", {}))
 

@@ -158,6 +158,12 @@ def test_embedding_similar_bucket_join_is_equi_join(spark, sf_dir):
 # with a single-row build, not a pair scan.
 _BNL_ALLOWED = {
     "ann_bruteforce_topk",
+    # PQ/ADC: same sanctioned bounded-Q scan (Q = 100 const) — the
+    # per-pair cost is M table lookups, that being ADC's point; the
+    # rerank/recall stages inherit the shortlist's ADC subtree
+    "pq_adc_topk",
+    "pq_rerank_topk",
+    "pq_recall_at_k",
     "q22_idle_balance_by_segment",
     "q11_part_value_share",  # same scalar shape: 1-row nation total
     "supplier_revenue_share",  # same scalar shape: 1-row grand total (r6)
