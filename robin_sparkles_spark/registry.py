@@ -242,6 +242,7 @@ GATE_FRONT: tuple[str, ...] = (
     "jpeg_progressive_pixel_stats",
     "pq_encode",
     "pq_adc_topk",
+    "pq_rerank_topk",
     "pq_recall_at_k",
     # r5-last-green block deferred from the r8 fill (all eleven)
     "nation_region_names",
@@ -289,11 +290,11 @@ GATE_FRONT: tuple[str, ...] = (
     "q14_promo_revenue_pct",
     "q17_small_quantity_revenue",
     "q18_large_quantity_orders",
-    "q19_disjunctive_revenue",
 )
 # ROUND-10 ROTATION (write it at the start of r10): rotate out the 50
 # names above once CORRECTNESS_r09 comes back green. Fill order: the
-# r6-last-green names deferred here (q22_idle_balance_by_segment,
+# r6-last-green names deferred here (q19_disjunctive_revenue,
+# q22_idle_balance_by_segment,
 # q4_late_shipment_priority, q6_forecast_revenue,
 # q7_nation_trade_flows,
 # q8_nation_market_share,
