@@ -28,9 +28,10 @@ arithmetic, so these three kernels are REAL spec implementations:
   prediction, AC run/size + ZRL + EOB. Planted integer coefficients +
   a unit quant table make the layer lossless, so the oracle is closed
   form; ``jpeg_pixel_stats`` (r8) finishes the decode — dequant +
-  fixed-point integer IDCT + level shift + clamp — leaving only the
-  progressive/arithmetic-coded JPEG variants behind the library
-  boundary.
+  fixed-point integer IDCT + level shift + clamp; the progressive
+  variants (r9: spectral selection with EOB runs AND successive-
+  approximation bit-plane refinement) decode to the same pixels,
+  leaving only arithmetic-coded entropy behind the library boundary.
 
 Same verification contract as ``media_decode``: payloads are
 synthesized DETERMINISTICALLY from ``media_id`` (driver-side, staged
@@ -365,8 +366,8 @@ def parse_jpeg(blob: bytes) -> dict:
 # The synthesizer plants integer DCT coefficients and a unit quant
 # table, so the entropy layer is LOSSLESS and the oracle is closed
 # form. The PIXEL layer below (r8) finishes the decode with an exact
-# integer IDCT; only progressive/arithmetic variants stay behind the
-# library boundary.
+# integer IDCT; r9 extends it across progressive scan scripts, so
+# only arithmetic-coded entropy stays behind the library boundary.
 
 _JDC_BITS = [0] * 16
 _JDC_BITS[3] = 9  # DC categories 0..8, all length-4 codes
@@ -530,8 +531,9 @@ def synth_jpeg_baseline(media_id: int, quant: list[int] | None = None) -> bytes:
 # the end (a table IDCT, the shape embedded decoders use) — so every
 # pixel is a deterministic integer function of the coefficients, and
 # the DuckDB oracle replays the identical arithmetic from the planted
-# coefficients + the same table. The remaining library boundary is
-# only the entropy-PROGRESSIVE / arithmetic-coded JPEG variants.
+# coefficients + the same table. As of r9 the progressive entropy
+# variants decode too; the remaining library boundary is only
+# arithmetic-coded JPEG.
 
 
 def _zigzag_order() -> list[tuple[int, int]]:
@@ -1046,8 +1048,9 @@ def jpeg_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # each 8×8 block renders flat at its DC level (1/8-scale preview)
 # without touching the AC refinement scans. DC coding in that scan is
 # the baseline DC algorithm (T.81 §G.1.1, Ah=0), so this reuses the
-# huffman/bit-reader machinery; only AC spectral-selection and
-# successive-approximation refinement scans remain undecoded.
+# huffman/bit-reader machinery. (r9: the full-progressive and
+# successive-approximation parsers below decode those scans too —
+# this DC-preview parser stays as the cheap thumbnail path.)
 
 
 def synth_jpeg_progressive_dc(media_id: int) -> bytes:
@@ -1441,6 +1444,204 @@ def synth_jpeg_progressive_full(media_id: int) -> bytes:
     return out + b"\xff\xd9"
 
 
+# Successive-approximation scan script (T.81 §G.1.1.2 / §G.1.2.3):
+# first scans send the point-transformed values (>> Al), refinement
+# scans send one magnitude bit per coefficient position — newly-
+# significant AC coefficients as (run, 1)+sign codes over zero-
+# history runs, everything already nonzero as raw correction bits
+# (buffered across EOB runs). The script below interleaves DC and AC
+# refinement the way real encoders emit them.
+_SA_SCRIPT = (
+    # (ss, se, ah, al)
+    (0, 0, 0, 1),  # DC first, Al=1
+    (1, 29, 0, 1),  # AC first over the planted band, Al=1
+    (0, 0, 1, 0),  # DC refinement: bit 0
+    (1, 29, 1, 0),  # AC refinement: bit 0 (newly-significant ±1s)
+    (30, 63, 0, 0),  # empty tail band: one multi-block EOBn
+)
+
+
+def _enc_ac_first(
+    w: "_BitWriter",
+    blocks: list[list[int]],
+    ss: int,
+    se: int,
+    al: int,
+    ac_codes: dict,
+) -> None:
+    """First AC scan at point transform ``al`` — band run/size coding
+    of sign(v)·(|v| >> al) with cross-block EOB runs."""
+    eobrun = 0
+
+    def flush() -> None:
+        nonlocal eobrun
+        if eobrun:
+            rr = eobrun.bit_length() - 1
+            code, ln = ac_codes[rr << 4]
+            w.write(code, ln)
+            if rr:
+                w.write(eobrun - (1 << rr), rr)
+            eobrun = 0
+
+    for coeffs in blocks:
+        band = [
+            (k, (abs(coeffs[k]) >> al) * (1 if coeffs[k] >= 0 else -1))
+            for k in range(ss, se + 1)
+        ]
+        nz = [(k, t) for k, t in band if t]
+        if not nz:
+            eobrun += 1
+            continue
+        flush()
+        pos = ss - 1
+        for k, t in nz:
+            run = k - pos - 1
+            while run >= 16:
+                code, ln = ac_codes[0xF0]
+                w.write(code, ln)
+                run -= 16
+            s = _jpeg_cat(t)
+            code, ln = ac_codes[(run << 4) | s]
+            w.write(code, ln)
+            w.write(t if t >= 0 else t + (1 << s) - 1, s)
+            pos = k
+        if pos < se:
+            eobrun += 1
+    flush()
+
+
+def _enc_ac_refine(
+    w: "_BitWriter",
+    blocks: list[list[int]],
+    ss: int,
+    se: int,
+    al: int,
+    ac_codes: dict,
+) -> None:
+    """AC refinement scan (Ah = al + 1): the correction-bit algorithm
+    — the exact inverse of the decoder's §G.1.2.3 walk, including the
+    buffering of correction bits under a pending cross-block EOB
+    run."""
+    eobrun = 0
+    be_bits: list[int] = []
+
+    def flush() -> None:
+        nonlocal eobrun, be_bits
+        if eobrun:
+            rr = eobrun.bit_length() - 1
+            code, ln = ac_codes[rr << 4]
+            w.write(code, ln)
+            if rr:
+                w.write(eobrun - (1 << rr), rr)
+            for b in be_bits:
+                w.write(b, 1)
+            be_bits = []
+            eobrun = 0
+
+    for coeffs in blocks:
+        newly = [
+            k for k in range(ss, se + 1) if abs(coeffs[k]) >> al == 1
+        ]
+        eobpos = newly[-1] if newly else ss - 1
+        run = 0
+        br: list[int] = []
+        for k in range(ss, eobpos + 1):
+            t = abs(coeffs[k]) >> al
+            if t == 0:
+                run += 1
+            elif t > 1:
+                br.append(t & 1)
+            else:  # newly significant at this level
+                while run > 15:
+                    flush()
+                    code, ln = ac_codes[0xF0]
+                    w.write(code, ln)
+                    run -= 16
+                    for b in br:
+                        w.write(b, 1)
+                    br = []
+                flush()
+                code, ln = ac_codes[(run << 4) | 1]
+                w.write(code, ln)
+                w.write(1 if coeffs[k] > 0 else 0, 1)
+                for b in br:
+                    w.write(b, 1)
+                br = []
+                run = 0
+        if eobpos < se:  # tail absorbed into the EOB run
+            eobrun += 1
+            for k in range(max(ss, eobpos + 1), se + 1):
+                t = abs(coeffs[k]) >> al
+                if t > 1:
+                    be_bits.append(t & 1)
+    flush()
+
+
+def synth_jpeg_progressive_sa(media_id: int) -> bytes:
+    """A successive-approximation progressive JPEG planting the SAME
+    coefficients and quant table as the baseline pixel corpus, sent
+    over the 5-scan `_SA_SCRIPT` (DC/AC first scans at Al=1, then the
+    bit-0 refinement scans, then the all-zero tail band)."""
+    bx, by = _jpeg_blocks(media_id)
+    n_blocks = bx * by
+    blocks = []
+    for b in range(n_blocks):
+        dc, acs = _jpeg_coeffs(media_id, b)
+        coeffs = [0] * 64
+        coeffs[0] = dc
+        for p, v in acs:
+            coeffs[p] = v
+        blocks.append(coeffs)
+    dc_codes = _huff_codes(_JDC_BITS, _JDC_VALS)
+    ac_codes = _huff_codes(_JPAC_BITS, _JPAC_VALS)
+
+    scans = []
+    for ss, se, ah, al in _SA_SCRIPT:
+        w = _BitWriter()
+        if ss == 0:
+            if ah == 0:  # DC first: prediction in the shifted domain
+                prev = 0
+                for coeffs in blocks:
+                    vs = coeffs[0] >> al
+                    diff, prev = vs - prev, vs
+                    s = _jpeg_cat(diff)
+                    code, ln = dc_codes[s]
+                    w.write(code, ln)
+                    if s:
+                        w.write(
+                            diff if diff >= 0 else diff + (1 << s) - 1, s
+                        )
+            else:  # DC refinement: raw bit Al (two's complement)
+                for coeffs in blocks:
+                    w.write((coeffs[0] >> al) & 1, 1)
+        elif ah == 0:
+            _enc_ac_first(w, blocks, ss, se, al, ac_codes)
+        else:
+            _enc_ac_refine(w, blocks, ss, se, al, ac_codes)
+        scans.append(w.done())
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return bytes((0xFF, marker)) + struct.pack(">H", 2 + len(payload)) + payload
+
+    out = b"\xff\xd8"
+    out += seg(0xDB, bytes([0x00]) + bytes(_pixel_quant(media_id)))
+    out += seg(
+        0xC2,
+        bytes([8])
+        + struct.pack(">HH", 8 * by, 8 * bx)
+        + bytes([1])
+        + bytes((1, 0x11, 0)),
+    )
+    out += seg(0xC4, bytes([0x00]) + bytes(_JDC_BITS) + bytes(_JDC_VALS))
+    out += seg(0xC4, bytes([0x10]) + bytes(_JPAC_BITS) + bytes(_JPAC_VALS))
+    for (ss, se, ah, al), scan in zip(_SA_SCRIPT, scans):
+        out += seg(
+            0xDA,
+            bytes([1]) + bytes((1, 0x00)) + bytes((ss, se, (ah << 4) | al)),
+        ) + scan
+    return out + b"\xff\xd9"
+
+
 def parse_jpeg_progressive_pixels(blob: bytes) -> dict:
     """Full progressive decode to pixels: multi-scan marker walk,
     per-scan entropy decode (DC prediction; AC spectral selection
@@ -1493,9 +1694,11 @@ def parse_jpeg_progressive_pixels(blob: bytes) -> dict:
                 raise ValueError("multi-component scan unsupported")
             td_ta = body[2]
             ss, se, a = body[3], body[4], body[5]
-            if a != 0:
+            ah, al = a >> 4, a & 0x0F
+            if ah != 0 and ah != al + 1:
                 raise ValueError(
-                    "successive-approximation scan unsupported"
+                    "refinement scan must lower the point transform "
+                    "by exactly one bit (Ah = Al + 1)"
                 )
             end = pos
             while end + 1 < len(blob) and not (
@@ -1506,59 +1709,137 @@ def parse_jpeg_progressive_pixels(blob: bytes) -> dict:
             if ss == 0:
                 if se != 0:
                     raise ValueError("DC scan must have Se=0")
-                dc_map = tables.get(td_ta >> 4)
-                if dc_map is None:
-                    raise ValueError("missing DC table")
-                prev_dc = 0
-                for blk in coeffs:
-                    s = r.read_symbol(dc_map)
-                    if s:
-                        bits = r.read(s)
-                        diff = (
-                            bits
-                            if bits >= (1 << (s - 1))
-                            else bits - (1 << s) + 1
-                        )
-                    else:
-                        diff = 0
-                    prev_dc += diff
-                    blk[0] = prev_dc
+                if ah == 0:
+                    # first DC scan at point transform Al: prediction
+                    # runs in the shifted domain, stored value is
+                    # v << Al (two's-complement — Python's arbitrary-
+                    # precision ints match the spec's bit semantics
+                    # for negatives)
+                    dc_map = tables.get(td_ta >> 4)
+                    if dc_map is None:
+                        raise ValueError("missing DC table")
+                    prev_dc = 0
+                    for blk in coeffs:
+                        s = r.read_symbol(dc_map)
+                        if s:
+                            bits = r.read(s)
+                            diff = (
+                                bits
+                                if bits >= (1 << (s - 1))
+                                else bits - (1 << s) + 1
+                            )
+                        else:
+                            diff = 0
+                        prev_dc += diff
+                        blk[0] = prev_dc << al
+                else:
+                    # DC refinement (T.81 §G.1.1.2): one raw bit per
+                    # block, ORed in at position Al
+                    p1 = 1 << al
+                    for blk in coeffs:
+                        if r.read(1):
+                            blk[0] |= p1
             else:
                 if not 1 <= ss <= se <= 63:
                     raise ValueError("bad spectral band")
                 ac_map = tables.get(0x10 | (td_ta & 0x0F))
                 if ac_map is None:
                     raise ValueError("missing AC table")
-                eobrun = 0
-                for blk in coeffs:
+                if ah == 0:
+                    # first AC scan at level Al (§G.1.2.2): run/size
+                    # with EOBn; decoded magnitudes scale by << Al
+                    # (AC point transform is sign-magnitude, and a
+                    # left shift is sign-transparent)
+                    eobrun = 0
+                    for blk in coeffs:
+                        if eobrun:
+                            eobrun -= 1
+                            continue
+                        k = ss
+                        while k <= se:
+                            sym = r.read_symbol(ac_map)
+                            run, s = sym >> 4, sym & 0x0F
+                            if s == 0:
+                                if run == 15:  # ZRL: 16 zeros in band
+                                    k += 16
+                                    continue
+                                eobrun = 1 << run
+                                if run:
+                                    eobrun += r.read(run)
+                                eobrun -= 1  # current block's EOB
+                                break
+                            k += run
+                            if k > se:
+                                raise ValueError("AC index beyond band")
+                            bits = r.read(s)
+                            v = (
+                                bits
+                                if bits >= (1 << (s - 1))
+                                else bits - (1 << s) + 1
+                            )
+                            blk[k] = v << al
+                            k += 1
                     if eobrun:
-                        eobrun -= 1
-                        continue
-                    k = ss
-                    while k <= se:
-                        sym = r.read_symbol(ac_map)
-                        run, s = sym >> 4, sym & 0x0F
-                        if s == 0:
-                            if run == 15:  # ZRL: 16 zeros in band
-                                k += 16
-                                continue
-                            eobrun = 1 << run
-                            if run:
-                                eobrun += r.read(run)
-                            eobrun -= 1  # current block's EOB
-                            break
-                        k += run
-                        if k > se:
-                            raise ValueError("AC index beyond band")
-                        bits = r.read(s)
-                        blk[k] = (
-                            bits
-                            if bits >= (1 << (s - 1))
-                            else bits - (1 << s) + 1
-                        )
-                        k += 1
-                if eobrun:
-                    raise ValueError("EOB run spills past final block")
+                        raise ValueError("EOB run spills past final block")
+                else:
+                    # AC refinement (§G.1.2.3): newly-significant
+                    # coefficients arrive as (run, size=1) + sign,
+                    # runs count only zero-history positions, and
+                    # every nonzero-history coefficient passed (or
+                    # covered by an EOB run) carries one correction
+                    # bit that grows its magnitude by 1 << Al
+                    p1 = 1 << al
+                    eobrun = 0
+
+                    def _correct(blk: list, k: int) -> None:
+                        if r.read(1):
+                            blk[k] += p1 if blk[k] > 0 else -p1
+
+                    for blk in coeffs:
+                        k = ss
+                        if not eobrun:
+                            while k <= se:
+                                sym = r.read_symbol(ac_map)
+                                run, s = sym >> 4, sym & 0x0F
+                                newval = 0
+                                if s == 0:
+                                    if run != 15:
+                                        eobrun = 1 << run
+                                        if run:
+                                            eobrun += r.read(run)
+                                        break
+                                    # ZRL: skip 16 zero-history slots
+                                else:
+                                    if s != 1:
+                                        raise ValueError(
+                                            "refinement size must be 1"
+                                        )
+                                    newval = p1 if r.read(1) else -p1
+                                while k <= se:
+                                    if blk[k] != 0:
+                                        _correct(blk, k)
+                                    else:
+                                        if run == 0:
+                                            break
+                                        run -= 1
+                                    k += 1
+                                if newval:
+                                    if k > se:
+                                        raise ValueError(
+                                            "AC index beyond band"
+                                        )
+                                    blk[k] = newval
+                                k += 1
+                        if eobrun:
+                            # rest of this block's band: correction
+                            # bits only
+                            while k <= se:
+                                if blk[k] != 0:
+                                    _correct(blk, k)
+                                k += 1
+                            eobrun -= 1
+                    if eobrun:
+                        raise ValueError("EOB run spills past final block")
             n_scans += 1
             pos = end
     else:
@@ -1644,6 +1925,61 @@ def jpeg_progressive_pixel_oracle(sf_dir: str) -> str:
     )
 
 
+def jpeg_prog_sa_corpus_path(sf_dir: str) -> str:
+    return staged_path(sf_dir, "jpeg_prog_sa_corpus", "documents")
+
+
+def stage_jpeg_prog_sa_corpus(spark: SparkSession, sf_dir: str) -> str:
+    """Separate staged table (fingerprint contract)."""
+    path = jpeg_prog_sa_corpus_path(sf_dir)
+    if is_staged(path):
+        return path
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    n = min(CONTAINER_N, n_docs)
+    rows = [(i, "image/jpeg", synth_jpeg_progressive_sa(i)) for i in range(n)]
+    spark.createDataFrame(
+        rows, "media_id long, mime string, payload binary"
+    ).coalesce(1).write.mode("overwrite").parquet(path)
+    return path
+
+
+def jpeg_progressive_sa_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Successive-approximation progressive JPEG decoded to PIXELS
+    across the 5-scan script (point-transformed first scans +
+    correction-bit refinement scans + the EOBn tail band); gated by
+    the same closed-form pixel replay as the baseline decoder — both
+    corpora plant identical coefficients, so any divergence in the
+    bit-plane reconstruction is a hash mismatch. With this stage the
+    undecoded JPEG boundary is arithmetic-coded entropy only."""
+    media = spark.read.parquet(stage_jpeg_prog_sa_corpus(spark, sf_dir))
+    kernel, schema = _kernel_over(
+        parse_jpeg_progressive_pixels,
+        {
+            "n_blocks": "int",
+            "n_pixels": "bigint",
+            "sum_pixels": "bigint",
+            "min_pixel": "int",
+            "max_pixel": "int",
+            "n_clipped": "bigint",
+            "n_scans": "int",
+        },
+    )
+    return media.where(F.col("mime") == "image/jpeg").mapInPandas(
+        kernel, schema=schema
+    )
+
+
+def jpeg_progressive_sa_oracle(sf_dir: str) -> str:
+    from ..session import active_or_local
+
+    path = stage_jpeg_prog_sa_corpus(
+        active_or_local("container_oracle"), sf_dir
+    )
+    return _pixel_replay_sql(
+        path, f",\n       CAST({len(_SA_SCRIPT)} AS INT) AS n_scans"
+    )
+
+
 QUERIES: dict = {}
 
 QUERIES_TAIL = {
@@ -1659,5 +1995,9 @@ QUERIES_TAIL = {
     "jpeg_progressive_pixel_stats": (
         jpeg_progressive_pixel_stats,
         jpeg_progressive_pixel_oracle,
+    ),
+    "jpeg_progressive_sa_stats": (
+        jpeg_progressive_sa_stats,
+        jpeg_progressive_sa_oracle,
     ),
 }

@@ -240,6 +240,7 @@ GATE_FRONT: tuple[str, ...] = (
     "ngram_lm_score",
     "ngram_repeated_spans",
     "jpeg_progressive_pixel_stats",
+    "jpeg_progressive_sa_stats",
     "pq_encode",
     "pq_adc_topk",
     "pq_rerank_topk",
@@ -289,11 +290,11 @@ GATE_FRONT: tuple[str, ...] = (
     "q13_order_count_distribution",
     "q14_promo_revenue_pct",
     "q17_small_quantity_revenue",
-    "q18_large_quantity_orders",
 )
 # ROUND-10 ROTATION (write it at the start of r10): rotate out the 50
 # names above once CORRECTNESS_r09 comes back green. Fill order: the
-# r6-last-green names deferred here (q19_disjunctive_revenue,
+# r6-last-green names deferred here (q18_large_quantity_orders,
+# q19_disjunctive_revenue,
 # q22_idle_balance_by_segment,
 # q4_late_shipment_priority, q6_forecast_revenue,
 # q7_nation_trade_flows,

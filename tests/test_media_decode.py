@@ -467,9 +467,12 @@ def test_jpeg_progressive_full_decodes_to_baseline_pixels():
         C.parse_jpeg_progressive_pixels(
             C.synth_jpeg_baseline(7, quant=C._pixel_quant(7))
         )
+    # (r9: Al>0 first scans are now SUPPORTED point transforms — see
+    # test_jpeg_progressive_sa_decodes_to_baseline_pixels; the grammar
+    # rejection kept here is a refinement that skips a bit plane)
     blob = bytearray(C.synth_jpeg_progressive_full(7))
     sos_at = bytes(blob).index(b"\xff\xda")
-    blob[sos_at + 9] = 0x01  # first SOS AhAl byte -> Al=1 refinement
+    blob[sos_at + 9] = 0x31  # Ah=3, Al=1 — skips bit plane 2
     with _pytest.raises(ValueError):
         C.parse_jpeg_progressive_pixels(bytes(blob))
 
@@ -481,6 +484,44 @@ def test_jpeg_progressive_pixel_oracle_parity(spark, sf_dir):
     from .oracle_utils import assert_query_matches_oracle
 
     fn, oracle = C.QUERIES_TAIL["jpeg_progressive_pixel_stats"]
+    assert_query_matches_oracle(
+        fn(spark, sf_dir), resolve_oracle(oracle, sf_dir), sf_dir
+    )
+
+
+def test_jpeg_progressive_sa_decodes_to_baseline_pixels():
+    """Successive-approximation progressive decode: the 5-scan script
+    (DC/AC first scans at Al=1, bit-0 refinement scans with
+    correction bits + newly-significant ±1 codes, EOBn tail band)
+    reconstructs EXACTLY the baseline pixels for every planted
+    block. Also pins the refinement grammar: a refinement scan whose
+    point transform drops by more than one bit is rejected."""
+    import pytest as _pytest
+
+    from robin_sparkles_spark.operators import container_parse as C
+
+    for m in (0, 1, 5, 23, 137, 400, 499):
+        sa = C.parse_jpeg_progressive_pixels(C.synth_jpeg_progressive_sa(m))
+        base = C.parse_jpeg_pixels(
+            C.synth_jpeg_baseline(m, quant=C._pixel_quant(m))
+        )
+        assert sa.pop("n_scans") == len(C._SA_SCRIPT)
+        assert sa == base
+
+    blob = bytearray(C.synth_jpeg_progressive_sa(7))
+    sos_at = bytes(blob).index(b"\xff\xda")
+    blob[sos_at + 9] = 0x20  # Ah=2, Al=0 — skips a bit plane
+    with _pytest.raises(ValueError):
+        C.parse_jpeg_progressive_pixels(bytes(blob))
+
+
+def test_jpeg_progressive_sa_oracle_parity(spark, sf_dir):
+    from robin_sparkles_spark.operators import container_parse as C
+    from robin_sparkles_spark.registry import resolve_oracle
+
+    from .oracle_utils import assert_query_matches_oracle
+
+    fn, oracle = C.QUERIES_TAIL["jpeg_progressive_sa_stats"]
     assert_query_matches_oracle(
         fn(spark, sf_dir), resolve_oracle(oracle, sf_dir), sf_dir
     )

@@ -83,8 +83,10 @@ MAP_IN_PANDAS_ALLOWLIST = {
     "jpeg_pixel_stats",
     "jpeg_progressive_dc_stats",
     # r9: full progressive decode (multi-scan spectral selection with
-    # EOB-run codes, then the shared integer-IDCT pixel stage)
+    # EOB-run codes, then the shared integer-IDCT pixel stage) and the
+    # successive-approximation (bit-plane refinement) variant
     "jpeg_progressive_pixel_stats",
+    "jpeg_progressive_sa_stats",
     # r7 archive/web-corpus parsers (WARC records, ZIP central
     # directory + DEFLATE members, ustar headers)
     "warc_record_stats",

@@ -46,6 +46,12 @@ QUERIES = (
     "semdedup_dropped",
     "ann_lsh_topk",
     "ann_bruteforce_topk",
+    # r9 additions: the PQ pipeline (fit+encode, then the bounded-Q
+    # ADC scan + re-rank) and the n-gram LM/span family
+    "pq_encode",
+    "pq_rerank_topk",
+    "ngram_lm_score",
+    "ngram_repeated_spans",
 )
 
 SCALED = ("documents", "embeddings")
