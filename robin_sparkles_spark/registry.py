@@ -245,6 +245,9 @@ GATE_FRONT: tuple[str, ...] = (
     "pq_adc_topk",
     "pq_rerank_topk",
     "pq_recall_at_k",
+    # replanned this round (shared simhash-table barrier + the
+    # canonical-triple filter replacing the candidate distinct())
+    "dedup_simhash",
     # r5-last-green block deferred from the r8 fill (all eleven)
     "nation_region_names",
     "window_top_order_per_cust",
@@ -289,11 +292,11 @@ GATE_FRONT: tuple[str, ...] = (
     "q12_priority_shipping",
     "q13_order_count_distribution",
     "q14_promo_revenue_pct",
-    "q17_small_quantity_revenue",
 )
 # ROUND-10 ROTATION (write it at the start of r10): rotate out the 50
 # names above once CORRECTNESS_r09 comes back green. Fill order: the
-# r6-last-green names deferred here (q18_large_quantity_orders,
+# r6-last-green names deferred here (q17_small_quantity_revenue,
+# q18_large_quantity_orders,
 # q19_disjunctive_revenue,
 # q22_idle_balance_by_segment,
 # q4_late_shipment_priority, q6_forecast_revenue,

@@ -260,6 +260,7 @@ _CORPUS_BARRIER_ALLOWLIST = {
     "label-propagation initial labels",
     "label-propagation iteration labels",
     "dedup pair-graph edges",
+    "simhash table",
     "dedup_groups memoized labels+sizes result",
     "copurchase capped order-items",
     "chunk-dedup per-chunk fingerprints",
