@@ -218,18 +218,18 @@ def _codebook_ctes(books: list[list[list[float]]]) -> str:
         f" * {1 << (4 * (m - 8))}"
         for m in range(8, PQ_M)
     )
-    return f"""e AS ({_UNIT_VECTORS_SQL}),
+    return f"""e AS MATERIALIZED ({_UNIT_VECTORS_SQL}),
 cent(m, ks, c, n2) AS (VALUES {values}),
-sub AS (
+sub AS MATERIALIZED (
   SELECT vec_id, ms.m AS m, CASE ms.m {sub_cases} END AS s
   FROM e CROSS JOIN (SELECT DISTINCT m FROM cent) ms
 ),
-scored AS (
+scored AS MATERIALIZED (
   SELECT sub.vec_id, sub.m, cent.ks,
          cent.n2 - 2.0 * {dot_sql('sub.s', 'cent.c')} AS sc
   FROM sub JOIN cent ON sub.m = cent.m
 ),
-mcodes AS (
+mcodes AS MATERIALIZED (
   SELECT vec_id, m, ks AS code
   FROM (SELECT vec_id, m, ks,
                ROW_NUMBER() OVER (PARTITION BY vec_id, m
@@ -237,7 +237,7 @@ mcodes AS (
         FROM scored)
   WHERE rn = 1
 ),
-codes AS (
+codes AS MATERIALIZED (
   SELECT vec_id, {pack_lo} AS code_lo, {pack_hi} AS code_hi
   FROM mcodes GROUP BY vec_id
 )"""
@@ -253,14 +253,10 @@ SELECT vec_id, code_lo, code_hi FROM codes
 """
 
 
-def _adc_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(query_id, neighbor_id, adc_dist): the full bounded-Q ADC scan
-    before any rank cut — shared by the top-k and re-rank stages."""
-    from .similarity import N_QUERIES
-
-    books = pq_fit(spark, sf_dir)
-    enc = _encoded(spark, sf_dir)
-
+def _lut_columns(books: list[list[list[float]]]) -> dict[str, F.Column]:
+    """Per-query ADC lookup-table columns: lut_m[j] = ‖q_m − C_m[j]‖²
+    expanded as n2 − 2⟨q_m,C⟩ + ⟨q_m,q_m⟩ (the exact fold sequence the
+    DuckDB twin replays)."""
     luts = {}
     for m, book in enumerate(books):
         c_lit = "array(" + ",".join(
@@ -281,6 +277,30 @@ def _adc_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
                           CAST(0 AS DOUBLE), (acc, y) -> acc + y))
             """
         )
+    return luts
+
+
+def _nib_spark(m: int) -> str:
+    """Spark SQL fragment unpacking nibble ``m`` from the c-side
+    packed words."""
+    word = "c.code_lo" if m < 8 else "c.code_hi"
+    shift = 1 << (4 * (m % 8))
+    return f"CAST(({word} div {shift}) % 16 AS INT)"
+
+
+_ADC_EXPR = " + ".join(
+    f"element_at(q.lut{m}, {_nib_spark(m)} + 1)" for m in range(PQ_M)
+)
+
+
+def _adc_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(query_id, neighbor_id, adc_dist): the full bounded-Q ADC scan
+    before any rank cut — shared by the top-k and re-rank stages."""
+    from .similarity import N_QUERIES
+
+    books = pq_fit(spark, sf_dir)
+    enc = _encoded(spark, sf_dir)
+    luts = _lut_columns(books)
     q = (
         enc.where(F.col("vec_id") < N_QUERIES)
         .withColumns(luts)
@@ -288,22 +308,13 @@ def _adc_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("q")
     )
     c = enc.select("vec_id", "code_lo", "code_hi").alias("c")
-
-    def _nib(m: int) -> str:
-        word = "c.code_lo" if m < 8 else "c.code_hi"
-        shift = 1 << (4 * (m % 8))
-        return f"CAST(({word} div {shift}) % 16 AS INT)"
-
-    adc = " + ".join(
-        f"element_at(q.lut{m}, {_nib(m)} + 1)" for m in range(PQ_M)
-    )
     return (
         F.broadcast(q)
         .join(c, F.col("q.vec_id") != F.col("c.vec_id"))
         .select(
             F.col("q.vec_id").alias("query_id"),
             F.col("c.vec_id").alias("neighbor_id"),
-            F.expr(adc).alias("adc_dist"),
+            F.expr(_ADC_EXPR).alias("adc_dist"),
         )
     )
 
@@ -396,12 +407,12 @@ def _adc_pairs_sql(books: list[list[list[float]]]) -> str:
         for m in range(PQ_M)
     )
     return f"""
-qs AS (SELECT vec_id, m, s FROM sub WHERE vec_id < {N_QUERIES}),
-lut AS (
+qs AS MATERIALIZED (SELECT vec_id, m, s FROM sub WHERE vec_id < {N_QUERIES}),
+lut AS MATERIALIZED (
   SELECT qs.vec_id AS query_id, qs.m, cent.ks, {lut_d} AS d
   FROM qs JOIN cent ON qs.m = cent.m
 ),
-pairs AS (
+pairs AS MATERIALIZED (
   SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, {adc} AS adc_dist
   FROM (SELECT vec_id FROM e WHERE vec_id < {N_QUERIES}) q
   JOIN codes c ON q.vec_id != c.vec_id
@@ -417,7 +428,7 @@ def pq_adc_topk_oracle(sf_dir: str) -> str:
     return f"""
 WITH {_codebook_ctes(books)},
 {_adc_pairs_sql(books)},
-ranked AS (
+ranked AS MATERIALIZED (
   SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
                                ORDER BY adc_dist ASC, neighbor_id ASC) AS rn
   FROM pairs
@@ -435,7 +446,7 @@ def _rerank_sql(sf_dir: str) -> str:
     return f"""
 WITH {_codebook_ctes(books)},
 {_adc_pairs_sql(books)},
-short AS (
+short AS MATERIALIZED (
   SELECT query_id, neighbor_id
   FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
                                      ORDER BY adc_dist ASC, neighbor_id ASC)
@@ -443,14 +454,14 @@ short AS (
         FROM pairs)
   WHERE srn <= {PQ_SHORTLIST}
 ),
-rr AS (
+rr AS MATERIALIZED (
   SELECT s.query_id, s.neighbor_id,
          {dot_sql('qe.v', 'ce.v')} AS cos_sim
   FROM short s
   JOIN e qe ON qe.vec_id = s.query_id
   JOIN e ce ON ce.vec_id = s.neighbor_id
 ),
-rranked AS (
+rranked AS MATERIALIZED (
   SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
                                ORDER BY cos_sim DESC, neighbor_id ASC) AS rn
   FROM rr
@@ -505,7 +516,7 @@ def pq_recall_oracle(sf_dir: str) -> str:
 
     return f"""
 WITH bf AS ({ANN_BRUTEFORCE_SQL}),
-rr AS (SELECT query_id, neighbor_id FROM ({_rerank_sql(sf_dir)})),
+rr AS MATERIALIZED (SELECT query_id, neighbor_id FROM ({_rerank_sql(sf_dir)})),
 j AS (
   SELECT bf.query_id,
          CASE WHEN rr.neighbor_id IS NOT NULL THEN 1 ELSE 0 END AS hit
@@ -524,9 +535,246 @@ FROM j
 """
 
 
+# --- IVF-PQ: the production composition (FAISS IVFADC+R shape) --------------
+#
+# Coarse quantizer (K cells over the full unit vector, same decimal
+# Lloyd's) partitions the corpus; queries probe their NPROBE nearest
+# cells; ADC runs ONLY over the probed cells' codes (an equi-join on
+# the cell id — output ∝ nprobe · cell size, never Q · N); the ADC
+# shortlist re-ranks exactly. This replaces the sanctioned bounded-Q
+# nested loop of ``pq_adc_topk`` with the join shape a 100 TB
+# deployment runs — recall is bounded by the coarse probe (the
+# nprobe dial, measured in `clustering`'s curve), and the PQ loss
+# within probed cells is recovered by the re-rank.
+
+IVFPQ_CELLS = 8
+IVFPQ_NPROBE = 2
+IVFPQ_SHORTLIST = 50
+IVFPQ_ITER = 4
+
+_COARSE_CACHE: dict[str, list[list[float]]] = {}
+
+
+def coarse_fit(spark: SparkSession, sf_dir: str) -> list[list[float]]:
+    """The coarse quantizer: decimal-exact Lloyd's over FULL unit
+    vectors (K = IVFPQ_CELLS, first-K init, fixed iterations) — the
+    same bit-reproducibility contract as ``pq_fit``, one 'subspace'
+    of width 64."""
+    if sf_dir in _COARSE_CACHE:
+        return _COARSE_CACHE[sf_dir]
+    from .clustering import _FIT_LOCK
+    from .similarity import unit_vector_index
+
+    vecs = unit_vector_index(spark, sf_dir)
+    dim = len(vecs.first().v)
+    book = [list(r.v) for r in vecs.orderBy("vec_id").limit(IVFPQ_CELLS).collect()]
+    with _FIT_LOCK:
+        prev = spark.conf.get("spark.sql.codegen.wholeStage", "true")
+        spark.conf.set("spark.sql.codegen.wholeStage", "false")
+        try:
+            for _ in range(IVFPQ_ITER):
+                assigned = vecs.select(F.col("v").alias("s")).withColumn(
+                    "code", _subspace_assign_expr(book, "s")
+                )
+                sums = assigned.groupBy("code").agg(
+                    F.count("*").alias("n"),
+                    *[
+                        F.sum(
+                            F.element_at(F.col("s"), i + 1).cast(
+                                "decimal(38,18)"
+                            )
+                        ).alias(f"s{i}")
+                        for i in range(dim)
+                    ],
+                )
+                new_book = list(book)
+                for row in sums.collect():
+                    new_book[row.code] = [
+                        float(row[f"s{i}"]) / row.n for i in range(dim)
+                    ]
+                book = new_book
+        finally:
+            spark.conf.set("spark.sql.codegen.wholeStage", prev)
+    _COARSE_CACHE[sf_dir] = book
+    return book
+
+
+def _probe_expr(book: list[list[float]], nprobe: int) -> F.Column:
+    """The query's ``nprobe`` nearest cells (array) — same
+    struct/array_sort shape and (score, cell) tie rule as
+    ``clustering._probe_cells_expr``, over the coarse codebook."""
+    from ..functions.vectors import dot as _dot
+
+    pairs = []
+    for i, c in enumerate(book):
+        c_arr = F.array(*[F.lit(float(x)) for x in c])
+        n2 = float(sum(x * x for x in c))
+        score = F.lit(n2) - 2.0 * _dot(F.col("v"), c_arr)
+        pairs.append(F.struct(score.alias("s"), F.lit(i).alias("c")))
+    ranked = F.slice(F.array_sort(F.array(*pairs)), 1, nprobe)
+    return F.transform(ranked, lambda p: p["c"])
+
+
+def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFADC+R top-k: probe → ADC within probed cells (equi-join on
+    cell id) → exact re-rank of the per-query shortlist."""
+    from .similarity import TOP_K, unit_vector_index
+
+    books = pq_fit(spark, sf_dir)
+    coarse = coarse_fit(spark, sf_dir)
+    enc = _encoded(spark, sf_dir)
+    from .similarity import N_QUERIES
+
+    corpus = enc.withColumn(
+        "cell", _subspace_assign_expr(coarse, "v")
+    ).select("vec_id", "cell", "code_lo", "code_hi")
+    luts = _lut_columns(books)
+    q = (
+        enc.where(F.col("vec_id") < N_QUERIES)
+        .withColumns(luts)
+        .withColumn("probe", F.explode(_probe_expr(coarse, IVFPQ_NPROBE)))
+        # barrier: probes + LUTs computed once, not per joined row
+        .groupBy("vec_id", "probe")
+        .agg(*[F.first(n).alias(n) for n in luts])
+        .alias("q")
+    )
+    c = corpus.alias("c")
+    w_short = W.partitionBy("query_id").orderBy(
+        F.asc("adc_dist"), F.asc("neighbor_id")
+    )
+    short = (
+        q.join(
+            c,
+            (F.col("q.probe") == F.col("c.cell"))
+            & (F.col("q.vec_id") != F.col("c.vec_id")),
+        )
+        .select(
+            F.col("q.vec_id").alias("query_id"),
+            F.col("c.vec_id").alias("neighbor_id"),
+            F.expr(_ADC_EXPR).alias("adc_dist"),
+        )
+        .withColumn("srank", F.row_number().over(w_short))
+        .where(F.col("srank") <= IVFPQ_SHORTLIST)
+        .select("query_id", "neighbor_id")
+    )
+    vecs = unit_vector_index(spark, sf_dir)
+    qv = vecs.select(F.col("vec_id").alias("query_id"), F.col("v").alias("qv"))
+    cv = vecs.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("v").alias("cv")
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id")
+    )
+    return (
+        short.join(F.broadcast(qv), "query_id")
+        .join(cv, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            dot(F.col("qv"), F.col("cv")).alias("cos_sim"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= TOP_K)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "cos_sim",
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )
+
+
+def _coarse_ctes(coarse: list[list[float]]) -> str:
+    """``crs(cell, c, n2)`` + per-vector cell assignment + per-query
+    probe set — the DuckDB replay of the coarse quantizer (same
+    (s, cell) tie rule)."""
+    from .similarity import N_QUERIES
+
+    rows = []
+    for i, c in enumerate(coarse):
+        arr = "[" + ", ".join(_dlit(x) for x in c) + "]"
+        n2 = float(sum(x * x for x in c))
+        rows.append(f"({i}, {arr}, {_dlit(n2)})")
+    return f"""crs(cell, c, n2) AS (VALUES {",".join(rows)}),
+cscored AS MATERIALIZED (
+  SELECT vec_id, cell,
+         n2 - 2.0 * {dot_sql('e.v', 'crs.c')} AS s,
+         ROW_NUMBER() OVER (PARTITION BY vec_id
+                            ORDER BY n2 - 2.0 * {dot_sql('e.v', 'crs.c')},
+                                     cell) AS rn
+  FROM e CROSS JOIN crs
+),
+cells AS MATERIALIZED (SELECT vec_id, cell FROM cscored WHERE rn = 1),
+cprobes AS MATERIALIZED (SELECT vec_id, cell AS probe FROM cscored
+            WHERE rn <= {IVFPQ_NPROBE} AND vec_id < {N_QUERIES})"""
+
+
+def ann_ivfpq_topk_oracle(sf_dir: str) -> str:
+    from ..session import active_or_local
+    from .similarity import N_QUERIES, TOP_K
+
+    spark = active_or_local("pq_oracle")
+    books = pq_fit(spark, sf_dir)
+    coarse = coarse_fit(spark, sf_dir)
+    lut_d = (
+        "cent.n2 - 2.0 * " + dot_sql("qs.s", "cent.c")
+        + " + " + dot_sql("qs.s", "qs.s")
+    )
+    adc = " + ".join(f"l{m}.d" for m in range(PQ_M))
+
+    def _nib(m: int) -> str:
+        word = "c.code_lo" if m < 8 else "c.code_hi"
+        return f"(({word} // {1 << (4 * (m % 8))}) % 16)"
+
+    lut_joins = "\n  ".join(
+        f"JOIN lut l{m} ON l{m}.query_id = p.vec_id AND l{m}.m = {m} "
+        f"AND l{m}.ks = {_nib(m)}"
+        for m in range(PQ_M)
+    )
+    return f"""
+WITH {_codebook_ctes(books)},
+{_coarse_ctes(coarse)},
+qs AS MATERIALIZED (SELECT vec_id, m, s FROM sub WHERE vec_id < {N_QUERIES}),
+lut AS MATERIALIZED (
+  SELECT qs.vec_id AS query_id, qs.m, cent.ks, {lut_d} AS d
+  FROM qs JOIN cent ON qs.m = cent.m
+),
+pairs AS MATERIALIZED (
+  SELECT p.vec_id AS query_id, c.vec_id AS neighbor_id, {adc} AS adc_dist
+  FROM cprobes p
+  JOIN cells cl ON p.probe = cl.cell AND p.vec_id != cl.vec_id
+  JOIN codes c ON c.vec_id = cl.vec_id
+  {lut_joins}
+),
+short AS MATERIALIZED (
+  SELECT query_id, neighbor_id
+  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY adc_dist ASC, neighbor_id ASC)
+               AS srn
+        FROM pairs)
+  WHERE srn <= {IVFPQ_SHORTLIST}
+),
+rr AS MATERIALIZED (
+  SELECT s.query_id, s.neighbor_id,
+         {dot_sql('qe.v', 'ce.v')} AS cos_sim
+  FROM short s
+  JOIN e qe ON qe.vec_id = s.query_id
+  JOIN e ce ON ce.vec_id = s.neighbor_id
+),
+rranked AS MATERIALIZED (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY cos_sim DESC, neighbor_id ASC) AS rn
+  FROM rr
+)
+SELECT query_id, neighbor_id, cos_sim, CAST(rn AS BIGINT) AS rank
+FROM rranked WHERE rn <= {TOP_K}
+"""
+
+
 QUERIES = {
     "pq_encode": (pq_encode, pq_encode_oracle),
     "pq_adc_topk": (pq_adc_topk, pq_adc_topk_oracle),
     "pq_rerank_topk": (pq_rerank_topk, pq_rerank_topk_oracle),
     "pq_recall_at_k": (pq_recall_at_k, pq_recall_oracle),
+    "ann_ivfpq_topk": (ann_ivfpq_topk, ann_ivfpq_topk_oracle),
 }

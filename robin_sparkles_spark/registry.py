@@ -245,6 +245,7 @@ GATE_FRONT: tuple[str, ...] = (
     "pq_adc_topk",
     "pq_rerank_topk",
     "pq_recall_at_k",
+    "ann_ivfpq_topk",
     # replanned this round (shared simhash-table barrier + the
     # canonical-triple filter replacing the candidate distinct())
     "dedup_simhash",
@@ -291,11 +292,11 @@ GATE_FRONT: tuple[str, ...] = (
     "q10_returned_revenue",
     "q12_priority_shipping",
     "q13_order_count_distribution",
-    "q14_promo_revenue_pct",
 )
 # ROUND-10 ROTATION (write it at the start of r10): rotate out the 50
 # names above once CORRECTNESS_r09 comes back green. Fill order: the
-# r6-last-green names deferred here (q17_small_quantity_revenue,
+# r6-last-green names deferred here (q14_promo_revenue_pct,
+# q17_small_quantity_revenue,
 # q18_large_quantity_orders,
 # q19_disjunctive_revenue,
 # q22_idle_balance_by_segment,

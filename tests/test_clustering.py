@@ -299,3 +299,33 @@ def test_pq_packed_codes_are_nibbles(spark, sf_dir):
     for r in rows[:50]:
         assert 0 <= r.code_lo < (1 << 32) and 0 <= r.code_hi < (1 << 32)
     assert P.pq_fit(spark, sf_dir) == P.pq_fit(spark, sf_dir)
+
+
+def test_ivfpq_is_equi_join_and_overlaps_truth(spark, sf_dir):
+    """The IVFADC+R composition: plan is equi-joins (no nested-loop
+    pair scan — the difference from the sanctioned bounded-Q
+    `pq_adc_topk`), and its recall vs the exact fixture sits between
+    nothing and the re-rank ceiling (bounded by the nprobe=2 coarse
+    probe, same dial as `ann_ivf_topk`)."""
+    from robin_sparkles_spark.operators import pq as P
+    from robin_sparkles_spark.operators.similarity import build_exact_topk
+
+    from .test_plans import audit_plan
+
+    df = P.ann_ivfpq_topk(spark, sf_dir)
+    a = audit_plan(df)
+    assert a.bnl_joins == 0, a.formatted
+    assert a.sortmerge_joins + a.broadcast_joins >= 1, a.formatted
+
+    bf = {
+        (r.query_id, r.neighbor_id)
+        for r in spark.read.parquet(build_exact_topk(spark, sf_dir)).collect()
+    }
+    got = {(r.query_id, r.neighbor_id) for r in df.collect()}
+    recall = len(got & bf) / len(bf)
+    assert 0.3 <= recall <= 1.0, recall
+    rr = {
+        (r.query_id, r.neighbor_id)
+        for r in P.pq_rerank_topk(spark, sf_dir).collect()
+    }
+    assert recall <= len(rr & bf) / len(bf) + 1e-9  # probe-bounded
