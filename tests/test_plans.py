@@ -172,6 +172,7 @@ _BNL_ALLOWED = {
     "source_mixture",  # same scalar shape: 1-row corpus totals
     "docs_token_budget_sample",  # inherits source_mixture's 1-row scalar
     "docs_rarity_topk",  # same scalar shape: 1-row doc count N
+    "docs_search_bm25",  # same scalar shape: 1-row (N, avgdl)
     "orders_bloom_prune",  # same scalar shape: 1-row count × count summary
     "orders_price_histogram",  # same scalar shape: 1-row total for shares
     "triangle_count_copurchase",  # scalar shape: 1-row stat × 1-row stat summary
