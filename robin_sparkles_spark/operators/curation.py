@@ -238,8 +238,105 @@ FROM train t LEFT JOIN shared s ON t.doc_id = s.doc_id
 """
 
 
+# --- cross-source overlap matrix (r9) ---------------------------------------
+
+
+def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise shingle overlap between sources — the corpus-level
+    contamination/diversity diagnostic (which feeds duplicate mass
+    into which: mirror sites, syndicated text, cross-dump overlap).
+    For every source pair s1 < s2: each side's distinct-shingle
+    count, the shared distinct count, Jaccard, and containment
+    (shared / min side — the "one corpus swallows the other"
+    signal).
+
+    Plan shape: distinct (source, shingle) is a vocabulary-bound
+    aggregate (≤ |shingle vocab| · #sources rows); the self-join on
+    the shingle hash produces ≤ C(#sources, 2) rows per shingle
+    (sources is a small domain), so output is linear in the shingle
+    vocabulary — never in the corpus. The per-source sizes are a
+    #sources-row broadcast. At 100 TB the only big shuffle is the
+    distinct, which every dedup query already pays."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    src_sh = (
+        _shingle_rows(spark, sf_dir)
+        .join(docs, "doc_id")
+        .select("source", "h")
+        .distinct()
+    )
+    sizes = src_sh.groupBy("source").agg(F.count("*").alias("n"))
+    a = src_sh.alias("a")
+    b = src_sh.alias("b")
+    shared = (
+        a.join(
+            b,
+            (F.col("a.h") == F.col("b.h"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("source1"),
+            F.col("b.source").alias("source2"),
+        )
+        .agg(F.count("*").alias("shared"))
+    )
+    n1 = sizes.select(
+        F.col("source").alias("source1"), F.col("n").alias("n1")
+    )
+    n2 = sizes.select(
+        F.col("source").alias("source2"), F.col("n").alias("n2")
+    )
+    return (
+        shared.join(F.broadcast(n1), "source1")
+        .join(F.broadcast(n2), "source2")
+        .select(
+            "source1",
+            "source2",
+            "n1",
+            "n2",
+            "shared",
+            (
+                F.col("shared").cast("double")
+                / (F.col("n1") + F.col("n2") - F.col("shared")).cast("double")
+            ).alias("jaccard"),
+            (
+                F.col("shared").cast("double")
+                / F.least("n1", "n2").cast("double")
+            ).alias("containment"),
+        )
+    )
+
+
+SOURCE_OVERLAP_SQL = f"""
+WITH docs AS ({_DOCS_SHINGLES_SQL}),
+src_sh AS (
+  SELECT DISTINCT d.source, u.h
+  FROM (SELECT doc_id, unnest(sh) AS h FROM docs) u
+  JOIN documents d USING (doc_id)
+),
+sizes AS (SELECT source, COUNT(*) AS n FROM src_sh GROUP BY source),
+shared AS (
+  SELECT a.source AS source1, b.source AS source2, COUNT(*) AS shared
+  FROM src_sh a JOIN src_sh b
+    ON a.h = b.h AND a.source < b.source
+  GROUP BY 1, 2
+)
+SELECT source1, source2,
+       CAST(n1.n AS BIGINT) AS n1,
+       CAST(n2.n AS BIGINT) AS n2,
+       CAST(shared AS BIGINT) AS shared,
+       CAST(shared AS DOUBLE) / CAST(n1.n + n2.n - shared AS DOUBLE)
+         AS jaccard,
+       CAST(shared AS DOUBLE) / CAST(LEAST(n1.n, n2.n) AS DOUBLE)
+         AS containment
+FROM shared
+JOIN sizes n1 ON n1.source = shared.source1
+JOIN sizes n2 ON n2.source = shared.source2
+"""
+
+
 QUERIES = {
     "dedup_incremental": (dedup_incremental, DEDUP_INCREMENTAL_SQL),
     "curation_pipeline": (curation_pipeline, _curation_pipeline_sql()),
     "decontaminate_train": (decontaminate_train, DECONTAMINATE_SQL),
+    "source_overlap_matrix": (source_overlap_matrix, SOURCE_OVERLAP_SQL),
 }
