@@ -771,10 +771,73 @@ FROM rranked WHERE rn <= {TOP_K}
 """
 
 
+def ann_ivfpq_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of the full IVFADC+R pipeline vs the exact fixture —
+    bounded by the coarse probe (the nprobe dial), with PQ loss
+    inside probed cells recovered by the re-rank; DECLARED so the
+    production composition's recall regresses loudly."""
+    from .similarity import TOP_K, build_exact_topk
+
+    bf = spark.read.parquet(build_exact_topk(spark, sf_dir))
+    got = (
+        ann_ivfpq_topk(spark, sf_dir)
+        .select("query_id", "neighbor_id")
+        .withColumn("hit", F.lit(1))
+    )
+    return (
+        bf.join(got, ["query_id", "neighbor_id"], "left")
+        .agg(
+            F.countDistinct("query_id").alias("n_queries"),
+            F.sum(F.coalesce(F.col("hit"), F.lit(0)))
+            .cast("long")
+            .alias("hits"),
+        )
+        .select(
+            F.lit(TOP_K).cast("long").alias("k"),
+            F.lit(IVFPQ_CELLS).cast("long").alias("cells"),
+            F.lit(IVFPQ_NPROBE).cast("long").alias("nprobe"),
+            F.lit(IVFPQ_SHORTLIST).cast("long").alias("shortlist"),
+            "n_queries",
+            "hits",
+            (
+                F.col("hits").cast("double")
+                / (F.col("n_queries") * TOP_K)
+            ).alias("recall_at_k"),
+        )
+    )
+
+
+def ann_ivfpq_recall_oracle(sf_dir: str) -> str:
+    from .similarity import ANN_BRUTEFORCE_SQL, TOP_K
+
+    return f"""
+WITH bf AS MATERIALIZED ({ANN_BRUTEFORCE_SQL}),
+ivfpq AS MATERIALIZED (
+  SELECT query_id, neighbor_id FROM ({ann_ivfpq_topk_oracle(sf_dir)})
+),
+j AS (
+  SELECT bf.query_id,
+         CASE WHEN ivfpq.neighbor_id IS NOT NULL THEN 1 ELSE 0 END AS hit
+  FROM bf LEFT JOIN ivfpq
+    ON bf.query_id = ivfpq.query_id AND bf.neighbor_id = ivfpq.neighbor_id
+)
+SELECT CAST({TOP_K} AS BIGINT) AS k,
+       CAST({IVFPQ_CELLS} AS BIGINT) AS cells,
+       CAST({IVFPQ_NPROBE} AS BIGINT) AS nprobe,
+       CAST({IVFPQ_SHORTLIST} AS BIGINT) AS shortlist,
+       COUNT(DISTINCT query_id) AS n_queries,
+       CAST(SUM(hit) AS BIGINT) AS hits,
+       CAST(SUM(hit) AS DOUBLE) / (COUNT(DISTINCT query_id) * {TOP_K})
+         AS recall_at_k
+FROM j
+"""
+
+
 QUERIES = {
     "pq_encode": (pq_encode, pq_encode_oracle),
     "pq_adc_topk": (pq_adc_topk, pq_adc_topk_oracle),
     "pq_rerank_topk": (pq_rerank_topk, pq_rerank_topk_oracle),
     "pq_recall_at_k": (pq_recall_at_k, pq_recall_oracle),
     "ann_ivfpq_topk": (ann_ivfpq_topk, ann_ivfpq_topk_oracle),
+    "ann_ivfpq_recall_at_k": (ann_ivfpq_recall_at_k, ann_ivfpq_recall_oracle),
 }

@@ -246,6 +246,7 @@ GATE_FRONT: tuple[str, ...] = (
     "pq_rerank_topk",
     "pq_recall_at_k",
     "ann_ivfpq_topk",
+    "ann_ivfpq_recall_at_k",
     "docs_search_bm25",
     "source_overlap_matrix",
     # replanned this round (shared simhash-table barrier + the
@@ -291,11 +292,11 @@ GATE_FRONT: tuple[str, ...] = (
     "embedding_array_stats",
     "orders_monthly_gapfill",
     "orders_rollup",
-    "q10_returned_revenue",
 )
 # ROUND-10 ROTATION (write it at the start of r10): rotate out the 50
 # names above once CORRECTNESS_r09 comes back green. Fill order: the
-# r6-last-green names deferred here (q12_priority_shipping,
+# r6-last-green names deferred here (q10_returned_revenue,
+# q12_priority_shipping,
 # q13_order_count_distribution,
 # q14_promo_revenue_pct,
 # q17_small_quantity_revenue,
