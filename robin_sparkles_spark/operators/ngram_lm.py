@@ -237,7 +237,241 @@ LIMIT {SPAN_TOP}
 """
 
 
+# --- Stupid Backoff trigram scoring (r9) ------------------------------------
+#
+# Brants et al. 2007 ("Large Language Models in Machine Translation")
+# — the scoring scheme DESIGNED for MapReduce-scale corpora: no
+# normalization, no discounting fit, just count ratios with a fixed
+# 0.4 backoff factor. Perfectly suited to the engine's no-libm
+# contract: every score is a ratio of exact counts times a rational
+# constant, so the fixed-point integer idiom applies end to end.
+#   S(w3|w1,w2) = c(w123)/c(w12)           if c(w123) > 0
+#               = 0.4 · c(w23)/c(w2)       elif c(w23) > 0
+#               = 0.16 · c(w3)/N           otherwise
+# In fixed point: (c·SCALE) div d, (2·c·SCALE) div (5·d), and
+# (4·c·SCALE) div (25·N) — all exact integer arithmetic (0.4 = 2/5).
+
+BACKOFF_SCALE = 10**12
+
+
+def _trigrams(ws_col: str = "ws") -> F.Column:
+    return F.expr(
+        f"if(size({ws_col}) >= 3,"
+        f"   transform(sequence(0, size({ws_col}) - 3),"
+        f"             i -> struct({ws_col}[i] AS w1, {ws_col}[i+1] AS w2,"
+        f"                         {ws_col}[i+2] AS w3)),"
+        "   array())"
+    )
+
+
+def ngram_backoff_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document Stupid Backoff trigram statistics, exact fixed
+    point: trained on ``TRAIN_SOURCES``, scoring every document.
+    n_trigrams / hits3 (trigram found) / hits2 (bigram backoff) /
+    sum_score_fp / min_score_fp — the three-tier hit counts expose
+    WHERE the mass comes from, the scores rank as log-score would.
+
+    Plan: three vocabulary-bound count aggregates (one train-slice
+    scan each — at 100 TB you'd derive lower orders from the trigram
+    counts in one pass; kept separate here for plan clarity), then
+    five equi-joins from the doc trigrams onto count tables keyed by
+    (w1,w2,w3)/(w1,w2)/(w2,w3)/(w2)/(w3) + the 1-row N scalar, and a
+    per-doc aggregate. Everything is key-partitioned; the unigram and
+    bigram sides are broadcastable."""
+    d = load_table(spark, sf_dir, "documents")
+    train = d.where(F.col("source").isin(*TRAIN_SOURCES))
+    tr_ws = train.select(_lc_tokens().alias("ws"))
+
+    c3 = (
+        tr_ws.select(F.explode(_trigrams()).alias("g"))
+        .groupBy(
+            F.col("g.w1").alias("w1"),
+            F.col("g.w2").alias("w2"),
+            F.col("g.w3").alias("w3"),
+        )
+        .agg(F.count("*").alias("c3"))
+    )
+    c2 = (
+        tr_ws.select(F.explode(_bigrams()).alias("bg"))
+        .groupBy(F.col("bg.w1").alias("b1"), F.col("bg.w2").alias("b2"))
+        .agg(F.count("*").alias("c2"))
+    )
+    c1 = (
+        tr_ws.select(F.explode("ws").alias("t"))
+        .groupBy("t")
+        .agg(F.count("*").alias("c1"))
+    )
+    n_tok = tr_ws.select(F.explode("ws").alias("t")).agg(
+        F.count("*").alias("n_tok")
+    )
+
+    doc_g = (
+        d.select("doc_id", _lc_tokens().alias("ws"))
+        .select("doc_id", F.explode(_trigrams()).alias("g"))
+        .select("doc_id", "g.w1", "g.w2", "g.w3")
+    )
+    # DECIMAL(24,0): counts ≤ 1e9 at 100 TB; 24 + 13 (SCALE) + 1 = 38
+    # keeps Spark's decimal-multiply result inside DECIMAL(38) with no
+    # precision loss (38,0 operands would push the product past the
+    # cap and overflow-null)
+    dec = "DECIMAL(24,0)"
+    scored = (
+        doc_g.join(c3, ["w1", "w2", "w3"], "left")
+        .join(
+            c2.select(
+                F.col("b1").alias("w1"),
+                F.col("b2").alias("w2"),
+                F.col("c2").alias("c2_hist"),
+            ),
+            ["w1", "w2"],
+            "left",
+        )
+        .join(
+            c2.select(
+                F.col("b1").alias("w2"),
+                F.col("b2").alias("w3"),
+                F.col("c2").alias("c2_back"),
+            ),
+            ["w2", "w3"],
+            "left",
+        )
+        .join(
+            c1.select(F.col("t").alias("w2"), F.col("c1").alias("c1_w2")),
+            ["w2"],
+            "left",
+        )
+        .join(
+            c1.select(F.col("t").alias("w3"), F.col("c1").alias("c1_w3")),
+            ["w3"],
+            "left",
+        )
+        .crossJoin(F.broadcast(n_tok))  # 1-row scalar (sanctioned shape)
+        .withColumns(
+            {
+                "c3": F.coalesce("c3", F.lit(0)),
+                "c2_hist": F.coalesce("c2_hist", F.lit(0)),
+                "c2_back": F.coalesce("c2_back", F.lit(0)),
+                "c1_w2": F.coalesce("c1_w2", F.lit(0)),
+                "c1_w3": F.coalesce("c1_w3", F.lit(0)),
+            }
+        )
+        .withColumn(
+            "s_fp",
+            F.expr(
+                f"""CASE
+                  WHEN c3 > 0 THEN CAST((CAST(c3 AS {dec}) * {BACKOFF_SCALE})
+                       div CAST(c2_hist AS {dec}) AS BIGINT)
+                  WHEN c2_back > 0 THEN CAST((CAST(2 * c2_back AS {dec}) * {BACKOFF_SCALE})
+                       div CAST(5 * c1_w2 AS {dec}) AS BIGINT)
+                  ELSE CAST((CAST(4 * c1_w3 AS {dec}) * {BACKOFF_SCALE})
+                       div CAST(25 * n_tok AS {dec}) AS BIGINT)
+                END"""
+            ),
+        )
+    )
+    per_doc = scored.groupBy("doc_id").agg(
+        F.count("*").alias("n_trigrams"),
+        F.sum((F.col("c3") > 0).cast("long")).alias("hits3"),
+        F.sum(
+            ((F.col("c3") == 0) & (F.col("c2_back") > 0)).cast("long")
+        ).alias("hits2"),
+        F.sum("s_fp").alias("sum_score_fp"),
+        F.min("s_fp").alias("min_score_fp"),
+    )
+    return (
+        d.select("doc_id", "source")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            "source",
+            F.coalesce("n_trigrams", F.lit(0)).alias("n_trigrams"),
+            F.coalesce("hits3", F.lit(0)).alias("hits3"),
+            F.coalesce("hits2", F.lit(0)).alias("hits2"),
+            F.coalesce("sum_score_fp", F.lit(0)).alias("sum_score_fp"),
+            F.col("min_score_fp"),
+        )
+    )
+
+
+_TRIGRAM_DUCK = """unnest(list_transform(generate_series(1, len(ws) - 2),
+                i -> struct_pack(w1 := ws[i], w2 := ws[i+1], w3 := ws[i+2])))"""
+
+NGRAM_BACKOFF_SQL = f"""
+WITH tr_ws AS MATERIALIZED (
+  SELECT {_LC_TOKS_SQL} AS ws FROM documents WHERE source IN ({_TRAIN_SQL})
+),
+c3 AS MATERIALIZED (
+  SELECT g.w1 AS w1, g.w2 AS w2, g.w3 AS w3, COUNT(*) AS c3
+  FROM (SELECT {_TRIGRAM_DUCK} AS g FROM tr_ws WHERE len(ws) >= 3)
+  GROUP BY 1, 2, 3
+),
+c2 AS MATERIALIZED (
+  SELECT bg.w1 AS b1, bg.w2 AS b2, COUNT(*) AS c2
+  FROM (SELECT unnest(list_transform(generate_series(1, len(ws) - 1),
+               i -> struct_pack(w1 := ws[i], w2 := ws[i+1]))) AS bg
+        FROM tr_ws WHERE len(ws) >= 2)
+  GROUP BY 1, 2
+),
+c1 AS MATERIALIZED (
+  SELECT t, COUNT(*) AS c1
+  FROM (SELECT unnest(ws) AS t FROM tr_ws) GROUP BY t
+),
+ntok AS (SELECT COUNT(*) AS n_tok FROM (SELECT unnest(ws) AS t FROM tr_ws)),
+doc_g AS MATERIALIZED (
+  SELECT doc_id, g.w1 AS w1, g.w2 AS w2, g.w3 AS w3
+  FROM (SELECT doc_id, {_TRIGRAM_DUCK} AS g
+        FROM (SELECT doc_id, {_LC_TOKS_SQL} AS ws FROM documents)
+        WHERE len(ws) >= 3)
+),
+joined AS (
+  SELECT doc_id,
+         COALESCE(c3.c3, 0) AS c3,
+         COALESCE(h.c2, 0) AS c2_hist,
+         COALESCE(bk.c2, 0) AS c2_back,
+         COALESCE(u2.c1, 0) AS c1_w2,
+         COALESCE(u3.c1, 0) AS c1_w3,
+         n_tok
+  FROM doc_g
+  LEFT JOIN c3 ON doc_g.w1 = c3.w1 AND doc_g.w2 = c3.w2 AND doc_g.w3 = c3.w3
+  LEFT JOIN c2 h ON doc_g.w1 = h.b1 AND doc_g.w2 = h.b2
+  LEFT JOIN c2 bk ON doc_g.w2 = bk.b1 AND doc_g.w3 = bk.b2
+  LEFT JOIN c1 u2 ON doc_g.w2 = u2.t
+  LEFT JOIN c1 u3 ON doc_g.w3 = u3.t
+  CROSS JOIN ntok
+),
+scored2 AS (
+  SELECT doc_id, c3, c2_back,
+         CASE
+           WHEN c3 > 0 THEN CAST((CAST(c3 AS HUGEINT) * {BACKOFF_SCALE})
+                // CAST(c2_hist AS HUGEINT) AS BIGINT)
+           WHEN c2_back > 0 THEN CAST((CAST(2 * c2_back AS HUGEINT) * {BACKOFF_SCALE})
+                // CAST(5 * c1_w2 AS HUGEINT) AS BIGINT)
+           ELSE CAST((CAST(4 * c1_w3 AS HUGEINT) * {BACKOFF_SCALE})
+                // CAST(25 * n_tok AS HUGEINT) AS BIGINT)
+         END AS s_fp
+  FROM joined
+),
+per_doc AS (
+  SELECT doc_id,
+         COUNT(*) AS n_trigrams,
+         SUM(CASE WHEN c3 > 0 THEN 1 ELSE 0 END) AS hits3,
+         SUM(CASE WHEN c3 = 0 AND c2_back > 0 THEN 1 ELSE 0 END) AS hits2,
+         SUM(s_fp) AS sum_score_fp,
+         MIN(s_fp) AS min_score_fp
+  FROM scored2 GROUP BY doc_id
+)
+SELECT d.doc_id, d.source,
+       CAST(COALESCE(n_trigrams, 0) AS BIGINT) AS n_trigrams,
+       CAST(COALESCE(hits3, 0) AS BIGINT) AS hits3,
+       CAST(COALESCE(hits2, 0) AS BIGINT) AS hits2,
+       CAST(COALESCE(sum_score_fp, 0) AS BIGINT) AS sum_score_fp,
+       CAST(min_score_fp AS BIGINT) AS min_score_fp
+FROM documents d LEFT JOIN per_doc USING (doc_id)
+"""
+
+
 QUERIES = {
     "ngram_lm_score": (ngram_lm_score, NGRAM_LM_SCORE_SQL),
     "ngram_repeated_spans": (ngram_repeated_spans, NGRAM_REPEATED_SPANS_SQL),
+    "ngram_backoff_score": (ngram_backoff_score, NGRAM_BACKOFF_SQL),
 }

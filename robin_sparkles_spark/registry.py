@@ -239,6 +239,7 @@ GATE_FRONT: tuple[str, ...] = (
     # <50 with the staleness fill)
     "ngram_lm_score",
     "ngram_repeated_spans",
+    "ngram_backoff_score",
     "jpeg_progressive_pixel_stats",
     "jpeg_progressive_sa_stats",
     "pq_encode",
@@ -291,11 +292,11 @@ GATE_FRONT: tuple[str, ...] = (
     "dedup_incremental",
     "embedding_array_stats",
     "orders_monthly_gapfill",
-    "orders_rollup",
 )
 # ROUND-10 ROTATION (write it at the start of r10): rotate out the 50
 # names above once CORRECTNESS_r09 comes back green. Fill order: the
-# r6-last-green names deferred here (q10_returned_revenue,
+# r6-last-green names deferred here (orders_rollup,
+# q10_returned_revenue,
 # q12_priority_shipping,
 # q13_order_count_distribution,
 # q14_promo_revenue_pct,

@@ -179,6 +179,7 @@ _BNL_ALLOWED = {
     "custkey_overlap_kmv",  # scalar shape: 1-row sketch stats × 1-row exacts
     "orders_custkey_hll",  # scalar shape: 1-row registers × 1-row exact
     "ngram_lm_score",  # scalar shape: 1-row vocab size V into the smoother
+    "ngram_backoff_score",  # scalar shape: 1-row token total N
 }
 
 
