@@ -397,3 +397,30 @@ def test_signature_barrier_survives(spark, sf_dir):
         l for l in a.formatted.splitlines() if "Join" in l and "ascii" in l
     ]
     assert not join_lines, join_lines
+
+
+def test_r9_family_plan_shapes(spark, sf_dir):
+    """Plan-shape contracts for the round-9 families:
+    - the span audit and BM25 rank compile to TakeOrderedAndProject
+      (per-partition heads + driver k-merge), never a global sort;
+    - pq_encode is a shuffle-free map-only projection over the
+      materialized index (the '100 TB code table is a projection'
+      claim, machine-checked);
+    - the n-gram scorers' count-table joins contain no nested loop
+      beyond the sanctioned 1-row scalar."""
+    from robin_sparkles_spark.operators import ngram_lm, pq, retrieval
+
+    spans = audit_plan(ngram_lm.ngram_repeated_spans(spark, sf_dir))
+    assert "TakeOrderedAndProject" in spans.formatted, spans.formatted
+
+    bm25 = audit_plan(retrieval.docs_search_bm25(spark, sf_dir))
+    assert "TakeOrderedAndProject" in bm25.formatted, bm25.formatted
+
+    enc = audit_plan(pq.pq_encode(spark, sf_dir))
+    assert enc.exchanges == 0, enc.formatted
+    assert enc.bnl_joins == 0 and not enc.has_python_eval
+
+    lm = audit_plan(ngram_lm.ngram_lm_score(spark, sf_dir))
+    assert lm.bnl_joins <= 1, lm.formatted  # only the 1-row V scalar
+    bo = audit_plan(ngram_lm.ngram_backoff_score(spark, sf_dir))
+    assert bo.bnl_joins <= 1, bo.formatted  # only the 1-row N scalar

@@ -52,6 +52,12 @@ QUERIES = (
     "pq_rerank_topk",
     "ngram_lm_score",
     "ngram_repeated_spans",
+    # late-r9 additions: the IVFPQ composition, backoff LM, ranked
+    # retrieval, and the source-overlap diagnostic
+    "ann_ivfpq_topk",
+    "ngram_backoff_score",
+    "docs_search_bm25",
+    "source_overlap_matrix",
 )
 
 SCALED = ("documents", "embeddings")
