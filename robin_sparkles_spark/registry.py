@@ -218,9 +218,18 @@ def _collect() -> dict[str, QuerySpec]:
 # ROUND-9 ROTATION (this window; executes the note written at the end
 # of r8). Policy unchanged: new queries + replans first, then strict
 # staleness.
-#   * queries ADDED or REPLANNED this round take the front as they
-#     land (slots are carved from the staleness tail below, which
-#     defers to r10).
+#   * the 13 queries ADDED this round (never driver-gated) lead:
+#     the n-gram LM family (ngram_lm_score, ngram_repeated_spans,
+#     ngram_backoff_score), the progressive-JPEG pixel stages
+#     (jpeg_progressive_pixel_stats, jpeg_progressive_sa_stats), the
+#     PQ/IVFPQ ANN family (pq_encode, pq_adc_topk, pq_rerank_topk,
+#     pq_recall_at_k, ann_ivfpq_topk, ann_ivfpq_recall_at_k), BM25
+#     ranked retrieval (docs_search_bm25), and the cross-source
+#     overlap matrix (source_overlap_matrix).
+#   * dedup_simhash — REPLANNED this round (shared simhash-table
+#     barrier + canonical-triple filter replacing the candidate
+#     distinct(); identical output, measured 4.6→3.0 s at sf0.1), so
+#     it re-gates despite its green r8 row.
 #   * the eleven r5-last-green names deferred from the r8 fill lead:
 #     nation_region_names, window_top_order_per_cust,
 #     window_running_user_spend, window_order_gap_days,
@@ -234,9 +243,7 @@ def _collect() -> dict[str, QuerySpec]:
 # keeps its hard signal through the parametrized local oracle sweep in
 # tests/ (the pytest replica of this gate).
 GATE_FRONT: tuple[str, ...] = (
-    # new/replanned this round — first driver rows under the r9 code
-    # (names uncomment as each lands; until then the window floats
-    # <50 with the staleness fill)
+    # new this round — first driver rows under the r9 code
     "ngram_lm_score",
     "ngram_repeated_spans",
     "ngram_backoff_score",
