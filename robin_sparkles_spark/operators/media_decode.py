@@ -480,8 +480,208 @@ GROUP BY d.media_id, d.n
 """
 
 
+# --- resize / frame features (r9) -------------------------------------------
+#
+# The two preprocessing stages the multimodal north-star names that
+# were still missing: RESIZE (images) and FEATURE-EXTRACT (audio) —
+# both exact integer arithmetic (floor-mean box filter; energy and
+# zero-crossing counts), so the closed-form oracles replay them
+# bit-for-bit. At 100 TB both are stateless per-row projections like
+# the decodes: no shuffle, embarrassingly partition-parallel.
+
+RESIZE_FACTOR = 2  # 2×2 box filter, odd edges dropped
+WAV_FRAME = 32  # samples per analysis frame (tail dropped)
+
+
+def bmp_resize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode + 2× box-downsample every staged BMP: each output pixel
+    is the floor-mean of its 2×2 input block per channel (the classic
+    integer-exact resize for vision-training pipelines). Reports
+    half-res dimensions and downsampled channel sums."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            recs = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                blob = bytes(payload)
+                magic, _fs, _r1, _r2, offset = struct.unpack_from(
+                    "<2sIHHI", blob, 0
+                )
+                if magic != b"BM":
+                    raise ValueError(f"media_id {mid}: not a BMP payload")
+                _hsz, w, h, _pl, bpp = struct.unpack_from("<IiiHH", blob, 14)
+                if bpp != 24:
+                    raise ValueError(f"media_id {mid}: unsupported bpp {bpp}")
+                row_size = (w * 3 + 3) // 4 * 4
+                px = (
+                    np.frombuffer(
+                        blob, np.uint8, count=row_size * h, offset=offset
+                    )
+                    .reshape(h, row_size)[:, : w * 3]
+                    .reshape(h, w, 3)
+                    .astype(np.int64)[::-1]  # bottom-up rows -> top-down
+                )
+                w2, h2 = w // RESIZE_FACTOR, h // RESIZE_FACTOR
+                crop = px[: h2 * RESIZE_FACTOR, : w2 * RESIZE_FACTOR]
+                small = (
+                    crop.reshape(h2, RESIZE_FACTOR, w2, RESIZE_FACTOR, 3)
+                    .transpose(0, 2, 1, 3, 4)
+                    .reshape(h2, w2, RESIZE_FACTOR * RESIZE_FACTOR, 3)
+                    .sum(axis=2)
+                    // (RESIZE_FACTOR * RESIZE_FACTOR)
+                )
+                recs.append(
+                    (
+                        mid,
+                        w2,
+                        h2,
+                        w2 * h2,
+                        int(small[:, :, 2].sum()),  # R (BGR order)
+                        int(small[:, :, 1].sum()),
+                        int(small[:, :, 0].sum()),
+                    )
+                )
+            yield pd.DataFrame(
+                recs,
+                columns=[
+                    "media_id", "out_w", "out_h", "n_out_pixels",
+                    "sum_r", "sum_g", "sum_b",
+                ],
+            )
+
+    media = spark.read.parquet(stage_media_corpus(spark, sf_dir))
+    return media.where(F.col("mime") == "image/bmp").mapInPandas(
+        kernel,
+        schema="media_id long, out_w int, out_h int, n_out_pixels long, "
+        "sum_r long, sum_g long, sum_b long",
+    )
+
+
+def bmp_resize_oracle(sf_dir: str) -> str:
+    """Closed-form replay of the 2×2 floor-mean: the four synthesis
+    pixels of each output block, summed and integer-divided exactly
+    as the kernel does."""
+    rel = _staged_rel(sf_dir)
+
+    def chan(expr: str) -> str:
+        # Σ over the 2×2 block of ((expr at (2x2+dx, 2y2+dy)) % 256),
+        # then floor-div 4 — dx/dy unrolled
+        terms = " + ".join(
+            f"(({expr.replace('X', f'(2 * x2.range + {dx})').replace('Y', f'(2 * y2.range + {dy})')}) % 256)"
+            for dx in range(RESIZE_FACTOR)
+            for dy in range(RESIZE_FACTOR)
+        )
+        return f"(({terms}) // {RESIZE_FACTOR * RESIZE_FACTOR})"
+
+    r = chan("3 * d.media_id + X + 7 * Y")
+    g = chan("2 * d.media_id + 5 * X + Y")
+    b = chan("d.media_id + 2 * X + 3 * Y")
+    return f"""
+WITH m AS (SELECT media_id FROM {rel} WHERE mime = 'image/bmp'),
+dims AS (SELECT media_id, (4 + media_id % 13) // 2 AS w2,
+                (3 + media_id % 7) // 2 AS h2 FROM m)
+SELECT d.media_id,
+       CAST(d.w2 AS INT) AS out_w,
+       CAST(d.h2 AS INT) AS out_h,
+       CAST(d.w2 * d.h2 AS BIGINT) AS n_out_pixels,
+       CAST(SUM({r}) AS BIGINT) AS sum_r,
+       CAST(SUM({g}) AS BIGINT) AS sum_g,
+       CAST(SUM({b}) AS BIGINT) AS sum_b
+FROM dims d, range({BMP_W_MAX // 2}) x2, range({BMP_H_MAX // 2}) y2
+WHERE x2.range < d.w2 AND y2.range < d.h2
+GROUP BY d.media_id, d.w2, d.h2
+"""
+
+
+def wav_frame_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio feature extraction: frame the PCM into WAV_FRAME-sample
+    windows (tail dropped) and report per-file frame count, total and
+    max frame ENERGY (Σ s², exact int64) and total ZERO CROSSINGS
+    (sign flips within frames) — the integer core of the VAD/energy
+    features an audio-curation pipeline computes before any
+    lib-bound spectral stage."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            recs = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                with wave.open(io.BytesIO(bytes(payload))) as wf:
+                    if wf.getnchannels() != 1 or wf.getsampwidth() != 2:
+                        raise ValueError(
+                            f"media_id {mid}: not 16-bit mono PCM"
+                        )
+                    n = wf.getnframes()
+                    pcm = np.frombuffer(
+                        wf.readframes(n), dtype="<i2"
+                    ).astype(np.int64)
+                n_frames = n // WAV_FRAME
+                framed = pcm[: n_frames * WAV_FRAME].reshape(
+                    n_frames, WAV_FRAME
+                )
+                energy = (framed * framed).sum(axis=1)
+                nonneg = framed >= 0
+                zc = (nonneg[:, 1:] != nonneg[:, :-1]).sum(axis=1)
+                recs.append(
+                    (
+                        mid,
+                        int(n_frames),
+                        int(energy.sum()),
+                        int(energy.max()) if n_frames else 0,
+                        int(zc.sum()),
+                    )
+                )
+            yield pd.DataFrame(
+                recs,
+                columns=[
+                    "media_id", "n_frames", "total_energy",
+                    "max_frame_energy", "total_zc",
+                ],
+            )
+
+    media = spark.read.parquet(stage_media_corpus(spark, sf_dir))
+    return media.where(F.col("mime") == "audio/wav").mapInPandas(
+        kernel,
+        schema="media_id long, n_frames long, total_energy long, "
+        "max_frame_energy long, total_zc long",
+    )
+
+
+def wav_frame_oracle(sf_dir: str) -> str:
+    """Closed-form replay: s_i = ((31·id + 17·i) % 4001) − 2000 framed
+    at WAV_FRAME, per-frame energy/zc in an inner aggregate, per-file
+    rollup outside."""
+    rel = _staged_rel(sf_dir)
+    s = "((31 * media_id + 17 * i.range) % 4001 - 2000)"
+    s_prev = "((31 * media_id + 17 * (i.range - 1)) % 4001 - 2000)"
+    return f"""
+WITH m AS (SELECT media_id FROM {rel} WHERE mime = 'audio/wav'),
+dims AS (SELECT media_id, 64 + media_id % 129 AS n FROM m),
+samp AS (
+  SELECT d.media_id, i.range AS i, i.range // {WAV_FRAME} AS frame,
+         {s} AS s,
+         CASE WHEN i.range % {WAV_FRAME} != 0
+              AND (({s} >= 0) != ({s_prev} >= 0)) THEN 1 ELSE 0 END AS zc
+  FROM dims d, range({WAV_N_MAX}) i
+  WHERE i.range < (d.n // {WAV_FRAME}) * {WAV_FRAME}
+),
+frames AS (
+  SELECT media_id, frame, SUM(s * s) AS energy, SUM(zc) AS zc
+  FROM samp GROUP BY media_id, frame
+)
+SELECT media_id,
+       CAST(COUNT(*) AS BIGINT) AS n_frames,
+       CAST(SUM(energy) AS BIGINT) AS total_energy,
+       CAST(MAX(energy) AS BIGINT) AS max_frame_energy,
+       CAST(SUM(zc) AS BIGINT) AS total_zc
+FROM frames
+GROUP BY media_id
+"""
+
+
 QUERIES = {
     "bmp_decode_stats": (bmp_decode_stats, bmp_oracle),
     "wav_decode_stats": (wav_decode_stats, wav_oracle),
     "png_decode_stats": (png_decode_stats, png_oracle),
+    "bmp_resize_stats": (bmp_resize_stats, bmp_resize_oracle),
+    "wav_frame_features": (wav_frame_features, wav_frame_oracle),
 }

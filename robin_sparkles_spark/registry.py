@@ -249,6 +249,8 @@ GATE_FRONT: tuple[str, ...] = (
     "ngram_backoff_score",
     "jpeg_progressive_pixel_stats",
     "jpeg_progressive_sa_stats",
+    "bmp_resize_stats",
+    "wav_frame_features",
     "pq_encode",
     "pq_adc_topk",
     "pq_rerank_topk",
@@ -297,12 +299,11 @@ GATE_FRONT: tuple[str, ...] = (
     "corpus_vocabulary",
     "curation_pipeline",
     "dedup_incremental",
-    "embedding_array_stats",
-    "orders_monthly_gapfill",
 )
 # ROUND-10 ROTATION (write it at the start of r10): rotate out the 50
 # names above once CORRECTNESS_r09 comes back green. Fill order: the
-# r6-last-green names deferred here (orders_rollup,
+# r6-last-green names deferred here (embedding_array_stats,
+# orders_monthly_gapfill, orders_rollup,
 # q10_returned_revenue,
 # q12_priority_shipping,
 # q13_order_count_distribution,

@@ -87,6 +87,10 @@ MAP_IN_PANDAS_ALLOWLIST = {
     # successive-approximation (bit-plane refinement) variant
     "jpeg_progressive_pixel_stats",
     "jpeg_progressive_sa_stats",
+    # r9: the resize / frame-feature preprocessing stages (integer box
+    # filter; energy + zero-crossing frames)
+    "bmp_resize_stats",
+    "wav_frame_features",
     # r7 archive/web-corpus parsers (WARC records, ZIP central
     # directory + DEFLATE members, ustar headers)
     "warc_record_stats",
