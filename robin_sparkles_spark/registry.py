@@ -218,14 +218,15 @@ def _collect() -> dict[str, QuerySpec]:
 # ROUND-9 ROTATION (this window; executes the note written at the end
 # of r8). Policy unchanged: new queries + replans first, then strict
 # staleness.
-#   * the 13 queries ADDED this round (never driver-gated) lead:
+#   * the 15 queries ADDED this round (never driver-gated) lead:
 #     the n-gram LM family (ngram_lm_score, ngram_repeated_spans,
 #     ngram_backoff_score), the progressive-JPEG pixel stages
 #     (jpeg_progressive_pixel_stats, jpeg_progressive_sa_stats), the
 #     PQ/IVFPQ ANN family (pq_encode, pq_adc_topk, pq_rerank_topk,
 #     pq_recall_at_k, ann_ivfpq_topk, ann_ivfpq_recall_at_k), BM25
 #     ranked retrieval (docs_search_bm25), and the cross-source
-#     overlap matrix (source_overlap_matrix).
+#     overlap matrix (source_overlap_matrix), and the multimodal
+#     preprocessing stages (bmp_resize_stats, wav_frame_features).
 #   * dedup_simhash — REPLANNED this round (shared simhash-table
 #     barrier + canonical-triple filter replacing the candidate
 #     distinct(); identical output, measured 4.6→3.0 s at sf0.1), so

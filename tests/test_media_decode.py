@@ -525,3 +525,51 @@ def test_jpeg_progressive_sa_oracle_parity(spark, sf_dir):
     assert_query_matches_oracle(
         fn(spark, sf_dir), resolve_oracle(oracle, sf_dir), sf_dir
     )
+
+
+def test_bmp_resize_and_wav_features_closed_form(spark, sf_dir):
+    """The r9 preprocessing stages vs independent recomputes: the 2×2
+    floor-mean resize equals a per-pixel replay of the synthesis
+    formulas, and the frame features equal a plain-Python framing of
+    the synthesized samples."""
+    rows = {r.media_id: r for r in M.bmp_resize_stats(spark, sf_dir).collect()}
+    for mid in (0, 1, 7, 42, max(rows)):
+        w, h = 4 + mid % 13, 3 + mid % 7
+        w2, h2 = w // 2, h // 2
+        def px(x, y):
+            return (
+                (3 * mid + x + 7 * y) % 256,
+                (2 * mid + 5 * x + y) % 256,
+                (mid + 2 * x + 3 * y) % 256,
+            )
+        sums = [0, 0, 0]
+        for x2 in range(w2):
+            for y2 in range(h2):
+                for c in range(3):
+                    sums[c] += (
+                        px(2 * x2, 2 * y2)[c]
+                        + px(2 * x2 + 1, 2 * y2)[c]
+                        + px(2 * x2, 2 * y2 + 1)[c]
+                        + px(2 * x2 + 1, 2 * y2 + 1)[c]
+                    ) // 4
+        r = rows[mid]
+        assert (r.out_w, r.out_h, r.n_out_pixels) == (w2, h2, w2 * h2)
+        assert (r.sum_r, r.sum_g, r.sum_b) == tuple(sums)
+
+    feats = {r.media_id: r for r in M.wav_frame_features(spark, sf_dir).collect()}
+    for mid in (0, 1, 7, 42, max(feats)):
+        n = 64 + mid % 129
+        s = [((31 * mid + 17 * i) % 4001) - 2000 for i in range(n)]
+        nf = n // M.WAV_FRAME
+        energies, zcs = [], 0
+        for f in range(nf):
+            fr = s[f * M.WAV_FRAME : (f + 1) * M.WAV_FRAME]
+            energies.append(sum(v * v for v in fr))
+            zcs += sum(
+                1 for a, b in zip(fr, fr[1:]) if (a >= 0) != (b >= 0)
+            )
+        r = feats[mid]
+        assert r.n_frames == nf
+        assert r.total_energy == sum(energies)
+        assert r.max_frame_energy == max(energies)
+        assert r.total_zc == zcs
