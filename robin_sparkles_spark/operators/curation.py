@@ -334,9 +334,72 @@ JOIN sizes n2 ON n2.source = shared.source2
 """
 
 
+# --- quality-weighted canonical selection (r9) ------------------------------
+
+
+def dedup_canonical_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The curation ENDPOINT for multi-doc dup groups: instead of the
+    min-id canonical `dedup_groups` labels, keep the HIGHEST-QUALITY
+    member of each group (quality_score desc, doc_id asc tie-break) —
+    the policy a real pipeline ships, because near-dup groups often
+    mix a clean original with boilerplate-wrapped copies. One row per
+    group of size ≥ 2: keeper, its score, and how many docs drop.
+
+    Plan: the group labels come from the memoized connected-components
+    result; quality is a map-only projection; the argmax is a window
+    over group_id (bounded partitions — a dup group's size is
+    corpus-independent). Nothing here re-touches the pair graph."""
+    from .dedup import dedup_groups
+
+    groups = dedup_groups(spark, sf_dir).where(F.col("group_size") >= 2)
+    qual = text_quality(spark, sf_dir).select("doc_id", "quality_score")
+    w = W.partitionBy("group_id").orderBy(
+        F.desc("quality_score"), F.asc("doc_id")
+    )
+    return (
+        groups.join(qual, "doc_id")
+        .withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .select(
+            "group_id",
+            F.col("doc_id").alias("keeper_id"),
+            "group_size",
+            F.col("quality_score").alias("keeper_score"),
+            (F.col("group_size") - 1).cast("long").alias("n_dropped"),
+        )
+    )
+
+
+def _canonical_keepers_sql() -> str:
+    from .dedup import DEDUP_GROUPS_SQL
+
+    return f"""
+WITH g AS MATERIALIZED ({DEDUP_GROUPS_SQL}),
+q AS MATERIALIZED ({TEXT_QUALITY_SQL}),
+ranked AS (
+  SELECT g.group_id, g.doc_id, g.group_size, q.quality_score,
+         ROW_NUMBER() OVER (PARTITION BY g.group_id
+                            ORDER BY q.quality_score DESC, g.doc_id ASC)
+           AS rk
+  FROM g JOIN q USING (doc_id)
+  WHERE g.group_size >= 2
+)
+SELECT group_id,
+       doc_id AS keeper_id,
+       group_size,
+       quality_score AS keeper_score,
+       CAST(group_size - 1 AS BIGINT) AS n_dropped
+FROM ranked WHERE rk = 1
+"""
+
+
 QUERIES = {
     "dedup_incremental": (dedup_incremental, DEDUP_INCREMENTAL_SQL),
     "curation_pipeline": (curation_pipeline, _curation_pipeline_sql()),
     "decontaminate_train": (decontaminate_train, DECONTAMINATE_SQL),
     "source_overlap_matrix": (source_overlap_matrix, SOURCE_OVERLAP_SQL),
+    "dedup_canonical_keepers": (
+        dedup_canonical_keepers,
+        _canonical_keepers_sql(),
+    ),
 }

@@ -218,15 +218,17 @@ def _collect() -> dict[str, QuerySpec]:
 # ROUND-9 ROTATION (this window; executes the note written at the end
 # of r8). Policy unchanged: new queries + replans first, then strict
 # staleness.
-#   * the 15 queries ADDED this round (never driver-gated) lead:
+#   * the 16 queries ADDED this round (never driver-gated) lead:
 #     the n-gram LM family (ngram_lm_score, ngram_repeated_spans,
 #     ngram_backoff_score), the progressive-JPEG pixel stages
 #     (jpeg_progressive_pixel_stats, jpeg_progressive_sa_stats), the
 #     PQ/IVFPQ ANN family (pq_encode, pq_adc_topk, pq_rerank_topk,
 #     pq_recall_at_k, ann_ivfpq_topk, ann_ivfpq_recall_at_k), BM25
 #     ranked retrieval (docs_search_bm25), and the cross-source
-#     overlap matrix (source_overlap_matrix), and the multimodal
-#     preprocessing stages (bmp_resize_stats, wav_frame_features).
+#     overlap matrix (source_overlap_matrix), the multimodal
+#     preprocessing stages (bmp_resize_stats, wav_frame_features),
+#     and the quality-weighted canonical selection
+#     (dedup_canonical_keepers).
 #   * dedup_simhash — REPLANNED this round (shared simhash-table
 #     barrier + canonical-triple filter replacing the candidate
 #     distinct(); identical output, measured 4.6→3.0 s at sf0.1), so
@@ -260,6 +262,7 @@ GATE_FRONT: tuple[str, ...] = (
     "ann_ivfpq_recall_at_k",
     "docs_search_bm25",
     "source_overlap_matrix",
+    "dedup_canonical_keepers",
     # replanned this round (shared simhash-table barrier + the
     # canonical-triple filter replacing the candidate distinct())
     "dedup_simhash",
@@ -299,11 +302,12 @@ GATE_FRONT: tuple[str, ...] = (
     "supplier_revenue_share",
     "corpus_vocabulary",
     "curation_pipeline",
-    "dedup_incremental",
+
 )
 # ROUND-10 ROTATION (write it at the start of r10): rotate out the 50
 # names above once CORRECTNESS_r09 comes back green. Fill order: the
-# r6-last-green names deferred here (embedding_array_stats,
+# r6-last-green names deferred here (dedup_incremental,
+# embedding_array_stats,
 # orders_monthly_gapfill, orders_rollup,
 # q10_returned_revenue,
 # q12_priority_shipping,
