@@ -123,34 +123,79 @@ def pq_fit(spark: SparkSession, sf_dir: str) -> list[list[list[float]]]:
         [list(r.v[m * PQ_SUBDIM : (m + 1) * PQ_SUBDIM]) for r in init_rows]
         for m in range(PQ_M)
     ]
+    # ALL M subspaces fit in one job per iteration (r9): explode each
+    # vector to (m, subvector) rows, argmin against a 3-D codebook
+    # literal indexed by m, one groupBy(m, code) of decimal sums —
+    # 4 Spark jobs total instead of M·ITER = 64. The per-(m, code)
+    # decimal sums are the identical order-independent sets, so the
+    # fitted books are bit-for-bit the per-subspace loop's.
+    structs = F.array(
+        *[
+            F.struct(
+                F.lit(m).alias("m"), F.expr(_sub_spark(m)).alias("s")
+            )
+            for m in range(PQ_M)
+        ]
+    )
+    rows = vecs.select(F.explode(structs).alias("x")).select("x.m", "x.s")
     with _FIT_LOCK:
         prev = spark.conf.get("spark.sql.codegen.wholeStage", "true")
         spark.conf.set("spark.sql.codegen.wholeStage", "false")
         try:
-            for m in range(PQ_M):
-                sub = vecs.select(F.expr(_sub_spark(m)).alias("s"))
-                for _ in range(PQ_ITER):
-                    assigned = sub.withColumn(
-                        "code", _subspace_assign_expr(books[m], "s")
-                    )
-                    sums = assigned.groupBy("code").agg(
-                        F.count("*").alias("n"),
-                        *[
-                            F.sum(
-                                F.element_at(F.col("s"), i + 1).cast(
-                                    "decimal(38,18)"
-                                )
-                            ).alias(f"s{i}")
-                            for i in range(PQ_SUBDIM)
-                        ],
-                    )
-                    new_book = list(books[m])
-                    for row in sums.collect():
-                        new_book[row.code] = [
-                            float(row[f"s{i}"]) / row.n
-                            for i in range(PQ_SUBDIM)
-                        ]
-                    books[m] = new_book
+            for _ in range(PQ_ITER):
+                c_lit = "array(" + ",".join(
+                    "array(" + ",".join(
+                        "array(" + ",".join(_dlit(x) for x in c) + ")"
+                        for c in book
+                    ) + ")"
+                    for book in books
+                ) + ")"
+                n2_lit = "array(" + ",".join(
+                    "array(" + ",".join(
+                        _dlit(sum(x * x for x in c)) for c in book
+                    ) + ")"
+                    for book in books
+                ) + ")"
+                score = f"""
+                  element_at(element_at({n2_lit}, m + 1), j + 1)
+                  - CAST(2.0 AS DOUBLE) *
+                    aggregate(zip_with(s, element_at(element_at({c_lit}, m + 1), j + 1),
+                                       (x, c) -> x * c),
+                              CAST(0 AS DOUBLE), (acc, y) -> acc + y)
+                """
+                assigned = rows.withColumn(
+                    "code",
+                    F.expr(
+                        f"""
+                        aggregate(sequence(0, {PQ_KS - 1}),
+                          named_struct('idx', CAST(0 AS INT),
+                                       'best', CAST('Infinity' AS DOUBLE)),
+                          (st, j) -> IF(({score}) < st.best,
+                                        named_struct('idx', CAST(j AS INT),
+                                                     'best', CAST(({score}) AS DOUBLE)),
+                                        st),
+                          st -> st.idx)
+                        """
+                    ),
+                )
+                sums = assigned.groupBy("m", "code").agg(
+                    F.count("*").alias("n"),
+                    *[
+                        F.sum(
+                            F.element_at(F.col("s"), i + 1).cast(
+                                "decimal(38,18)"
+                            )
+                        ).alias(f"s{i}")
+                        for i in range(PQ_SUBDIM)
+                    ],
+                )
+                new_books = [list(book) for book in books]
+                for row in sums.collect():
+                    new_books[row.m][row.code] = [
+                        float(row[f"s{i}"]) / row.n
+                        for i in range(PQ_SUBDIM)
+                    ]
+                books = new_books
         finally:
             spark.conf.set("spark.sql.codegen.wholeStage", prev)
     _PQ_CACHE[sf_dir] = books
