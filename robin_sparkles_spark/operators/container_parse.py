@@ -1362,22 +1362,36 @@ _JPAC_VALS = [r << 4 for r in range(15)] + [0xF0] + [
 _PROG_BANDS = ((1, 29), (30, 63))
 
 
-def synth_jpeg_progressive_full(media_id: int) -> bytes:
+def synth_jpeg_progressive_full(
+    media_id: int, blocks: list[list[int]] | None = None
+) -> bytes:
     """A fully-decodable progressive JPEG planting the SAME
     coefficients and quant table as the baseline pixel corpus: SOF2,
     scan 1 = complete DC (Ss=Se=0), scans 2..3 = spectral-selection
-    AC bands with EOB-run coding, all with Ah=Al=0."""
+    AC bands with EOB-run coding, all with Ah=Al=0. ``blocks``
+    overrides the plant with explicit 64-coefficient vectors (the
+    property-test hook; AC magnitudes ≤ 15)."""
     bx, by = _jpeg_blocks(media_id)
     n_blocks = bx * by
+    if blocks is None:
+        blocks = []
+        for b in range(n_blocks):
+            dc, acs = _jpeg_coeffs(media_id, b)
+            coeffs = [0] * 64
+            coeffs[0] = dc
+            for p, v in acs:
+                coeffs[p] = v
+            blocks.append(coeffs)
+    elif len(blocks) != n_blocks:
+        raise ValueError(f"need {n_blocks} blocks for media_id {media_id}")
     dc_codes = _huff_codes(_JDC_BITS, _JDC_VALS)
     ac_codes = _huff_codes(_JPAC_BITS, _JPAC_VALS)
 
     # scan 1: DC, baseline prediction coding (T.81 §G.1.1, Ah=0)
     w = _BitWriter()
     prev_dc = 0
-    for b in range(n_blocks):
-        dc, _acs = _jpeg_coeffs(media_id, b)
-        diff, prev_dc = dc - prev_dc, dc
+    for coeffs in blocks:
+        diff, prev_dc = coeffs[0] - prev_dc, coeffs[0]
         s = _jpeg_cat(diff)
         code, ln = dc_codes[s]
         w.write(code, ln)
@@ -1385,43 +1399,11 @@ def synth_jpeg_progressive_full(media_id: int) -> bytes:
             w.write(diff if diff >= 0 else diff + (1 << s) - 1, s)
     scans = [w.done()]
 
-    # AC scans: in-band run/size coding with cross-block EOB runs
+    # AC scans: in-band run/size coding with cross-block EOB runs —
+    # exactly `_enc_ac_first` at point transform 0
     for ss, se in _PROG_BANDS:
         w = _BitWriter()
-        eobrun = 0
-
-        def flush() -> None:
-            nonlocal eobrun
-            if eobrun:
-                r = eobrun.bit_length() - 1
-                code, ln = ac_codes[r << 4]
-                w.write(code, ln)
-                if r:
-                    w.write(eobrun - (1 << r), r)
-                eobrun = 0
-
-        for b in range(n_blocks):
-            _dc, acs = _jpeg_coeffs(media_id, b)
-            band = [(p, v) for p, v in acs if ss <= p <= se]
-            if not band:
-                eobrun += 1
-                continue
-            flush()
-            pos = ss - 1
-            for p, v in band:
-                run = p - pos - 1
-                while run >= 16:
-                    code, ln = ac_codes[0xF0]
-                    w.write(code, ln)
-                    run -= 16
-                s = _jpeg_cat(v)
-                code, ln = ac_codes[(run << 4) | s]
-                w.write(code, ln)
-                w.write(v if v >= 0 else v + (1 << s) - 1, s)
-                pos = p
-            if pos < se:
-                eobrun += 1
-        flush()
+        _enc_ac_first(w, blocks, ss, se, 0, ac_codes)
         scans.append(w.done())
 
     def seg(marker: int, payload: bytes) -> bytes:
@@ -1519,9 +1501,15 @@ def _enc_ac_refine(
     ac_codes: dict,
 ) -> None:
     """AC refinement scan (Ah = al + 1): the correction-bit algorithm
-    — the exact inverse of the decoder's §G.1.2.3 walk, including the
-    buffering of correction bits under a pending cross-block EOB
-    run."""
+    as a SIMULATION OF THE DECODER'S WALK (§G.1.2.3) — each emitted
+    symbol carries exactly the correction bits the decoder consumes
+    while advancing for THAT symbol. (A first draft buffered all
+    corrections since the previous symbol and flushed them at the
+    next one; the property test over random blocks falsified it the
+    day it was written: corrections belonging to positions AFTER a
+    ZRL's 16-zero segment must ride the NEXT symbol, not the ZRL.)
+    Cross-block EOB runs buffer the absorbed blocks' tail corrections
+    and emit them after the EOBn code, in block order."""
     eobrun = 0
     be_bits: list[int] = []
 
@@ -1542,56 +1530,70 @@ def _enc_ac_refine(
         newly = [
             k for k in range(ss, se + 1) if abs(coeffs[k]) >> al == 1
         ]
-        eobpos = newly[-1] if newly else ss - 1
-        run = 0
-        br: list[int] = []
-        for k in range(ss, eobpos + 1):
-            t = abs(coeffs[k]) >> al
-            if t == 0:
-                run += 1
-            elif t > 1:
-                br.append(t & 1)
-            else:  # newly significant at this level
-                while run > 15:
-                    flush()
-                    code, ln = ac_codes[0xF0]
-                    w.write(code, ln)
-                    run -= 16
-                    for b in br:
-                        w.write(b, 1)
-                    br = []
-                flush()
-                code, ln = ac_codes[(run << 4) | 1]
-                w.write(code, ln)
-                w.write(1 if coeffs[k] > 0 else 0, 1)
-                for b in br:
-                    w.write(b, 1)
-                br = []
-                run = 0
-        if eobpos < se:  # tail absorbed into the EOB run
+        k = ss
+        for p in newly:
+            corr: list[int] = []
+            zcount = 0
+            for q in range(k, p):
+                t = abs(coeffs[q]) >> al
+                if t == 0:
+                    zcount += 1
+                    if zcount == 16:
+                        # the decoder's ZRL walk stops AT the 16th
+                        # zero-history slot, consuming exactly the
+                        # corrections passed so far
+                        flush()
+                        code, ln = ac_codes[0xF0]
+                        w.write(code, ln)
+                        for b in corr:
+                            w.write(b, 1)
+                        corr = []
+                        zcount = 0
+                else:
+                    corr.append(t & 1)
+            flush()
+            code, ln = ac_codes[(zcount << 4) | 1]
+            w.write(code, ln)
+            w.write(1 if coeffs[p] > 0 else 0, 1)
+            for b in corr:
+                w.write(b, 1)
+            k = p + 1
+        if k <= se:  # tail absorbed into the EOB run
             eobrun += 1
-            for k in range(max(ss, eobpos + 1), se + 1):
-                t = abs(coeffs[k]) >> al
+            for q in range(k, se + 1):
+                t = abs(coeffs[q]) >> al
                 if t > 1:
                     be_bits.append(t & 1)
     flush()
 
 
-def synth_jpeg_progressive_sa(media_id: int) -> bytes:
+def synth_jpeg_progressive_sa(
+    media_id: int, blocks: list[list[int]] | None = None
+) -> bytes:
     """A successive-approximation progressive JPEG planting the SAME
     coefficients and quant table as the baseline pixel corpus, sent
     over the 5-scan `_SA_SCRIPT` (DC/AC first scans at Al=1, then the
-    bit-0 refinement scans, then the all-zero tail band)."""
+    bit-0 refinement scans, then the all-zero tail band).
+
+    ``blocks`` overrides the planted coefficients with explicit
+    64-coefficient vectors (len must be the id's block count; AC
+    magnitudes ≤ 15, the 4-bit size ceiling of the table) — the
+    property-test hook: random blocks exercise encoder/decoder paths
+    (ZRL runs, EOBn lengths, refinement corrections) the fixed plant
+    never reaches."""
     bx, by = _jpeg_blocks(media_id)
     n_blocks = bx * by
-    blocks = []
-    for b in range(n_blocks):
-        dc, acs = _jpeg_coeffs(media_id, b)
-        coeffs = [0] * 64
-        coeffs[0] = dc
-        for p, v in acs:
-            coeffs[p] = v
-        blocks.append(coeffs)
+    if blocks is None:
+        blocks = []
+        for b in range(n_blocks):
+            dc, acs = _jpeg_coeffs(media_id, b)
+            coeffs = [0] * 64
+            coeffs[0] = dc
+            for p, v in acs:
+                coeffs[p] = v
+            blocks.append(coeffs)
+    elif len(blocks) != n_blocks:
+        raise ValueError(f"need {n_blocks} blocks for media_id {media_id}")
     dc_codes = _huff_codes(_JDC_BITS, _JDC_VALS)
     ac_codes = _huff_codes(_JPAC_BITS, _JPAC_VALS)
 

@@ -573,3 +573,72 @@ def test_bmp_resize_and_wav_features_closed_form(spark, sf_dir):
         assert r.total_energy == sum(energies)
         assert r.max_frame_energy == max(energies)
         assert r.total_zc == zcs
+
+
+def test_jpeg_progressive_property_random_blocks():
+    """Property test over the progressive coders: for RANDOM sparse
+    coefficient blocks (AC magnitudes 1..15 at arbitrary positions,
+    signed DCs), both the spectral-selection and the successive-
+    approximation scan scripts must reconstruct pixel stats equal to
+    a DIRECT integer-IDCT of the same blocks — exercising ZRL runs,
+    long EOBn runs, refinement corrections, and newly-significant
+    placements that the fixed plant never reaches."""
+    from hypothesis import given, settings, strategies as st
+
+    from robin_sparkles_spark.operators import container_parse as C
+
+    mid = 11  # 4x3 = 12 blocks
+    n_blocks = 12
+    quant = C._pixel_quant(mid)
+
+    block_st = st.builds(
+        lambda dc, acs: [dc]
+        + [0] * 63
+        if not acs
+        else [dc] + [dict(acs).get(p, 0) for p in range(1, 64)],
+        # DC table covers size categories 0..8 → |diff| ≤ 255, so DCs
+        # stay in ±127 (prediction diffs then max at 254)
+        st.integers(-127, 127),
+        st.lists(
+            st.tuples(
+                st.integers(1, 63),
+                st.integers(-15, 15).filter(lambda v: v != 0),
+            ),
+            max_size=12,
+        ),
+    )
+
+    def expected(blocks):
+        sum_pix = n_clip = 0
+        mn, mx = 255, 0
+        for blk in blocks:
+            for raw in C._idct_block_raw(blk, quant):
+                pix = 0 if raw < 0 else 255 if raw > 255 else raw
+                n_clip += pix != raw
+                sum_pix += pix
+                mn, mx = min(mn, pix), max(mx, pix)
+        return {
+            "n_blocks": n_blocks,
+            "n_pixels": 64 * n_blocks,
+            "sum_pixels": sum_pix,
+            "min_pixel": mn,
+            "max_pixel": mx,
+            "n_clipped": n_clip,
+        }
+
+    @settings(max_examples=40, deadline=None)
+    @given(st.lists(block_st, min_size=n_blocks, max_size=n_blocks))
+    def check(blocks):
+        want = expected(blocks)
+        full = C.parse_jpeg_progressive_pixels(
+            C.synth_jpeg_progressive_full(mid, blocks=blocks)
+        )
+        assert full.pop("n_scans") == 3
+        assert full == want
+        sa = C.parse_jpeg_progressive_pixels(
+            C.synth_jpeg_progressive_sa(mid, blocks=blocks)
+        )
+        assert sa.pop("n_scans") == 5
+        assert sa == want
+
+    check()
