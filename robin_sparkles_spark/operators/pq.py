@@ -16,7 +16,7 @@ distance computation): per query, one M × Ks lookup table of exact
 subspace distances, then every candidate costs M nibble-unpack
 lookups + (M−1) adds instead of a dim-wide dot product.
 
-The declared pipeline is the production three-stage shape:
+The declared pipeline is the production staged shape:
   1. ``pq_encode``      — build the compressed index (map-only);
   2. ``pq_adc_topk``    — ADC scan over codes (coarse, cheap);
   3. ``pq_rerank_topk`` — exact cosine re-rank of the ADC shortlist
@@ -24,7 +24,14 @@ The declared pipeline is the production three-stage shape:
      an equi-join, linear in Q·R not Q·N);
   4. ``pq_recall_at_k`` — recall@k of the re-ranked result vs the
      exact ground truth (the same staged fixture as the LSH/IVF
-     gates), DECLARED so quantization-loss regressions gate.
+     gates), DECLARED so quantization-loss regressions gate;
+  5. ``ann_ivfpq_topk`` / ``ann_ivfpq_recall_at_k`` — the IVFADC+R
+     composition: coarse-probe → ADC within probed cells (equi-join
+     on cell id) → exact re-rank, with its probe-bounded recall
+     declared (0.52 @ nprobe=2 — the IVF curve point, i.e. the
+     re-rank recovers the PQ loss).
+  The shortlist dial is measured in BASELINE.md (recall@5 after
+  re-rank: 0.35→0.998 at R=5→200, sf0.01).
 
 Scale notes (100 TB):
 - Codebooks are Ks·M tiny driver-side centroids; each Lloyd's
