@@ -109,6 +109,22 @@ EXTENDED = [
     "warc_gzip_stats",
     "warc_gz_member_stats",
     "jpeg_pixel_stats",
+    # new r9 queries (progressive decode; PQ/IVFPQ ANN over the shared
+    # fits; n-gram LM/backoff/span scoring; BM25; overlap; resize +
+    # frame features; keeper selection)
+    "jpeg_progressive_pixel_stats",
+    "jpeg_progressive_sa_stats",
+    "pq_encode",
+    "pq_rerank_topk",
+    "ann_ivfpq_topk",
+    "ngram_lm_score",
+    "ngram_backoff_score",
+    "ngram_repeated_spans",
+    "docs_search_bm25",
+    "source_overlap_matrix",
+    "bmp_resize_stats",
+    "wav_frame_features",
+    "dedup_canonical_keepers",
 ]
 
 
@@ -206,6 +222,12 @@ def main() -> None:
     build_neardup_corpus(spark, sf_dir)
     bpe._fit_merges(spark, sf_dir)
     build_exact_topk(spark, sf_dir)  # ANN ground-truth fixture (disk-memoized)
+    # r9: PQ codebooks + IVFPQ coarse quantizer (memoized per sf_dir —
+    # consumers pq_encode/pq_rerank_topk/ann_ivfpq_topk share them)
+    from robin_sparkles_spark.operators.pq import coarse_fit, pq_fit
+
+    pq_fit(spark, sf_dir)
+    coarse_fit(spark, sf_dir)
     staging_sec = round(time.perf_counter() - t0, 4)
 
     reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
