@@ -28,3 +28,25 @@ def test_readme_registry_table_in_sync():
         capture_output=True, text=True, timeout=120, cwd=REPO,
     )
     assert proc.returncode == 0, proc.stderr or proc.stdout
+
+
+def test_every_query_gated_or_pinned():
+    """The rotation invariant the GATE_FRONT comments maintain by
+    hand, machine-checked: every registry query either already has a
+    driver correctness row (a key in some CORRECTNESS_r*.json) or is
+    pinned into THIS round's 50-name window — so after the round's
+    gate runs, the never-gated set stays empty. Catches the failure
+    mode of declaring a query without a window slot."""
+    import glob
+    import json
+
+    gated = set()
+    for path in glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json")):
+        with open(path) as fh:
+            gated.update(json.load(fh).keys())
+    window = set(list(registry.all_queries())[:50])
+    missing = sorted(set(registry.all_queries()) - gated - window)
+    assert not missing, (
+        "queries with no driver row and no window slot this round: "
+        f"{missing}"
+    )
