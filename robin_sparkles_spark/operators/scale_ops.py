@@ -317,10 +317,103 @@ FROM merged GROUP BY o_orderstatus
 """
 
 
+# --- CDC apply with tombstones (r9) -----------------------------------------
+
+DELETE_MOD = 11  # orderkeys receiving a v3 delete tombstone
+
+
+def orders_cdc_tombstones(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full CDC-apply shape `orders_upsert_latest`'s docstring
+    only described: a three-version changelog (v1 insert, v2 update
+    every UPSERT_MOD-th key, v3 DELETE tombstone every DELETE_MOD-th)
+    resolved latest-wins per key by the SAME single max_by hash
+    aggregation, with tombstoned keys surfacing as a 'D' status row
+    (zero price mass) instead of vanishing silently — the audit view
+    a changelog compaction reports. Mirrors the streaming
+    ``streaming/cdc.py`` apply (its latest-wins fold carries the same
+    tombstone flag); one shuffle on the key, no window, no sort."""
+    base = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        "o_totalprice",
+        F.lit(1).alias("version"),
+        F.lit(False).alias("deleted"),
+    )
+    updates = base.where(F.col("o_orderkey") % UPSERT_MOD == 0).select(
+        "o_orderkey",
+        F.lit("U").alias("o_orderstatus"),
+        (F.col("o_totalprice") + UPSERT_DELTA).alias("o_totalprice"),
+        F.lit(2).alias("version"),
+        F.lit(False).alias("deleted"),
+    )
+    deletes = base.where(F.col("o_orderkey") % DELETE_MOD == 0).select(
+        "o_orderkey",
+        F.lit("D").alias("o_orderstatus"),
+        F.lit(0.0).alias("o_totalprice"),
+        F.lit(3).alias("version"),
+        F.lit(True).alias("deleted"),
+    )
+    merged = (
+        base.unionByName(updates)
+        .unionByName(deletes)
+        .groupBy("o_orderkey")
+        .agg(
+            F.max_by("o_orderstatus", "version").alias("o_orderstatus"),
+            F.max_by("o_totalprice", "version").alias("o_totalprice"),
+            F.max_by("deleted", "version").alias("deleted"),
+        )
+    )
+    return merged.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n_orders"),
+        F.sum(
+            F.when(F.col("deleted"), F.lit(0.0))
+            .otherwise(F.col("o_totalprice"))
+            .cast("decimal(18,2)")
+        )
+        .cast("double")
+        .alias("total_price"),
+    )
+
+
+ORDERS_CDC_TOMBSTONES_SQL = f"""
+WITH base AS (
+  SELECT o_orderkey, o_orderstatus, o_totalprice,
+         1 AS version, FALSE AS deleted
+  FROM orders
+),
+updates AS (
+  SELECT o_orderkey, 'U' AS o_orderstatus,
+         o_totalprice + {UPSERT_DELTA!r} AS o_totalprice,
+         2 AS version, FALSE AS deleted
+  FROM orders WHERE o_orderkey % {UPSERT_MOD} = 0
+),
+deletes AS (
+  SELECT o_orderkey, 'D' AS o_orderstatus,
+         0.0 AS o_totalprice, 3 AS version, TRUE AS deleted
+  FROM orders WHERE o_orderkey % {DELETE_MOD} = 0
+),
+merged AS (
+  SELECT o_orderkey,
+         arg_max(o_orderstatus, version) AS o_orderstatus,
+         arg_max(o_totalprice, version) AS o_totalprice,
+         arg_max(deleted, version) AS deleted
+  FROM (SELECT * FROM base
+        UNION ALL SELECT * FROM updates
+        UNION ALL SELECT * FROM deletes)
+  GROUP BY o_orderkey
+)
+SELECT o_orderstatus, COUNT(*) AS n_orders,
+       CAST(SUM(CAST(CASE WHEN deleted THEN 0.0 ELSE o_totalprice END
+                     AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+FROM merged GROUP BY o_orderstatus
+"""
+
+
 QUERIES: dict = {}
 
 QUERIES_TAIL = {
     "orders_bloom_prune": (orders_bloom_prune, ORDERS_BLOOM_SQL),
     "lineitem_zorder_stats": (lineitem_zorder_stats, LINEITEM_ZORDER_SQL),
     "orders_upsert_latest": (orders_upsert_latest, ORDERS_UPSERT_SQL),
+    "orders_cdc_tombstones": (orders_cdc_tombstones, ORDERS_CDC_TOMBSTONES_SQL),
 }

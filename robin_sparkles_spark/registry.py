@@ -218,7 +218,7 @@ def _collect() -> dict[str, QuerySpec]:
 # ROUND-9 ROTATION (this window; executes the note written at the end
 # of r8). Policy unchanged: new queries + replans first, then strict
 # staleness.
-#   * the 16 queries ADDED this round (never driver-gated) lead:
+#   * the 17 queries ADDED this round (never driver-gated) lead:
 #     the n-gram LM family (ngram_lm_score, ngram_repeated_spans,
 #     ngram_backoff_score), the progressive-JPEG pixel stages
 #     (jpeg_progressive_pixel_stats, jpeg_progressive_sa_stats), the
@@ -227,8 +227,9 @@ def _collect() -> dict[str, QuerySpec]:
 #     ranked retrieval (docs_search_bm25), and the cross-source
 #     overlap matrix (source_overlap_matrix), the multimodal
 #     preprocessing stages (bmp_resize_stats, wav_frame_features),
-#     and the quality-weighted canonical selection
-#     (dedup_canonical_keepers).
+#     the quality-weighted canonical selection
+#     (dedup_canonical_keepers), and the tombstone CDC apply
+#     (orders_cdc_tombstones).
 #   * dedup_simhash — REPLANNED this round (shared simhash-table
 #     barrier + canonical-triple filter replacing the candidate
 #     distinct(); identical output, measured 4.6→3.0 s at sf0.1), so
@@ -263,6 +264,7 @@ GATE_FRONT: tuple[str, ...] = (
     "docs_search_bm25",
     "source_overlap_matrix",
     "dedup_canonical_keepers",
+    "orders_cdc_tombstones",
     # replanned this round (shared simhash-table barrier + the
     # canonical-triple filter replacing the candidate distinct())
     "dedup_simhash",
@@ -301,12 +303,11 @@ GATE_FRONT: tuple[str, ...] = (
     "pagerank_trade_graph",
     "supplier_revenue_share",
     "corpus_vocabulary",
-    "curation_pipeline",
-
 )
 # ROUND-10 ROTATION (write it at the start of r10): rotate out the 50
 # names above once CORRECTNESS_r09 comes back green. Fill order: the
-# r6-last-green names deferred here (dedup_incremental,
+# r6-last-green names deferred here (curation_pipeline,
+# dedup_incremental,
 # embedding_array_stats,
 # orders_monthly_gapfill, orders_rollup,
 # q10_returned_revenue,
