@@ -1650,8 +1650,11 @@ def parse_jpeg_progressive_pixels(blob: bytes) -> dict:
     with EOBn run state per T.81 §G.1.2.2) accumulating per-block
     coefficient state, then dequant + integer IDCT + level shift +
     clamp — identical pixel arithmetic to the baseline stage.
-    Successive-approximation (Ah>0 or Al>0) and arithmetic coding
-    raise (the documented remaining boundary)."""
+    Successive-approximation scans ARE decoded (first pass Ah=0/Al>0
+    plus refinement passes with Ah == Al+1 per T.81 §G.1.2.3 —
+    ``jpeg_progressive_sa_stats`` exercises that path); the remaining
+    boundaries that raise are refinement scans that skip a bit plane
+    (Ah != Al+1) and arithmetic-coded entropy (SOF10)."""
     if blob[:2] != b"\xff\xd8":
         raise ValueError("missing SOI")
     pos, w, h = 2, 0, 0

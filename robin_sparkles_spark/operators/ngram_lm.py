@@ -301,8 +301,20 @@ def ngram_backoff_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("t")
         .agg(F.count("*").alias("c1"))
     )
-    n_tok = tr_ws.select(F.explode("ws").alias("t")).agg(
-        F.count("*").alias("n_tok")
+    # Guard the unigram-tier denominator: an empty TRAIN_SOURCES slice
+    # would otherwise yield NULL scores on Spark (decimal div 0) but a
+    # hard error in the DuckDB oracle — a confusing divergence. Raise
+    # loudly and identically on BOTH engines instead (the oracle twin
+    # carries the same CASE/error() guard).
+    n_tok = (
+        tr_ws.select(F.explode("ws").alias("t"))
+        .agg(F.count("*").alias("n_tok"))
+        .select(
+            F.expr(
+                "CASE WHEN n_tok > 0 THEN n_tok ELSE raise_error("
+                "'ngram_backoff_score: TRAIN_SOURCES slice is empty') END"
+            ).alias("n_tok")
+        )
     )
 
     doc_g = (
@@ -416,7 +428,10 @@ c1 AS MATERIALIZED (
   SELECT t, COUNT(*) AS c1
   FROM (SELECT unnest(ws) AS t FROM tr_ws) GROUP BY t
 ),
-ntok AS (SELECT COUNT(*) AS n_tok FROM (SELECT unnest(ws) AS t FROM tr_ws)),
+ntok AS (SELECT CASE WHEN COUNT(*) > 0 THEN COUNT(*)
+                     ELSE error('ngram_backoff_score: TRAIN_SOURCES slice is empty')
+                END AS n_tok
+         FROM (SELECT unnest(ws) AS t FROM tr_ws)),
 doc_g AS MATERIALIZED (
   SELECT doc_id, g.w1 AS w1, g.w2 AS w2, g.w3 AS w3
   FROM (SELECT doc_id, {_TRIGRAM_DUCK} AS g
