@@ -244,8 +244,11 @@ def _ivf_topk(spark: SparkSession, sf_dir: str, nprobe: int) -> DataFrame:
     q = probes.alias("q")
     c = vecs.alias("c")
     w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    # bounded query side — broadcast explicitly (r10 audit: never let
+    # a misestimate broadcast the corpus-sized cell index instead)
     return (
-        q.join(
+        F.broadcast(q)
+        .join(
             c,
             (F.col("q.probe") == F.col("c.cluster"))
             & (F.col("q.vec_id") != F.col("c.vec_id")),
@@ -475,7 +478,9 @@ def embedding_similar_pairs_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", "probe")
         .distinct()
     )
-    a, b = probed.alias("a"), probed.alias("b")
+    # corpus × corpus self-join on the probe cell: pin SHUFFLE_HASH
+    # (r10 audit, see dedup.dedup_ngram_jaccard)
+    a, b = probed.alias("a").hint("shuffle_hash"), probed.alias("b")
     cands = (
         a.join(
             b,
@@ -489,9 +494,17 @@ def embedding_similar_pairs_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sqrt(dot(F.col("e1.v"), F.col("e1.v")))
         * F.sqrt(dot(F.col("e2.v"), F.col("e2.v")))
     )
+    # Two fetch joins, SHUFFLE_HASH-pinned (C ≫ N regime — see
+    # embedding_dedup's measured pair-fetch comparison)
     return (
-        cands.join(base.alias("e1"), F.col("vec1") == F.col("e1.vec_id"))
-        .join(base.alias("e2"), F.col("vec2") == F.col("e2.vec_id"))
+        cands.join(
+            base.alias("e1").hint("shuffle_hash"),
+            F.col("vec1") == F.col("e1.vec_id"),
+        )
+        .join(
+            base.alias("e2").hint("shuffle_hash"),
+            F.col("vec2") == F.col("e2.vec_id"),
+        )
         .select("vec1", "vec2", cos.alias("cos_sim"))
         .where(F.col("cos_sim") >= COSINE_SIMILAR_THRESHOLD)
     )

@@ -24,10 +24,11 @@ from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
 from ..functions.hashing import poly_fingerprint, poly_fingerprint_sql
 from ..sources import load_table
+from ..functions.pairs import pair_payload_fetch
 from .dedup import (
     JACCARD_THRESHOLD,
     _DOCS_SHINGLES_SQL,
-    _JACCARD,
+    _JACCARD_FETCHED,
     _JACCARD_SQL,
     _docs_with_shingles,
     _shingle_rows,
@@ -76,7 +77,12 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     decide the next run) applied to the data plane: prior ingests'
     index decides what's new today."""
     banded = banded_minhash(minhash_signatures(spark, sf_dir))
-    newb = banded.where(_is_new()).alias("n")
+    # Data-sized × corpus-sized joins (batch band index vs corpus band
+    # index, then verify joins against the per-doc shingle-set table):
+    # pin SHUFFLE_HASH — the post-explode size estimates would
+    # broadcast a corpus-sized side (r10 audit, see
+    # dedup.dedup_ngram_jaccard).
+    newb = banded.where(_is_new()).alias("n").hint("shuffle_hash")
     corp = banded.where(~_is_new()).alias("c")
     cands = (
         newb.join(
@@ -88,10 +94,13 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     docs = _docs_with_shingles(spark, sf_dir)
+    # one-shuffle verify fetch (functions.pairs): new/corpus ids are
+    # disjoint sets, so the c1 != c2 contract holds per pair
     verified = (
-        cands.join(docs.alias("a"), F.col("new_id") == F.col("a.doc_id"))
-        .join(docs.alias("b"), F.col("corpus_id") == F.col("b.doc_id"))
-        .select("new_id", "corpus_id", F.expr(_JACCARD).alias("jaccard"))
+        pair_payload_fetch(
+            cands, docs, "doc_id", "sh", "new_id", "corpus_id", "sh1", "sh2"
+        )
+        .select("new_id", "corpus_id", F.expr(_JACCARD_FETCHED).alias("jaccard"))
         .where(F.col("jaccard") >= JACCARD_THRESHOLD)
     )
     w = W.partitionBy("new_id").orderBy(F.desc("jaccard"), F.asc("corpus_id"))
@@ -151,11 +160,13 @@ def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents").select(
         "doc_id", "lang", (poly_fingerprint("text") % 100).alias("sample_bucket")
     )
+    # corpus × corpus joins (one row per doc each side): pin
+    # SHUFFLE_HASH against size misestimates (r10 audit).
     return (
         groups.where(F.col("is_canonical"))
-        .join(quality, "doc_id")
+        .join(quality.hint("shuffle_hash"), "doc_id")
         .where(F.col("quality_score") >= QUALITY_FLOOR)
-        .join(d, "doc_id")
+        .join(d.hint("shuffle_hash"), "doc_id")
         .select("doc_id", "lang", "group_size", "quality_score", "sample_bucket")
     )
 
@@ -211,7 +222,10 @@ def decontaminate_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where((F.col("doc_id") % EVAL_MOD) != EVAL_REM)
         .select("doc_id")
     )
-    return train_docs.join(shared, "doc_id", "left").select(
+    # shared is train-corpus-sized: pin SHUFFLE_HASH (r10 audit). The
+    # eval_sh join above stays broadcastable BY SEMANTICS (the eval
+    # slice is a bounded benchmark corpus, |eval| ≪ |train|).
+    return train_docs.join(shared.hint("shuffle_hash"), "doc_id", "left").select(
         "doc_id",
         F.coalesce(F.col("n_shared"), F.lit(0)).cast("long").alias("n_shared"),
         (F.coalesce(F.col("n_shared"), F.lit(0)) >= CONTAM_MIN_SHARED).alias(
@@ -260,12 +274,16 @@ def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
     src_sh = (
         _shingle_rows(spark, sf_dir)
-        .join(docs, "doc_id")
+        # corpus × corpus join (docs has one row per document): pin
+        # SHUFFLE_HASH against size misestimates (r10 audit)
+        .join(docs.hint("shuffle_hash"), "doc_id")
         .select("source", "h")
         .distinct()
     )
     sizes = src_sh.groupBy("source").agg(F.count("*").alias("n"))
-    a = src_sh.alias("a")
+    # vocab × vocab self-join — sublinear in the corpus but far past
+    # any broadcast budget at 100 TB: pin SHUFFLE_HASH (r10 audit).
+    a = src_sh.alias("a").hint("shuffle_hash")
     b = src_sh.alias("b")
     shared = (
         a.join(
@@ -357,7 +375,8 @@ def dedup_canonical_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.desc("quality_score"), F.asc("doc_id")
     )
     return (
-        groups.join(qual, "doc_id")
+        # corpus × corpus join: pin SHUFFLE_HASH (r10 audit)
+        groups.join(qual.hint("shuffle_hash"), "doc_id")
         .withColumn("rk", F.row_number().over(w))
         .where(F.col("rk") == 1)
         .select(

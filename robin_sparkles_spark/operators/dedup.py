@@ -43,6 +43,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
 from ..functions.barrier import barrier
 from ..functions.hashing import MERSENNE_P, affine_params
+from ..functions.pairs import pair_payload_fetch
 from ..functions.vectors import dot as vdot, dot_sql
 from ..sources import load_table
 
@@ -57,21 +58,56 @@ SIMHASH_BITS = 32
 SIMHASH_MAX_HAMMING = 5
 # COMBINATORIAL pigeonhole blocking (r8 — the sf1 scale probe caught
 # the naive k+1-chunk scheme going 16× for a 10× corpus): split the
-# hash into m = 8 disjoint 4-bit chunks; ≤ 5 corrupted bits dirty at
-# most 5 chunks, leaving ≥ m − k = 3 clean — so every qualifying pair
-# agrees EXACTLY on at least one of the C(8,3) = 56 ordered triples
-# of chunks (in particular the triple of its 3 clean chunks). Block
-# on (triple_idx, 12-bit triple key): 2^12 = 4096 bucket values per
-# key instead of the old 2^6 = 64, so expected random-collision
-# candidates drop from Σ_6 N²/2·2^-6 ≈ N²/21 to Σ_56 N²/2·2^-12 ≈
-# N²/146 at IDENTICAL output rows (exact, same hash, same threshold).
-# Sizing law at at 100 TB: candidates ∝ C(m,m−k)·N²/2^(key_bits);
-# grow key_bits with log2(N) — wider fingerprint (64-bit simhash, the
-# Manku WWW'07 design) and/or larger clean-triple width — the knobs
-# are SIMHASH_N_CHUNKS / SIMHASH_CLEAN_CHUNKS below.
-SIMHASH_N_CHUNKS = 8
-SIMHASH_CHUNK_BITS = 4  # 8 chunks × 4 bits = 32 bits, disjoint
-SIMHASH_CLEAN_CHUNKS = SIMHASH_N_CHUNKS - SIMHASH_MAX_HAMMING  # 3
+# hash into m disjoint chunks; ≤ 5 corrupted bits dirty at most 5
+# chunks, leaving ≥ m − k clean — so every qualifying pair agrees
+# EXACTLY on at least one of the C(m, m−k) index-ordered clean
+# subsets (in particular the subset of its actual clean chunks).
+# Block on (subset_idx, concatenated-chunk key): exact, same hash,
+# same threshold, IDENTICAL output rows for every config.
+#
+# Sizing law at 100 TB: random-collision candidates ∝
+# Σ_subsets N²/2·2^(−key_bits), blocking rows ∝ N·C(m, m−k) — so
+# key_bits must grow with log2(N) (r10, executes the r9 note). The
+# configs below trade a linear explode factor for an exponential
+# collision cut; ``dedup_simhash`` picks one from the corpus count
+# (same precedent as semdedup's adaptive k):
+#
+#   m=8  (4-bit chunks):  56 keys/doc, 12-bit keys  → coll ∝ N²·1.37e-2
+#   m=10 (4/3-bit mix):  252 keys/doc, 15-17 bit    → coll ∝ N²·4.3e-3
+#   m=11 (3/2-bit mix):  462 keys/doc, 17-18 bit    → coll ∝ N²·2.7e-3
+#
+# A 32-bit fingerprint at hamming ≤ 5 saturates around there (the
+# clean subsets can never carry more than bits − k·width bits); the
+# documented next lever for 10⁹+ docs is a wider fingerprint — see
+# ``dedup_simhash64`` (Manku WWW'07 parameters) with the SAME
+# blocking machinery.
+# Thresholds from the r10 measurement campaign (BASELINE.md): with
+# the SHUFFLE_HASH self-join (the r10 fix — Catalyst's size estimate
+# is blind to the explode factor and silently broadcast the blocked
+# side until it OOMed at 200k docs), m=8 measured FASTEST at 5k, 50k
+# and 200k docs (8.8 s vs m=10's 10.2 s at 200k): the explode-row
+# term (linear, 252/462 keys per doc) costs more than the collision
+# term saves until far past the probe scales. Crossovers below are
+# extrapolated from the fitted linear+quadratic cost at the three
+# measured points (α ≈ 3.6e-5 s/blocked-row·56, β ≈ 4e-11
+# s/candidate on local[32]) — candidates ∝ N² eventually beats any
+# linear term, so the escalation stays, just much later than r9
+# assumed.
+SIMHASH_BLOCK_CONFIGS: tuple[tuple[int | None, tuple[int, ...]], ...] = (
+    (3_000_000, (4, 4, 4, 4, 4, 4, 4, 4)),
+    (30_000_000, (4, 4, 3, 3, 3, 3, 3, 3, 3, 3)),
+    (None, (3, 3, 3, 3, 3, 3, 3, 3, 3, 3, 2)),
+)
+assert all(sum(w) == SIMHASH_BITS for _, w in SIMHASH_BLOCK_CONFIGS)
+
+
+def _simhash_block_widths(n_docs: int) -> tuple[int, ...]:
+    """Chunk-width config for a corpus of ``n_docs`` documents —
+    key_bits grows with log2(N) per the sizing law above."""
+    for ceiling, widths in SIMHASH_BLOCK_CONFIGS:
+        if ceiling is None or n_docs <= ceiling:
+            return widths
+    raise AssertionError("unreachable: last config has no ceiling")
 # Shingle document-frequency cap (dedup_ngram_jaccard): a shingle
 # appearing in f documents contributes f² candidate rows to the
 # inverted-index self-join, so one boilerplate shingle (a license
@@ -198,6 +234,10 @@ _DOCS_SHINGLES_SQL = f"""
 _JACCARD = (
     "CAST(size(array_intersect(a.sh, b.sh)) AS DOUBLE) / size(array_union(a.sh, b.sh))"
 )
+# same formula over pair_payload_fetch output columns
+_JACCARD_FETCHED = (
+    "CAST(size(array_intersect(sh1, sh2)) AS DOUBLE) / size(array_union(sh1, sh2))"
+)
 _JACCARD_SQL = (
     "CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(list_distinct(list_concat(a.sh, b.sh)))"
 )
@@ -241,7 +281,13 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     count. AQE skew-join splitting handles sub-cap hot keys."""
     sh = _df_capped_shingle_rows(spark, sf_dir)  # distinct (doc_id, h) per doc
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
-    a = sh.alias("a")
+    # Every join below is corpus × corpus (the index, and the per-doc
+    # sizes table — one row per document). Catalyst's size estimates
+    # under the window/explode chain are blind to the real cardinality
+    # and broadcast these sides (r10 audit: 3 BroadcastHashJoins at a
+    # 200k-doc corpus) — a corpus-sized broadcast OOMs the driver at
+    # scale, so pin SHUFFLE_HASH explicitly.
+    a = sh.alias("a").hint("shuffle_hash")
     b = sh.alias("b")
     shared = (
         a.join(
@@ -251,8 +297,8 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("a.doc_id").alias("doc1"), F.col("b.doc_id").alias("doc2"))
         .agg(F.count("*").alias("shared"))
     )
-    s1 = sizes.alias("s1")
-    s2 = sizes.alias("s2")
+    s1 = sizes.alias("s1").hint("shuffle_hash")
+    s2 = sizes.alias("s2").hint("shuffle_hash")
     jaccard = F.col("shared").cast("double") / (
         F.col("s1.sz") + F.col("s2.sz") - F.col("shared")
     )
@@ -356,7 +402,13 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact Jaccard on the candidates only, keep ≥ τ.
     """
     banded = banded_minhash(minhash_signatures(spark, sf_dir))
-    a = banded.alias("ba")
+    # Corpus × corpus joins throughout (band index self-join, then the
+    # verify joins against the per-doc shingle-SET table — the worst
+    # possible broadcast: one array of shingle hashes per document).
+    # Pin SHUFFLE_HASH: Catalyst's post-explode size estimates
+    # broadcast these at fixture scale and OOM at corpus scale (r10
+    # audit, see dedup_ngram_jaccard).
+    a = banded.alias("ba").hint("shuffle_hash")
     b = banded.alias("bb")
     candidates = (
         a.join(
@@ -369,10 +421,13 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     docs = _docs_with_shingles(spark, sf_dir)
+    # one-shuffle verify fetch (functions.pairs): the shingle-set
+    # index moves through the cluster ONCE, not once per pair side
     return (
-        candidates.join(docs.alias("a"), F.col("doc1") == F.col("a.doc_id"))
-        .join(docs.alias("b"), F.col("doc2") == F.col("b.doc_id"))
-        .select("doc1", "doc2", F.expr(_JACCARD).alias("jaccard"))
+        pair_payload_fetch(
+            candidates, docs, "doc_id", "sh", "doc1", "doc2", "sh1", "sh2"
+        )
+        .select("doc1", "doc2", F.expr(_JACCARD_FETCHED).alias("jaccard"))
         .where(F.col("jaccard") >= JACCARD_THRESHOLD)
     )
 
@@ -460,18 +515,36 @@ def simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs with Hamming(simhash) ≤ k via COMBINATORIAL
-    pigeonhole blocking (see the constants block): the 32-bit hash
-    splits into 8 disjoint 4-bit chunks; ≤ 5 flipped bits leave ≥ 3
-    chunks untouched, so a qualifying pair matches on the 12-bit key
-    formed by SOME index-ordered triple of chunks — exploding each doc
-    to its 56 (triple_idx, triple_key) rows and self-equi-joining on
-    that key finds every qualifying pair (exact, not approximate; the
-    same output as the old k+1-chunk scheme with ~7× fewer random
-    collisions, and the key_bits knob to grow with log2 N). Hamming is
-    verified on candidates only; distinct() collapses pairs that agree
-    on several triples. Mirrors the MinHash band join: linear shuffle
-    on short keys, no nested-loop pair scan."""
+    pigeonhole blocking (see the constants block), with the chunk
+    layout chosen ADAPTIVELY from the corpus count so key_bits grows
+    with log2(N) (r10; the count is a parquet-metadata job, same
+    precedent as semdedup's adaptive k). Every config yields the
+    IDENTICAL exact output — the config only moves the blocking-rows
+    vs random-collisions trade — so the oracle and the
+    blocked==bruteforce property hold config-independently."""
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    return _dedup_simhash_blocked(
+        spark, sf_dir, _simhash_block_widths(n_docs)
+    )
+
+
+def _dedup_simhash_blocked(
+    spark: SparkSession, sf_dir: str, widths: tuple[int, ...]
+) -> DataFrame:
+    """Pigeonhole-blocked simhash pairs for one chunk layout: the
+    32-bit hash splits into the given disjoint chunks (widths sum to
+    32); ≤ k flipped bits leave ≥ m−k chunks untouched, so a
+    qualifying pair matches on the key concatenating SOME
+    index-ordered (m−k)-subset of chunks — exploding each doc to its
+    C(m, m−k) (key_idx, key) rows and self-equi-joining finds every
+    qualifying pair (exact, not approximate). Hamming is verified on
+    candidates only. Mirrors the MinHash band join: linear shuffle on
+    short keys, no nested-loop pair scan."""
     from itertools import combinations
+
+    m = len(widths)
+    n_clean = m - SIMHASH_MAX_HAMMING
+    offsets = [sum(widths[:i]) for i in range(m)]
 
     # One materialized simhash table feeds BOTH self-join sides: the
     # 32-sum shingle aggregate is the expensive stage (measured 2.05 s
@@ -485,26 +558,33 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         eager=False,
     )
 
-    def chunk(i: int):
-        return F.shiftright(
-            F.col("simhash"), i * SIMHASH_CHUNK_BITS
-        ).bitwiseAND(F.lit((1 << SIMHASH_CHUNK_BITS) - 1))
+    combos = list(combinations(range(m), n_clean))
 
-    triple_keys = F.array(
-        *[
-            sum(
-                (chunk(c) * F.lit(1 << (SIMHASH_CHUNK_BITS * pos)))
-                for pos, c in enumerate(combo)
-            )
-            for combo in combinations(
-                range(SIMHASH_N_CHUNKS), SIMHASH_CLEAN_CHUNKS
-            )
-        ]
+    # Key = the hash MASKED to the combo's chunks: equality of the
+    # masked value ⟺ equality on every chunk in the subset, at ONE
+    # bitwiseAND per combo instead of packing chunk values into a
+    # dense key (measured 2.5× faster explode at m=10/sf1 — the
+    # packed form was clean·|combos| multiplies+adds per row).
+    combo_masks = [
+        sum(((1 << widths[c]) - 1) << offsets[c] for c in combo)
+        for combo in combos
+    ]
+    subset_keys = F.array(
+        *[F.col("simhash").bitwiseAND(F.lit(mk)) for mk in combo_masks]
     )
     blocked = docs.select(
-        "doc_id", "simhash", F.posexplode(triple_keys).alias("key_idx", "key")
+        "doc_id", "simhash", F.posexplode(subset_keys).alias("key_idx", "key")
     )
-    a = blocked.alias("a")
+    # SHUFFLE_HASH, explicitly (r10): the blocked side is
+    # corpus × C(m, m−k) rows, but Catalyst's size estimate is blind
+    # to the explode factor (it carries the pre-explode table size,
+    # ~12 B/doc), so the static planner broadcast-hash-joined this
+    # self-join — measured 4.4× slower at 50k docs and OOM-dead at
+    # 200k (1.2 GB actual vs ~2.4 MB estimated). A corpus-sized build
+    # side must never broadcast; with the hint the join is a plain
+    # key-partitioned exchange (no sort — keys are hashes, shuffle
+    # hash beats sort-merge) at every measured scale.
+    a = blocked.alias("a").hint("shuffle_hash")
     b = blocked.alias("b")
     candidates = a.join(
         b,
@@ -518,40 +598,35 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("b.simhash").alias("sim2"),
         F.col("a.key_idx").alias("key_idx"),
     )
-    # Canonical-triple dedupe (r9): a qualifying pair matches on
-    # C(clean, 3) triples; instead of shuffling every candidate
+    # Canonical-subset dedupe (r9): a qualifying pair matches on
+    # C(clean, m−k) subsets; instead of shuffling every candidate
     # through a distinct(), keep the pair ONLY on its
-    # lexicographically-first clean triple — triple (c0,c1,c2) is
-    # first exactly when the clean-chunk mask below c2 is {c0,c1}:
-    #   clean_mask & (2^c2 − 1) == 2^c0 | 2^c1.
+    # lexicographically-first clean subset — sorted subset S is first
+    # exactly when the clean chunks below max(S) are S \ {max(S)}:
+    #   clean_mask & (2^max(S) − 1) == bitmask(S \ {max(S)}).
     # Pure per-row arithmetic on the XOR (no shuffle); identical
     # output pairs (each exactly once). At corpus scale this removes
     # a full shuffle of the candidate set.
     xor = F.col("sim1").bitwiseXOR(F.col("sim2"))
     clean_mask = sum(
         (
-            F.shiftright(xor, i * SIMHASH_CHUNK_BITS).bitwiseAND(
-                F.lit((1 << SIMHASH_CHUNK_BITS) - 1)
+            F.shiftright(xor, offsets[i]).bitwiseAND(
+                F.lit((1 << widths[i]) - 1)
             )
             == 0
         ).cast("long")
         * F.lit(1 << i)
-        for i in range(SIMHASH_N_CHUNKS)
+        for i in range(m)
     )
-    combos = list(
-        combinations(range(SIMHASH_N_CHUNKS), SIMHASH_CLEAN_CHUNKS)
-    )
-    below_c2 = F.array(
-        *[F.lit((1 << c2) - 1) for (_c0, _c1, c2) in combos]
-    )
-    low_pair = F.array(
-        *[F.lit((1 << c0) | (1 << c1)) for (c0, c1, _c2) in combos]
+    below_max = F.array(*[F.lit((1 << combo[-1]) - 1) for combo in combos])
+    low_mask = F.array(
+        *[F.lit(sum(1 << c for c in combo[:-1])) for combo in combos]
     )
     canonical = candidates.where(
         clean_mask.bitwiseAND(
-            F.element_at(below_c2, F.col("key_idx") + 1)
+            F.element_at(below_max, F.col("key_idx") + 1)
         )
-        == F.element_at(low_pair, F.col("key_idx") + 1)
+        == F.element_at(low_mask, F.col("key_idx") + 1)
     )
     hamming = F.bit_count(xor).cast("long")
     return canonical.select("doc1", "doc2", hamming.alias("hamming")).where(
@@ -616,7 +691,12 @@ def embedding_similar_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = unit_vector_index(spark, sf_dir)
     banded = sign_banded_from(e)
-    a = banded.alias("a")
+    # Corpus × corpus joins (band self-join, then the vector-fetch
+    # joins against the unit-vector table — one float array per
+    # vector): pin SHUFFLE_HASH, Catalyst's post-explode estimates
+    # would broadcast a corpus-sized side (r10 audit, see
+    # dedup_ngram_jaccard).
+    a = banded.alias("a").hint("shuffle_hash")
     b = banded.alias("b")
     cands = (
         a.join(
@@ -628,9 +708,18 @@ def embedding_similar_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.vec_id").alias("vec1"), F.col("b.vec_id").alias("vec2"))
         .distinct()
     )
+    # Two fetch joins, SHUFFLE_HASH-pinned — NOT functions.pairs' one-
+    # shuffle fetch: τ=0.40 banding puts this query deep in the C ≫ N
+    # regime (candidates dwarf the vector table), where the two-join
+    # form moves half the payload rows (see embedding_dedup's measured
+    # comparison).
     return (
-        cands.join(e.alias("e1"), F.col("vec1") == F.col("e1.vec_id"))
-        .join(e.alias("e2"), F.col("vec2") == F.col("e2.vec_id"))
+        cands.join(
+            e.alias("e1").hint("shuffle_hash"), F.col("vec1") == F.col("e1.vec_id")
+        )
+        .join(
+            e.alias("e2").hint("shuffle_hash"), F.col("vec2") == F.col("e2.vec_id")
+        )
         .select(
             "vec1",
             "vec2",
@@ -705,14 +794,18 @@ def propagate_min_labels(
     labels = nodes.select("doc_id", F.col("doc_id").alias("group_id"))
     labels = barrier(labels, "corpus", "label-propagation initial labels")
     changed = -1
+    # Every join in the loop is corpus × corpus (labels has one row
+    # per doc, edges one per pair-direction): pin SHUFFLE_HASH so no
+    # size misestimate can broadcast a corpus-sized side (r10 audit,
+    # see dedup_ngram_jaccard).
     for _ in range(max_rounds):
         nmin = (
-            edges.join(labels, edges.src == labels.doc_id)
+            edges.join(labels.hint("shuffle_hash"), edges.src == labels.doc_id)
             .groupBy("dst")
             .agg(F.min("group_id").alias("nmin"))
         )
         cand = (
-            labels.join(nmin, labels.doc_id == nmin.dst, "left")
+            labels.join(nmin.hint("shuffle_hash"), labels.doc_id == nmin.dst, "left")
             .select(
                 "doc_id",
                 F.least(
@@ -723,7 +816,8 @@ def propagate_min_labels(
         # pointer-doubling: follow my label's OWN label (labels are
         # always valid doc_ids, so the self-join is total)
         lol = cand.alias("l1").join(
-            cand.alias("l2"), F.col("l1.group_id") == F.col("l2.doc_id")
+            cand.alias("l2").hint("shuffle_hash"),
+            F.col("l1.group_id") == F.col("l2.doc_id"),
         )
         new_labels = barrier(
             lol.select(
@@ -737,7 +831,7 @@ def propagate_min_labels(
         )
         changed = (
             new_labels.alias("n")
-            .join(labels.alias("o"), "doc_id")
+            .join(labels.alias("o").hint("shuffle_hash"), "doc_id")
             .where(F.col("n.group_id") != F.col("o.group_id"))
             .count()
         )
@@ -788,7 +882,7 @@ def dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the gate executes each query twice (toPandas + count) and the
     # iterations carry the cost
     out = barrier(
-        labels.join(sizes, "group_id").select(
+        labels.join(sizes.hint("shuffle_hash"), "group_id").select(
             "doc_id",
             "group_id",
             "group_size",

@@ -172,7 +172,10 @@ def embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     plan). Exact cosine on candidates only."""
     e = _neardup_unit_index(spark, sf_dir)
     banded = _neardup_band_index(spark, sf_dir)
-    a = banded.alias("a")
+    # Corpus × corpus joins: pin SHUFFLE_HASH — Catalyst's size
+    # estimates under the band explode would broadcast a corpus-sized
+    # side (r10 audit, see dedup.dedup_ngram_jaccard).
+    a = banded.alias("a").hint("shuffle_hash")
     b = banded.alias("b")
     cands = (
         a.join(
@@ -184,9 +187,19 @@ def embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.vec_id").alias("vec1"), F.col("b.vec_id").alias("vec2"))
         .distinct()
     )
+    # Two fetch joins, SHUFFLE_HASH-pinned — NOT functions.pairs'
+    # one-shuffle fetch: this family is in the C ≫ N regime (measured
+    # sf1: 5.1M candidates vs 20k vectors — band-occupancy collisions),
+    # where pair-fetch moves 2C payload rows through its pivot
+    # aggregate (measured 23 s) while the two-join form moves C
+    # (measured ~4.8 s). The index shuffles are O(N) — noise here.
     return (
-        cands.join(e.alias("e1"), F.col("vec1") == F.col("e1.vec_id"))
-        .join(e.alias("e2"), F.col("vec2") == F.col("e2.vec_id"))
+        cands.join(
+            e.alias("e1").hint("shuffle_hash"), F.col("vec1") == F.col("e1.vec_id")
+        )
+        .join(
+            e.alias("e2").hint("shuffle_hash"), F.col("vec2") == F.col("e2.vec_id")
+        )
         .select("vec1", "vec2", vdot(F.col("e1.v"), F.col("e2.v")).alias("cos_sim"))
         .where(F.col("cos_sim") >= DEDUP_COS_THRESHOLD)
     )

@@ -409,8 +409,15 @@ def pq_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("srank") <= PQ_SHORTLIST)
         .select("query_id", "neighbor_id")
     )
+    from .similarity import N_QUERIES
+
     vecs = unit_vector_index(spark, sf_dir)
-    qv = vecs.select(
+    # Filter the broadcast query-vector side to the bounded Q set
+    # BEFORE broadcasting (r10: the unfiltered form broadcast the
+    # whole corpus-sized unit-vector table), and broadcast the
+    # bounded Q·R shortlist side of the corpus-vector join explicitly
+    # so a misestimate can never broadcast cv instead.
+    qv = vecs.where(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
     )
     cv = vecs.select(
@@ -420,7 +427,7 @@ def pq_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.desc("cos_sim"), F.asc("neighbor_id")
     )
     return (
-        short.join(F.broadcast(qv), "query_id")
+        F.broadcast(short.join(F.broadcast(qv), "query_id"))
         .join(cv, "neighbor_id")
         .select(
             "query_id",
@@ -694,8 +701,12 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     w_short = W.partitionBy("query_id").orderBy(
         F.asc("adc_dist"), F.asc("neighbor_id")
     )
+    # bounded query side (Q × nprobe rows of LUTs) — broadcast
+    # explicitly; never let a misestimate broadcast the corpus-sized
+    # code table instead (r10 audit)
     short = (
-        q.join(
+        F.broadcast(q)
+        .join(
             c,
             (F.col("q.probe") == F.col("c.cell"))
             & (F.col("q.vec_id") != F.col("c.vec_id")),
@@ -710,7 +721,11 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "neighbor_id")
     )
     vecs = unit_vector_index(spark, sf_dir)
-    qv = vecs.select(F.col("vec_id").alias("query_id"), F.col("v").alias("qv"))
+    # bounded-Q filter BEFORE the broadcast + explicit broadcast of
+    # the bounded Q·R shortlist side (r10, see pq_rerank_topk)
+    qv = vecs.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
     cv = vecs.select(
         F.col("vec_id").alias("neighbor_id"), F.col("v").alias("cv")
     )
@@ -718,7 +733,7 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.desc("cos_sim"), F.asc("neighbor_id")
     )
     return (
-        short.join(F.broadcast(qv), "query_id")
+        F.broadcast(short.join(F.broadcast(qv), "query_id"))
         .join(cv, "neighbor_id")
         .select(
             "query_id",

@@ -126,7 +126,10 @@ def semdedup_dropped(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical to the fixed k at every gate scale, growing with the
     corpus beyond (10× probe: k 8→78, ratio 13.0×→ see BASELINE)."""
     assigned = _assigned_index(spark, sf_dir)
-    a = assigned.alias("a")
+    # corpus × corpus self-join (one row per vector each side): pin
+    # SHUFFLE_HASH against size misestimates (r10 audit, see
+    # dedup.dedup_ngram_jaccard).
+    a = assigned.alias("a").hint("shuffle_hash")
     b = assigned.alias("b")
     cos = vdot(F.col("a.vn"), F.col("b.vn"))
     pairs = (

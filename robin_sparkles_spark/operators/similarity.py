@@ -309,8 +309,13 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     banded = sign_banded_from(e)
     q = banded.where(F.col("vec_id") < N_QUERIES).alias("q")
     c = banded.alias("c")
+    # The query side is bounded (N_QUERIES × bands, then Q × cands):
+    # broadcast it EXPLICITLY so no size misestimate can ever flip the
+    # plan into broadcasting the corpus-sized band index / vector
+    # table instead (r10 audit, see dedup.dedup_ngram_jaccard).
     cands = (
-        q.join(
+        F.broadcast(q)
+        .join(
             c,
             (F.col("q.band_idx") == F.col("c.band_idx"))
             & (F.col("q.band_key") == F.col("c.band_key"))
@@ -324,7 +329,11 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
     return (
-        cands.join(e.alias("eq"), F.col("query_id") == F.col("eq.vec_id"))
+        F.broadcast(
+            F.broadcast(cands).join(
+                e.alias("eq"), F.col("query_id") == F.col("eq.vec_id")
+            )
+        )
         .join(e.alias("ec"), F.col("neighbor_id") == F.col("ec.vec_id"))
         .select(
             "query_id",

@@ -22,6 +22,7 @@ class PlanAudit:
     read_schemas: list[str] = field(default_factory=list)
     broadcast_joins: int = 0
     sortmerge_joins: int = 0
+    shuffled_hash_joins: int = 0
     bnl_joins: int = 0
     has_python_eval: bool = False
     map_in_pandas: int = 0
@@ -88,6 +89,7 @@ def audit_plan(df: DataFrame, execute: bool = False) -> PlanAudit:
 
     audit.broadcast_joins = _nodes("BroadcastHashJoin")
     audit.sortmerge_joins = _nodes("SortMergeJoin")
+    audit.shuffled_hash_joins = _nodes("ShuffledHashJoin")
     audit.bnl_joins = _nodes("BroadcastNestedLoopJoin")
     audit.has_python_eval = ("BatchEvalPython" in plan) or ("ArrowEvalPython" in plan)
     # Arrow-batched whole-partition Python (decode kernels) — tracked

@@ -255,7 +255,7 @@ def test_ivf_similar_pairs_plan_is_equi_join(spark, sf_dir):
     from .test_plans import audit_plan
 
     a = audit_plan(C.embedding_similar_pairs_ivf(spark, sf_dir))
-    assert a.sortmerge_joins + a.broadcast_joins >= 1, a.formatted
+    assert a.sortmerge_joins + a.broadcast_joins + a.shuffled_hash_joins >= 1, a.formatted
     assert not a.has_python_eval
 
 
@@ -315,7 +315,7 @@ def test_ivfpq_is_equi_join_and_overlaps_truth(spark, sf_dir):
     df = P.ann_ivfpq_topk(spark, sf_dir)
     a = audit_plan(df)
     assert a.bnl_joins == 0, a.formatted
-    assert a.sortmerge_joins + a.broadcast_joins >= 1, a.formatted
+    assert a.sortmerge_joins + a.broadcast_joins + a.shuffled_hash_joins >= 1, a.formatted
 
     bf = {
         (r.query_id, r.neighbor_id)

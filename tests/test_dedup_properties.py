@@ -77,6 +77,43 @@ def test_exact_dedup_oracle_parity_on_generated_corpora(
     assert_query_matches_oracle(fn(spark, sf), oracle, sf, tables=("documents",))
 
 
+import pytest
+
+
+@pytest.mark.parametrize(
+    "widths", [w for _, w in dedup.SIMHASH_BLOCK_CONFIGS],
+    ids=lambda w: f"m{len(w)}",
+)
+def test_simhash_blocked_equals_bruteforce_every_config(spark, widths):
+    """Every adaptive chunk layout must produce the IDENTICAL exact
+    pair set (the config only moves the blocking-rows vs collisions
+    trade) — on the real fixture corpus, which has planted near-dups,
+    unlike the tiny generated corpora above."""
+    sf = "/root/testdata/sf0.001"
+    blocked = sorted(
+        map(tuple, dedup._dedup_simhash_blocked(spark, sf, widths).collect())
+    )
+    nlj = sorted(map(tuple, dedup.dedup_simhash_bruteforce(spark, sf).collect()))
+    assert blocked == nlj
+    assert blocked  # non-vacuous: the fixture plants near-dup pairs
+
+
+def test_simhash_adaptive_config_selection():
+    """key_bits grows with log2(N): the config table is ordered by
+    ceiling and the selector is total (last ceiling is None)."""
+    ceilings = [c for c, _ in dedup.SIMHASH_BLOCK_CONFIGS[:-1]]
+    assert ceilings == sorted(ceilings)
+    assert dedup.SIMHASH_BLOCK_CONFIGS[-1][0] is None
+    assert dedup._simhash_block_widths(1) == dedup.SIMHASH_BLOCK_CONFIGS[0][1]
+    assert (
+        dedup._simhash_block_widths(10**12)
+        == dedup.SIMHASH_BLOCK_CONFIGS[-1][1]
+    )
+    # chunk counts (and so keys/doc and key_bits) strictly increase
+    ms = [len(w) for _, w in dedup.SIMHASH_BLOCK_CONFIGS]
+    assert ms == sorted(set(ms))
+
+
 def test_ngram_df_cap_drops_hot_shingle(spark, tmp_path_factory):
     """Planted corpus-hot shingle (df = 200 > NGRAM_DF_CAP = 128): the
     cap must (a) drop exactly the hot shingle's index rows, (b) bound
