@@ -672,6 +672,16 @@ def embedding_similar_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     on (band_idx, band_key) — linear shuffle — and only candidate
     pairs pay the exact dot product.
 
+    STATUS: FIXTURE-SCALE DIAGNOSTIC, not the production path (r10,
+    executing the r9 verdict). At τ=0.40 the fixed 5-bit band keys
+    put candidate volume on the band-occupancy quadratic (measured
+    12-34× wall for 10× rows across probe rounds); it stays declared
+    as the banding-vs-IVF comparison point the recall tests are built
+    on. Production similar-pairs at scale is
+    ``clustering.embedding_similar_pairs_ivf`` (data-adaptive cells,
+    2.7× @ 10×, higher recall at the same τ); production DEDUP at a
+    real threshold (cos ≥ 0.9) is ``embedding_dedup``.
+
     Approximate BY DECLARED SEMANTICS: the oracle implements the same
     banding, so the gate checks the banded contract, not a quadratic
     scan. Recall vs the all-pairs ground truth is measured in pytest

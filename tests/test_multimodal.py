@@ -1,73 +1,59 @@
-"""Multimodal plumbing tests: schemas, Arrow batch shape, cardinality
-behavior of the stubbed decode kernels, and the oracle-checked
-metadata slice."""
+"""Multimodal metadata-catalog tests: oracle parity of the pure-
+Catalyst header sniff, and the stronger cross-check that sniffed
+dimensions equal what the REAL decode kernels extract from the full
+byte streams (header sniff == full decode — r10, stubs retired)."""
 
 from __future__ import annotations
 
-import pytest
-
+from robin_sparkles_spark.operators import media_decode as md
 from robin_sparkles_spark.operators import multimodal as mm
+from robin_sparkles_spark.registry import resolve_oracle
 
 from .oracle_utils import assert_query_matches_oracle
 
 
-def test_media_table_schema(spark, sf_dir):
-    df = mm.media_from_documents(spark, sf_dir)
-    assert [f.name for f in df.schema.fields] == ["media_id", "payload", "mime", "meta"]
-    row = df.first()
-    assert isinstance(row.payload, (bytes, bytearray))
-    assert row.meta["lang"]
-
-
-def test_decode_stub_shapes(spark, sf_dir):
-    media = mm.media_from_documents(spark, sf_dir)
-    decoded = mm.decode_media_stub(media)
-    assert decoded.schema == mm.DECODED_SCHEMA
-    rows = decoded.collect()
-    assert len(rows) == media.count()  # 1:1 decode
-    for r in rows[:10]:
-        assert 64 <= r.width < 64 + 512
-        assert r.n_bytes > 0
-        assert len(r.features) == 4
-
-
-def test_frame_sample_expands_cardinality(spark, sf_dir):
-    media = mm.media_from_documents(spark, sf_dir)
-    frames = mm.frame_sample_stub(media, every_n=2)
-    n_media = media.count()
-    n_frames = frames.count()
-    assert n_frames >= n_media  # ≥1 frame per media row
-    first = frames.where("frame_idx = 0").count()
-    assert first == n_media
-
-
-def test_resize_stub_shrinks_payload_1to1(spark, sf_dir):
-    """Resize is the column-transforming mapInPandas shape: same
-    cardinality, target dimensions, payload bytes reduced
-    proportionally to the area ratio."""
-    from pyspark.sql import functions as F
-
-    media = mm.media_from_documents(spark, sf_dir)
-    decoded = mm.decode_media_stub(media).select("media_id", "width", "height")
-    src = decoded.join(media.select("media_id", "payload"), "media_id")
-    resized = mm.resize_stub(src, target_w=32, target_h=32)
-    rows = {r.media_id: r for r in resized.collect()}
-    orig = {r.media_id: r for r in src.collect()}
-    assert set(rows) == set(orig)  # 1:1
-    for mid, r in rows.items():
-        assert (r.width, r.height) == (32, 32)
-        o = orig[mid]
-        assert len(r.payload) <= len(o.payload)
-        if o.width * o.height > 32 * 32:
-            assert len(r.payload) < len(o.payload) or len(o.payload) <= 1
-
-
-def test_audio_stub_raises_cleanly(spark, sf_dir):
-    media = mm.media_from_documents(spark, sf_dir)
-    with pytest.raises(Exception, match="NotImplementedError|audio decode"):
-        mm.audio_features_stub(media).collect()
-
-
 def test_multimodal_meta_oracle(spark, sf_dir):
     fn, oracle = mm.QUERIES["multimodal_meta"]
-    assert_query_matches_oracle(fn(spark, sf_dir), oracle, sf_dir)
+    assert_query_matches_oracle(
+        fn(spark, sf_dir), resolve_oracle(oracle, sf_dir), sf_dir
+    )
+
+
+def test_meta_covers_whole_corpus_with_typed_nulls(spark, sf_dir):
+    rows = mm.multimodal_meta(spark, sf_dir).collect()
+    n_media = spark.read.parquet(md.media_corpus_path(sf_dir)).count()
+    assert len(rows) == n_media  # map-only catalog: one row per file
+    for r in rows:
+        assert r.n_bytes > 0
+        if r.mime == "image/bmp":
+            assert r.width is not None and r.height is not None
+            assert r.sample_rate is None and r.n_samples is None
+        else:
+            assert r.mime == "audio/wav"
+            assert r.width is None and r.height is None
+            assert r.sample_rate == md.WAV_RATE
+
+
+def test_header_sniff_matches_full_decode(spark, sf_dir):
+    """The load-bearing property: dimensions sniffed from fixed header
+    offsets must equal what the real pixel/sample decoders recover
+    from the complete byte streams."""
+    meta = {(r.media_id, r.mime): r for r in mm.multimodal_meta(spark, sf_dir).collect()}
+    for r in md.bmp_decode_stats(spark, sf_dir).collect():
+        m = meta[(r.media_id, "image/bmp")]
+        assert (m.width, m.height) == (r.width, r.height)
+    for r in md.wav_decode_stats(spark, sf_dir).collect():
+        m = meta[(r.media_id, "audio/wav")]
+        assert m.sample_rate == r.framerate
+        assert m.n_samples == r.n_samples
+
+
+def test_no_python_eval_in_meta_plan(spark, sf_dir):
+    """The sniff is pure Catalyst — the metadata pass must not pay the
+    Python/Arrow decode path for any row."""
+    from robin_sparkles_spark.plans import audit_plan
+
+    a = audit_plan(mm.multimodal_meta(spark, sf_dir))
+    assert not a.has_python_eval, a.formatted
+    assert a.map_in_pandas == 0, a.formatted
+    assert a.exchanges == 0, a.formatted  # map-only: no shuffle at all
