@@ -278,7 +278,7 @@ def test_streaming_cdc_upsert_exactly_once(spark, tmp_path):
 
     got = {
         r.key: (r.version, r.value)
-        for r in spark.read.parquet(state).collect()
+        for r in cdc.read_state(spark, state).collect()
     }
     all_changes = spark.read.parquet(f"{src}/*")
     want_df = cdc.latest_wins(all_changes).where("NOT deleted")
@@ -293,6 +293,6 @@ def test_streaming_cdc_upsert_exactly_once(spark, tmp_path):
     )
     again = {
         r.key: (r.version, r.value)
-        for r in spark.read.parquet(state).collect()
+        for r in cdc.read_state(spark, state).collect()
     }
     assert again == want
