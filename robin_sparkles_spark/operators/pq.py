@@ -112,19 +112,28 @@ def _subspace_assign_expr(cents: list[list[float]], sub: str) -> F.Column:
 _PQ_CACHE: dict[str, list[list[list[float]]]] = {}
 
 
-def pq_fit(spark: SparkSession, sf_dir: str) -> list[list[list[float]]]:
+def pq_fit(
+    spark: SparkSession,
+    sf_dir: str,
+    vecs: DataFrame | None = None,
+    cache_key: str | None = None,
+) -> list[list[list[float]]]:
     """Codebooks[m][ks][subdim] — M independent decimal-exact Lloyd's
-    fits over the shared unit-vector index. Deterministic exactly as
-    `clustering.kmeans_fit` (decimal partial sums, first-Ks init,
-    fixed iterations, codegen off under the shared fit lock) so the
-    oracles can inline the codebooks as literals; memoized per sf_dir
-    (the fit is bit-identical in any session)."""
-    if sf_dir in _PQ_CACHE:
-        return _PQ_CACHE[sf_dir]
+    fits over the shared unit-vector index (or any (vec_id, v) frame
+    passed as ``vecs`` — the OPQ path fits over rotated vectors).
+    Deterministic exactly as `clustering.kmeans_fit` (decimal partial
+    sums, first-Ks init, fixed iterations, codegen off under the
+    shared fit lock) so the oracles can inline the codebooks as
+    literals; memoized per sf_dir/cache_key (the fit is bit-identical
+    in any session)."""
+    key = cache_key or sf_dir
+    if key in _PQ_CACHE:
+        return _PQ_CACHE[key]
     from .clustering import _FIT_LOCK
     from .similarity import unit_vector_index
 
-    vecs = unit_vector_index(spark, sf_dir)
+    if vecs is None:
+        vecs = unit_vector_index(spark, sf_dir)
     init_rows = vecs.orderBy("vec_id").limit(PQ_KS).collect()
     books: list[list[list[float]]] = [
         [list(r.v[m * PQ_SUBDIM : (m + 1) * PQ_SUBDIM]) for r in init_rows]
@@ -205,17 +214,25 @@ def pq_fit(spark: SparkSession, sf_dir: str) -> list[list[list[float]]]:
                 books = new_books
         finally:
             spark.conf.set("spark.sql.codegen.wholeStage", prev)
-    _PQ_CACHE[sf_dir] = books
+    _PQ_CACHE[key] = books
     return books
 
 
-def _encoded(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _encoded(
+    spark: SparkSession,
+    sf_dir: str,
+    vecs: DataFrame | None = None,
+    books: list[list[list[float]]] | None = None,
+) -> DataFrame:
     """vec_id + unit vector + packed bigint code (pure per-row
-    projection over the shared index)."""
+    projection over the shared index — or over any (vec_id, v) frame
+    + codebooks passed in, for the OPQ rotated path)."""
     from .similarity import unit_vector_index
 
-    books = pq_fit(spark, sf_dir)
-    vecs = unit_vector_index(spark, sf_dir)
+    if books is None:
+        books = pq_fit(spark, sf_dir)
+    if vecs is None:
+        vecs = unit_vector_index(spark, sf_dir)
     enc = vecs.withColumns(
         {
             f"_c{m}": _subspace_assign_expr(books[m], _sub_spark(m))
@@ -243,13 +260,19 @@ def pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _encoded(spark, sf_dir).select("vec_id", "code_lo", "code_hi")
 
 
-def _codebook_ctes(books: list[list[list[float]]]) -> str:
+def _codebook_ctes(
+    books: list[list[list[float]]], vectors_sql: str | None = None
+) -> str:
     """``cent(m, ks, c, n2)`` VALUES rows + unit vectors + per-
     (vector, m) argmin codes + the packed bigint — the DuckDB replay
     of ``_subspace_assign_expr`` (same ROW_NUMBER (s, ks) tie rule as
-    the kmeans oracles) and the same power-of-two packing."""
+    the kmeans oracles) and the same power-of-two packing.
+    ``vectors_sql`` overrides the vector CTE body (the OPQ twin passes
+    its rotated-vector SQL)."""
     from .similarity import _UNIT_VECTORS_SQL
 
+    if vectors_sql is None:
+        vectors_sql = _UNIT_VECTORS_SQL
     rows = []
     for m, book in enumerate(books):
         for j, c in enumerate(book):
@@ -270,7 +293,7 @@ def _codebook_ctes(books: list[list[list[float]]]) -> str:
         f" * {1 << (4 * (m - 8))}"
         for m in range(8, PQ_M)
     )
-    return f"""e AS MATERIALIZED ({_UNIT_VECTORS_SQL}),
+    return f"""e AS MATERIALIZED ({vectors_sql}),
 cent(m, ks, c, n2) AS (VALUES {values}),
 sub AS MATERIALIZED (
   SELECT vec_id, ms.m AS m, CASE ms.m {sub_cases} END AS s
@@ -345,13 +368,20 @@ _ADC_EXPR = " + ".join(
 )
 
 
-def _adc_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _adc_scored(
+    spark: SparkSession,
+    sf_dir: str,
+    vecs: DataFrame | None = None,
+    books: list[list[list[float]]] | None = None,
+) -> DataFrame:
     """(query_id, neighbor_id, adc_dist): the full bounded-Q ADC scan
-    before any rank cut — shared by the top-k and re-rank stages."""
+    before any rank cut — shared by the top-k and re-rank stages (and
+    by the OPQ rotated path via ``vecs``/``books``)."""
     from .similarity import N_QUERIES
 
-    books = pq_fit(spark, sf_dir)
-    enc = _encoded(spark, sf_dir)
+    if books is None:
+        books = pq_fit(spark, sf_dir)
+    enc = _encoded(spark, sf_dir, vecs=vecs, books=books)
     luts = _lut_columns(books)
     q = (
         enc.where(F.col("vec_id") < N_QUERIES)
@@ -398,20 +428,32 @@ def pq_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranked by EXACT cosine — the recall-restoring stage. Only Q·R
     shortlist rows re-read full vectors, via plain equi-joins on
     vec_id."""
+    return _rerank_from(spark, sf_dir, _adc_scored(spark, sf_dir))
+
+
+def _rerank_from(
+    spark: SparkSession,
+    sf_dir: str,
+    scored: DataFrame,
+    vecs: DataFrame | None = None,
+) -> DataFrame:
+    """The exact-cosine re-rank stage over any (query_id, neighbor_id,
+    adc_dist) scan — shared by the plain-PQ and OPQ pipelines."""
     from .similarity import TOP_K, unit_vector_index
 
     w_short = W.partitionBy("query_id").orderBy(
         F.asc("adc_dist"), F.asc("neighbor_id")
     )
     short = (
-        _adc_scored(spark, sf_dir)
+        scored
         .withColumn("srank", F.row_number().over(w_short))
         .where(F.col("srank") <= PQ_SHORTLIST)
         .select("query_id", "neighbor_id")
     )
     from .similarity import N_QUERIES
 
-    vecs = unit_vector_index(spark, sf_dir)
+    if vecs is None:
+        vecs = unit_vector_index(spark, sf_dir)
     # Filter the broadcast query-vector side to the bounded Q set
     # BEFORE broadcasting (r10: the unfiltered form broadcast the
     # whole corpus-sized unit-vector table), and broadcast the
@@ -497,13 +539,18 @@ FROM ranked WHERE rn <= {TOP_K}
 """
 
 
-def _rerank_sql(sf_dir: str) -> str:
+def _rerank_sql(
+    sf_dir: str,
+    books: list[list[list[float]]] | None = None,
+    vectors_sql: str | None = None,
+) -> str:
     from ..session import active_or_local
     from .similarity import TOP_K
 
-    books = pq_fit(active_or_local("pq_oracle"), sf_dir)
+    if books is None:
+        books = pq_fit(active_or_local("pq_oracle"), sf_dir)
     return f"""
-WITH {_codebook_ctes(books)},
+WITH {_codebook_ctes(books, vectors_sql)},
 {_adc_pairs_sql(books)},
 short AS MATERIALIZED (
   SELECT query_id, neighbor_id

@@ -90,6 +90,7 @@ def _modules() -> tuple:
         llm_prep,
         ngram_lm,
         pq,
+        opq,
         pysource,
         similarity,
         skew_queries,
@@ -125,6 +126,7 @@ def _modules() -> tuple:
         llm_prep,
         ngram_lm,
         pq,
+        opq,
         skew_queries,
         graph,
         analytics,

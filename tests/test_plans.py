@@ -213,6 +213,7 @@ _BNL_ALLOWED = {
     "pq_adc_topk",
     "pq_rerank_topk",
     "pq_recall_at_k",
+    "opq_recall_at_k",  # same sanctioned bounded-Q ADC scan, rotated
     "q22_idle_balance_by_segment",
     "q11_part_value_share",  # same scalar shape: 1-row nation total
     "supplier_revenue_share",  # same scalar shape: 1-row grand total (r6)
@@ -302,6 +303,7 @@ def test_salted_join_spreads_hot_keys(spark, sf_dir):
 # honors the SPARK_GRAFT_BARRIER_DIR parquet-staging knob.
 _CORPUS_BARRIER_ALLOWLIST = {
     "shared unit-vector ANN index",
+    "opq rotated unit-vector index",
     "embedding_dedup unit-vector index",
     "embedding_dedup projection band index",
     "semdedup assigned unit-vector index",
