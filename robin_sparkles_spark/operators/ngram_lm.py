@@ -38,7 +38,7 @@ Scale notes (100 TB):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
 from ..sources import load_table
 
@@ -485,8 +485,117 @@ FROM documents d LEFT JOIN per_doc USING (doc_id)
 """
 
 
+# --- maximal repeated spans (r10 — the suffix-chain half) --------------------
+#
+# Lee et al. 2022 ("Deduplicating Training Data Makes Language Models
+# Better") deduplicate EXACT SUBSTRINGS of length ≥ L occurring twice
+# anywhere in the corpus — their reference implementation is a suffix
+# array. The distributed shape of the same audit is the K-gram CHAIN:
+# any repeated substring of ≥ K tokens has every one of its K-token
+# windows corpus-repeated, so maximal runs of consecutive repeated
+# windows within a document are a SUPERSET of the true maximal
+# repeated substrings (two adjacent windows may repeat at different
+# far-away sites — the standard relaxation; exactness returns as K
+# grows). The fixed-K audit above reports the top grams; this one
+# reports WHERE the memorized spans live and HOW LONG they run —
+# the actionable half (what to cut from a document).
+#
+# Scale note (written before the code, per the build contract): one
+# vocabulary-keyed count aggregate + one equi-join back (AQE
+# skew-splittable, unlike a window over the gram key, which would pin
+# each boilerplate gram to one task), then a per-DOCUMENT window
+# (bounded partitions — positions per doc, corpus-independent) and a
+# per-(doc, run) aggregate. Everything is linear in corpus tokens;
+# the only quadratic-shaped object, the repeated-gram multiplicity,
+# is never materialized (counts, not pairs). Grams shuffle as 60-bit
+# md5-fold hashes, not strings (same portable-hash contract as the
+# dedup shingles; a collision can only extend a span — both engines
+# hash identically so the gate is exact).
+
+MIN_SPAN_WINDOWS = 3  # ≥ K+2 tokens: chains only, not isolated grams
+
+
+def ngram_maximal_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal repeated spans per document: maximal runs of
+    consecutive positions whose {SPAN_K}-token window occurs ≥ 2
+    times corpus-wide; one row per span of ≥ MIN_SPAN_WINDOWS chained
+    windows — (doc_id, start_pos, span_tokens, n_windows,
+    max_window_occ)."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", _lc_tokens().alias("ws")).where(
+        F.size("ws") >= SPAN_K
+    )
+    grams = toks.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, size(ws) - {SPAN_K}),"
+                f"          i -> CAST(conv(substring(md5("
+                f"array_join(slice(ws, i + 1, {SPAN_K}), ' ')"
+                f"), 1, 15), 16, 10) AS BIGINT))"
+            )
+        ).alias("pos", "g"),
+    )
+    occ = grams.groupBy("g").agg(F.count("*").alias("occ"))
+    rep = grams.join(
+        occ.where(F.col("occ") >= 2).hint("shuffle_hash"), "g"
+    )
+    w_d = W.partitionBy("doc_id").orderBy("pos")
+    runs = rep.withColumn("run0", F.col("pos") - F.row_number().over(w_d))
+    return (
+        runs.groupBy("doc_id", "run0")
+        .agg(
+            F.min("pos").cast("long").alias("start_pos"),
+            (F.max("pos") - F.min("pos") + F.lit(SPAN_K))
+            .cast("long")
+            .alias("span_tokens"),
+            F.count("*").alias("n_windows"),
+            F.max("occ").alias("max_window_occ"),
+        )
+        .where(F.col("n_windows") >= MIN_SPAN_WINDOWS)
+        .select(
+            "doc_id", "start_pos", "span_tokens", "n_windows", "max_window_occ"
+        )
+    )
+
+
+NGRAM_MAXIMAL_SPANS_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, {_LC_TOKS_SQL} AS ws FROM documents
+),
+grams AS (
+  SELECT doc_id,
+         i - 1 AS pos,
+         CAST(concat('0x', substr(md5(list_aggregate(ws[i:i + {SPAN_K - 1}],
+                                                     'string_agg', ' ')),
+                     1, 15)) AS BIGINT) AS g
+  FROM toks, unnest(generate_series(1, len(ws) - {SPAN_K - 1})) AS u(i)
+  WHERE len(ws) >= {SPAN_K}
+),
+occ AS (SELECT g, COUNT(*) AS occ FROM grams GROUP BY g),
+rep AS (
+  SELECT grams.doc_id, grams.pos, occ.occ
+  FROM grams JOIN occ USING (g) WHERE occ.occ >= 2
+),
+runs AS (
+  SELECT doc_id, pos, occ,
+         pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS run0
+  FROM rep
+)
+SELECT doc_id,
+       CAST(MIN(pos) AS BIGINT) AS start_pos,
+       CAST(MAX(pos) - MIN(pos) + {SPAN_K} AS BIGINT) AS span_tokens,
+       COUNT(*) AS n_windows,
+       MAX(occ) AS max_window_occ
+FROM runs
+GROUP BY doc_id, run0
+HAVING COUNT(*) >= {MIN_SPAN_WINDOWS}
+"""
+
+
 QUERIES = {
     "ngram_lm_score": (ngram_lm_score, NGRAM_LM_SCORE_SQL),
     "ngram_repeated_spans": (ngram_repeated_spans, NGRAM_REPEATED_SPANS_SQL),
+    "ngram_maximal_spans": (ngram_maximal_spans, NGRAM_MAXIMAL_SPANS_SQL),
     "ngram_backoff_score": (ngram_backoff_score, NGRAM_BACKOFF_SQL),
 }

@@ -12,6 +12,7 @@ from robin_sparkles_spark.operators import (
     embedding_dedup,
     graph,
     ngram_lm,
+    opq,
     pq,
     semdedup,
     similarity,
@@ -23,7 +24,7 @@ from robin_sparkles_spark.operators import (
 from .oracle_utils import assert_query_matches_oracle
 
 ALL = {}
-for mod in (text_analysis, dedup, embedding_dedup, similarity, curation, sketches, graph, semdedup, bpe, web_text, ngram_lm, pq):
+for mod in (text_analysis, dedup, embedding_dedup, similarity, curation, sketches, graph, semdedup, bpe, web_text, ngram_lm, pq, opq):
     ALL.update(mod.QUERIES)
     ALL.update(getattr(mod, "QUERIES_TAIL", {}))
 
@@ -760,3 +761,44 @@ def test_url_normalize_drops_tracking_and_lowercases_host(spark, sf_dir):
         )
         # path case preserved (only scheme/host are case-insensitive)
         assert "/Path/" in r.normalized_url
+
+
+def test_maximal_spans_find_planted_passage(spark, tmp_path):
+    """Lee-et-al semantics check on a planted corpus: two documents
+    share one 12-token passage embedded among unique filler; the span
+    report must contain exactly one span per sharing doc with the
+    passage's exact start position and token length, and no spans in
+    the all-unique doc."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq_
+
+    passage = " ".join(f"shared{i}" for i in range(12))
+    texts = [
+        " ".join(f"a{i}" for i in range(5)) + " " + passage + " endA",
+        passage + " " + " ".join(f"b{i}" for i in range(9)),
+        " ".join(f"c{i}" for i in range(30)),
+    ]
+    pdf = pd.DataFrame(
+        {
+            "doc_id": range(3),
+            "text": texts,
+            "lang": ["en"] * 3,
+            "source": ["gen"] * 3,
+            "n_chars": [len(t) for t in texts],
+        }
+    )
+    sf = str(tmp_path)
+    pq_.write_table(pa.Table.from_pandas(pdf), f"{sf}/documents.parquet")
+
+    rows = sorted(
+        ngram_lm.ngram_maximal_spans(spark, sf).collect(),
+        key=lambda r: r.doc_id,
+    )
+    assert [r.doc_id for r in rows] == [0, 1]
+    assert (rows[0].start_pos, rows[0].span_tokens) == (5, 12)
+    assert (rows[1].start_pos, rows[1].span_tokens) == (0, 12)
+    # 12-token passage at K=8 chains 5 windows, each occurring twice
+    for r in rows:
+        assert r.n_windows == 12 - ngram_lm.SPAN_K + 1
+        assert r.max_window_occ == 2
