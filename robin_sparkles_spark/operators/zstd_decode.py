@@ -1,0 +1,538 @@
+"""Pure-Python zstd frame decompression — RFC 8878, COMPLETE block
+layer (r10, executes VERDICT r9 ask #3): RAW and RLE blocks plus the
+full Compressed-block path — Huffman-coded literals (direct and
+FSE-compressed weight descriptions, 1- and 4-stream), FSE-coded
+sequences (predefined / RLE / FSE-described / repeat table modes),
+backward bitstreams, repeat-offset history, and cross-block table +
+window state. The previously-documented "entropy boundary" for
+``.warc.zst`` ingestion is gone.
+
+Every decoded byte is testable against the REFERENCE implementation:
+pyarrow bundles libzstd, so tests round-trip real frames produced by
+the C encoder through this decoder (hypothesis sweeps over
+structured/random payloads + corruption cases). No home-grown
+encoder is involved anywhere — the ground truth is the real library,
+which is what makes this trustworthy where a self-consistent
+encode/decode pair would not be (the JPEG-arithmetic lesson).
+
+Scope boundaries (explicit, raising): dictionary frames
+(Dictionary_ID != 0) and content checksum VERIFICATION (xxhash64 is
+out of scope — the 4 checksum bytes are structurally consumed and
+counted). Window_Size is honored implicitly: single-file members are
+decoded whole, which upper-bounds any window.
+
+Public API: :func:`decompress_frame` (one frame at ``pos`` →
+(content, next_pos)), :func:`decompress` (concatenated frames).
+"""
+
+from __future__ import annotations
+
+import struct
+
+ZSTD_MAGIC = b"\x28\xb5\x2f\xfd"
+SKIP_MAGIC_LO = 0x184D2A50
+
+# --- sequence code tables (RFC 8878 §3.1.1.3.2.1) ---------------------------
+
+_LL_BASE = (
+    list(range(16))
+    + [16, 18, 20, 22, 24, 28, 32, 40, 48, 64, 128, 256, 512, 1024,
+       2048, 4096, 8192, 16384, 32768, 65536]
+)
+_LL_BITS = [0] * 16 + [1, 1, 1, 1, 2, 2, 3, 3, 4, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15, 16]
+assert len(_LL_BASE) == 36 and len(_LL_BITS) == 36  # codes 0..35
+_ML_BASE = (
+    list(range(3, 35))
+    + [35, 37, 39, 41, 43, 47, 51, 59, 67, 83, 99, 131, 259, 515, 1027,
+       2051, 4099, 8195, 16387, 32771, 65539]
+)
+_ML_BITS = [0] * 32 + [1, 1, 1, 1, 2, 2, 3, 3, 4, 4, 5, 7, 8, 9, 10, 11, 12, 13, 14, 15, 16]
+
+# --- predefined FSE distributions (RFC 8878 §3.1.1.3.2.2) -------------------
+
+_LL_DEFAULT = (
+    [4, 3, 2, 2, 2, 2, 2, 2, 2, 2, 2, 2, 2, 1, 1, 1, 2, 2, 2, 2, 2, 2,
+     2, 2, 2, 3, 2, 1, 1, 1, 1, 1, -1, -1, -1, -1],
+    6,
+)
+_ML_DEFAULT = (
+    [1, 4, 3, 2, 2, 2, 2, 2, 2, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1,
+     1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1,
+     1, 1, -1, -1, -1, -1, -1, -1, -1],
+    6,
+)
+_OF_DEFAULT = (
+    [1, 1, 1, 1, 1, 1, 2, 2, 2, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1,
+     1, 1, -1, -1, -1, -1, -1],
+    5,
+)
+
+
+class _BackBits:
+    """The zstd backward bitstream: bytes written forward, read
+    backward MSB-first, with a mandatory '1' sentinel as the highest
+    set bit of the final byte. Reads past the start pad with zero
+    bits and flip ``overflowed`` (the FSE termination condition)."""
+
+    def __init__(self, data: bytes):
+        if not data:
+            raise ValueError("empty bitstream")
+        acc = int.from_bytes(data, "little")
+        if acc == 0:
+            raise ValueError("bitstream missing sentinel bit")
+        self.acc = acc
+        self.remaining = acc.bit_length() - 1  # strip the sentinel
+        self.overflowed = False
+
+    def read(self, n: int) -> int:
+        if n == 0:
+            return 0
+        if n <= self.remaining:
+            self.remaining -= n
+            return (self.acc >> self.remaining) & ((1 << n) - 1)
+        # pad with zeros past the start
+        short = n - self.remaining
+        val = (self.acc & ((1 << self.remaining) - 1)) << short
+        self.remaining = 0
+        self.overflowed = True
+        return val
+
+
+# --- FSE --------------------------------------------------------------------
+
+
+def read_fse_table(data: bytes, pos: int, max_symbol: int):
+    """Parse an FSE table description (RFC 8878 §4.1.1) starting at
+    ``pos``: returns (norm_counts, accuracy_log, next_pos)."""
+    bitpos = 0
+
+    def bits(n: int) -> int:
+        nonlocal bitpos
+        byte0 = pos + bitpos // 8
+        avail = int.from_bytes(data[byte0 : byte0 + 4], "little")
+        val = (avail >> (bitpos % 8)) & ((1 << n) - 1)
+        bitpos += n
+        return val
+
+    accuracy = bits(4) + 5
+    if accuracy > 9:
+        raise ValueError(f"FSE accuracy log {accuracy} > 9")
+    size = 1 << accuracy
+    remaining = size + 1
+    counts: list[int] = []
+    prev_zero = False
+    while remaining > 1 and len(counts) <= max_symbol:
+        if prev_zero:
+            rep = bits(2)
+            counts.extend([0] * rep)
+            while rep == 3:
+                rep = bits(2)
+                counts.extend([0] * rep)
+            prev_zero = False
+            continue
+        nb = remaining.bit_length()  # bits for values in [0, remaining]
+        threshold = 1 << (nb - 1)
+        low_max = (threshold << 1) - 1 - remaining
+        v = bits(nb - 1)
+        if v >= low_max:  # value needs the full nb bits
+            v |= bits(1) << (nb - 1)
+            if v >= threshold:
+                v -= low_max
+        count = v - 1  # -1 encodes the "less than 1" probability
+        counts.append(count)
+        remaining -= -count if count < 0 else count
+        prev_zero = count == 0
+    if remaining != 1:
+        raise ValueError("FSE norm counts do not sum to table size")
+    return counts, accuracy, pos + (bitpos + 7) // 8
+
+
+def build_fse_decode_table(counts: list[int], accuracy: int):
+    """Decode table per RFC 8878 §4.1: list of (symbol, nb_bits,
+    new_state_base) per state."""
+    size = 1 << accuracy
+    symbols = [0] * size
+    high = size - 1
+    # "less than 1" symbols take single cells from the top
+    for s, c in enumerate(counts):
+        if c == -1:
+            symbols[high] = s
+            high -= 1
+    pos, step, mask = 0, (size >> 1) + (size >> 3) + 3, size - 1
+    for s, c in enumerate(counts):
+        for _ in range(max(c, 0)):
+            symbols[pos] = s
+            pos = (pos + step) & mask
+            while pos > high:
+                pos = (pos + step) & mask
+    if pos != 0:
+        raise ValueError("FSE spread did not cycle")
+    nxt = [max(c, 0) for c in counts]
+    table = [None] * size
+    for state in range(high + 1, size):  # the low-prob cells
+        table[state] = (symbols[state], accuracy, 0)
+    for state in range(high + 1):
+        s = symbols[state]
+        k = nxt[s]  # post-increment, as FSE_buildDTable
+        nxt[s] += 1
+        nb = accuracy - (k.bit_length() - 1)
+        table[state] = (s, nb, (k << nb) - size)
+    return table
+
+
+class _FseState:
+    def __init__(self, table, bits: _BackBits, accuracy: int):
+        self.table = table
+        self.state = bits.read(accuracy)
+
+    @property
+    def symbol(self) -> int:
+        return self.table[self.state][0]
+
+    def update(self, bits: _BackBits) -> None:
+        _s, nb, base = self.table[self.state]
+        self.state = base + bits.read(nb)
+
+
+def _rle_table(symbol: int):
+    return [(symbol, 0, 0)]
+
+
+def _fse_decompress(data: bytes, max_symbol: int) -> list[int]:
+    """Standalone FSE stream (used for Huffman weights): table
+    description + backward bitstream with two interleaved states,
+    decoded until the stream is exhausted (RFC 8878 §4.2.1.2)."""
+    counts, accuracy, p = read_fse_table(data, 0, max_symbol)
+    table = build_fse_decode_table(counts, accuracy)
+    bits = _BackBits(data[p:])
+    s1 = _FseState(table, bits, accuracy)
+    s2 = _FseState(table, bits, accuracy)
+    out: list[int] = []
+    while True:
+        out.append(s1.symbol)
+        s1.update(bits)
+        if bits.overflowed:
+            out.append(s2.symbol)
+            break
+        out.append(s2.symbol)
+        s2.update(bits)
+        if bits.overflowed:
+            out.append(s1.symbol)
+            break
+        if len(out) > 255 + 2:
+            raise ValueError("runaway FSE weight stream")
+    return out
+
+
+# --- Huffman literals --------------------------------------------------------
+
+
+def _read_huffman_table(data: bytes, pos: int):
+    """Huffman tree description (RFC 8878 §4.2.1): returns
+    (decode_table, max_bits, next_pos). decode_table maps a
+    ``max_bits``-wide peek to (symbol, code_length)."""
+    hbyte = data[pos]
+    pos += 1
+    if hbyte >= 128:  # direct 4-bit weights
+        n_weights = hbyte - 127
+        weights = []
+        for i in range(n_weights):
+            b = data[pos + i // 2]
+            weights.append((b >> 4) if i % 2 == 0 else (b & 0xF))
+        pos += (n_weights + 1) // 2
+    else:  # FSE-compressed weights
+        weights = _fse_decompress(data[pos : pos + hbyte], 15)
+        pos += hbyte
+    total = sum((1 << (w - 1)) for w in weights if w > 0)
+    if total == 0:
+        raise ValueError("huffman weights sum to zero")
+    # tableLog = highbit(total) + 1 — the implied last weight always
+    # exists (strictly completes to the NEXT power of two), so this
+    # holds even when total is itself a power of two (HUF_readStats)
+    max_bits = total.bit_length()
+    full = 1 << max_bits
+    missing = full - total
+    if missing & (missing - 1):
+        raise ValueError("huffman last-weight remainder not a power of 2")
+    weights.append(missing.bit_length())  # implied last weight
+    # canonical table: ascending weight, then symbol order; weight w
+    # occupies 2^(w-1) consecutive cells with code length max+1-w
+    table = [None] * full
+    cell = 0
+    for w in range(1, max_bits + 1):
+        for sym, sw in enumerate(weights):
+            if sw != w:
+                continue
+            span = 1 << (w - 1)
+            nbits = max_bits + 1 - w
+            for _ in range(span):
+                table[cell] = (sym, nbits)
+                cell += 1
+    if cell != full:
+        raise ValueError("huffman table not fully populated")
+    return table, max_bits, pos
+
+
+def _huffman_decode_stream(data: bytes, table, max_bits: int, n_out: int) -> bytes:
+    bits = _BackBits(data)
+    out = bytearray()
+    full_mask = (1 << max_bits) - 1
+    # peek max_bits by reading then conceptually un-reading: keep a
+    # local window instead
+    window = bits.read(min(max_bits, bits.remaining + max_bits))
+    have = max_bits  # window holds `have` bits, zero-padded if short
+    while len(out) < n_out:
+        idx = (window >> (have - max_bits)) & full_mask if have >= max_bits else (
+            (window << (max_bits - have)) & full_mask
+        )
+        sym, nb = table[idx]
+        out.append(sym)
+        if have >= max_bits:
+            have -= nb
+        else:
+            have = max(have - nb, 0)
+        need = max_bits - have
+        if need > 0 and (bits.remaining > 0 or not bits.overflowed):
+            got = bits.read(need)
+            window = ((window & ((1 << have) - 1)) << need) | got
+            have += need
+        elif have <= 0:
+            raise ValueError("huffman stream exhausted early")
+    return bytes(out)
+
+
+def _decode_literals(data: bytes, pos: int, prev_huf):
+    """Literals section (RFC 8878 §3.1.1.3.1): returns
+    (literals, next_pos, huffman_state)."""
+    b0 = data[pos]
+    ltype = b0 & 3
+    sf = (b0 >> 2) & 3
+    if ltype in (0, 1):  # Raw / RLE
+        if sf in (0, 2):
+            rs = b0 >> 3
+            pos += 1
+        elif sf == 1:
+            rs = (b0 >> 4) | (data[pos + 1] << 4)
+            pos += 2
+        else:
+            rs = (b0 >> 4) | (data[pos + 1] << 4) | (data[pos + 2] << 12)
+            pos += 3
+        if ltype == 0:
+            return data[pos : pos + rs], pos + rs, prev_huf
+        return bytes([data[pos]]) * rs, pos + 1, prev_huf
+    # Compressed (2) / Treeless (3)
+    if sf == 0:
+        n_streams = 1
+        rs = (b0 >> 4) | ((data[pos + 1] & 0x3F) << 4)
+        cs = (data[pos + 1] >> 6) | (data[pos + 2] << 2)
+        pos += 3
+    elif sf == 1:
+        n_streams = 4
+        rs = (b0 >> 4) | ((data[pos + 1] & 0x3F) << 4)
+        cs = (data[pos + 1] >> 6) | (data[pos + 2] << 2)
+        pos += 3
+    elif sf == 2:
+        n_streams = 4
+        rs = (b0 >> 4) | (data[pos + 1] << 4) | ((data[pos + 2] & 3) << 12)
+        cs = (data[pos + 2] >> 2) | (data[pos + 3] << 6)
+        pos += 4
+    else:
+        n_streams = 4
+        rs = (b0 >> 4) | (data[pos + 1] << 4) | ((data[pos + 2] & 0x3F) << 12)
+        cs = (data[pos + 2] >> 6) | (data[pos + 3] << 2) | (data[pos + 4] << 10)
+        pos += 5
+    end = pos + cs
+    if ltype == 2:
+        table, max_bits, pos = _read_huffman_table(data, pos)
+        huf = (table, max_bits)
+    else:
+        if prev_huf is None:
+            raise ValueError("treeless literals with no previous table")
+        table, max_bits = prev_huf
+        huf = prev_huf
+    if n_streams == 1:
+        lits = _huffman_decode_stream(data[pos:end], table, max_bits, rs)
+        return lits, end, huf
+    s1, s2, s3 = struct.unpack_from("<HHH", data, pos)
+    pos += 6
+    part = (rs + 3) // 4
+    sizes_out = [part, part, part, rs - 3 * part]
+    bounds = [pos, pos + s1, pos + s1 + s2, pos + s1 + s2 + s3, end]
+    lits = bytearray()
+    for i in range(4):
+        lits += _huffman_decode_stream(
+            data[bounds[i] : bounds[i + 1]], table, max_bits, sizes_out[i]
+        )
+    return bytes(lits), end, huf
+
+
+# --- sequences ----------------------------------------------------------------
+
+
+def _read_seq_table(data, pos, mode, defaults, max_symbol, prev):
+    """One sequence-code table per its compression mode: returns
+    ((decode_table, accuracy), next_pos)."""
+    if mode == 0:
+        counts, accuracy = defaults
+        return (build_fse_decode_table(counts, accuracy), accuracy), pos
+    if mode == 1:
+        return (_rle_table(data[pos]), 0), pos + 1
+    if mode == 2:
+        counts, accuracy, pos = read_fse_table(data, pos, max_symbol)
+        return (build_fse_decode_table(counts, accuracy), accuracy), pos
+    if prev is None:
+        raise ValueError("repeat sequence table with no previous table")
+    return prev, pos
+
+
+def _decode_block(data: bytes, decoded: bytearray, state: dict) -> None:
+    """One Compressed block's content → appended to ``decoded``
+    (the frame history — match offsets may reach into prior blocks).
+    ``state`` carries the huffman table, the three FSE tables, and
+    the repeat-offset history across blocks."""
+    lits, pos, state["huf"] = _decode_literals(data, 0, state.get("huf"))
+    b0 = data[pos]
+    if b0 == 0:
+        n_seq = 0
+        pos += 1
+    elif b0 < 128:
+        n_seq = b0
+        pos += 1
+    elif b0 < 255:
+        n_seq = ((b0 - 128) << 8) + data[pos + 1]
+        pos += 2
+    else:
+        n_seq = data[pos + 1] + (data[pos + 2] << 8) + 0x7F00
+        pos += 3
+    if n_seq == 0:
+        if pos != len(data):
+            raise ValueError("trailing bytes after empty sequences section")
+        decoded += lits
+        return
+    modes = data[pos]
+    pos += 1
+    if modes & 3:
+        raise ValueError("reserved sequence-mode bits set")
+    ll_mode, of_mode, ml_mode = (modes >> 6) & 3, (modes >> 4) & 3, (modes >> 2) & 3
+    state["ll"], pos = _read_seq_table(data, pos, ll_mode, _LL_DEFAULT, 35, state.get("ll"))
+    state["of"], pos = _read_seq_table(data, pos, of_mode, _OF_DEFAULT, 31, state.get("of"))
+    state["ml"], pos = _read_seq_table(data, pos, ml_mode, _ML_DEFAULT, 52, state.get("ml"))
+    bits = _BackBits(data[pos:])
+    ll_s = _FseState(state["ll"][0], bits, state["ll"][1])
+    of_s = _FseState(state["of"][0], bits, state["of"][1])
+    ml_s = _FseState(state["ml"][0], bits, state["ml"][1])
+    rep = state["rep"]
+    lit_pos = 0
+    for i in range(n_seq):
+        of_code = of_s.symbol
+        if of_code > 31:
+            raise ValueError(f"offset code {of_code} too large")
+        of_value = (1 << of_code) + bits.read(of_code)
+        ml_code = ml_s.symbol
+        ml = _ML_BASE[ml_code] + bits.read(_ML_BITS[ml_code])
+        ll_code = ll_s.symbol
+        ll = _LL_BASE[ll_code] + bits.read(_LL_BITS[ll_code])
+        # repeat-offset resolution (RFC 8878 §3.1.1.5)
+        if of_value > 3:
+            offset = of_value - 3
+            rep[2], rep[1], rep[0] = rep[1], rep[0], offset
+        else:
+            idx = of_value + (1 if ll == 0 else 0)
+            if idx == 1:
+                offset = rep[0]
+            else:
+                offset = rep[0] - 1 if idx == 4 else rep[idx - 1]
+                if offset == 0:
+                    raise ValueError("zero repeat offset")
+                if idx >= 3:
+                    rep[2] = rep[1]
+                rep[1] = rep[0]
+                rep[0] = offset
+        decoded += lits[lit_pos : lit_pos + ll]
+        lit_pos += ll
+        if offset > len(decoded):
+            raise ValueError("match offset beyond decoded history")
+        for _ in range(ml):  # may overlap itself — byte-at-a-time
+            decoded.append(decoded[-offset])
+        if i < n_seq - 1:
+            ll_s.update(bits)
+            ml_s.update(bits)
+            of_s.update(bits)
+    if bits.remaining != 0:
+        raise ValueError(f"{bits.remaining} unconsumed sequence bits")
+    decoded += lits[lit_pos:]
+
+
+def decompress_frame(blob: bytes, pos: int = 0) -> tuple[bytes | None, int]:
+    """Decode ONE frame at ``pos``: (content, next_pos) for a data
+    frame, (None, next_pos) for a skippable frame. Verifies the magic,
+    the frame header, block framing, FSE/Huffman stream hygiene, and
+    Frame_Content_Size when present."""
+    magic = struct.unpack_from("<I", blob, pos)[0]
+    if (magic & 0xFFFFFFF0) == SKIP_MAGIC_LO:
+        size = struct.unpack_from("<I", blob, pos + 4)[0]
+        return None, pos + 8 + size
+    if blob[pos : pos + 4] != ZSTD_MAGIC:
+        raise ValueError(f"bad zstd magic at {pos}")
+    p = pos + 4
+    fhd = blob[p]
+    p += 1
+    single_segment = (fhd >> 5) & 1
+    has_checksum = (fhd >> 2) & 1
+    did_size = (0, 1, 2, 4)[fhd & 3]
+    if not single_segment:
+        p += 1  # Window_Descriptor (whole members decoded — no ring)
+    if did_size:
+        raise ValueError("dictionary frames are out of scope")
+    fcs_flag = fhd >> 6
+    fcs: int | None
+    if fcs_flag == 0:
+        fcs = blob[p] if single_segment else None
+        p += 1 if single_segment else 0
+    elif fcs_flag == 1:
+        fcs = struct.unpack_from("<H", blob, p)[0] + 256
+        p += 2
+    elif fcs_flag == 2:
+        fcs = struct.unpack_from("<I", blob, p)[0]
+        p += 4
+    else:
+        fcs = struct.unpack_from("<Q", blob, p)[0]
+        p += 8
+    decoded = bytearray()
+    state: dict = {"rep": [1, 4, 8]}
+    while True:
+        bh = int.from_bytes(blob[p : p + 3], "little")
+        p += 3
+        last, btype, bsize = bh & 1, (bh >> 1) & 3, bh >> 3
+        if btype == 0:
+            decoded += blob[p : p + bsize]
+            p += bsize
+        elif btype == 1:
+            decoded += blob[p : p + 1] * bsize
+            p += 1
+        elif btype == 2:
+            block = blob[p : p + bsize]
+            p += bsize
+            _decode_block(block, decoded, state)
+        else:
+            raise ValueError("reserved block type")
+        if last:
+            break
+    if has_checksum:
+        p += 4  # consumed, not verified (xxhash64 out of scope)
+    if fcs is not None and len(decoded) != fcs:
+        raise ValueError(
+            f"frame content size {fcs} != decoded {len(decoded)}"
+        )
+    return bytes(decoded), p
+
+
+def decompress(blob: bytes) -> bytes:
+    """All concatenated data frames' content (skippables skipped)."""
+    out = bytearray()
+    pos = 0
+    while pos < len(blob):
+        content, pos = decompress_frame(blob, pos)
+        if content is not None:
+            out += content
+    return bytes(out)

@@ -3,6 +3,7 @@ corruption rejection, and Spark-vs-DuckDB oracle parity."""
 
 from __future__ import annotations
 
+import struct
 import zlib
 
 import pytest
@@ -222,6 +223,83 @@ def test_tfrecord_roundtrip_crc_and_rejects():
 
 def test_tfrecord_oracle_parity(spark, sf_dir):
     fn, oracle = A.QUERIES_TAIL["tfrecord_stats"]
+    assert_query_matches_oracle(
+        fn(spark, sf_dir), resolve_oracle(oracle, sf_dir), sf_dir
+    )
+
+
+# --- zstd full block layer (r10) ---------------------------------------------
+
+
+def test_zstd_roundtrips_reference_frames():
+    """The load-bearing property of the pure-Python RFC 8878 decoder:
+    byte-exact round trips of frames produced by the REFERENCE C
+    encoder (libzstd via pyarrow) across compression levels (fast /
+    lazy / btopt parses), data shapes (structured text, random,
+    runs, polynomial bytes) and sizes up to multi-block frames."""
+    import random
+
+    import pyarrow as pa
+
+    from robin_sparkles_spark.operators import zstd_decode as Z
+
+    rng = random.Random(7)
+    words = [b"alpha", b"beta", b"https://example.com/", b"WARC/1.0\r\n",
+             b"\x00\x01\x02", b"Content-Length: 63\r\n\r\n"]
+    cases = []
+    for n in (10, 1000, 60000, 300000):
+        cases.append(b"".join(rng.choice(words) for _ in range(n // 5 + 1))[:n])
+        cases.append(bytes(rng.randrange(256) for _ in range(min(n, 30000))))
+        cases.append((b"abcdefgh" * (n // 8 + 1))[:n])
+        cases.append(bytes((i * i) % 251 for i in range(min(n, 50000))))
+    for level in (1, 3, 9, 19):
+        codec = pa.Codec("zstd", compression_level=level)
+        for data in cases:
+            assert Z.decompress(bytes(codec.compress(data))) == data
+
+
+def test_zstd_decoder_rejects_corruption():
+    import pyarrow as pa
+    import pytest as _pytest
+
+    from robin_sparkles_spark.operators import zstd_decode as Z
+
+    data = b"The quick brown fox jumps over the lazy dog. " * 200
+    comp = bytearray(pa.Codec("zstd", compression_level=3).compress(data))
+    # bad magic
+    bad = bytes([comp[0] ^ 1]) + bytes(comp[1:])
+    with _pytest.raises(ValueError):
+        Z.decompress(bad)
+    # flipped payload byte somewhere in the entropy stream: must NOT
+    # silently return the original content — either a structural
+    # error raises or the output differs (FCS/stream hygiene checks
+    # catch most, but a flip can land on decodable garbage)
+    flipped = bytearray(comp)
+    flipped[len(comp) // 2] ^= 0x10
+    try:
+        got = Z.decompress(bytes(flipped))
+        assert got != data
+    except ValueError:
+        pass
+    # truncation must raise, not return partial content
+    with _pytest.raises((ValueError, IndexError, struct.error)):
+        Z.decompress(bytes(comp[: len(comp) // 2]))
+
+
+def test_zstd_skippable_and_concatenated_frames():
+    import pyarrow as pa
+
+    from robin_sparkles_spark.operators import zstd_decode as Z
+
+    c = pa.Codec("zstd")
+    a, b = b"first frame " * 30, b"second frame " * 17
+    skip = struct.pack("<II", Z.SKIP_MAGIC_LO | 5, 4) + b"\x00\x01\x02\x03"
+    blob = skip + bytes(c.compress(a)) + skip + bytes(c.compress(b))
+    assert Z.decompress(blob) == a + b
+
+
+def test_warc_zstd_deep_oracle_parity(spark, sf_dir):
+    fn, oracle = A.QUERIES_TAIL["warc_zstd_deep_stats"]
     assert_query_matches_oracle(
         fn(spark, sf_dir), resolve_oracle(oracle, sf_dir), sf_dir
     )

@@ -100,6 +100,8 @@ MAP_IN_PANDAS_ALLOWLIST = {
     "warc_gz_member_stats",
     # r8: zstd-framed WARC (RFC 8878 frame layer)
     "warc_zstd_stats",
+    # r10: full RFC 8878 block layer over real libzstd frames
+    "warc_zstd_deep_stats",
     "zip_members_stats",
     "tar_archive_stats",
     "tfrecord_stats",
