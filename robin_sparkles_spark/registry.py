@@ -217,9 +217,9 @@ def _collect() -> dict[str, QuerySpec]:
 # replans (dedup_simhash, embedding_dedup, semdedup/kmeans/ivf) +
 # embedding_similar_pairs_ivf + nation_coverage_recon + 38 r5-stale.
 #
-# ROUND-9 ROTATION (this window; executes the note written at the end
-# of r8). Policy unchanged: new queries + replans first, then strict
-# staleness.
+# ROUND-9 ROTATION (executed; CORRECTNESS_r09 50/50 green, zero reds
+# ever recorded r1–r9). Policy unchanged: new queries + replans first,
+# then strict staleness.
 #   * the 17 queries ADDED this round (never driver-gated) lead:
 #     the n-gram LM family (ngram_lm_score, ngram_repeated_spans,
 #     ngram_backoff_score), the progressive-JPEG pixel stages
@@ -249,75 +249,89 @@ def _collect() -> dict[str, QuerySpec]:
 # keeps its hard signal through the parametrized local oracle sweep in
 # tests/ (the pytest replica of this gate).
 GATE_FRONT: tuple[str, ...] = (
-    # new this round — first driver rows under the r9 code
-    "ngram_lm_score",
-    "ngram_repeated_spans",
-    "ngram_backoff_score",
-    "jpeg_progressive_pixel_stats",
-    "jpeg_progressive_sa_stats",
-    "bmp_resize_stats",
-    "wav_frame_features",
-    "pq_encode",
-    "pq_adc_topk",
+    # --- ROUND-10 ROTATION (this window; executes the note below the
+    # r9 block). r10 was a plan-surgery round, so the window is mostly
+    # replans: the corpus-broadcast audit pinned SHUFFLE_HASH /
+    # explicit bounded broadcasts across the dedup/ANN family, the
+    # verify joins were restructured (pair_payload_fetch), simhash got
+    # adaptive masked key widths, multimodal_meta was rebuilt on the
+    # real media corpus, and the zstd walk gained the full block layer.
+    # New queries this round lead, then every replanned/oracle-changed
+    # name, then the r6-last-green fill deferred from r9, then the two
+    # oldest r7 names.
+    # new this round — first driver rows
+    "warc_zstd_deep_stats",
+    "ngram_maximal_spans",
+    "opq_recall_at_k",
+    # replanned / oracle-changed this round — must re-gate
+    "dedup_simhash",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "embedding_similar_pairs",
+    "dedup_groups",
+    "embedding_dedup",
+    "semdedup_dropped",
+    "embedding_similar_pairs_ivf",
+    "dedup_canonical_keepers",
+    "decontaminate_train",
+    "source_overlap_matrix",
+    "dedup_incremental",
+    "curation_pipeline",
+    "multimodal_meta",
+    "ann_lsh_topk",
+    "ann_ivf_topk",
+    "ann_recall_at_k",
+    "ann_ivf_recall_at_k",
     "pq_rerank_topk",
     "pq_recall_at_k",
     "ann_ivfpq_topk",
     "ann_ivfpq_recall_at_k",
-    "docs_search_bm25",
-    "source_overlap_matrix",
-    "dedup_canonical_keepers",
-    "orders_cdc_tombstones",
-    # replanned this round (shared simhash-table barrier + the
-    # canonical-triple filter replacing the candidate distinct())
-    "dedup_simhash",
-    # r5-last-green block deferred from the r8 fill (all eleven)
-    "nation_region_names",
-    "window_top_order_per_cust",
-    "window_running_user_spend",
-    "window_order_gap_days",
-    "tiff_frame_sample",
-    "triangle_count_copurchase",
-    "user_retention_cohorts",
-    "users_kmv_by_type",
-    "source_mixture",
-    "referential_integrity_audit",
-    "part_string_features",
-    # r6-last-green block (oldest driver rows), registry order; the
-    # remainder defers to the r10 fill
-    "png_decode_stats",
-    "bpe_merge_training",
-    "docs_bpe_tokenize",
-    "pysource_events_agg",
-    "docs_pack_assign",
-    "docs_token_budget_sample",
-    "orders_snapshot_diff",
-    "orders_mv_incremental",
-    "table_fingerprints",
-    "embedding_gram_matrix",
-    "lineitem_qty_price_ols",
-    "orders_price_winsorized",
-    "quality_threshold_sweep",
-    "docs_token_diversity",
-    "docs_split_assign",
-    "events_ewma_value",
-    "custkey_overlap_kmv",
-    "orders_quantile_sketch",
-    "pagerank_trade_graph",
-    "supplier_revenue_share",
-    "corpus_vocabulary",
+    "ngram_backoff_score",
+    "warc_zstd_stats",
+    # r6-last-green fill (deferred from the r9 window), registry order
+    "embedding_array_stats",
+    "orders_monthly_gapfill",
+    "orders_rollup",
+    "q10_returned_revenue",
+    "q12_priority_shipping",
+    "q13_order_count_distribution",
+    "q14_promo_revenue_pct",
+    "q17_small_quantity_revenue",
+    "q18_large_quantity_orders",
+    "q19_disjunctive_revenue",
+    "q22_idle_balance_by_segment",
+    "q4_late_shipment_priority",
+    "q6_forecast_revenue",
+    "q7_nation_trade_flows",
+    "q8_nation_market_share",
+    "window_order_analytics",
+    "wordcount_stopword",
+    "events_tumbling_1h",
+    "events_sliding_30_15",
+    "user_sessions",
+    "dedup_exact",
+    # oldest r7-gated names (next-stalest after the r6 block)
+    "bpe_fertility_by_lang",
+    "orders_custkey_hll",
 )
-# ROUND-10 ROTATION (write it at the start of r10): rotate out the 50
-# names above once CORRECTNESS_r09 comes back green. Fill order: the
-# r6-last-green names deferred here (curation_pipeline,
-# dedup_incremental,
-# embedding_array_stats,
-# orders_monthly_gapfill, orders_rollup,
-# q10_returned_revenue,
-# q12_priority_shipping,
-# q13_order_count_distribution,
-# q14_promo_revenue_pct,
-# q17_small_quantity_revenue,
-# q18_large_quantity_orders,
+# ROUND-11 ROTATION (write it at the start of r11): rotate out the 50
+# names above once CORRECTNESS_r10 comes back green. Fill order: the
+# remaining r7-last-green names in registry order (users_hll_by_type,
+# mp4_box_stats, mp3_frame_stats, jpeg_marker_stats,
+# jpeg_entropy_stats, warc_record_stats, zip_members_stats,
+# tar_archive_stats, html_extract_text, url_normalize_stats,
+# tfrecord_stats, bigram_stats, ann_bruteforce_topk, scrub_pii_docs,
+# text_token_count, text_quality, text_langid, doc_fingerprint,
+# text_top_terms, text_repetition, docs_stable_sample,
+# q1_pricing_summary, q3_shipping_priority, q5_region_revenue,
+# top_customers_revenue, window_event_ranks, events_json_extract,
+# events_user_stats, events_argmax, orders_asof_last_event,
+# events_props_map, events_salted_type_join,
+# view_purchase_attribution, view_purchase_attribution_outer,
+# vocab_typo_pairs, events_countmin_users, q9_profit_by_nation_year,
+# q15_top_supplier, q21_waiting_suppliers, orders_overlap_pairs),
+# then the oldest r8 block; plus, as always, anything whose plan or
+# oracle changes in r11 and any newly added queries.
 # q19_disjunctive_revenue,
 # q22_idle_balance_by_segment,
 # q4_late_shipment_priority, q6_forecast_revenue,
