@@ -125,6 +125,11 @@ EXTENDED = [
     "bmp_resize_stats",
     "wav_frame_features",
     "dedup_canonical_keepers",
+    # new r10 queries (full-block zstd walk over real libzstd frames;
+    # maximal repeated spans; OPQ recall over the shared rotated fit)
+    "warc_zstd_deep_stats",
+    "ngram_maximal_spans",
+    "opq_recall_at_k",
 ]
 
 
@@ -228,6 +233,16 @@ def main() -> None:
 
     pq_fit(spark, sf_dir)
     coarse_fit(spark, sf_dir)
+    # r10: OPQ rotation + rotated-index codebooks (memoized; consumer
+    # opq_recall_at_k), and the real-zstd staged corpus
+    from robin_sparkles_spark.operators.archive_parse import (
+        stage_warc_zst_real_corpus,
+    )
+    from robin_sparkles_spark.operators.opq import _opq_books, opq_fit
+
+    opq_fit(spark, sf_dir)
+    _opq_books(spark, sf_dir)
+    stage_warc_zst_real_corpus(spark, sf_dir)
     staging_sec = round(time.perf_counter() - t0, 4)
 
     reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
