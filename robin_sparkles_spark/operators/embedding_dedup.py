@@ -54,6 +54,31 @@ NEARDUP_ID_OFFSET = 1_000_000
 NEARDUP_REL_NOISE = 0.04  # r: cos ≥ (1−r)/(1+r) = 0.923 guaranteed
 DEDUP_COS_THRESHOLD = 0.9
 
+# Adaptive band geometry (r10 — the same key_bits ∝ log₂N law the
+# simhash blocking executes; SCALE.md band-key sizing). Random-pair
+# collisions ∝ bands·N²/2^bits, so bits must grow with the corpus;
+# recall at the 0.9 decision boundary is held ≥0.99 by growing bands
+# with bits per the banding law (p = 1 − acos(0.9)/π = 0.8564:
+# 24×10 → 1−(1−p¹⁰)²⁴ = 0.997; 38×14 → 1−(1−p¹⁴)³⁸ = 0.99; planted
+# pairs at cos ≈ 0.999 miss with prob ~1e-21 in either geometry).
+# Collision factor drops 24/2¹⁰ = 0.0234 → 38/2¹⁴ = 0.0023 (10×) for
+# 1.58× more blocking rows. Every geometry is gate-checkable: the
+# lazy oracle derives the SAME config from the same corpus count.
+# Beyond these two points the literal sign-bank expression gets
+# plan-heavy (bands·bits·dim literals) — the documented next step at
+# 10⁸+ vectors is hashed band keys instead of literal banks.
+NEARDUP_BAND_CONFIGS: tuple[tuple[int | None, tuple[int, int]], ...] = (
+    (12_000, (24, 10)),
+    (None, (38, 14)),
+)
+
+
+def _neardup_band_geometry(n_vectors: int) -> tuple[int, int]:
+    for ceiling, geo in NEARDUP_BAND_CONFIGS:
+        if ceiling is None or n_vectors <= ceiling:
+            return geo
+    raise AssertionError("unreachable: last config has no ceiling")
+
 
 def neardup_corpus_path(sf_dir: str) -> str:
     return staged_path(sf_dir, "neardup_embeddings", "embeddings")
@@ -138,19 +163,34 @@ def _neardup_unit_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cached
 
 
+def _neardup_corpus_count(spark: SparkSession, sf_dir: str) -> int:
+    """Vector count of the staged corpus (parquet-metadata cheap),
+    memoized — drives the adaptive band geometry on BOTH engines."""
+    key = (spark.sparkContext.applicationId, sf_dir, "count")
+    cached = _NEARDUP_INDEX_CACHE.get(key)
+    if cached is None:
+        cached = spark.read.parquet(build_neardup_corpus(spark, sf_dir)).count()
+        _NEARDUP_INDEX_CACHE[key] = cached
+    return cached
+
+
 def _neardup_band_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The projection-band LSH index over the planted corpus,
-    materialized + memoized like the unit-vector index: the 240
+    materialized + memoized like the unit-vector index: the bank's
     Rademacher dots per vector are paid once per (application,
     sf_dir), not once per action — this banded table IS the ANN index
-    a production deployment persists."""
-    key = (spark.sparkContext.applicationId, sf_dir, "bands")
+    a production deployment persists. Geometry is corpus-adaptive
+    (see NEARDUP_BAND_CONFIGS)."""
+    bands, bits = _neardup_band_geometry(_neardup_corpus_count(spark, sf_dir))
+    key = (spark.sparkContext.applicationId, sf_dir, "bands", bands, bits)
     cached = _NEARDUP_INDEX_CACHE.get(key)
     if cached is None:
         from .similarity import projection_banded_from
 
         cached = barrier(
-            projection_banded_from(_neardup_unit_index(spark, sf_dir), EMB_DIM),
+            projection_banded_from(
+                _neardup_unit_index(spark, sf_dir), EMB_DIM, bands, bits
+            ),
             "corpus",
             "embedding_dedup projection band index",
         )
@@ -162,14 +202,14 @@ def embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Banded LSH dedup at cos ≥ 0.9 over the planted corpus: the
     same equi-join-on-(band_idx, band_key) shape as
     ``dedup.embedding_similar_pairs``, PROMOTED (r8) to the
-    random-projection bank (24 bands × 10 Rademacher sign bits —
-    ``similarity.projection_banded_from``): 1024 bucket values per
-    band instead of the dim-sign keys' 32, which is what held this
-    query's candidate term to ~linear in the 10× scale probe
-    (SCALE.md sizing law). At the 0.9 threshold the geometry's
-    per-pair recall is ≥0.999; measured: the full planted pair set is
-    found at every fixture scale (identical results to the dim-sign
-    plan). Exact cosine on candidates only."""
+    random-projection bank (``similarity.projection_banded_from``)
+    and, r10, to corpus-ADAPTIVE geometry (NEARDUP_BAND_CONFIGS —
+    band-key bits grow with log₂N so the random-collision candidate
+    term stays bounded; bands grow with bits so recall at the 0.9
+    boundary stays ≥0.99, and the planted pairs at cos ≈ 0.999 are
+    found with miss probability ~1e-21 in every geometry; both
+    measured via the forced-geometry pytest). Exact cosine on
+    candidates only."""
     e = _neardup_unit_index(spark, sf_dir)
     banded = _neardup_band_index(spark, sf_dir)
     # Corpus × corpus joins: pin SHUFFLE_HASH — Catalyst's size
@@ -209,12 +249,14 @@ def embedding_dedup_oracle(sf_dir: str) -> str:
     """Lazy DuckDB twin: reads the SAME staged parquet and mirrors the
     banded candidate generation + exact cosine term-for-term (the
     functions.vectors determinism contract), so the declared banded
-    semantics — not a quadratic scan — are what the gate hashes."""
+    semantics — not a quadratic scan — are what the gate hashes. The
+    adaptive geometry is derived from the SAME corpus count the Spark
+    side uses, so both engines band identically at every scale."""
     from ..session import active_or_local
 
-    from .similarity import PROJ_BANDS
-
-    path = build_neardup_corpus(active_or_local("embedding_dedup_oracle"), sf_dir)
+    spark = active_or_local("embedding_dedup_oracle")
+    path = build_neardup_corpus(spark, sf_dir)
+    bands_n, bits = _neardup_band_geometry(_neardup_corpus_count(spark, sf_dir))
     rel = f"read_parquet('{path}/*.parquet')"
     # the projection-band twin mirrors similarity.projection_banded_from
     # bit-for-bit (±1 products are lossless; both engines fold
@@ -223,10 +265,12 @@ def embedding_dedup_oracle(sf_dir: str) -> str:
 WITH raw AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
              FROM {rel}),
 e AS (SELECT vec_id, {normalized_sql('v')} AS v FROM raw),
-keyed AS (SELECT vec_id, {projection_bands_sql('v', EMB_DIM)} AS ks FROM e),
+keyed AS (SELECT vec_id,
+                 {projection_bands_sql('v', EMB_DIM, bands_n, bits)} AS ks
+          FROM e),
 bands AS (
   SELECT vec_id, u.band_idx - 1 AS band_idx, ks[u.band_idx] AS band_key
-  FROM keyed, (SELECT unnest(generate_series(1, {PROJ_BANDS})) AS band_idx) u
+  FROM keyed, (SELECT unnest(generate_series(1, {bands_n})) AS band_idx) u
 ),
 cands AS (
   SELECT DISTINCT a.vec_id AS vec1, b.vec_id AS vec2

@@ -9,6 +9,7 @@ import pytest
 
 from pyspark.sql import functions as F
 
+from robin_sparkles_spark.operators import embedding_dedup as ed
 from robin_sparkles_spark.operators import similarity as S
 from robin_sparkles_spark.operators.embedding_dedup import (
     DEDUP_COS_THRESHOLD,
@@ -102,3 +103,64 @@ def test_projection_banding_recall_and_candidate_reduction(spark, sf_dir):
 
     n_sign, n_proj = sign_cands.count(), proj_cands.count()
     assert n_proj < n_sign, (n_proj, n_sign)
+
+
+@pytest.mark.parametrize(
+    "geometry", [g for _, g in ed.NEARDUP_BAND_CONFIGS],
+    ids=lambda g: f"b{g[0]}x{g[1]}",
+)
+def test_embedding_dedup_every_geometry_finds_planted_pairs(
+    spark, sf_dir, geometry
+):
+    """The r10 adaptive-geometry contract: EVERY configured
+    (bands, bits) point must recover the exact planted pair set at
+    cos ≥ 0.9 (planted cosines ≈ 0.999 → per-geometry miss
+    probability ~1e-21), and the wider geometry must generate no MORE
+    candidate pairs than the narrow one (collisions ∝ bands/2^bits
+    shrink 10×; at fixture scale the candidate sets are structured,
+    so assert ≤, not <)."""
+    bands, bits = geometry
+    build_neardup_corpus(spark, sf_dir)
+    e = _neardup_unit_index(spark, sf_dir)
+    banded = S.projection_banded_from(e, DIM, bands, bits)
+    a, b = banded.alias("a"), banded.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(F.col("a.vec_id").alias("v1"), F.col("b.vec_id").alias("v2"))
+        .distinct()
+    )
+    found = {
+        (r.v1, r.v2)
+        for r in cands.join(e.alias("e1"), F.col("v1") == F.col("e1.vec_id"))
+        .join(e.alias("e2"), F.col("v2") == F.col("e2.vec_id"))
+        .select("v1", "v2", dot(F.col("e1.v"), F.col("e2.v")).alias("cs"))
+        .where(F.col("cs") >= DEDUP_COS_THRESHOLD)
+        .collect()
+    }
+    n_planted = min(
+        ed.NEARDUP_N,
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet").count(),
+    )
+    expected = {
+        (i, i + ed.NEARDUP_ID_OFFSET) for i in range(n_planted)
+    }
+    assert found == expected
+
+
+def test_embedding_dedup_geometry_selection():
+    """key bits grow with log2(N): ceilings ordered, selector total,
+    bits strictly increasing across configs."""
+    ceilings = [c for c, _ in ed.NEARDUP_BAND_CONFIGS[:-1]]
+    assert ceilings == sorted(ceilings)
+    assert ed.NEARDUP_BAND_CONFIGS[-1][0] is None
+    bits = [b for _, (_, b) in ed.NEARDUP_BAND_CONFIGS]
+    assert bits == sorted(set(bits))
+    assert ed._neardup_band_geometry(1) == ed.NEARDUP_BAND_CONFIGS[0][1]
+    assert (
+        ed._neardup_band_geometry(10**9) == ed.NEARDUP_BAND_CONFIGS[-1][1]
+    )
