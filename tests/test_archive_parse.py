@@ -303,3 +303,27 @@ def test_warc_zstd_deep_oracle_parity(spark, sf_dir):
     assert_query_matches_oracle(
         fn(spark, sf_dir), resolve_oracle(oracle, sf_dir), sf_dir
     )
+
+
+def test_zstd_content_checksum_flag_consumed():
+    """Frames with the Content_Checksum flag set carry 4 trailing
+    xxhash64 bytes: the decoder must consume them structurally (so a
+    following concatenated frame still parses) even though
+    verification is out of scope. Constructed by setting FHD bit 2 on
+    a real libzstd frame and appending 4 bytes — a spec-valid frame."""
+    import pyarrow as pa
+
+    from robin_sparkles_spark.operators import zstd_decode as Z
+
+    data = b"checksummed frame payload " * 40
+    comp = bytearray(pa.Codec("zstd", compression_level=3).compress(data))
+    assert not (comp[4] & 0x04), "expected no checksum flag from pyarrow"
+    comp[4] |= 0x04  # set Content_Checksum in the frame header
+    checksummed = bytes(comp) + b"\xde\xad\xbe\xef"
+    content, pos = Z.decompress_frame(checksummed, 0)
+    assert content == data
+    assert pos == len(checksummed)  # the 4 checksum bytes consumed
+    # and a concatenated second frame after it still decodes
+    tail = b"second " * 11
+    blob = checksummed + bytes(pa.Codec("zstd").compress(tail))
+    assert Z.decompress(blob) == data + tail
