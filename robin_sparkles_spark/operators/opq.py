@@ -44,6 +44,8 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from ..functions.barrier import barrier
 from ..functions.vectors import dot, dot_sql
 from .pq import (
+    IVFPQ_NPROBE,
+    IVFPQ_SHORTLIST,
     PQ_ITER,
     PQ_KS,
     PQ_M,
@@ -51,8 +53,11 @@ from .pq import (
     PQ_SUBDIM,
     _adc_scored,
     _dlit,
+    _ivfpq_sql,
+    _ivfpq_topk_from,
     _rerank_from,
     _rerank_sql,
+    coarse_fit,
     pq_fit,
 )
 
@@ -239,6 +244,100 @@ FROM j
 """
 
 
+def _opq_coarse(spark: SparkSession, sf_dir: str) -> list[list[float]]:
+    """Coarse quantizer over the ROTATED index — the OPQ+IVFADC
+    composition rotates BEFORE the coarse partitioner too (the FAISS
+    OPQ pre-transform shape), so cells partition the same geometry
+    the codes quantize."""
+    return coarse_fit(
+        spark,
+        sf_dir,
+        vecs=rotated_unit_index(spark, sf_dir),
+        cache_key=f"opq-coarse:{sf_dir}",
+    )
+
+
+def ann_opq_ivfpq_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of the FULL production composition — OPQ rotation →
+    coarse probe → ADC within probed cells → exact re-rank
+    (FAISS ``OPQ…,IVF…,PQ…`` index-factory shape) — vs the exact
+    ground truth, at the same (cells, nprobe, shortlist, 8-byte)
+    budget as ``ann_ivfpq_recall_at_k``. The declared A/B for whether
+    the learned rotation survives composition with the coarse
+    partitioner (recorded in BASELINE.md)."""
+    from .similarity import TOP_K, build_exact_topk
+
+    vecs = rotated_unit_index(spark, sf_dir)
+    rr = (
+        _ivfpq_topk_from(
+            spark,
+            sf_dir,
+            vecs=vecs,
+            books=_opq_books(spark, sf_dir),
+            coarse=_opq_coarse(spark, sf_dir),
+        )
+        .select("query_id", "neighbor_id")
+        .withColumn("hit", F.lit(1))
+    )
+    bf = spark.read.parquet(build_exact_topk(spark, sf_dir))
+    return (
+        bf.join(rr, ["query_id", "neighbor_id"], "left")
+        .agg(
+            F.countDistinct("query_id").alias("n_queries"),
+            F.sum(F.coalesce(F.col("hit"), F.lit(0)))
+            .cast("long")
+            .alias("hits"),
+        )
+        .select(
+            F.lit(TOP_K).cast("long").alias("k"),
+            F.lit(IVFPQ_NPROBE).cast("long").alias("nprobe"),
+            F.lit(IVFPQ_SHORTLIST).cast("long").alias("shortlist"),
+            "n_queries",
+            "hits",
+            (
+                F.col("hits").cast("double")
+                / (F.col("n_queries") * TOP_K)
+            ).alias("recall_at_k"),
+        )
+    )
+
+
+def ann_opq_ivfpq_recall_oracle(sf_dir: str) -> str:
+    from ..session import active_or_local
+    from .similarity import ANN_BRUTEFORCE_SQL, TOP_K
+
+    spark = active_or_local("opq_oracle")
+    R = opq_fit(spark, sf_dir)
+    ivfpq = _ivfpq_sql(
+        sf_dir,
+        books=_opq_books(spark, sf_dir),
+        coarse=_opq_coarse(spark, sf_dir),
+        vectors_sql=_rotated_vectors_sql(R),
+    )
+    return f"""
+WITH bf AS ({ANN_BRUTEFORCE_SQL}),
+rr AS MATERIALIZED (SELECT query_id, neighbor_id FROM ({ivfpq})),
+j AS (
+  SELECT bf.query_id,
+         CASE WHEN rr.neighbor_id IS NOT NULL THEN 1 ELSE 0 END AS hit
+  FROM bf LEFT JOIN rr
+    ON bf.query_id = rr.query_id AND bf.neighbor_id = rr.neighbor_id
+)
+SELECT CAST({TOP_K} AS BIGINT) AS k,
+       CAST({IVFPQ_NPROBE} AS BIGINT) AS nprobe,
+       CAST({IVFPQ_SHORTLIST} AS BIGINT) AS shortlist,
+       COUNT(DISTINCT query_id) AS n_queries,
+       CAST(SUM(hit) AS BIGINT) AS hits,
+       CAST(SUM(hit) AS DOUBLE) / (COUNT(DISTINCT query_id) * {TOP_K})
+         AS recall_at_k
+FROM j
+"""
+
+
 QUERIES = {
     "opq_recall_at_k": (opq_recall_at_k, opq_recall_oracle),
+    "ann_opq_ivfpq_recall_at_k": (
+        ann_opq_ivfpq_recall_at_k,
+        ann_opq_ivfpq_recall_oracle,
+    ),
 }

@@ -661,17 +661,25 @@ IVFPQ_ITER = 4
 _COARSE_CACHE: dict[str, list[list[float]]] = {}
 
 
-def coarse_fit(spark: SparkSession, sf_dir: str) -> list[list[float]]:
+def coarse_fit(
+    spark: SparkSession,
+    sf_dir: str,
+    vecs: DataFrame | None = None,
+    cache_key: str | None = None,
+) -> list[list[float]]:
     """The coarse quantizer: decimal-exact Lloyd's over FULL unit
     vectors (K = IVFPQ_CELLS, first-K init, fixed iterations) — the
     same bit-reproducibility contract as ``pq_fit``, one 'subspace'
-    of width 64."""
-    if sf_dir in _COARSE_CACHE:
-        return _COARSE_CACHE[sf_dir]
+    of width 64. ``vecs``/``cache_key`` as in ``pq_fit`` (the OPQ
+    composition fits over the rotated frame)."""
+    key = cache_key or sf_dir
+    if key in _COARSE_CACHE:
+        return _COARSE_CACHE[key]
     from .clustering import _FIT_LOCK
     from .similarity import unit_vector_index
 
-    vecs = unit_vector_index(spark, sf_dir)
+    if vecs is None:
+        vecs = unit_vector_index(spark, sf_dir)
     dim = len(vecs.first().v)
     book = [list(r.v) for r in vecs.orderBy("vec_id").limit(IVFPQ_CELLS).collect()]
     with _FIT_LOCK:
@@ -701,7 +709,7 @@ def coarse_fit(spark: SparkSession, sf_dir: str) -> list[list[float]]:
                 book = new_book
         finally:
             spark.conf.set("spark.sql.codegen.wholeStage", prev)
-    _COARSE_CACHE[sf_dir] = book
+    _COARSE_CACHE[key] = book
     return book
 
 
@@ -724,11 +732,28 @@ def _probe_expr(book: list[list[float]], nprobe: int) -> F.Column:
 def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVFADC+R top-k: probe → ADC within probed cells (equi-join on
     cell id) → exact re-rank of the per-query shortlist."""
+    return _ivfpq_topk_from(spark, sf_dir)
+
+
+def _ivfpq_topk_from(
+    spark: SparkSession,
+    sf_dir: str,
+    vecs: DataFrame | None = None,
+    books: list[list[list[float]]] | None = None,
+    coarse: list[list[float]] | None = None,
+) -> DataFrame:
+    """The IVFADC+R pipeline over any (vec_id, v) frame + fitted
+    codebooks/coarse quantizer — shared by the plain and the
+    OPQ-rotated compositions."""
     from .similarity import TOP_K, unit_vector_index
 
-    books = pq_fit(spark, sf_dir)
-    coarse = coarse_fit(spark, sf_dir)
-    enc = _encoded(spark, sf_dir)
+    if books is None:
+        books = pq_fit(spark, sf_dir)
+    if coarse is None:
+        coarse = coarse_fit(spark, sf_dir)
+    if vecs is None:
+        vecs = unit_vector_index(spark, sf_dir)
+    enc = _encoded(spark, sf_dir, vecs=vecs, books=books)
     from .similarity import N_QUERIES
 
     corpus = enc.withColumn(
@@ -767,7 +792,6 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("srank") <= IVFPQ_SHORTLIST)
         .select("query_id", "neighbor_id")
     )
-    vecs = unit_vector_index(spark, sf_dir)
     # bounded-Q filter BEFORE the broadcast + explicit broadcast of
     # the bounded Q·R shortlist side (r10, see pq_rerank_topk)
     qv = vecs.where(F.col("vec_id") < N_QUERIES).select(
@@ -824,12 +848,23 @@ cprobes AS MATERIALIZED (SELECT vec_id, cell AS probe FROM cscored
 
 
 def ann_ivfpq_topk_oracle(sf_dir: str) -> str:
+    return _ivfpq_sql(sf_dir)
+
+
+def _ivfpq_sql(
+    sf_dir: str,
+    books: list[list[list[float]]] | None = None,
+    coarse: list[list[float]] | None = None,
+    vectors_sql: str | None = None,
+) -> str:
     from ..session import active_or_local
     from .similarity import N_QUERIES, TOP_K
 
     spark = active_or_local("pq_oracle")
-    books = pq_fit(spark, sf_dir)
-    coarse = coarse_fit(spark, sf_dir)
+    if books is None:
+        books = pq_fit(spark, sf_dir)
+    if coarse is None:
+        coarse = coarse_fit(spark, sf_dir)
     lut_d = (
         "cent.n2 - 2.0 * " + dot_sql("qs.s", "cent.c")
         + " + " + dot_sql("qs.s", "qs.s")
@@ -846,7 +881,7 @@ def ann_ivfpq_topk_oracle(sf_dir: str) -> str:
         for m in range(PQ_M)
     )
     return f"""
-WITH {_codebook_ctes(books)},
+WITH {_codebook_ctes(books, vectors_sql)},
 {_coarse_ctes(coarse)},
 qs AS MATERIALIZED (SELECT vec_id, m, s FROM sub WHERE vec_id < {N_QUERIES}),
 lut AS MATERIALIZED (

@@ -361,3 +361,20 @@ def test_opq_recall_ab_vs_plain_pq(spark, sf_dir):
     assert opq_row.recall_at_k >= pq_row.recall_at_k, (
         opq_row.recall_at_k, pq_row.recall_at_k,
     )
+
+
+def test_opq_ivfpq_composition_recall_ab(spark, sf_dir):
+    """The full production composition (OPQ rotation → coarse probe →
+    ADC-in-cell → exact re-rank) must not lose recall vs plain IVFPQ
+    at the identical (nprobe, shortlist, 8-byte) budget — gains are
+    probe-bounded (nprobe=2 dominates), measured 0.520→0.528 @ sf0.01,
+    0.476→0.478 @ sf0.1."""
+    from robin_sparkles_spark.operators import opq as O
+    from robin_sparkles_spark.operators import pq as P
+
+    a = P.ann_ivfpq_recall_at_k(spark, sf_dir).collect()[0]
+    b = O.ann_opq_ivfpq_recall_at_k(spark, sf_dir).collect()[0]
+    assert (b.k, b.nprobe, b.shortlist) == (a.k, a.nprobe, a.shortlist)
+    assert b.recall_at_k >= a.recall_at_k - 1e-9, (
+        b.recall_at_k, a.recall_at_k,
+    )
