@@ -58,6 +58,10 @@ QUERIES = (
     "ngram_backoff_score",
     "docs_search_bm25",
     "source_overlap_matrix",
+    # r10 additions: the maximal-span chains (gram-count join + per-doc
+    # window) — the zstd/OPQ additions are covered by the media probe
+    # and the bounded-Q recall gates respectively
+    "ngram_maximal_spans",
 )
 
 SCALED = ("documents", "embeddings")
