@@ -327,3 +327,36 @@ def test_zstd_content_checksum_flag_consumed():
     tail = b"second " * 11
     blob = checksummed + bytes(pa.Codec("zstd").compress(tail))
     assert Z.decompress(blob) == data + tail
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@given(
+    chunks=st.lists(
+        st.one_of(
+            st.binary(min_size=0, max_size=200),
+            st.sampled_from(
+                [b"WARC/1.0\r\n", b"Content-Length: 63\r\n\r\n",
+                 b"http://example.com/page/", b"\x00" * 50, b"abab" * 25]
+            ),
+        ),
+        min_size=1,
+        max_size=40,
+    ),
+    level=st.sampled_from([1, 3, 9, 19]),
+)
+@settings(max_examples=25, deadline=None)
+def test_zstd_roundtrip_hypothesis(chunks, level):
+    """Permanent randomized guard for the pure-Python zstd decoder:
+    arbitrary mixes of random bytes and compressible motifs must
+    round-trip byte-exactly through frames the reference C encoder
+    produces at every parse strategy (fast/lazy/btopt)."""
+    import pyarrow as pa
+
+    from robin_sparkles_spark.operators import zstd_decode as Z
+
+    data = b"".join(chunks)
+    comp = bytes(pa.Codec("zstd", compression_level=level).compress(data))
+    assert Z.decompress(comp) == data
