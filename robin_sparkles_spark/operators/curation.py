@@ -412,8 +412,184 @@ FROM ranked WHERE rk = 1
 """
 
 
+# --- DSIR-style importance weights (r10) -------------------------------------
+#
+# Xie et al. 2023 ("Data Selection for Language Models via Importance
+# Resampling"): select raw-pool documents whose hashed-n-gram feature
+# distribution looks like a TARGET corpus — per-doc importance
+# log p_target(doc)/p_raw(doc) = Σ_features log(p_t(b)/p_r(b)) over
+# hashed feature buckets (bag-of-hashed-ngrams bigram model). Here
+# the target proxy is the ``TRAIN_SOURCES`` slice (the same
+# reference-corpus convention the n-gram LM family uses) and the raw
+# pool is every other source.
+#
+# No-libm contract: the log is computed in EXACT integer arithmetic —
+# bucket ratio q = ((tgt+1)·2^20) // (raw+1), exponent = Σ (q ≥ 2^k)
+# comparisons (an exact floor(log2)), mantissa from a 64-entry
+# log2(1 + i/64) lookup in 2^16 fixed point (literal table below;
+# every entry ≥ 1.4e-3 from a rounding boundary, so the literals are
+# platform-stable). Quantization ≤ ~0.012 log2 per feature — far
+# inside data-selection tolerance — and both engines evaluate the
+# identical integer expressions, so the gate hashes exactly.
+#
+# Scale: one feature-hash explode (map-only), ONE 4096-bucket
+# aggregate (a domain-bound table — broadcastable by construction),
+# a broadcast join back onto the feature stream, and a per-doc sum.
+# Bucket counts at 100 TB stay < 2^43 per side, so the << 20 ratio
+# stays inside int64. Linear end to end; the bucket table is the
+# only state.
+
+DSIR_BUCKETS = 4096
+DSIR_RATIO_BITS = 20  # ratio fixed point (2^20)
+DSIR_LOG_SCALE = 65536  # log2 fixed point (2^16)
+_DSIR_LOG2_LUT = (
+    0, 1466, 2909, 4331, 5732, 7112, 8473, 9814, 11136, 12440, 13727,
+    14996, 16248, 17484, 18704, 19909, 21098, 22272, 23433, 24579,
+    25711, 26830, 27936, 29029, 30109, 31178, 32234, 33279, 34312,
+    35334, 36346, 37346, 38336, 39316, 40286, 41246, 42196, 43137,
+    44068, 44990, 45904, 46809, 47705, 48593, 49472, 50344, 51207,
+    52063, 52911, 53751, 54584, 55410, 56229, 57040, 57845, 58643,
+    59434, 60219, 60997, 61769, 62534, 63294, 64047, 64794,
+)
+# ~45 comparisons cover any int64 ratio (tgt counts < 2^43 << 20)
+_DSIR_MAX_EXP = 45
+
+
+def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document DSIR importance (fixed-point log2 of the hashed
+    unigram+bigram likelihood ratio target/raw): (doc_id, source,
+    n_features, importance_fp). Positive = looks like the target
+    slice; the resampling step is ``ORDER BY importance_fp`` +
+    Gumbel/top-k, both already-declared primitives."""
+    from .dedup import MERSENNE_P  # noqa: F401  (hash family doc pointer)
+    from .ngram_lm import TRAIN_SOURCES, _lc_tokens
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", "source", _lc_tokens().alias("ws"))
+    feats_expr = (
+        "concat(ws, if(size(ws) >= 2,"
+        " transform(sequence(0, size(ws) - 2),"
+        "           i -> concat(ws[i], ' ', ws[i+1])),"
+        " array()))"
+    )
+    bucket = (
+        f"CAST(conv(substring(md5(f), 1, 15), 16, 10) AS BIGINT)"
+        f" % {DSIR_BUCKETS}"
+    )
+    feats = toks.select(
+        "doc_id", "source", F.explode(F.expr(feats_expr)).alias("f")
+    ).withColumn("b", F.expr(bucket))
+    is_tgt = F.col("source").isin(*TRAIN_SOURCES)
+    buckets = feats.groupBy("b").agg(
+        F.sum(is_tgt.cast("long")).alias("tgt_c"),
+        F.sum((~is_tgt).cast("long")).alias("raw_c"),
+    )
+    exp_sql = " + ".join(
+        f"(CASE WHEN q >= {1 << k} THEN 1 ELSE 0 END)"
+        for k in range(1, _DSIR_MAX_EXP + 1)
+    )
+    lut_sql = "array(" + ", ".join(str(x) for x in _DSIR_LOG2_LUT) + ")"
+    scored_buckets = (
+        buckets.withColumn(
+            "q",
+            F.expr(
+                f"greatest((( tgt_c + 1 ) * {1 << DSIR_RATIO_BITS})"
+                f" div (raw_c + 1), CAST(1 AS BIGINT))"
+            ),
+        )
+        .withColumn("e", F.expr(exp_sql))
+        .withColumn(
+            "lg_fp",
+            F.expr(
+                f"(e - {DSIR_RATIO_BITS}) * {DSIR_LOG_SCALE}"
+                f" + element_at({lut_sql},"
+                f" CAST((CASE WHEN e >= 6 THEN shiftright(q, e - 6) - 64"
+                f" ELSE shiftleft(q, 6 - e) - 64 END) AS INT) + 1)"
+            ),
+        )
+        .select("b", "lg_fp")
+    )
+    per_doc = (
+        feats.join(F.broadcast(scored_buckets), "b")  # 4096-row domain
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_features"),
+            F.sum("lg_fp").alias("importance_fp"),
+        )
+    )
+    return (
+        d.select("doc_id", "source")
+        .join(per_doc.hint("shuffle_hash"), "doc_id", "left")
+        .select(
+            "doc_id",
+            "source",
+            F.coalesce("n_features", F.lit(0)).alias("n_features"),
+            F.coalesce("importance_fp", F.lit(0)).alias("importance_fp"),
+        )
+    )
+
+
+def _dsir_sql() -> str:
+    from .ngram_lm import _LC_TOKS_SQL, _TRAIN_SQL
+
+    exp_sql = " + ".join(
+        f"(CASE WHEN q >= {1 << k} THEN 1 ELSE 0 END)"
+        for k in range(1, _DSIR_MAX_EXP + 1)
+    )
+    lut_sql = "[" + ", ".join(str(x) for x in _DSIR_LOG2_LUT) + "]"
+    return f"""
+WITH toks AS (
+  SELECT doc_id, source, {_LC_TOKS_SQL} AS ws FROM documents
+),
+feats AS MATERIALIZED (
+  SELECT doc_id, source,
+         CAST(concat('0x', substr(md5(f), 1, 15)) AS BIGINT)
+           % {DSIR_BUCKETS} AS b
+  FROM (SELECT doc_id, source,
+               unnest(list_concat(ws,
+                 CASE WHEN len(ws) >= 2
+                      THEN list_transform(generate_series(1, len(ws) - 1),
+                                          i -> concat(ws[i], ' ', ws[i+1]))
+                      ELSE [] END)) AS f
+        FROM toks)
+),
+buckets AS (
+  SELECT b,
+         SUM(CASE WHEN source IN ({_TRAIN_SQL}) THEN 1 ELSE 0 END) AS tgt_c,
+         SUM(CASE WHEN source IN ({_TRAIN_SQL}) THEN 0 ELSE 1 END) AS raw_c
+  FROM feats GROUP BY b
+),
+ratio AS (
+  SELECT b, GREATEST(((tgt_c + 1) * {1 << DSIR_RATIO_BITS}) // (raw_c + 1),
+                     1) AS q
+  FROM buckets
+),
+expo AS (SELECT b, q, {exp_sql} AS e FROM ratio),
+scored AS (
+  SELECT b,
+         (e - {DSIR_RATIO_BITS}) * {DSIR_LOG_SCALE}
+         + {lut_sql}[CAST((CASE WHEN e >= 6 THEN (q >> (e - 6)) - 64
+                                ELSE (q << (6 - e)) - 64 END) AS INT) + 1]
+           AS lg_fp
+  FROM expo
+),
+per_doc AS (
+  SELECT doc_id, COUNT(*) AS n_features, SUM(lg_fp) AS importance_fp
+  FROM feats JOIN scored USING (b) GROUP BY doc_id
+)
+SELECT d.doc_id, d.source,
+       CAST(COALESCE(n_features, 0) AS BIGINT) AS n_features,
+       CAST(COALESCE(importance_fp, 0) AS BIGINT) AS importance_fp
+FROM documents d LEFT JOIN per_doc USING (doc_id)
+"""
+
+
+DSIR_IMPORTANCE_SQL = _dsir_sql()
+
+
 QUERIES = {
     "dedup_incremental": (dedup_incremental, DEDUP_INCREMENTAL_SQL),
+    "dsir_importance_weights": (dsir_importance_weights, DSIR_IMPORTANCE_SQL),
     "curation_pipeline": (curation_pipeline, _curation_pipeline_sql()),
     "decontaminate_train": (decontaminate_train, DECONTAMINATE_SQL),
     "source_overlap_matrix": (source_overlap_matrix, SOURCE_OVERLAP_SQL),

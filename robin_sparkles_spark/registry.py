@@ -264,6 +264,7 @@ GATE_FRONT: tuple[str, ...] = (
     "ngram_maximal_spans",
     "opq_recall_at_k",
     "ann_opq_ivfpq_recall_at_k",
+    "dsir_importance_weights",
     # replanned / oracle-changed this round — must re-gate
     "dedup_simhash",
     "dedup_minhash_lsh",
@@ -311,15 +312,14 @@ GATE_FRONT: tuple[str, ...] = (
     "events_sliding_30_15",
     "user_sessions",
     "dedup_exact",
-    # oldest r7-gated name (next-stalest after the r6 block;
-    # orders_custkey_hll deferred to the r11 fill when
-    # ann_opq_ivfpq_recall_at_k took the 50th slot)
-    "bpe_fertility_by_lang",
+    # (the oldest r7 names bpe_fertility_by_lang / orders_custkey_hll
+    # deferred to the r11 fill when the 5 new r10 queries took their
+    # slots)
 )
 # ROUND-11 ROTATION (write it at the start of r11): rotate out the 50
 # names above once CORRECTNESS_r10 comes back green. Fill order: the
-# remaining r7-last-green names in registry order (orders_custkey_hll,
-# users_hll_by_type,
+# remaining r7-last-green names in registry order (bpe_fertility_by_lang,
+# orders_custkey_hll, users_hll_by_type,
 # mp4_box_stats, mp3_frame_stats, jpeg_marker_stats,
 # jpeg_entropy_stats, warc_record_stats, zip_members_stats,
 # tar_archive_stats, html_extract_text, url_normalize_stats,

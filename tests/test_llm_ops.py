@@ -802,3 +802,30 @@ def test_maximal_spans_find_planted_passage(spark, tmp_path):
     for r in rows:
         assert r.n_windows == 12 - ngram_lm.SPAN_K + 1
         assert r.max_window_occ == 2
+
+
+def test_dsir_importance_separates_target_from_raw(spark, sf_dir):
+    """The importance direction: documents from the TARGET slice must
+    score higher on average than raw-pool documents (they ARE the
+    distribution the weights measure likelihood against), and the
+    integer log2 must track math.log2 within its quantization bound."""
+    import math
+
+    from robin_sparkles_spark.operators import curation as cu
+    from robin_sparkles_spark.operators.ngram_lm import TRAIN_SOURCES
+
+    rows = cu.dsir_importance_weights(spark, sf_dir).collect()
+    tgt = [r.importance_fp / max(r.n_features, 1) for r in rows if r.source in TRAIN_SOURCES]
+    raw = [r.importance_fp / max(r.n_features, 1) for r in rows if r.source not in TRAIN_SOURCES]
+    assert tgt and raw
+    assert sum(tgt) / len(tgt) > sum(raw) / len(raw)
+
+    # exact-integer log2 vs libm, across magnitudes: the comparison
+    # ladder gives the exact exponent; the 64-entry mantissa LUT
+    # bounds the error by one LUT step (log2(1 + 1/64) ≈ 0.0224)
+    for q in (1, 2, 3, 63, 64, 65, 1 << 20, (1 << 20) + 12345, (1 << 43) - 1):
+        e = q.bit_length() - 1
+        m = (q >> (e - 6)) - 64 if e >= 6 else (q << (6 - e)) - 64
+        got = e * cu.DSIR_LOG_SCALE + cu._DSIR_LOG2_LUT[m]
+        want = math.log2(q) * cu.DSIR_LOG_SCALE
+        assert abs(got - want) <= 0.0224 * cu.DSIR_LOG_SCALE + 1, (q, got, want)
