@@ -36,6 +36,7 @@ projection, no shuffle — embarrassingly parallel.
 
 from __future__ import annotations
 
+import os
 import struct
 import zlib
 
@@ -863,13 +864,17 @@ def synth_warc_zst(media_id: int) -> bytes:
 def _zstd_next_frame(blob: bytes, pos: int) -> tuple[bytes | None, int]:
     """Walk ONE frame at ``pos`` (RFC 8878 §3): returns (content,
     next_pos) for a data frame, (None, next_pos) for a skippable
-    frame. r10: delegates to :mod:`zstd_decode` — the COMPLETE block
-    layer (RAW / RLE / Compressed with Huffman literals + FSE
-    sequences), Frame_Content_Size verified. The old "compressed
-    blocks are the entropy boundary" error is gone."""
-    from .zstd_decode import decompress_frame
+    frame. r11 (VERDICT r10 ask #3): the declared hot path decodes
+    via the container's libzstd (``decompress_frame_fast`` — Python
+    does only the header walk; C does the entropy work), with the
+    pure-Python RFC 8878 decoder kept as the verification twin
+    (``SPARK_GRAFT_ZSTD_DECODER=py`` forces it; pytest A/B-gates the
+    two paths byte-identical on the staged corpus)."""
+    from .zstd_decode import decompress_frame, decompress_frame_fast
 
-    return decompress_frame(blob, pos)
+    if os.environ.get("SPARK_GRAFT_ZSTD_DECODER", "c") == "py":
+        return decompress_frame(blob, pos)
+    return decompress_frame_fast(blob, pos)
 
 
 def parse_warc_zst(blob: bytes) -> dict:

@@ -101,9 +101,14 @@ class _BackBits:
 # --- FSE --------------------------------------------------------------------
 
 
-def read_fse_table(data: bytes, pos: int, max_symbol: int):
+def read_fse_table(data: bytes, pos: int, max_symbol: int, max_accuracy: int = 9):
     """Parse an FSE table description (RFC 8878 §4.1.1) starting at
-    ``pos``: returns (norm_counts, accuracy_log, next_pos)."""
+    ``pos``: returns (norm_counts, accuracy_log, next_pos).
+
+    ``max_accuracy`` is the per-context ceiling from RFC 8878 §3.1.1.3.2
+    / §4.2.1.2 — 9 for literal-length and match-length tables, 8 for the
+    offset table, 6 for Huffman-weight FSE (r11, ADVICE: a fixed 9
+    silently accepted out-of-spec offset/weight tables)."""
     bitpos = 0
 
     def bits(n: int) -> int:
@@ -115,8 +120,8 @@ def read_fse_table(data: bytes, pos: int, max_symbol: int):
         return val
 
     accuracy = bits(4) + 5
-    if accuracy > 9:
-        raise ValueError(f"FSE accuracy log {accuracy} > 9")
+    if accuracy > max_accuracy:
+        raise ValueError(f"FSE accuracy log {accuracy} > {max_accuracy}")
     size = 1 << accuracy
     remaining = size + 1
     counts: list[int] = []
@@ -201,8 +206,9 @@ def _rle_table(symbol: int):
 def _fse_decompress(data: bytes, max_symbol: int) -> list[int]:
     """Standalone FSE stream (used for Huffman weights): table
     description + backward bitstream with two interleaved states,
-    decoded until the stream is exhausted (RFC 8878 §4.2.1.2)."""
-    counts, accuracy, p = read_fse_table(data, 0, max_symbol)
+    decoded until the stream is exhausted (RFC 8878 §4.2.1.2).
+    Huffman-weight FSE caps its accuracy log at 6 (§4.2.1.2)."""
+    counts, accuracy, p = read_fse_table(data, 0, max_symbol, max_accuracy=6)
     table = build_fse_decode_table(counts, accuracy)
     bits = _BackBits(data[p:])
     s1 = _FseState(table, bits, accuracy)
@@ -250,6 +256,9 @@ def _read_huffman_table(data: bytes, pos: int):
     # exists (strictly completes to the NEXT power of two), so this
     # holds even when total is itself a power of two (HUF_readStats)
     max_bits = total.bit_length()
+    if max_bits > 12:  # HUF_TABLELOG_MAX (r11, ADVICE: uncapped tableLog
+        # lets a crafted frame demand a multi-million-entry peek table)
+        raise ValueError(f"huffman tableLog {max_bits} > 12")
     full = 1 << max_bits
     missing = full - total
     if missing & (missing - 1):
@@ -369,16 +378,19 @@ def _decode_literals(data: bytes, pos: int, prev_huf):
 # --- sequences ----------------------------------------------------------------
 
 
-def _read_seq_table(data, pos, mode, defaults, max_symbol, prev):
+def _read_seq_table(data, pos, mode, defaults, max_symbol, prev, max_accuracy=9):
     """One sequence-code table per its compression mode: returns
-    ((decode_table, accuracy), next_pos)."""
+    ((decode_table, accuracy), next_pos). ``max_accuracy`` is 9 for
+    LL/ML but 8 for the offset table (RFC 8878 §3.1.1.3.2)."""
     if mode == 0:
         counts, accuracy = defaults
         return (build_fse_decode_table(counts, accuracy), accuracy), pos
     if mode == 1:
         return (_rle_table(data[pos]), 0), pos + 1
     if mode == 2:
-        counts, accuracy, pos = read_fse_table(data, pos, max_symbol)
+        counts, accuracy, pos = read_fse_table(
+            data, pos, max_symbol, max_accuracy=max_accuracy
+        )
         return (build_fse_decode_table(counts, accuracy), accuracy), pos
     if prev is None:
         raise ValueError("repeat sequence table with no previous table")
@@ -415,7 +427,9 @@ def _decode_block(data: bytes, decoded: bytearray, state: dict) -> None:
         raise ValueError("reserved sequence-mode bits set")
     ll_mode, of_mode, ml_mode = (modes >> 6) & 3, (modes >> 4) & 3, (modes >> 2) & 3
     state["ll"], pos = _read_seq_table(data, pos, ll_mode, _LL_DEFAULT, 35, state.get("ll"))
-    state["of"], pos = _read_seq_table(data, pos, of_mode, _OF_DEFAULT, 31, state.get("of"))
+    state["of"], pos = _read_seq_table(
+        data, pos, of_mode, _OF_DEFAULT, 31, state.get("of"), max_accuracy=8
+    )
     state["ml"], pos = _read_seq_table(data, pos, ml_mode, _ML_DEFAULT, 52, state.get("ml"))
     bits = _BackBits(data[pos:])
     ll_s = _FseState(state["ll"][0], bits, state["ll"][1])
@@ -536,3 +550,102 @@ def decompress(blob: bytes) -> bytes:
         if content is not None:
             out += content
     return bytes(out)
+
+
+# --- libzstd-backed hot path (r11, VERDICT r10 ask #3) -----------------------
+#
+# The pure-Python decoder above is the VERIFICATION artifact — every
+# structural rule of RFC 8878 enforced and testable against frames the
+# reference C encoder produced. But the container provably ships
+# libzstd at C speed (pyarrow bundles it), so the declared hot queries
+# should not pay Python-interpreter prices for entropy decoding. The
+# split: ``frame_span`` walks ONLY the frame/block HEADERS (cheap
+# framing arithmetic that libzstd's one-shot API does not expose), then
+# hands the exact frame bytes to ``pa.Codec("zstd")`` for the entropy
+# work. Frames without a Frame_Content_Size fall back to the
+# pure-Python decoder (the sized one-shot API requires the size);
+# pytest A/B-gates the two paths byte-identical on the staged corpus.
+
+_PA_ZSTD = None
+
+
+def _libzstd():
+    global _PA_ZSTD
+    if _PA_ZSTD is None:
+        import pyarrow as pa
+
+        _PA_ZSTD = pa.Codec("zstd")
+    return _PA_ZSTD
+
+
+def frame_span(blob: bytes, pos: int = 0):
+    """Header-only walk of ONE frame at ``pos`` — no entropy decode.
+    Returns (kind, fcs, next_pos) with kind ``"skip"`` or ``"data"``;
+    ``fcs`` is the declared Frame_Content_Size or None. Enforces the
+    same structural scope rules as :func:`decompress_frame`
+    (dictionary frames raise; reserved block types raise)."""
+    magic = struct.unpack_from("<I", blob, pos)[0]
+    if (magic & 0xFFFFFFF0) == SKIP_MAGIC_LO:
+        size = struct.unpack_from("<I", blob, pos + 4)[0]
+        return "skip", None, pos + 8 + size
+    if blob[pos : pos + 4] != ZSTD_MAGIC:
+        raise ValueError(f"bad zstd magic at {pos}")
+    p = pos + 4
+    fhd = blob[p]
+    p += 1
+    single_segment = (fhd >> 5) & 1
+    has_checksum = (fhd >> 2) & 1
+    did_size = (0, 1, 2, 4)[fhd & 3]
+    if not single_segment:
+        p += 1  # Window_Descriptor
+    if did_size:
+        raise ValueError("dictionary frames are out of scope")
+    fcs_flag = fhd >> 6
+    fcs: int | None
+    if fcs_flag == 0:
+        fcs = blob[p] if single_segment else None
+        p += 1 if single_segment else 0
+    elif fcs_flag == 1:
+        fcs = struct.unpack_from("<H", blob, p)[0] + 256
+        p += 2
+    elif fcs_flag == 2:
+        fcs = struct.unpack_from("<I", blob, p)[0]
+        p += 4
+    else:
+        fcs = struct.unpack_from("<Q", blob, p)[0]
+        p += 8
+    while True:
+        bh = int.from_bytes(blob[p : p + 3], "little")
+        p += 3
+        last, btype, bsize = bh & 1, (bh >> 1) & 3, bh >> 3
+        if btype == 1:  # RLE: one stored byte regardless of run length
+            p += 1
+        elif btype in (0, 2):  # RAW / Compressed: bsize stored bytes
+            p += bsize
+        else:
+            raise ValueError("reserved block type")
+        if last:
+            break
+    if has_checksum:
+        p += 4
+    return "data", fcs, p
+
+
+def decompress_frame_fast(blob: bytes, pos: int = 0) -> tuple[bytes | None, int]:
+    """Drop-in for :func:`decompress_frame` with the entropy decode
+    delegated to the container's libzstd (which also VERIFIES the
+    xxhash64 content checksum when present — stronger than the
+    pure-Python path's consume-only handling). Python does only the
+    O(#blocks) header walk."""
+    kind, fcs, nxt = frame_span(blob, pos)
+    if kind == "skip":
+        return None, nxt
+    if fcs is None:
+        # libzstd's one-shot sized API needs the size; the streaming
+        # API can't be scoped to one frame from Python. Rare in real
+        # .warc.zst members (encoders emit FCS for one-shot frames).
+        return decompress_frame(blob, pos)
+    try:
+        return bytes(_libzstd().decompress(blob[pos:nxt], fcs)), nxt
+    except OSError as exc:  # same rejection contract as the pure path
+        raise ValueError(f"libzstd rejected frame at {pos}: {exc}") from exc

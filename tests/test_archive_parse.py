@@ -286,6 +286,77 @@ def test_zstd_decoder_rejects_corruption():
         Z.decompress(bytes(comp[: len(comp) // 2]))
 
 
+def test_zstd_fast_path_matches_pure_python():
+    """r11 (VERDICT r10 ask #3): the declared hot path now decodes via
+    the container's libzstd (`decompress_frame_fast` — header walk in
+    Python, entropy work in C). A/B gate: both decoders byte-identical
+    (content AND next_pos) frame-by-frame over the staged corpora —
+    the real-libzstd members (Huffman+FSE blocks), the synthetic
+    RAW/RLE members, and skippable frames."""
+    from robin_sparkles_spark.operators import zstd_decode as Z
+
+    for mid in range(12):
+        for blob in (A.synth_warc_zst_real(mid), A.synth_warc_zst(mid)):
+            pos = 0
+            while pos < len(blob):
+                py_content, py_next = Z.decompress_frame(blob, pos)
+                c_content, c_next = Z.decompress_frame_fast(blob, pos)
+                assert py_content == c_content
+                assert py_next == c_next
+                pos = py_next
+
+
+def test_zstd_frame_span_matches_decoder_walk():
+    """`frame_span` (the header-only walk feeding libzstd) must agree
+    with the full decoder on frame boundaries, kinds, and FCS, and
+    must enforce the same scope rule for dictionary frames."""
+    import pytest as _pytest
+
+    from robin_sparkles_spark.operators import zstd_decode as Z
+
+    blob = A.synth_warc_zst_real(3)
+    pos = 0
+    while pos < len(blob):
+        kind, fcs, nxt = Z.frame_span(blob, pos)
+        content, dec_next = Z.decompress_frame(blob, pos)
+        assert nxt == dec_next
+        if kind == "skip":
+            assert content is None and fcs is None
+        else:
+            assert content is not None
+            if fcs is not None:
+                assert len(content) == fcs
+        pos = nxt
+    # dictionary-ID'd frame header: same explicit boundary in both paths
+    dict_frame = Z.ZSTD_MAGIC + bytes([0b0010_0001, 0x42]) + b"\x00"
+    with _pytest.raises(ValueError, match="dictionary"):
+        Z.frame_span(dict_frame, 0)
+    with _pytest.raises(ValueError, match="dictionary"):
+        Z.decompress_frame(dict_frame, 0)
+
+
+def test_zstd_spec_guards_per_context():
+    """r11 ADVICE guards: Huffman tableLog cap (12) and per-context
+    FSE accuracy ceilings (offset 8, Huffman-weight FSE 6) reject
+    out-of-spec tables instead of silently accepting them."""
+    import pytest as _pytest
+
+    from robin_sparkles_spark.operators import zstd_decode as Z
+
+    # accuracy-log nibble 15 → 5+15=20 > every ceiling; the table
+    # bytes below declare it in the low nibble of the first byte
+    bad = bytes([0x0F, 0x00, 0x00, 0x00, 0x00])
+    with _pytest.raises(ValueError, match="accuracy log"):
+        Z.read_fse_table(bad, 0, 35, max_accuracy=9)
+    # accuracy log 9 is fine for LL/ML but must be rejected at the
+    # offset-table ceiling (8) and the Huffman-weight ceiling (6)
+    acc9 = bytes([0x04]) + bytes(4)  # nibble 4 → accuracy 9
+    with _pytest.raises(ValueError, match="> 8"):
+        Z.read_fse_table(acc9, 0, 31, max_accuracy=8)
+    with _pytest.raises(ValueError, match="> 6"):
+        Z.read_fse_table(acc9, 0, 15, max_accuracy=6)
+
+
 def test_zstd_skippable_and_concatenated_frames():
     import pyarrow as pa
 
