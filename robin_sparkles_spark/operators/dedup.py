@@ -531,21 +531,9 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _dedup_simhash_blocked(
     spark: SparkSession, sf_dir: str, widths: tuple[int, ...]
 ) -> DataFrame:
-    """Pigeonhole-blocked simhash pairs for one chunk layout: the
-    32-bit hash splits into the given disjoint chunks (widths sum to
-    32); ≤ k flipped bits leave ≥ m−k chunks untouched, so a
-    qualifying pair matches on the key concatenating SOME
-    index-ordered (m−k)-subset of chunks — exploding each doc to its
-    C(m, m−k) (key_idx, key) rows and self-equi-joining finds every
-    qualifying pair (exact, not approximate). Hamming is verified on
-    candidates only. Mirrors the MinHash band join: linear shuffle on
-    short keys, no nested-loop pair scan."""
-    from itertools import combinations
-
-    m = len(widths)
-    n_clean = m - SIMHASH_MAX_HAMMING
-    offsets = [sum(widths[:i]) for i in range(m)]
-
+    """Pigeonhole-blocked simhash pairs for one chunk layout — thin
+    wrapper over :func:`hamming_blocked_pairs` (r11: the blocking
+    machinery is shared with image perceptual-hash dedup)."""
     # One materialized simhash table feeds BOTH self-join sides: the
     # 32-sum shingle aggregate is the expensive stage (measured 2.05 s
     # of the 4.6 s query at sf0.1) and Catalyst does not reuse the
@@ -556,6 +544,43 @@ def _dedup_simhash_blocked(
         "corpus",
         "simhash table",
         eager=False,
+    )
+    return hamming_blocked_pairs(docs, widths, SIMHASH_MAX_HAMMING)
+
+
+def hamming_blocked_pairs(
+    hashes: DataFrame,
+    widths: tuple[int, ...],
+    max_hamming: int,
+    *,
+    id_col: str = "doc_id",
+    hash_col: str = "simhash",
+    out_cols: tuple[str, str, str] = ("doc1", "doc2", "hamming"),
+) -> DataFrame:
+    """Exact pairs with Hamming(``hash_col``) ≤ ``max_hamming`` via
+    COMBINATORIAL pigeonhole blocking: the hash splits into the given
+    disjoint chunks (widths sum to the hash width, ≤ 63 bits so every
+    mask stays in signed-long range); ≤ k flipped bits leave ≥ m−k
+    chunks untouched, so a qualifying pair matches on the key masking
+    SOME index-ordered (m−k)-subset of chunks — exploding each row to
+    its C(m, m−k) (key_idx, key) rows and self-equi-joining finds
+    every qualifying pair (exact, not approximate). Hamming is
+    verified on candidates only. Mirrors the MinHash band join:
+    linear shuffle on short keys, no nested-loop pair scan.
+
+    ``hashes`` must be materialization-safe for two join sides (pass
+    it through a barrier when the hash derivation is expensive)."""
+    from itertools import combinations
+
+    m = len(widths)
+    n_clean = m - max_hamming
+    if n_clean < 1:
+        raise ValueError(
+            f"{m} chunks cannot pigeonhole hamming ≤ {max_hamming}"
+        )
+    offsets = [sum(widths[:i]) for i in range(m)]
+    docs = hashes.select(
+        F.col(id_col).alias("doc_id"), F.col(hash_col).alias("simhash")
     )
 
     combos = list(combinations(range(m), n_clean))
@@ -629,9 +654,11 @@ def _dedup_simhash_blocked(
         == F.element_at(low_mask, F.col("key_idx") + 1)
     )
     hamming = F.bit_count(xor).cast("long")
-    return canonical.select("doc1", "doc2", hamming.alias("hamming")).where(
-        F.col("hamming") <= SIMHASH_MAX_HAMMING
-    )
+    return canonical.select(
+        F.col("doc1").alias(out_cols[0]),
+        F.col("doc2").alias(out_cols[1]),
+        hamming.alias(out_cols[2]),
+    ).where(F.col(out_cols[2]) <= max_hamming)
 
 
 def dedup_simhash_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -121,6 +121,30 @@ def stage_media_corpus(spark: SparkSession, sf_dir: str) -> str:
     return path
 
 
+def bmp_pixels(blob: bytes) -> "np.ndarray":
+    """REAL BMP decode of one payload → top-down RGB array of shape
+    (h, w, 3), int64. Header fields via struct, pixel rows via numpy
+    reshape (padding stripped, bottom-up storage flipped). Shared by
+    the decode-stats kernel and image perceptual-hash dedup (r11)."""
+    magic, _fsize, _r1, _r2, offset = struct.unpack_from("<2sIHHI", blob, 0)
+    if magic != b"BM":
+        raise ValueError("not a BMP payload")
+    _hsz, w, h, _planes, bpp = struct.unpack_from("<IiiHH", blob, 14)
+    if h < 0:  # top-down DIB: signed height per the BMP spec (r11,
+        # ADVICE: the multimodal sniff read this field unsigned)
+        raise ValueError("top-down BMP unsupported (negative biHeight)")
+    if bpp != 24:
+        raise ValueError(f"unsupported bpp {bpp}")
+    row_size = (w * 3 + 3) // 4 * 4
+    bgr = (
+        np.frombuffer(blob, np.uint8, count=row_size * h, offset=offset)
+        .reshape(h, row_size)[:, : w * 3]
+        .reshape(h, w, 3)
+        .astype(np.int64)
+    )
+    return bgr[::-1, :, ::-1]  # bottom-up rows, BGR order → top-down RGB
+
+
 def decode_bmp(df: DataFrame) -> DataFrame:
     """REAL BMP decode over Arrow batches: header fields via struct,
     pixel rows via numpy reshape (padding stripped), channel sums over
@@ -130,29 +154,20 @@ def decode_bmp(df: DataFrame) -> DataFrame:
         for pdf in batches:
             recs = []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
-                blob = bytes(payload)
-                magic, _fsize, _r1, _r2, offset = struct.unpack_from("<2sIHHI", blob, 0)
-                if magic != b"BM":
-                    raise ValueError(f"media_id {mid}: not a BMP payload")
-                _hsz, w, h, _planes, bpp = struct.unpack_from("<IiiHH", blob, 14)
-                if bpp != 24:
-                    raise ValueError(f"media_id {mid}: unsupported bpp {bpp}")
-                row_size = (w * 3 + 3) // 4 * 4
-                px = (
-                    np.frombuffer(blob, np.uint8, count=row_size * h, offset=offset)
-                    .reshape(h, row_size)[:, : w * 3]
-                    .reshape(h, w, 3)
-                    .astype(np.int64)
-                )
+                try:
+                    rgb = bmp_pixels(bytes(payload))
+                except ValueError as exc:
+                    raise ValueError(f"media_id {mid}: {exc}") from exc
+                h, w = rgb.shape[:2]
                 recs.append(
                     (
                         mid,
                         w,
                         h,
                         w * h,
-                        int(px[:, :, 2].sum()),  # R (BGR storage order)
-                        int(px[:, :, 1].sum()),
-                        int(px[:, :, 0].sum()),
+                        int(rgb[:, :, 0].sum()),
+                        int(rgb[:, :, 1].sum()),
+                        int(rgb[:, :, 2].sum()),
                     )
                 )
             yield pd.DataFrame(
@@ -320,66 +335,79 @@ def stage_png_corpus(spark: SparkSession, sf_dir: str) -> str:
     return path
 
 
-def decode_png(df: DataFrame) -> DataFrame:
-    """REAL PNG decode over Arrow batches: chunk walk with CRC-32
-    verification, zlib inflate, full scanline defilter (None/Sub/Up/
-    Average/Paeth — sequential along x by spec, so the inner loop is
-    per-byte Python; images here are ≤16×8 and a production deploy
-    swaps in a C codec behind the same kernel signature)."""
+def png_pixels(blob: bytes) -> "np.ndarray":
+    """REAL PNG decode of one payload → top-down RGB array of shape
+    (h, w, 3), int64: chunk walk with CRC-32 verification, zlib
+    inflate, full scanline defilter (None/Sub/Up/Average/Paeth —
+    sequential along x by spec, so the inner loop is per-byte Python;
+    images here are small and a production deploy swaps in a C codec
+    behind the same signature). Shared by the decode-stats kernel and
+    image perceptual-hash dedup (r11)."""
     import zlib
+
+    if blob[:8] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos, idat, w, h = 8, bytearray(), None, None
+    while pos < len(blob):
+        (length,) = struct.unpack_from(">I", blob, pos)
+        tag = blob[pos + 4 : pos + 8]
+        data = blob[pos + 8 : pos + 8 + length]
+        (crc,) = struct.unpack_from(">I", blob, pos + 8 + length)
+        if zlib.crc32(tag + data) & 0xFFFFFFFF != crc:
+            raise ValueError(f"bad {tag!r} CRC")
+        if tag == b"IHDR":
+            w, h, depth, ctype, _comp, _filt, ilace = struct.unpack(
+                ">IIBBBBB", data
+            )
+            if (depth, ctype, ilace) != (8, 2, 0):
+                raise ValueError(
+                    f"unsupported PNG "
+                    f"(depth={depth} color={ctype} interlace={ilace})"
+                )
+        elif tag == b"IDAT":
+            idat += data
+        elif tag == b"IEND":
+            break
+        pos += 12 + length
+    raw = zlib.decompress(bytes(idat))
+    stride = w * _PNG_BPP
+    rows, prev, rpos = [], bytearray(stride), 0
+    for _y in range(h):
+        f = raw[rpos]
+        line = raw[rpos + 1 : rpos + 1 + stride]
+        rpos += 1 + stride
+        cur = bytearray(stride)
+        for i in range(stride):
+            a = cur[i - _PNG_BPP] if i >= _PNG_BPP else 0
+            b = prev[i]
+            c = prev[i - _PNG_BPP] if i >= _PNG_BPP else 0
+            if f > 4:
+                raise ValueError(f"filter {f}")
+            pred = (0, a, b, (a + b) // 2, _paeth(a, b, c))[f]
+            cur[i] = (line[i] + pred) % 256
+        rows.append(bytes(cur))
+        prev = cur
+    return (
+        np.frombuffer(b"".join(rows), np.uint8)
+        .reshape(h, w, _PNG_BPP)
+        .astype(np.int64)
+    )
+
+
+def decode_png(df: DataFrame) -> DataFrame:
+    """REAL PNG decode over Arrow batches — see :func:`png_pixels`
+    for the per-payload decode; this kernel reports dimension +
+    channel-sum stats over the true decoded pixels."""
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             recs = []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
-                blob = bytes(payload)
-                if blob[:8] != _PNG_SIG:
-                    raise ValueError(f"media_id {mid}: not a PNG payload")
-                pos, idat, w, h = 8, bytearray(), None, None
-                while pos < len(blob):
-                    (length,) = struct.unpack_from(">I", blob, pos)
-                    tag = blob[pos + 4 : pos + 8]
-                    data = blob[pos + 8 : pos + 8 + length]
-                    (crc,) = struct.unpack_from(">I", blob, pos + 8 + length)
-                    if zlib.crc32(tag + data) & 0xFFFFFFFF != crc:
-                        raise ValueError(f"media_id {mid}: bad {tag!r} CRC")
-                    if tag == b"IHDR":
-                        w, h, depth, ctype, _comp, _filt, ilace = struct.unpack(
-                            ">IIBBBBB", data
-                        )
-                        if (depth, ctype, ilace) != (8, 2, 0):
-                            raise ValueError(
-                                f"media_id {mid}: unsupported PNG "
-                                f"(depth={depth} color={ctype} interlace={ilace})"
-                            )
-                    elif tag == b"IDAT":
-                        idat += data
-                    elif tag == b"IEND":
-                        break
-                    pos += 12 + length
-                raw = zlib.decompress(bytes(idat))
-                stride = w * _PNG_BPP
-                rows, prev, rpos = [], bytearray(stride), 0
-                for _y in range(h):
-                    f = raw[rpos]
-                    line = raw[rpos + 1 : rpos + 1 + stride]
-                    rpos += 1 + stride
-                    cur = bytearray(stride)
-                    for i in range(stride):
-                        a = cur[i - _PNG_BPP] if i >= _PNG_BPP else 0
-                        b = prev[i]
-                        c = prev[i - _PNG_BPP] if i >= _PNG_BPP else 0
-                        if f > 4:
-                            raise ValueError(f"media_id {mid}: filter {f}")
-                        pred = (0, a, b, (a + b) // 2, _paeth(a, b, c))[f]
-                        cur[i] = (line[i] + pred) % 256
-                    rows.append(bytes(cur))
-                    prev = cur
-                px = (
-                    np.frombuffer(b"".join(rows), np.uint8)
-                    .reshape(h, w, _PNG_BPP)
-                    .astype(np.int64)
-                )
+                try:
+                    px = png_pixels(bytes(payload))
+                except ValueError as exc:
+                    raise ValueError(f"media_id {mid}: {exc}") from exc
+                h, w = px.shape[:2]
                 recs.append(
                     (
                         mid,

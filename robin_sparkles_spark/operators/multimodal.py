@@ -58,6 +58,16 @@ def _le_uint_duck(col: str, offset: int, nbytes: int) -> str:
     return "(" + " + ".join(terms) + ")"
 
 
+def _sign32(expr: str) -> str:
+    """Sign-extend a 4-byte LE read (r11, ADVICE: BMP biHeight is a
+    SIGNED int32 — negative means a top-down DIB — so an unsigned read
+    would report a ~4-billion height). Same arithmetic both dialects."""
+    return (
+        f"(CASE WHEN {expr} >= 2147483648 "
+        f"THEN {expr} - 4294967296 ELSE {expr} END)"
+    )
+
+
 def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Typed metadata catalog over the real media corpus, decoded from
     HEADERS only: BMP width/height (LE int32 at offsets 19/23 of the
@@ -76,7 +86,7 @@ def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(is_bmp, F.expr(_le_uint_spark("payload", 19, 4)))
         .cast("long")
         .alias("width"),
-        F.when(is_bmp, F.expr(_le_uint_spark("payload", 23, 4)))
+        F.when(is_bmp, F.expr(_sign32(_le_uint_spark("payload", 23, 4))))
         .cast("long")
         .alias("height"),
         F.when(is_wav, F.expr(_le_uint_spark("payload", 25, 4)))
@@ -102,7 +112,7 @@ SELECT media_id,
        CAST(CASE WHEN mime = 'image/bmp'
                  THEN {_le_uint_duck('payload', 19, 4)} END AS BIGINT) AS width,
        CAST(CASE WHEN mime = 'image/bmp'
-                 THEN {_le_uint_duck('payload', 23, 4)} END AS BIGINT) AS height,
+                 THEN {_sign32(_le_uint_duck('payload', 23, 4))} END AS BIGINT) AS height,
        CAST(CASE WHEN mime = 'audio/wav'
                  THEN {_le_uint_duck('payload', 25, 4)} END AS BIGINT) AS sample_rate,
        CAST(CASE WHEN mime = 'audio/wav'

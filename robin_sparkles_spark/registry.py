@@ -72,6 +72,7 @@ def _modules() -> tuple:
         curation,
         dedup,
         embedding_dedup,
+        image_dedup,
         graph,
         media_decode,
         video_decode,
@@ -113,6 +114,7 @@ def _modules() -> tuple:
         clustering,
         dedup,
         embedding_dedup,
+        image_dedup,
         similarity,
         text_analysis,
         relational,

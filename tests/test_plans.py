@@ -105,6 +105,9 @@ MAP_IN_PANDAS_ALLOWLIST = {
     "zip_members_stats",
     "tar_archive_stats",
     "tfrecord_stats",
+    # r11: real BMP/PNG pixel decode + 63-bit dHash (image near-dup
+    # dedup's map-only hash stage)
+    "dedup_image_phash",
 }
 
 
@@ -314,6 +317,9 @@ _CORPUS_BARRIER_ALLOWLIST = {
     "label-propagation iteration labels",
     "dedup pair-graph edges",
     "simhash table",
+    # r11: 8 bytes/image — the persisted perceptual-hash index of
+    # image near-dup dedup (same contract as the simhash table)
+    "image dhash table",
     "dedup_groups memoized labels+sizes result",
     "copurchase capped order-items",
     "chunk-dedup per-chunk fingerprints",
