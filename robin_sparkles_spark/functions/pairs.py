@@ -40,7 +40,17 @@ def pair_payload_fetch(
     ``index`` maps ``key`` (unique) to ``payload``. Returns
     (c1, c2, p1, p2). The index side is SHUFFLE_HASH-pinned: it is
     corpus-sized by definition here, and broadcast must never be left
-    to size estimates (r10 audit)."""
+    to size estimates (r10 audit).
+
+    Contract fine print (r11, ADVICE): the final groupBy makes this
+    identical to the two-join form only under the stated contract —
+    (a) pairs are DISTINCT (duplicate (c1,c2) rows collapse to one
+    here, where two joins would keep both), and (b) the index is
+    TOTAL over pair ids (a pair whose key misses the index surfaces
+    with null payloads here, where two inner joins would drop it).
+    Every current call site passes distinct pairs derived from the
+    same corpus the index covers; a new call site that cannot
+    guarantee both must use the two-join form instead."""
     tagged = pairs.select(
         F.col(c1).alias(key), F.col(c1), F.col(c2)
     ).unionByName(pairs.select(F.col(c2).alias(key), F.col(c1), F.col(c2)))

@@ -741,10 +741,15 @@ def _ivfpq_topk_from(
     vecs: DataFrame | None = None,
     books: list[list[list[float]]] | None = None,
     coarse: list[list[float]] | None = None,
+    nprobe: int | None = None,
 ) -> DataFrame:
     """The IVFADC+R pipeline over any (vec_id, v) frame + fitted
     codebooks/coarse quantizer — shared by the plain and the
-    OPQ-rotated compositions."""
+    OPQ-rotated compositions. ``nprobe`` defaults to the declared
+    IVFPQ_NPROBE; the r11 nprobe-curve tool sweeps it (the declared
+    queries never pass it)."""
+    if nprobe is None:
+        nprobe = IVFPQ_NPROBE
     from .similarity import TOP_K, unit_vector_index
 
     if books is None:
@@ -763,7 +768,7 @@ def _ivfpq_topk_from(
     q = (
         enc.where(F.col("vec_id") < N_QUERIES)
         .withColumns(luts)
-        .withColumn("probe", F.explode(_probe_expr(coarse, IVFPQ_NPROBE)))
+        .withColumn("probe", F.explode(_probe_expr(coarse, nprobe)))
         # barrier: probes + LUTs computed once, not per joined row
         .groupBy("vec_id", "probe")
         .agg(*[F.first(n).alias(n) for n in luts])

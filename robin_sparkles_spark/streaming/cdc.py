@@ -86,8 +86,24 @@ def apply_changes(spark: SparkSession, state_path: str, batch: DataFrame) -> Non
     current snapshot, latest-wins, drop tombstones, write the NEXT
     snapshot, atomically flip the marker, prune old snapshots.
     Distributed end-to-end (no driver collect); idempotent — replaying
-    a batch reaches the same fixpoint (see module docstring)."""
+    a batch reaches the same fixpoint (see module docstring).
+
+    SINGLE-WRITER contract (r11, ADVICE): the read-v(n) → write-v(n+1)
+    → flip sequence is not safe under concurrent appliers — two
+    writers would both target v(n+1) and the marker flip is
+    last-writer-wins, silently dropping one batch. This matches the
+    Structured Streaming execution model (one query = one sequential
+    micro-batch applier per state path, which is how ``stream_upsert``
+    drives it); exactly-once holds under that model only. The guard
+    below fails fast if a racing writer already claimed v(n+1)."""
     n = _latest_snapshot(state_path)
+    claimed = os.path.join(state_path, f"v{0 if n is None else n + 1}")
+    if os.path.exists(claimed):
+        raise RuntimeError(
+            f"snapshot {claimed} already exists — a concurrent writer "
+            "violated the single-writer contract (or a crashed apply "
+            "left an unflipped snapshot; remove it to recover)"
+        )
     merged = latest_wins(read_state(spark, state_path).unionByName(batch))
     live = merged.where(~F.col("deleted"))
     nxt = 0 if n is None else n + 1

@@ -357,6 +357,37 @@ def test_zstd_spec_guards_per_context():
         Z.read_fse_table(acc9, 0, 15, max_accuracy=6)
 
 
+def test_zstd_dictionary_boundary_probe():
+    """r11 (VERDICT r10 ask #5): the PROBE that proves the dictionary
+    boundary. Supporting dictionary-ID'd frames requires a reference
+    encoder that can PRODUCE them (the r10 bring-up caught 3 real bugs
+    only against libzstd output; self-produced ground truth is the
+    documented trap). This container has none: pyarrow's Codec exposes
+    no dictionary entry points and no `zstandard` module ships. If
+    either half of this probe ever fails, the boundary justification
+    is gone — implement dictionary frames that round."""
+    import importlib.util
+
+    import pyarrow as pa
+
+    codec_api = {a for a in dir(pa.Codec("zstd")) if not a.startswith("_")}
+    assert not {a for a in codec_api if "dict" in a.lower()}, (
+        f"pyarrow Codec grew a dictionary API ({codec_api}) — the "
+        "documented zstd-dictionary boundary no longer holds"
+    )
+    assert importlib.util.find_spec("zstandard") is None, (
+        "the zstandard module is now available — the documented "
+        "zstd-dictionary boundary no longer holds"
+    )
+    # and both decode paths REJECT such frames rather than mis-decoding
+    from robin_sparkles_spark.operators import zstd_decode as Z
+
+    dict_frame = Z.ZSTD_MAGIC + bytes([0b0010_0001, 0x42]) + b"\x00"
+    for fn in (Z.decompress_frame, Z.decompress_frame_fast):
+        with pytest.raises(ValueError, match="dictionary"):
+            fn(dict_frame, 0)
+
+
 def test_zstd_skippable_and_concatenated_frames():
     import pyarrow as pa
 
