@@ -250,96 +250,89 @@ def _collect() -> dict[str, QuerySpec]:
 # The 50 queries gated green in r8 rotate out. Everything displaced
 # keeps its hard signal through the parametrized local oracle sweep in
 # tests/ (the pytest replica of this gate).
+# ROUND-10 ROTATION (executed; CORRECTNESS_r10 50/50 green, zero reds
+# ever recorded r1–r10). Its window: the 5 new r10 queries
+# (warc_zstd_deep_stats, ngram_maximal_spans, opq_recall_at_k,
+# ann_opq_ivfpq_recall_at_k, dsir_importance_weights) + 24
+# broadcast-audit/verify-join replans + the r6-last-green fill
+# deferred from r9 + dedup_exact; the two oldest r7 names deferred to
+# the r11 fill.
 GATE_FRONT: tuple[str, ...] = (
-    # --- ROUND-10 ROTATION (this window; executes the note below the
-    # r9 block). r10 was a plan-surgery round, so the window is mostly
-    # replans: the corpus-broadcast audit pinned SHUFFLE_HASH /
-    # explicit bounded broadcasts across the dedup/ANN family, the
-    # verify joins were restructured (pair_payload_fetch), simhash got
-    # adaptive masked key widths, multimodal_meta was rebuilt on the
-    # real media corpus, and the zstd walk gained the full block layer.
-    # New queries this round lead, then every replanned/oracle-changed
-    # name, then the r6-last-green fill deferred from r9, then the two
-    # oldest r7 names.
-    # new this round — first driver rows
+    # --- ROUND-11 ROTATION (this window; executes the note written at
+    # the end of r10). Policy unchanged: new queries + replans first,
+    # then strict staleness (the r7-last-green block).
+    # new this round — first driver row
+    "dedup_image_phash",
+    # replanned / oracle-changed this round — must re-gate:
+    # * warc_zstd_stats / warc_zstd_deep_stats — the declared hot path
+    #   now decodes via libzstd (frame_span + pa.Codec), pure-Python
+    #   decoder kept as the verification twin
+    "warc_zstd_stats",
     "warc_zstd_deep_stats",
-    "ngram_maximal_spans",
-    "opq_recall_at_k",
-    "ann_opq_ivfpq_recall_at_k",
-    "dsir_importance_weights",
-    # replanned / oracle-changed this round — must re-gate
-    "dedup_simhash",
-    "dedup_minhash_lsh",
-    "dedup_ngram_jaccard",
-    "embedding_similar_pairs",
-    "dedup_groups",
-    "embedding_dedup",
-    "semdedup_dropped",
-    "embedding_similar_pairs_ivf",
-    "dedup_canonical_keepers",
-    "decontaminate_train",
-    "source_overlap_matrix",
-    "dedup_incremental",
-    "curation_pipeline",
+    # * multimodal_meta — BMP biHeight sign-extended in both dialects
     "multimodal_meta",
-    "ann_lsh_topk",
-    "ann_ivf_topk",
-    "ann_recall_at_k",
-    "ann_ivf_recall_at_k",
-    "pq_rerank_topk",
-    "pq_recall_at_k",
+    # * dedup_simhash — blocking machinery factored into the shared
+    #   hamming_blocked_pairs (same plan shape, new code path)
+    "dedup_simhash",
+    # * bmp/png decode stats — pixel decode factored into
+    #   bmp_pixels/png_pixels (shared with image dedup)
+    "bmp_decode_stats",
+    "png_decode_stats",
+    # * the IVFPQ pipeline gained the nprobe parameter (defaults
+    #   preserved; re-gate the three routed queries)
     "ann_ivfpq_topk",
     "ann_ivfpq_recall_at_k",
-    "ngram_backoff_score",
-    "warc_zstd_stats",
-    # r6-last-green fill (deferred from the r9 window), registry order
-    "embedding_array_stats",
-    "orders_monthly_gapfill",
-    "orders_rollup",
-    "q10_returned_revenue",
-    "q12_priority_shipping",
-    "q13_order_count_distribution",
-    "q14_promo_revenue_pct",
-    "q17_small_quantity_revenue",
-    "q18_large_quantity_orders",
-    "q19_disjunctive_revenue",
-    "q22_idle_balance_by_segment",
-    "q4_late_shipment_priority",
-    "q6_forecast_revenue",
-    "q7_nation_trade_flows",
-    "q8_nation_market_share",
-    "window_order_analytics",
-    "wordcount_stopword",
-    "events_tumbling_1h",
-    "events_sliding_30_15",
-    "user_sessions",
-    "dedup_exact",
-    # (the oldest r7 names bpe_fertility_by_lang / orders_custkey_hll
-    # deferred to the r11 fill when the 5 new r10 queries took their
-    # slots)
+    "ann_opq_ivfpq_recall_at_k",
+    # r7-last-green fill (the written r11 note), registry order; the
+    # last two names (q21_waiting_suppliers, orders_overlap_pairs)
+    # defer to the r12 fill — the window is full at 50
+    "bpe_fertility_by_lang",
+    "orders_custkey_hll",
+    "users_hll_by_type",
+    "mp4_box_stats",
+    "mp3_frame_stats",
+    "jpeg_marker_stats",
+    "jpeg_entropy_stats",
+    "warc_record_stats",
+    "zip_members_stats",
+    "tar_archive_stats",
+    "html_extract_text",
+    "url_normalize_stats",
+    "tfrecord_stats",
+    "bigram_stats",
+    "ann_bruteforce_topk",
+    "scrub_pii_docs",
+    "text_token_count",
+    "text_quality",
+    "text_langid",
+    "doc_fingerprint",
+    "text_top_terms",
+    "text_repetition",
+    "docs_stable_sample",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_region_revenue",
+    "top_customers_revenue",
+    "window_event_ranks",
+    "events_json_extract",
+    "events_user_stats",
+    "events_argmax",
+    "orders_asof_last_event",
+    "events_props_map",
+    "events_salted_type_join",
+    "view_purchase_attribution",
+    "view_purchase_attribution_outer",
+    "vocab_typo_pairs",
+    "events_countmin_users",
+    "q9_profit_by_nation_year",
+    "q15_top_supplier",
 )
-# ROUND-11 ROTATION (write it at the start of r11): rotate out the 50
-# names above once CORRECTNESS_r10 comes back green. Fill order: the
-# remaining r7-last-green names in registry order (bpe_fertility_by_lang,
-# orders_custkey_hll, users_hll_by_type,
-# mp4_box_stats, mp3_frame_stats, jpeg_marker_stats,
-# jpeg_entropy_stats, warc_record_stats, zip_members_stats,
-# tar_archive_stats, html_extract_text, url_normalize_stats,
-# tfrecord_stats, bigram_stats, ann_bruteforce_topk, scrub_pii_docs,
-# text_token_count, text_quality, text_langid, doc_fingerprint,
-# text_top_terms, text_repetition, docs_stable_sample,
-# q1_pricing_summary, q3_shipping_priority, q5_region_revenue,
-# top_customers_revenue, window_event_ranks, events_json_extract,
-# events_user_stats, events_argmax, orders_asof_last_event,
-# events_props_map, events_salted_type_join,
-# view_purchase_attribution, view_purchase_attribution_outer,
-# vocab_typo_pairs, events_countmin_users, q9_profit_by_nation_year,
-# q15_top_supplier, q21_waiting_suppliers, orders_overlap_pairs),
-# then the oldest r8 block; plus, as always, anything whose plan or
-# oracle changes in r11 and any newly added queries.
-# q19_disjunctive_revenue,
-# q22_idle_balance_by_segment,
-# q4_late_shipment_priority, q6_forecast_revenue,
+# ROUND-12 ROTATION (write it at the start of r12): rotate out the 50
+# names above once CORRECTNESS_r11 comes back green. Fill order:
+# q21_waiting_suppliers + orders_overlap_pairs (deferred from this
+# window), then the oldest r8-last-green block in registry order;
+# plus, as always, anything whose plan or oracle changes in r12 and
+# any newly added queries.
 # q7_nation_trade_flows,
 # q8_nation_market_share,
 # window_order_analytics,
