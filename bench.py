@@ -130,8 +130,10 @@ EXTENDED = [
     "warc_zstd_deep_stats",
     "ngram_maximal_spans",
     "opq_recall_at_k",
-    # new r11 query (real-pixel dHash + pigeonhole-blocked hamming join)
+    # new r11 queries (real-pixel dHash / PCM frame-energy fingerprint
+    # + the shared pigeonhole-blocked hamming join)
     "dedup_image_phash",
+    "dedup_audio_fingerprint",
 ]
 
 
@@ -245,10 +247,12 @@ def main() -> None:
     opq_fit(spark, sf_dir)
     _opq_books(spark, sf_dir)
     stage_warc_zst_real_corpus(spark, sf_dir)
-    # r11: the planted image corpus (driver-side BMP/PNG synthesis)
+    # r11: the planted image/audio corpora (driver-side synthesis)
+    from robin_sparkles_spark.operators.audio_dedup import stage_audio_corpus
     from robin_sparkles_spark.operators.image_dedup import stage_image_corpus
 
     stage_image_corpus(spark, sf_dir)
+    stage_audio_corpus(spark, sf_dir)
     staging_sec = round(time.perf_counter() - t0, 4)
 
     reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))

@@ -1,0 +1,293 @@
+"""Audio near-duplicate dedup via acoustic fingerprinting (r11):
+frame-energy difference hash over REAL decoded PCM, hamming-banded
+with the shared pigeonhole blocking — the audio sibling of
+``image_dedup`` (and the third modality the dedup stack covers,
+after text and images).
+
+- **Decode**: stdlib ``wave`` parses the RIFF container, the PCM
+  frames come out via a numpy int16 view — the same real byte path
+  ``media_decode.decode_wav`` uses.
+- **Fingerprint**: the 1-D analogue of dHash. Samples partition
+  EXACTLY into 64 time frames (frame f owns samples with
+  (i·64)//n == f — SQL-recomputable), each frame's feature is its
+  integer ENERGY Σ s², and bit b compares adjacent frames' mean
+  energies via integer cross-multiplication (e_{b+1}·n_b > e_b·n_{b+1},
+  b = 0..62 → 63 bits, signed-BIGINT-safe in every engine — the same
+  63-bit rationale as image_dedup). Comparing energy RATIOS makes the
+  fingerprint LOUDNESS-INVARIANT: an exactly scaled copy (gain
+  change) multiplies every energy by the same square factor and no
+  comparison flips — the audio analogue of the image operator's
+  format invariance, demonstrated with planted 2× copies (hamming
+  exactly 0), not claimed.
+- **Blocking**: :func:`dedup.hamming_blocked_pairs`, chunk widths
+  adaptive in the corpus count (key_bits ∝ log2 N).
+
+100 TB posture: decode+fingerprint is a map-only Arrow projection
+(PCM never shuffles; 8 bytes/clip enter the join); the pair search is
+the measured simhash-family blocked join.
+
+Planted fixture (closed-form): base WAV per audio_id (n = 64 +
+id % 129 samples — every frame non-empty), for id % 5 == 0 a 3-sample
+perturbed variant (≤ 3 touched frames × ≤ 2 comparisons → hamming ≤ 6
+STRUCTURALLY = the threshold), for id % 7 == 0 an exact 2×-gain copy
+(hamming 0). Unrelated clips decorrelate via the multiplicative
+id↔position sample formula.
+"""
+
+from __future__ import annotations
+
+import io
+import struct
+import wave
+
+import numpy as np
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..functions.barrier import barrier
+from ..sources import load_table
+from ..sources.staging import is_staged, staged_path
+from .dedup import hamming_blocked_pairs
+
+AUDIO_N = 400
+AUDIO_MAX_HAMMING = 6
+N_FRAMES = 64
+FP_BITS = 63
+AUDIO_RATE = 8000
+
+AUDIO_BLOCK_CONFIGS: tuple[tuple[int | None, tuple[int, ...]], ...] = (
+    (100_000, (8, 8, 8, 8, 8, 8, 8, 7)),
+    (None, (7, 7, 7, 7, 7, 7, 7, 7, 7)),
+)
+assert all(sum(w) == FP_BITS for _, w in AUDIO_BLOCK_CONFIGS)
+
+
+def _audio_block_widths(n_clips: int) -> tuple[int, ...]:
+    for ceiling, widths in AUDIO_BLOCK_CONFIGS:
+        if ceiling is None or n_clips <= ceiling:
+            return widths
+    raise AssertionError("unreachable: last config has no ceiling")
+
+
+# --- closed-form corpus -----------------------------------------------------
+
+
+def _clip_len(audio_id: int) -> int:
+    return 64 + audio_id % 129
+
+
+def _base_sample(audio_id: int, i: int) -> int:
+    """Id↔position mixing with a LARGE multiplier: the per-step
+    increment ((1663·id + 911) + 31(2i+1)) must exceed the modulus
+    scale so the mod wraps every step — a small coefficient (first
+    r11 draft: 3·(id+7)) makes the waveform a slow sawtooth whose
+    energy envelope is nearly id-independent, and adjacent ids came
+    out at hamming 4–6 (caught by the decorrelation pytest)."""
+    return ((1663 * audio_id + 911) * (i + 13) + 31 * i * i) % 4001 - 2000
+
+
+def _perturb_positions(audio_id: int, n: int):
+    """3 deterministic sample overrides, in application order
+    (last-wins on collision; the oracle checks p descending)."""
+    return [
+        ((audio_id + 7 * p) % n, (53 * audio_id + 101 * p) % 4001 - 2000)
+        for p in range(3)
+    ]
+
+
+def _clip_samples(audio_id: int, variant: int) -> list[int]:
+    n = _clip_len(audio_id)
+    s = [_base_sample(audio_id, i) for i in range(n)]
+    if variant == 1:
+        for pos, v in _perturb_positions(audio_id, n):
+            s[pos] = v
+    elif variant == 2:
+        s = [2 * v for v in s]  # exact gain change; |2·2000| ≪ 32767
+    return s
+
+
+def _encode_wav(samples: list[int]) -> bytes:
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(2)
+        wf.setframerate(AUDIO_RATE)
+        wf.writeframes(struct.pack(f"<{len(samples)}h", *samples))
+    return buf.getvalue()
+
+
+def audio_corpus_path(sf_dir: str) -> str:
+    return staged_path(sf_dir, "audio_neardup_corpus", "documents")
+
+
+def stage_audio_corpus(spark: SparkSession, sf_dir: str) -> str:
+    """(aud_id, audio_id, variant, payload): variant 0 = base (every
+    id), 1 = 3-sample perturbed (id % 5 == 0), 2 = exact 2×-gain copy
+    (id % 7 == 0). ``aud_id = audio_id * 10 + variant``."""
+    path = audio_corpus_path(sf_dir)
+    if is_staged(path):
+        return path
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    n = min(AUDIO_N, n_docs)
+    rows = []
+    for i in range(n):
+        rows.append((i * 10, i, 0, _encode_wav(_clip_samples(i, 0))))
+        if i % 5 == 0:
+            rows.append((i * 10 + 1, i, 1, _encode_wav(_clip_samples(i, 1))))
+        if i % 7 == 0:
+            rows.append((i * 10 + 2, i, 2, _encode_wav(_clip_samples(i, 2))))
+    spark.createDataFrame(
+        rows, "aud_id long, audio_id long, variant int, payload binary"
+    ).coalesce(1).write.mode("overwrite").parquet(path)
+    return path
+
+
+# --- fingerprint kernel -----------------------------------------------------
+
+
+def fingerprint_of_samples(samples: np.ndarray) -> int:
+    """63-bit frame-energy difference hash — integer-exact (see
+    module docstring)."""
+    n = len(samples)
+    if n < N_FRAMES:
+        raise ValueError(f"clip of {n} samples has empty fingerprint frames")
+    s = samples.astype(np.int64)
+    frames = (np.arange(n) * N_FRAMES) // n
+    energy = np.zeros(N_FRAMES, np.int64)
+    counts = np.zeros(N_FRAMES, np.int64)
+    np.add.at(energy, frames, s * s)
+    np.add.at(counts, frames, 1)
+    value = 0
+    for b in range(FP_BITS):
+        if energy[b + 1] * counts[b] > energy[b] * counts[b + 1]:
+            value |= 1 << b
+    return value
+
+
+def audio_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(aud_id, fp) over the staged corpus: real RIFF/PCM decode +
+    fingerprint, one Arrow-batched map-only projection."""
+    import pandas as pd
+
+    media = spark.read.parquet(stage_audio_corpus(spark, sf_dir))
+
+    def kernel(batches):
+        for pdf in batches:
+            ids, fps = [], []
+            for aud_id, payload in zip(pdf["aud_id"], pdf["payload"]):
+                with wave.open(io.BytesIO(bytes(payload))) as wf:
+                    if wf.getnchannels() != 1 or wf.getsampwidth() != 2:
+                        raise ValueError(
+                            f"aud_id {aud_id}: not 16-bit mono PCM"
+                        )
+                    pcm = np.frombuffer(
+                        wf.readframes(wf.getnframes()), dtype="<i2"
+                    )
+                ids.append(aud_id)
+                fps.append(fingerprint_of_samples(pcm))
+            yield pd.DataFrame({"aud_id": ids, "fp": fps})
+
+    return media.select("aud_id", "payload").mapInPandas(
+        kernel, schema="aud_id long, fp long"
+    )
+
+
+# --- declared query ---------------------------------------------------------
+
+
+def dedup_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup audio pairs with Hamming(fingerprint) ≤ 6."""
+    n_clips = spark.read.parquet(stage_audio_corpus(spark, sf_dir)).count()
+    fps = barrier(
+        audio_fingerprints(spark, sf_dir),
+        "corpus",
+        "audio fingerprint table",
+        eager=False,
+    )
+    return hamming_blocked_pairs(
+        fps,
+        _audio_block_widths(n_clips),
+        AUDIO_MAX_HAMMING,
+        id_col="aud_id",
+        hash_col="fp",
+        out_cols=("aud1", "aud2", "hamming"),
+    )
+
+
+def dedup_audio_fingerprint_bruteforce(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """All-pairs hamming scan — pytest-only ground truth."""
+    fps = audio_fingerprints(spark, sf_dir)
+    a, b = fps.alias("a"), fps.alias("b")
+    hamming = F.bit_count(F.col("a.fp").bitwiseXOR(F.col("b.fp"))).cast("long")
+    return (
+        a.join(F.broadcast(b), F.col("a.aud_id") < F.col("b.aud_id"))
+        .select(
+            F.col("a.aud_id").alias("aud1"),
+            F.col("b.aud_id").alias("aud2"),
+            hamming.alias("hamming"),
+        )
+        .where(F.col("hamming") <= AUDIO_MAX_HAMMING)
+    )
+
+
+def audio_fingerprint_oracle(sf_dir: str) -> str:
+    """Closed-form DuckDB twin: regenerate every clip's samples
+    (perturbation p-descending = last-wins; variant 2 doubles the
+    BASE samples), partition into the exact 64 frames, build the same
+    63-bit hash, brute-force qualifying pairs."""
+    from ..session import active_or_local
+
+    path = stage_audio_corpus(active_or_local("audio_fp_oracle"), sf_dir)
+    base = (
+        "(1663*d.audio_id + 911) * (j.range + 13) + 31*j.range*j.range"
+    )
+    over = "(53*d.audio_id + {c}) % 4001 - 2000"
+    pos = "d.variant = 1 AND j.range = (d.audio_id + {a}) % d.n"
+    return f"""
+WITH dims AS (
+  SELECT aud_id, audio_id, variant, 64 + audio_id % 129 AS n
+  FROM read_parquet('{path}/*.parquet')
+),
+px AS (
+  SELECT d.aud_id, j.range AS j, d.n,
+    CASE
+      WHEN {pos.format(a=14)} THEN {over.format(c=202)}
+      WHEN {pos.format(a=7)} THEN {over.format(c=101)}
+      WHEN {pos.format(a=0)} THEN {over.format(c=0)}
+      ELSE (CASE WHEN d.variant = 2 THEN 2 ELSE 1 END)
+           * (({base}) % 4001 - 2000)
+    END AS s
+  FROM dims d, range(193) j WHERE j.range < d.n
+),
+frames AS (
+  SELECT aud_id, (j*{N_FRAMES})//n AS f,
+         SUM(s*s) AS e, COUNT(*) AS c
+  FROM px GROUP BY 1, 2
+),
+bits AS (
+  SELECT f0.aud_id, f0.f AS b,
+         CASE WHEN f1.e * f0.c > f0.e * f1.c THEN 1 ELSE 0 END AS bit
+  FROM frames f0 JOIN frames f1
+    ON f1.aud_id = f0.aud_id AND f1.f = f0.f + 1
+  WHERE f0.f < {FP_BITS}
+),
+fps AS (
+  SELECT aud_id,
+         SUM(CASE WHEN bit = 1 THEN CAST(1 AS BIGINT) << b ELSE 0 END) AS fp
+  FROM bits GROUP BY aud_id
+)
+SELECT a.aud_id AS aud1, b.aud_id AS aud2,
+       CAST(bit_count(xor(a.fp, b.fp)) AS BIGINT) AS hamming
+FROM fps a JOIN fps b ON a.aud_id < b.aud_id
+WHERE bit_count(xor(a.fp, b.fp)) <= {AUDIO_MAX_HAMMING}
+"""
+
+
+QUERIES = {
+    "dedup_audio_fingerprint": (
+        dedup_audio_fingerprint,
+        audio_fingerprint_oracle,
+    ),
+}

@@ -66,6 +66,7 @@ def _modules() -> tuple:
     from .operators import (
         analytics,
         archive_parse,
+        audio_dedup,
         bpe,
         clustering,
         container_parse,
@@ -115,6 +116,7 @@ def _modules() -> tuple:
         dedup,
         embedding_dedup,
         image_dedup,
+        audio_dedup,
         similarity,
         text_analysis,
         relational,
@@ -261,8 +263,9 @@ GATE_FRONT: tuple[str, ...] = (
     # --- ROUND-11 ROTATION (this window; executes the note written at
     # the end of r10). Policy unchanged: new queries + replans first,
     # then strict staleness (the r7-last-green block).
-    # new this round — first driver row
+    # new this round — first driver rows
     "dedup_image_phash",
+    "dedup_audio_fingerprint",
     # replanned / oracle-changed this round — must re-gate:
     # * warc_zstd_stats / warc_zstd_deep_stats — the declared hot path
     #   now decodes via libzstd (frame_span + pa.Codec), pure-Python
@@ -325,12 +328,12 @@ GATE_FRONT: tuple[str, ...] = (
     "vocab_typo_pairs",
     "events_countmin_users",
     "q9_profit_by_nation_year",
-    "q15_top_supplier",
 )
 # ROUND-12 ROTATION (write it at the start of r12): rotate out the 50
 # names above once CORRECTNESS_r11 comes back green. Fill order:
-# q21_waiting_suppliers + orders_overlap_pairs (deferred from this
-# window), then the oldest r8-last-green block in registry order;
+# q15_top_supplier + q21_waiting_suppliers + orders_overlap_pairs
+# (deferred from this window when dedup_audio_fingerprint took a
+# slot), then the oldest r8-last-green block in registry order;
 # plus, as always, anything whose plan or oracle changes in r12 and
 # any newly added queries.
 # q7_nation_trade_flows,

@@ -106,8 +106,10 @@ MAP_IN_PANDAS_ALLOWLIST = {
     "tar_archive_stats",
     "tfrecord_stats",
     # r11: real BMP/PNG pixel decode + 63-bit dHash (image near-dup
-    # dedup's map-only hash stage)
+    # dedup's map-only hash stage), and the RIFF/PCM decode +
+    # frame-energy fingerprint (its audio sibling)
     "dedup_image_phash",
+    "dedup_audio_fingerprint",
 }
 
 
@@ -317,9 +319,11 @@ _CORPUS_BARRIER_ALLOWLIST = {
     "label-propagation iteration labels",
     "dedup pair-graph edges",
     "simhash table",
-    # r11: 8 bytes/image — the persisted perceptual-hash index of
-    # image near-dup dedup (same contract as the simhash table)
+    # r11: 8 bytes/item — the persisted perceptual-hash / acoustic-
+    # fingerprint indexes of image/audio near-dup dedup (same
+    # contract as the simhash table)
     "image dhash table",
+    "audio fingerprint table",
     "dedup_groups memoized labels+sizes result",
     "copurchase capped order-items",
     "chunk-dedup per-chunk fingerprints",
