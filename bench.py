@@ -131,9 +131,11 @@ EXTENDED = [
     "ngram_maximal_spans",
     "opq_recall_at_k",
     # new r11 queries (real-pixel dHash / PCM frame-energy fingerprint
-    # + the shared pigeonhole-blocked hamming join)
+    # / per-frame TIFF dHash + the shared pigeonhole-blocked hamming
+    # join, frame-level for video)
     "dedup_image_phash",
     "dedup_audio_fingerprint",
+    "dedup_video_phash",
 ]
 
 
@@ -250,9 +252,13 @@ def main() -> None:
     # r11: the planted image/audio corpora (driver-side synthesis)
     from robin_sparkles_spark.operators.audio_dedup import stage_audio_corpus
     from robin_sparkles_spark.operators.image_dedup import stage_image_corpus
+    from robin_sparkles_spark.operators.video_dedup import (
+        stage_video_dedup_corpus,
+    )
 
     stage_image_corpus(spark, sf_dir)
     stage_audio_corpus(spark, sf_dir)
+    stage_video_dedup_corpus(spark, sf_dir)
     staging_sec = round(time.perf_counter() - t0, 4)
 
     reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))

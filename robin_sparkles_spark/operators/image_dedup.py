@@ -236,8 +236,17 @@ def dhash_of_pixels(rgb: np.ndarray) -> int:
     """63-bit dHash of a top-down RGB array — integer-exact (see
     module docstring): milli-weight grayscale, exact-partition 9×8
     area means, cross-multiplied comparisons."""
-    h, w = rgb.shape[:2]
     gray = rgb[:, :, 0] * 299 + rgb[:, :, 1] * 587 + rgb[:, :, 2] * 114
+    return dhash_of_gray(gray)
+
+
+def dhash_of_gray(gray: np.ndarray) -> int:
+    """63-bit dHash of a top-down 2-D integer luminance array. The
+    comparisons are scale-invariant (cross-multiplied means), so
+    milli-weighted RGB gray and raw 8-bit gray (``video_dedup``'s
+    grayscale TIFF frames) use the identical kernel."""
+    h, w = gray.shape[:2]
+    gray = gray.astype(np.int64)
     ix = (np.arange(w) * DHASH_GRID_W) // w
     iy = (np.arange(h) * DHASH_GRID_H) // h
     sums = np.zeros((DHASH_GRID_H, DHASH_GRID_W), np.int64)

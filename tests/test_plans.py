@@ -106,10 +106,12 @@ MAP_IN_PANDAS_ALLOWLIST = {
     "tar_archive_stats",
     "tfrecord_stats",
     # r11: real BMP/PNG pixel decode + 63-bit dHash (image near-dup
-    # dedup's map-only hash stage), and the RIFF/PCM decode +
-    # frame-energy fingerprint (its audio sibling)
+    # dedup's map-only hash stage), the RIFF/PCM decode +
+    # frame-energy fingerprint (its audio sibling), and the TIFF
+    # IFD-chain walk + per-frame dHash (its video sibling)
     "dedup_image_phash",
     "dedup_audio_fingerprint",
+    "dedup_video_phash",
 }
 
 
@@ -320,10 +322,11 @@ _CORPUS_BARRIER_ALLOWLIST = {
     "dedup pair-graph edges",
     "simhash table",
     # r11: 8 bytes/item — the persisted perceptual-hash / acoustic-
-    # fingerprint indexes of image/audio near-dup dedup (same
-    # contract as the simhash table)
+    # fingerprint indexes of image/audio/video near-dup dedup (same
+    # contract as the simhash table; video is 8 B per SAMPLED frame)
     "image dhash table",
     "audio fingerprint table",
+    "video frame-hash table",
     "dedup_groups memoized labels+sizes result",
     "copurchase capped order-items",
     "chunk-dedup per-chunk fingerprints",
