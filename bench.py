@@ -208,7 +208,21 @@ def main() -> None:
     from robin_sparkles_spark import registry
 
     spark = get_spark(app_name="robin_sparkles_bench")
-    specs = registry.all_queries()
+    specs = dict(registry.all_queries())
+    # embedding_similar_pairs was retired from the declared registry
+    # in r11 (quadratic banding diagnostic; production =
+    # embedding_similar_pairs_ivf) but stays in the HEADLINE set via
+    # direct call so the headline metric remains comparable to the
+    # recorded r2 baseline.
+    from robin_sparkles_spark.operators.dedup import (
+        EMBEDDING_SIMILAR_SQL,
+        embedding_similar_pairs,
+    )
+
+    specs.setdefault(
+        "embedding_similar_pairs",
+        registry.QuerySpec(embedding_similar_pairs, EMBEDDING_SIMILAR_SQL),
+    )
     names = [n for n in HEADLINE if n in specs]
 
     # Warm the JVM + parquet footer caches once so per-query numbers

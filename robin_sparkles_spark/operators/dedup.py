@@ -699,12 +699,15 @@ def embedding_similar_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     on (band_idx, band_key) — linear shuffle — and only candidate
     pairs pay the exact dot product.
 
-    STATUS: FIXTURE-SCALE DIAGNOSTIC, not the production path (r10,
-    executing the r9 verdict). At τ=0.40 the fixed 5-bit band keys
-    put candidate volume on the band-occupancy quadratic (measured
-    12-34× wall for 10× rows across probe rounds); it stays declared
-    as the banding-vs-IVF comparison point the recall tests are built
-    on. Production similar-pairs at scale is
+    STATUS: RETIRED from the declared registry (r11; was demoted to
+    FIXTURE-SCALE DIAGNOSTIC in r10). At τ=0.40 the fixed 5-bit band
+    keys put candidate volume on the band-occupancy quadratic
+    (measured 12-51× wall for 10× rows across probe rounds), and the
+    sign-band keys are τ-independent, so no threshold change fixes
+    it. It remains the banding-vs-IVF comparison point the recall
+    tests are built on: oracle-verified in pytest, timed in the bench
+    headline via direct call (headline continuity with the r2
+    baseline). Production similar-pairs at scale is
     ``clustering.embedding_similar_pairs_ivf`` (data-adaptive cells,
     2.7× @ 10×, higher recall at the same τ); production DEDUP at a
     real threshold (cos ≥ 0.9) is ``embedding_dedup``.
@@ -960,6 +963,18 @@ QUERIES = {
     "dedup_ngram_jaccard": (dedup_ngram_jaccard, DEDUP_NGRAM_SQL),
     "dedup_minhash_lsh": (dedup_minhash_lsh, DEDUP_MINHASH_SQL),
     "dedup_simhash": (dedup_simhash, DEDUP_SIMHASH_SQL),
-    "embedding_similar_pairs": (embedding_similar_pairs, EMBEDDING_SIMILAR_SQL),
+    # embedding_similar_pairs RETIRED from the declared registry in
+    # r11 (the third documented retirement, after the r1 pair): the
+    # τ=0.40 banded form's candidate volume is band-occupancy
+    # quadratic BY CONSTRUCTION (51× @ 10× in the r10 probe — the
+    # sign-band keys don't depend on τ, so no threshold fixes it), and
+    # an engine must not DECLARE a known scale footgun when
+    # `embedding_similar_pairs_ivf` serves the same user need at
+    # 2.7× @ 10× with higher recall. The function stays as the
+    # banding-vs-IVF comparison diagnostic: oracle-verified in pytest
+    # (test_dedup_properties.py::test_retired_banded_pairs_still_oracle_green),
+    # recall-compared in test_clustering.py, and timed in the bench
+    # headline (direct call) so the headline metric stays comparable
+    # to the recorded r2 baseline.
     "dedup_groups": (dedup_groups, DEDUP_GROUPS_SQL),
 }

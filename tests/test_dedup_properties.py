@@ -142,3 +142,16 @@ def test_ngram_df_cap_drops_hot_shingle(spark, tmp_path_factory):
     res = dedup.dedup_ngram_jaccard(spark, sf)
     assert {(r.doc1, r.doc2) for r in res.collect()} == {(n_hot, n_hot + 1)}
     assert_query_matches_oracle(res, dedup.DEDUP_NGRAM_SQL, sf, tables=("documents",))
+
+
+def test_retired_banded_pairs_still_oracle_green(spark, sf_dir):
+    """embedding_similar_pairs was RETIRED from the declared registry
+    in r11 (band-occupancy-quadratic diagnostic; production =
+    embedding_similar_pairs_ivf) but remains the banding-vs-IVF
+    comparison point, so it stays oracle-verified here with the same
+    Spark-vs-DuckDB hash gate the registry sweep would apply."""
+    assert_query_matches_oracle(
+        dedup.embedding_similar_pairs(spark, sf_dir),
+        dedup.EMBEDDING_SIMILAR_SQL,
+        sf_dir,
+    )

@@ -195,8 +195,12 @@ def test_no_corpus_broadcast_in_pair_family(spark, sf_dir):
     from robin_sparkles_spark import registry
 
     specs = registry.all_queries()
+    # the retired banding diagnostic keeps its broadcast budget even
+    # though it is no longer a declared query (r11 retirement)
+    fns = {name: spec.fn for name, spec in specs.items()}
+    fns.setdefault("embedding_similar_pairs", dedup.embedding_similar_pairs)
     for name, budget in _CORPUS_PAIR_BROADCAST_BUDGET.items():
-        a = audit_plan(specs[name].fn(spark, sf_dir))
+        a = audit_plan(fns[name](spark, sf_dir))
         assert a.broadcast_joins <= budget, (
             f"{name}: {a.broadcast_joins} BroadcastHashJoins (budget "
             f"{budget}) — a corpus-sized side is being broadcast:\n"
