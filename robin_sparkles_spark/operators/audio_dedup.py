@@ -167,9 +167,16 @@ def fingerprint_of_samples(samples: np.ndarray) -> int:
 def audio_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(aud_id, fp) over the staged corpus: real RIFF/PCM decode +
     fingerprint, one Arrow-batched map-only projection."""
-    import pandas as pd
+    return audio_fingerprints_over(
+        spark.read.parquet(stage_audio_corpus(spark, sf_dir))
+    )
 
-    media = spark.read.parquet(stage_audio_corpus(spark, sf_dir))
+
+def audio_fingerprints_over(media: DataFrame) -> DataFrame:
+    """The decode+fingerprint kernel over any (aud_id, payload) frame
+    — split out so the 10× scale probe drives the exact shipped path.
+    """
+    import pandas as pd
 
     def kernel(batches):
         for pdf in batches:

@@ -46,8 +46,11 @@ Planted fixture (closed-form, oracle-recomputable):
   threshold);
 - for id % 7 == 0 a PNG re-encode of the identical pixels (filters
   cycle through all five types) — hamming exactly 0 cross-format.
-Unrelated images hash ~uniformly (multiplicative id↔position mixing
-in the channel formulas): P(hamming ≤ 6) ≈ 7·10⁻¹² per pair.
+Unrelated images hash ~uniformly (multiplicative id↔position mixing,
+per-channel coefficients decoupled through distinct prime moduli —
+see ``_image_pixel`` for the r11 aliasing fix the 10× probe forced):
+P(hamming ≤ 6) ≈ 7·10⁻¹² per pair, and the planted count is EXACTLY
+the output at both fixture and 10×-probe scales.
 """
 
 from __future__ import annotations
@@ -100,10 +103,33 @@ def _image_dims(image_id: int) -> tuple[int, int]:
 def _image_pixel(image_id: int, x: int, y: int) -> tuple[int, int, int]:
     """Base RGB formulas — multiplicative id↔position mixing so
     different images decorrelate (a purely additive id term would be a
-    uniform brightness shift mod 256, which dHash half-ignores)."""
-    r = ((image_id + 3) * (x + 7 * y + 1)) % 256
-    g = ((2 * image_id + 5) * (3 * x + y + 2)) % 256
-    b = ((image_id + 7) * (x + y + 1) + x * y) % 256
+    uniform brightness shift mod 256, which dHash half-ignores).
+
+    Each channel mixes TWO coefficients drawn through DISTINCT PRIME
+    moduli on independent positional bases. The first r11 form used
+    coefficients linear in id mod 256, which alias with period 256 —
+    ids i and i+256 rendered the same pixel function at different
+    dims (dHash is resize-invariant by design, so different dims
+    don't save it), and the 10× scale probe surfaced ~2900 hash
+    near-collisions at 4000 images (25 already inside the 400-image
+    fixture); one prime modulus per channel still left ~450
+    single-channel function repeats (space of only ~250 coefficients)
+    whose shared gray component pulled pairs under the threshold.
+    With two coefficients per channel the single-channel repeat rate
+    is ~1/(251·233) per pair and a full-pixel collision needs all six
+    to align — probe-verified: planted count == output at 10×."""
+    r = (
+        ((3 * image_id + 7) % 251 + 3) * (x + 7 * y + 1)
+        + ((11 * image_id + 19) % 233) * (x * y + 1)
+    ) % 256
+    g = (
+        ((5 * image_id + 11) % 241 + 5) * (3 * x + y + 2)
+        + ((13 * image_id + 23) % 229) * (x * y + 2)
+    ) % 256
+    b = (
+        ((7 * image_id + 13) % 239 + 7) * (x + y + 1)
+        + ((17 * image_id + 29) % 227) * (2 * x * y + 1)
+    ) % 256
     return r, g, b
 
 
@@ -197,7 +223,10 @@ def _encode_png(px: np.ndarray, image_id: int) -> bytes:
 
 
 def image_corpus_path(sf_dir: str) -> str:
-    return staged_path(sf_dir, "image_neardup_corpus", "documents")
+    # v2: prime-decoupled channel coefficients (the staging key
+    # fingerprints the SOURCE parquet, not the synthesis formula, so
+    # formula changes bump the name)
+    return staged_path(sf_dir, "image_neardup_corpus_v2", "documents")
 
 
 def stage_image_corpus(spark: SparkSession, sf_dir: str) -> str:
@@ -266,9 +295,15 @@ def dhash_of_gray(gray: np.ndarray) -> int:
 def image_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(img_id, dhash) over the staged corpus: real format-dispatched
     pixel decode + dHash, as one Arrow-batched map-only projection."""
-    import pandas as pd
+    return image_dhash_over(
+        spark.read.parquet(stage_image_corpus(spark, sf_dir))
+    )
 
-    media = spark.read.parquet(stage_image_corpus(spark, sf_dir))
+
+def image_dhash_over(media: DataFrame) -> DataFrame:
+    """The decode+hash kernel over any (img_id, fmt, payload) frame —
+    split out so the 10× scale probe drives the exact shipped path."""
+    import pandas as pd
 
     def kernel(batches):
         for pdf in batches:
@@ -359,10 +394,12 @@ px AS (
       WHEN {pos.format(a=10, b=6)} THEN {over.format(c=182)}
       WHEN {pos.format(a=5, b=3)} THEN {over.format(c=91)}
       WHEN {pos.format(a=0, b=0)} THEN {over.format(c=0)}
-      ELSE 299*(((d.image_id + 3) * (x.range + 7*y.range + 1)) % 256)
-         + 587*(((2*d.image_id + 5) * (3*x.range + y.range + 2)) % 256)
-         + 114*(((d.image_id + 7) * (x.range + y.range + 1)
-                 + x.range*y.range) % 256)
+      ELSE 299*((((3*d.image_id + 7) % 251 + 3) * (x.range + 7*y.range + 1)
+                 + ((11*d.image_id + 19) % 233) * (x.range*y.range + 1)) % 256)
+         + 587*((((5*d.image_id + 11) % 241 + 5) * (3*x.range + y.range + 2)
+                 + ((13*d.image_id + 23) % 229) * (x.range*y.range + 2)) % 256)
+         + 114*((((7*d.image_id + 13) % 239 + 7) * (x.range + y.range + 1)
+                 + ((17*d.image_id + 29) % 227) * (2*x.range*y.range + 1)) % 256)
     END AS gray
   FROM dims d, range(30) x, range(19) y
   WHERE x.range < d.w AND y.range < d.h

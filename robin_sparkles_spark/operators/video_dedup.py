@@ -38,11 +38,13 @@ clip-count aggregate), not from fixture arithmetic.
 
 Planted fixture (closed-form): base clip per video_id with
 n = 8 + id % 9 frames of w = 12 + id % 18, h = 9 + id % 10 (every 9×8
-dHash cell non-empty); gray(cf, x, y) = (seed·(x+7y+1) +
-(seed+7)·(x·y+1)) % 256 with seed = 97·id + 31·cf + 3 — seeds are
-unique per (id, content-frame) for |Δcf| < 16 (97Δid = −31Δcf has no
-small integer solution), and the multiplicative id↔position mixing
-decorrelates unrelated frames (pytest-asserted). Variants:
+dHash cell non-empty); gray(cf, x, y) = (a·(x+7y+1) + b·(x·y+1)) % 256
+with a = (97·id + 31·cf + 7·id·cf + 3) % 251 and
+b = (53·id + 17·cf + 11·id·cf + 11) % 241 — prime-decoupled
+coefficients with an id·cf cross term (see ``_frame_gray`` for the
+aliasing the 10× probe forced out), decorrelating unrelated frames
+(pytest-asserted, probe-verified: planted count == output at 10×).
+Variants:
 id % 5 == 0 → every frame gets 3 deterministic pixel overrides (each
 touches one grid cell ⇒ ≤ 2 comparisons ⇒ frame hamming ≤ 6
 STRUCTURALLY = the threshold); id % 7 == 0 → the first frame is
@@ -107,11 +109,25 @@ def _clip_dims(video_id: int) -> tuple[int, int, int]:
 
 
 def _frame_gray(video_id: int, cf: int, w: int, h: int) -> np.ndarray:
-    """Base gray frame for CONTENT frame index ``cf``."""
-    seed = 97 * video_id + 31 * cf + 3
+    """Base gray frame for CONTENT frame index ``cf``.
+
+    The two mixing coefficients reduce through DISTINCT PRIME moduli
+    (251/241) and carry an id·cf CROSS term: the first r11 form used
+    one seed linear in (id, cf) mod 256, which aliases with period
+    256 — the 10× probe surfaced ~4700 alias clip pairs at 4000
+    clips; a linear prime-moduli form still admitted temporal-shift
+    aliases (the collision equations are linear, so one lucky Δid
+    satisfied them at EVERY frame simultaneously — exactly the
+    planted-trim shape). The cross term makes Δa depend on cf itself,
+    so a coefficient collision at one frame cannot persist to the
+    next, and a clip-level alias (≥ half the frames) needs ~(1/6e4)^k
+    independent per-frame collisions — probe-verified: planted count
+    == output at 10×."""
+    a = (97 * video_id + 31 * cf + 7 * video_id * cf + 3) % 251
+    b = (53 * video_id + 17 * cf + 11 * video_id * cf + 11) % 241
     x = np.arange(w)[None, :]
     y = np.arange(h)[:, None]
-    return (seed * (x + 7 * y + 1) + (seed + 7) * (x * y + 1)) % 256
+    return (a * (x + 7 * y + 1) + b * (x * y + 1)) % 256
 
 
 def _perturb_positions(video_id: int, f: int, w: int, h: int):
@@ -179,7 +195,9 @@ def _encode_tiff(frames: list[np.ndarray]) -> bytes:
 
 
 def video_dedup_corpus_path(sf_dir: str) -> str:
-    return staged_path(sf_dir, "video_neardup_corpus", "documents")
+    # v2: prime-decoupled mixing coefficients (the staging key
+    # fingerprints the SOURCE parquet, not the synthesis formula)
+    return staged_path(sf_dir, "video_neardup_corpus_v2", "documents")
 
 
 def stage_video_dedup_corpus(spark: SparkSession, sf_dir: str) -> str:
@@ -217,9 +235,17 @@ def video_frame_hashes(
     Production sets ``stride`` to its fps budget; the declared query
     hashes every frame so the fixture's structural bounds stay exact.
     """
-    import pandas as pd
+    return video_frame_hashes_over(
+        spark.read.parquet(stage_video_dedup_corpus(spark, sf_dir)),
+        stride=stride,
+    )
 
-    media = spark.read.parquet(stage_video_dedup_corpus(spark, sf_dir))
+
+def video_frame_hashes_over(media: DataFrame, stride: int = 1) -> DataFrame:
+    """The IFD-walk + per-frame-dHash kernel over any (vid_id,
+    payload) frame — split out so the 10× scale probe drives the
+    exact shipped path."""
+    import pandas as pd
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -380,7 +406,9 @@ def video_phash_oracle(sf_dir: str) -> str:
         "d.variant = 1 AND x.range = (d.video_id + {a} + f.range) % d.w "
         "AND y.range = (2*d.video_id + {b} + f.range) % d.h"
     )
-    seed = "(97*d.video_id + 31*(f.range + CASE WHEN d.variant = 2 THEN 1 ELSE 0 END) + 3)"
+    cf = "(f.range + CASE WHEN d.variant = 2 THEN 1 ELSE 0 END)"
+    seed_a = f"((97*d.video_id + 31*{cf} + 7*d.video_id*{cf} + 3) % 251)"
+    seed_b = f"((53*d.video_id + 17*{cf} + 11*d.video_id*{cf} + 11) % 241)"
     return f"""
 WITH dims AS (
   SELECT vid_id, video_id, variant,
@@ -395,8 +423,8 @@ px AS (
       WHEN {pos.format(a=10, b=6)} THEN {over.format(c=182)}
       WHEN {pos.format(a=5, b=3)} THEN {over.format(c=91)}
       WHEN {pos.format(a=0, b=0)} THEN {over.format(c=0)}
-      ELSE ({seed} * (x.range + 7*y.range + 1)
-            + ({seed} + 7) * (x.range*y.range + 1)) % 256
+      ELSE ({seed_a} * (x.range + 7*y.range + 1)
+            + {seed_b} * (x.range*y.range + 1)) % 256
     END AS gray
   FROM dims d, range(16) f, range(30) x, range(19) y
   WHERE f.range < d.nf AND x.range < d.w AND y.range < d.h
