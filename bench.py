@@ -136,6 +136,9 @@ EXTENDED = [
     "dedup_image_phash",
     "dedup_audio_fingerprint",
     "dedup_video_phash",
+    # new r11: Lee-et-al. repeated-span removal (the surgery half of
+    # the r10 detector)
+    "docs_scrub_repeated_spans",
 ]
 
 

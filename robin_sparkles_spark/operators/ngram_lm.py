@@ -593,9 +593,161 @@ HAVING COUNT(*) >= {MIN_SPAN_WINDOWS}
 """
 
 
+# --- repeated-span REMOVAL (r11 — the surgery half) --------------------------
+#
+# ngram_maximal_spans (above) reports WHERE the corpus-repeated spans
+# live; this operator executes Lee et al.'s actual intervention: CUT
+# them from the text, keeping one occurrence corpus-wide. Policy
+# (deterministic, oracle-mirrored):
+# - a repeated K-window position is REMOVABLE unless it is the
+#   corpus-FIRST occurrence of its gram (min over the encoded key
+#   doc_id·10⁶ + pos — one extra min() inside the existing occ
+#   aggregate, no window over the gram key, same skew rationale as
+#   the detector);
+# - removable positions re-chain into runs (the detector's
+#   row_number trick) and only runs of ≥ MIN_SPAN_WINDOWS windows
+#   cut (isolated repeated windows are n-gram noise, not memorized
+#   spans — consistent with the declared detector);
+# - a qualifying run [p_min..p_max] covers tokens
+#   p_min .. p_max+K−1; the cleaned document drops every covered
+#   token index (pure Catalyst array surgery: filter over
+#   sequence(0, n−1) with an exists() over the doc's tiny run list,
+#   then transform + array_join — no Python).
+#
+# Scale: one aggregate + one equi-join over gram hashes (identical to
+# the detector), a per-DOC window, a per-doc collect of a few run
+# structs, and a map-side array rewrite. Linear in corpus tokens.
+
+_POS_ENC = 1_000_000  # corpus-first key = doc_id·1e6 + pos; docs are
+# length-capped (n_chars ≤ 2000 ⇒ pos ≪ 1e6), asserted in the token cap
+
+
+def docs_scrub_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every document with its corpus-repeated spans (runs of ≥
+    {MIN_SPAN_WINDOWS} chained {SPAN_K}-token windows, keep-first
+    policy) cut out: (doc_id, n_tokens, n_removed, cleaned_text)."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", _lc_tokens().alias("ws"))
+    grams = toks.where(F.size("ws") >= SPAN_K).select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, size(ws) - {SPAN_K}),"
+                f"          i -> CAST(conv(substring(md5("
+                f"array_join(slice(ws, i + 1, {SPAN_K}), ' ')"
+                f"), 1, 15), 16, 10) AS BIGINT))"
+            )
+        ).alias("pos", "g"),
+    )
+    occ = grams.groupBy("g").agg(
+        F.count("*").alias("occ"),
+        F.min(F.col("doc_id") * _POS_ENC + F.col("pos")).alias("first_key"),
+    )
+    removable = (
+        grams.join(occ.where(F.col("occ") >= 2).hint("shuffle_hash"), "g")
+        .where(F.col("doc_id") * _POS_ENC + F.col("pos") != F.col("first_key"))
+    )
+    w_d = W.partitionBy("doc_id").orderBy("pos")
+    runs = (
+        removable.withColumn(
+            "run0", F.col("pos") - F.row_number().over(w_d)
+        )
+        .groupBy("doc_id", "run0")
+        .agg(
+            F.min("pos").alias("s"),
+            (F.max("pos") + F.lit(SPAN_K - 1)).alias("e"),
+            F.count("*").alias("n_w"),
+        )
+        .where(F.col("n_w") >= MIN_SPAN_WINDOWS)
+    )
+    cover = runs.groupBy("doc_id").agg(
+        F.collect_list(F.struct("s", "e")).alias("cuts")
+    )
+    return (
+        toks.join(cover, "doc_id", "left")
+        .withColumn(
+            "kept",
+            F.expr(
+                "transform("
+                "  filter(sequence(0, size(ws) - 1),"
+                "         i -> cuts IS NULL OR"
+                "              NOT exists(cuts, r -> i >= r.s AND i <= r.e)),"
+                "  i -> element_at(ws, i + 1))"
+            ),
+        )
+        .select(
+            "doc_id",
+            F.size("ws").cast("long").alias("n_tokens"),
+            (F.size("ws") - F.size("kept")).cast("long").alias("n_removed"),
+            F.array_join("kept", " ").alias("cleaned_text"),
+        )
+    )
+
+
+DOCS_SCRUB_SPANS_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, {_LC_TOKS_SQL} AS ws FROM documents
+),
+grams AS (
+  SELECT doc_id,
+         i - 1 AS pos,
+         CAST(concat('0x', substr(md5(list_aggregate(ws[i:i + {SPAN_K - 1}],
+                                                     'string_agg', ' ')),
+                     1, 15)) AS BIGINT) AS g
+  FROM toks, unnest(generate_series(1, len(ws) - {SPAN_K - 1})) AS u(i)
+  WHERE len(ws) >= {SPAN_K}
+),
+occ AS (
+  SELECT g, COUNT(*) AS occ,
+         MIN(doc_id * {_POS_ENC} + pos) AS first_key
+  FROM grams GROUP BY g
+),
+removable AS (
+  SELECT grams.doc_id, grams.pos
+  FROM grams JOIN occ USING (g)
+  WHERE occ.occ >= 2
+    AND grams.doc_id * {_POS_ENC} + grams.pos <> occ.first_key
+),
+runs AS (
+  SELECT doc_id, pos,
+         pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS run0
+  FROM removable
+),
+cuts AS (
+  SELECT doc_id,
+         MIN(pos) AS s,
+         MAX(pos) + {SPAN_K - 1} AS e
+  FROM runs GROUP BY doc_id, run0
+  HAVING COUNT(*) >= {MIN_SPAN_WINDOWS}
+),
+cover AS (
+  SELECT doc_id, LIST(struct_pack(s := s, e := e)) AS cuts
+  FROM cuts GROUP BY doc_id
+),
+cleaned AS (
+  SELECT t.doc_id, t.ws,
+         list_transform(
+           list_filter(generate_series(0, len(t.ws) - 1),
+                       i -> c.cuts IS NULL OR
+                            len(list_filter(c.cuts,
+                                            r -> i >= r.s AND i <= r.e)) = 0),
+           i -> t.ws[i + 1]) AS kept
+  FROM toks t LEFT JOIN cover c USING (doc_id)
+)
+SELECT doc_id,
+       CAST(len(ws) AS BIGINT) AS n_tokens,
+       CAST(len(ws) - len(kept) AS BIGINT) AS n_removed,
+       -- DuckDB's array_to_string returns NULL for the empty list a
+       -- fully-scrubbed doc leaves; Spark's array_join returns ''
+       COALESCE(array_to_string(kept, ' '), '') AS cleaned_text
+FROM cleaned
+"""
+
+
 QUERIES = {
     "ngram_lm_score": (ngram_lm_score, NGRAM_LM_SCORE_SQL),
     "ngram_repeated_spans": (ngram_repeated_spans, NGRAM_REPEATED_SPANS_SQL),
     "ngram_maximal_spans": (ngram_maximal_spans, NGRAM_MAXIMAL_SPANS_SQL),
     "ngram_backoff_score": (ngram_backoff_score, NGRAM_BACKOFF_SQL),
+    "docs_scrub_repeated_spans": (docs_scrub_repeated_spans, DOCS_SCRUB_SPANS_SQL),
 }
