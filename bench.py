@@ -137,8 +137,9 @@ EXTENDED = [
     "dedup_audio_fingerprint",
     "dedup_video_phash",
     # new r11: Lee-et-al. repeated-span removal (the surgery half of
-    # the r10 detector)
+    # the r10 detector) and the image-text pair retention composition
     "docs_scrub_repeated_spans",
+    "image_text_pair_curation",
 ]
 
 

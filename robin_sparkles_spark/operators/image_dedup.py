@@ -369,11 +369,11 @@ def dedup_image_phash_bruteforce(
     )
 
 
-def image_phash_oracle(sf_dir: str) -> str:
-    """Closed-form DuckDB twin: regenerate every row's pixels from the
-    synthesis formulas (perturbation checked p-descending = last-wins),
-    aggregate the exact 9×8 cell partition, build the same 63-bit
-    hash, and brute-force the qualifying pairs."""
+def phash_oracle_ctes(sf_dir: str) -> str:
+    """The closed-form dHash pipeline as a reusable CTE body ending in
+    ``hashes(img_id, dh)`` (+ ``dims`` with img_id/image_id/variant) —
+    shared by the pair oracle below and the r11 image-text pair
+    curation oracle."""
     from ..session import active_or_local
 
     path = stage_image_corpus(active_or_local("image_phash_oracle"), sf_dir)
@@ -382,8 +382,7 @@ def image_phash_oracle(sf_dir: str) -> str:
         "d.variant = 1 AND x.range = (d.image_id + {a}) % d.w "
         "AND y.range = (2*d.image_id + {b}) % d.h"
     )
-    return f"""
-WITH dims AS (
+    return f"""dims AS (
   SELECT img_id, image_id, variant,
          12 + image_id % 18 AS w, 9 + image_id % 10 AS h
   FROM read_parquet('{path}/*.parquet')
@@ -420,7 +419,16 @@ hashes AS (
   SELECT img_id,
          SUM(CASE WHEN bit = 1 THEN CAST(1 AS BIGINT) << b ELSE 0 END) AS dh
   FROM bits GROUP BY img_id
-)
+)"""
+
+
+def image_phash_oracle(sf_dir: str) -> str:
+    """Closed-form DuckDB twin: regenerate every row's pixels from the
+    synthesis formulas (perturbation checked p-descending = last-wins),
+    aggregate the exact 9×8 cell partition, build the same 63-bit
+    hash, and brute-force the qualifying pairs."""
+    return f"""
+WITH {phash_oracle_ctes(sf_dir)}
 SELECT a.img_id AS img1, b.img_id AS img2,
        CAST(bit_count(xor(a.dh, b.dh)) AS BIGINT) AS hamming
 FROM hashes a JOIN hashes b ON a.img_id < b.img_id

@@ -77,6 +77,7 @@ def _modules() -> tuple:
         image_dedup,
         graph,
         media_decode,
+        multimodal_curation,
         video_decode,
         quality,
         retrieval,
@@ -119,6 +120,7 @@ def _modules() -> tuple:
         image_dedup,
         audio_dedup,
         video_dedup,
+        multimodal_curation,
         similarity,
         text_analysis,
         relational,
@@ -270,6 +272,7 @@ GATE_FRONT: tuple[str, ...] = (
     "dedup_audio_fingerprint",
     "dedup_video_phash",
     "docs_scrub_repeated_spans",
+    "image_text_pair_curation",
     # replanned / oracle-changed this round — must re-gate:
     # * warc_zstd_stats / warc_zstd_deep_stats — the declared hot path
     #   now decodes via libzstd (frame_span + pa.Codec), pure-Python
@@ -291,9 +294,9 @@ GATE_FRONT: tuple[str, ...] = (
     "ann_ivfpq_recall_at_k",
     "ann_opq_ivfpq_recall_at_k",
     # r7-last-green fill (the written r11 note), registry order; the
-    # last four names (events_countmin_users, q15_top_supplier,
-    # q21_waiting_suppliers, orders_overlap_pairs) defer to the r12
-    # fill — the window is full at 50
+    # last five names (vocab_typo_pairs, events_countmin_users,
+    # q15_top_supplier, q21_waiting_suppliers, orders_overlap_pairs)
+    # defer to the r12 fill — the window is full at 50
     "bpe_fertility_by_lang",
     "orders_custkey_hll",
     "users_hll_by_type",
@@ -330,14 +333,13 @@ GATE_FRONT: tuple[str, ...] = (
     "events_salted_type_join",
     "view_purchase_attribution",
     "view_purchase_attribution_outer",
-    "vocab_typo_pairs",
 )
 # ROUND-12 ROTATION (write it at the start of r12): rotate out the 50
 # names above once CORRECTNESS_r11 comes back green. Fill order:
-# events_countmin_users + q9_profit_by_nation_year + q15_top_supplier
-# + q21_waiting_suppliers + orders_overlap_pairs (deferred from this
-# window when the audio/video/scrub queries took slots), then the
-# oldest r8-last-green block in registry order;
+# vocab_typo_pairs + events_countmin_users + q9_profit_by_nation_year
+# + q15_top_supplier + q21_waiting_suppliers + orders_overlap_pairs
+# (deferred from this window when the five new r11 queries took
+# slots), then the oldest r8-last-green block in registry order;
 # plus, as always, anything whose plan or oracle changes in r12 and
 # any newly added queries.
 # q7_nation_trade_flows,

@@ -188,6 +188,9 @@ _CORPUS_PAIR_BROADCAST_BUDGET = {
     "dedup_groups": 0,
     "decontaminate_train": 1,  # the bounded eval-slice shingle set
     "source_overlap_matrix": 2,  # the #sources-row size tables
+    "image_text_pair_curation": 0,  # labels/sizes joins pinned; only
+    # the sanctioned 1-row n_base scalar rides a broadcast (BNL, not
+    # BHJ, so it doesn't count here)
 }
 
 
@@ -241,6 +244,7 @@ _BNL_ALLOWED = {
     "orders_custkey_hll",  # scalar shape: 1-row registers × 1-row exact
     "ngram_lm_score",  # scalar shape: 1-row vocab size V into the smoother
     "ngram_backoff_score",  # scalar shape: 1-row token total N
+    "image_text_pair_curation",  # scalar shape: 1-row n_base into pairing
 }
 
 
@@ -331,6 +335,10 @@ _CORPUS_BARRIER_ALLOWLIST = {
     "image dhash table",
     "audio fingerprint table",
     "video frame-hash table",
+    # r11: the image-pair graph feeding components in
+    # image_text_pair_curation (two longs per near-dup pair — same
+    # contract as the text dedup pair-graph edges)
+    "image pair-graph edges",
     "dedup_groups memoized labels+sizes result",
     "copurchase capped order-items",
     "chunk-dedup per-chunk fingerprints",
