@@ -292,9 +292,111 @@ WHERE bit_count(xor(a.fp, b.fp)) <= {AUDIO_MAX_HAMMING}
 """
 
 
+# --- groups → keepers (r11, executing the written r12 candidate #2) ----------
+
+_WAV_HEADER_BYTES = 44  # canonical RIFF/WAVE + 16-byte fmt + data header
+# (what stdlib wave writes for plain 16-bit mono PCM; pytest-pinned)
+
+
+def audio_dedup_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resolve near-dup clip pairs into groups and keep the HIGHEST-
+    FIDELITY member: most samples first (longest capture), then min
+    aud_id (ties: the planted gain copies and perturbed variants are
+    length-identical, so the base wins deterministically). Sample
+    counts come from container arithmetic — (octet_length − 44) / 2
+    over the canonical 16-bit mono PCM header — a pure Catalyst
+    projection, no decode shuffle. One row per group of size ≥ 2."""
+    from pyspark.sql import Window as W
+
+    from .dedup import propagate_min_labels
+
+    clips = spark.read.parquet(stage_audio_corpus(spark, sf_dir)).select(
+        "aud_id",
+        (
+            (F.expr("octet_length(payload)") - _WAV_HEADER_BYTES) / 2
+        ).cast("long").alias("n_samples"),
+    )
+    pairs = dedup_audio_fingerprint(spark, sf_dir).select("aud1", "aud2")
+    edges = barrier(
+        pairs.select(F.col("aud1").alias("src"), F.col("aud2").alias("dst"))
+        .union(
+            pairs.select(F.col("aud2").alias("src"), F.col("aud1").alias("dst"))
+        ),
+        "corpus",
+        "audio pair-graph edges",
+    )
+    labels = propagate_min_labels(
+        clips.select(F.col("aud_id").alias("doc_id")), edges
+    ).select(F.col("doc_id").alias("aud_id"), "group_id")
+    sizes = labels.groupBy("group_id").agg(F.count("*").alias("group_size"))
+    w = W.partitionBy("group_id").orderBy(
+        F.desc("n_samples"), F.asc("aud_id")
+    )
+    return (
+        # corpus × corpus joins: pin SHUFFLE_HASH (r10 audit)
+        labels.join(clips.hint("shuffle_hash"), "aud_id")
+        .join(sizes.hint("shuffle_hash"), "group_id")
+        .where(F.col("group_size") >= 2)
+        .withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .select(
+            "group_id",
+            F.col("aud_id").alias("keeper_id"),
+            "group_size",
+            F.col("n_samples").alias("keeper_samples"),
+            (F.col("group_size") - 1).cast("long").alias("n_dropped"),
+        )
+    )
+
+
+def audio_keepers_oracle(sf_dir: str) -> str:
+    """Recursive-closure twin: the pair oracle's fingerprint pipeline
+    + min-reachable labels + the same fidelity keeper (sample counts
+    from the identical octet_length arithmetic)."""
+    from ..session import active_or_local
+
+    path = stage_audio_corpus(active_or_local("audio_fp_oracle"), sf_dir)
+    pair_sql = audio_fingerprint_oracle(sf_dir)
+    return f"""
+WITH RECURSIVE apairs AS ({pair_sql}),
+clips AS (
+  SELECT aud_id,
+         CAST((octet_length(payload) - {_WAV_HEADER_BYTES}) // 2 AS BIGINT)
+           AS n_samples
+  FROM read_parquet('{path}/*.parquet')
+),
+edges AS (
+  SELECT aud1 AS src, aud2 AS dst FROM apairs
+  UNION ALL
+  SELECT aud2 AS src, aud1 AS dst FROM apairs
+),
+reach(aud_id, r) AS (
+  SELECT aud_id, aud_id FROM clips
+  UNION
+  SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.aud_id
+),
+labels AS (SELECT aud_id, MIN(r) AS group_id FROM reach GROUP BY aud_id),
+sizes AS (SELECT group_id, COUNT(*) AS group_size FROM labels GROUP BY group_id),
+ranked AS (
+  SELECT l.group_id, l.aud_id, s.group_size, c.n_samples,
+         ROW_NUMBER() OVER (PARTITION BY l.group_id
+                            ORDER BY c.n_samples DESC, l.aud_id ASC) AS rk
+  FROM labels l
+  JOIN sizes s USING (group_id)
+  JOIN clips c USING (aud_id)
+  WHERE s.group_size >= 2
+)
+SELECT group_id, aud_id AS keeper_id, group_size,
+       n_samples AS keeper_samples,
+       CAST(group_size - 1 AS BIGINT) AS n_dropped
+FROM ranked WHERE rk = 1
+"""
+
+
 QUERIES = {
     "dedup_audio_fingerprint": (
         dedup_audio_fingerprint,
         audio_fingerprint_oracle,
     ),
+    "audio_dedup_keepers": (audio_dedup_keepers, audio_keepers_oracle),
 }

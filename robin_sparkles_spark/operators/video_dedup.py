@@ -389,13 +389,11 @@ def dedup_video_phash_bruteforce(
     return _with_min_frames(_clip_pairs_from_frame_pairs(frame_pairs), counts)
 
 
-def video_phash_oracle(sf_dir: str) -> str:
-    """Closed-form DuckDB twin: regenerate every container frame's
-    pixels (variant 2 reads content frame f+1 — the trim; variant 1's
-    overrides checked p-descending = last-wins), build the per-frame
-    63-bit dHash over the exact 9×8 cell partition, brute-force
-    cross-clip frame pairs at hamming ≤ 6, and apply the same
-    half-the-shorter-clip rollup."""
+def video_oracle_ctes(sf_dir: str) -> str:
+    """The closed-form frame-hash + clip-pair pipeline as a reusable
+    CTE body ending in ``counts(vid_id, nf)`` and ``matched(vid1,
+    vid2, matched_frames)`` (+ ``dims``) — shared by the pair oracle
+    below and the r11 keeper oracle."""
     from ..session import active_or_local
 
     path = stage_video_dedup_corpus(
@@ -409,8 +407,7 @@ def video_phash_oracle(sf_dir: str) -> str:
     cf = "(f.range + CASE WHEN d.variant = 2 THEN 1 ELSE 0 END)"
     seed_a = f"((97*d.video_id + 31*{cf} + 7*d.video_id*{cf} + 3) % 251)"
     seed_b = f"((53*d.video_id + 17*{cf} + 11*d.video_id*{cf} + 11) % 241)"
-    return f"""
-WITH dims AS (
+    return f"""dims AS (
   SELECT vid_id, video_id, variant,
          12 + video_id % 18 AS w, 9 + video_id % 10 AS h,
          8 + video_id % 9
@@ -453,7 +450,18 @@ matched AS (
   FROM fhashes a JOIN fhashes b ON a.vid_id < b.vid_id
   WHERE bit_count(xor(a.fh, b.fh)) <= {FRAME_MAX_HAMMING}
   GROUP BY 1, 2
-)
+)"""
+
+
+def video_phash_oracle(sf_dir: str) -> str:
+    """Closed-form DuckDB twin: regenerate every container frame's
+    pixels (variant 2 reads content frame f+1 — the trim; variant 1's
+    overrides checked p-descending = last-wins), build the per-frame
+    63-bit dHash over the exact 9×8 cell partition, brute-force
+    cross-clip frame pairs at hamming ≤ 6, and apply the same
+    half-the-shorter-clip rollup."""
+    return f"""
+WITH {video_oracle_ctes(sf_dir)}
 SELECT m.vid1, m.vid2, m.matched_frames
 FROM matched m
 JOIN counts c1 ON c1.vid_id = m.vid1
@@ -462,6 +470,101 @@ WHERE 2 * m.matched_frames >= LEAST(c1.nf, c2.nf)
 """
 
 
+# --- groups → keepers (r11, executing the written r12 candidate #2) ----------
+
+
+def video_dedup_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resolve near-dup clip pairs into groups (the shared min-label
+    components) and keep the HIGHEST-FIDELITY member of each multi-
+    clip group: most frames first — the untrimmed original beats its
+    trimmed reupload, which is exactly the planted variant-2 shape —
+    then min vid_id. One row per group of size ≥ 2: (group_id,
+    keeper_id, group_size, keeper_frames, n_dropped). Same plan
+    contract as ``curation.dedup_canonical_keepers`` (components over
+    the blocked-join pair graph, bounded per-group keeper window)."""
+    from .dedup import propagate_min_labels
+
+    frames = barrier(
+        video_frame_hashes(spark, sf_dir),
+        "corpus",
+        "video frame-hash table",
+        eager=False,
+    )
+    counts = frames.groupBy("vid_id").agg(F.count(F.lit(1)).alias("nf"))
+    pairs = dedup_video_phash(spark, sf_dir).select("vid1", "vid2")
+    edges = barrier(
+        pairs.select(F.col("vid1").alias("src"), F.col("vid2").alias("dst"))
+        .union(
+            pairs.select(F.col("vid2").alias("src"), F.col("vid1").alias("dst"))
+        ),
+        "corpus",
+        "video pair-graph edges",
+    )
+    labels = propagate_min_labels(
+        counts.select(F.col("vid_id").alias("doc_id")), edges
+    ).select(F.col("doc_id").alias("vid_id"), "group_id")
+    sizes = labels.groupBy("group_id").agg(F.count("*").alias("group_size"))
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("group_id").orderBy(F.desc("nf"), F.asc("vid_id"))
+    return (
+        # corpus × corpus joins: pin SHUFFLE_HASH (r10 audit)
+        labels.join(counts.hint("shuffle_hash"), "vid_id")
+        .join(sizes.hint("shuffle_hash"), "group_id")
+        .where(F.col("group_size") >= 2)
+        .withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .select(
+            "group_id",
+            F.col("vid_id").alias("keeper_id"),
+            "group_size",
+            F.col("nf").cast("long").alias("keeper_frames"),
+            (F.col("group_size") - 1).cast("long").alias("n_dropped"),
+        )
+    )
+
+
+def video_keepers_oracle(sf_dir: str) -> str:
+    """Recursive-closure twin over the shared frame-hash pipeline:
+    same pair semantics, min-reachable labels, fidelity keeper."""
+    return f"""
+WITH RECURSIVE {video_oracle_ctes(sf_dir)},
+vpairs AS (
+  SELECT m.vid1, m.vid2
+  FROM matched m
+  JOIN counts c1 ON c1.vid_id = m.vid1
+  JOIN counts c2 ON c2.vid_id = m.vid2
+  WHERE 2 * m.matched_frames >= LEAST(c1.nf, c2.nf)
+),
+edges AS (
+  SELECT vid1 AS src, vid2 AS dst FROM vpairs
+  UNION ALL
+  SELECT vid2 AS src, vid1 AS dst FROM vpairs
+),
+reach(vid_id, r) AS (
+  SELECT vid_id, vid_id FROM dims
+  UNION
+  SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.vid_id
+),
+labels AS (SELECT vid_id, MIN(r) AS group_id FROM reach GROUP BY vid_id),
+sizes AS (SELECT group_id, COUNT(*) AS group_size FROM labels GROUP BY group_id),
+ranked AS (
+  SELECT l.group_id, l.vid_id, s.group_size, c.nf,
+         ROW_NUMBER() OVER (PARTITION BY l.group_id
+                            ORDER BY c.nf DESC, l.vid_id ASC) AS rk
+  FROM labels l
+  JOIN sizes s USING (group_id)
+  JOIN counts c USING (vid_id)
+  WHERE s.group_size >= 2
+)
+SELECT group_id, vid_id AS keeper_id, group_size,
+       CAST(nf AS BIGINT) AS keeper_frames,
+       CAST(group_size - 1 AS BIGINT) AS n_dropped
+FROM ranked WHERE rk = 1
+"""
+
+
 QUERIES = {
     "dedup_video_phash": (dedup_video_phash, video_phash_oracle),
+    "video_dedup_keepers": (video_dedup_keepers, video_keepers_oracle),
 }

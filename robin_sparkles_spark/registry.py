@@ -273,6 +273,8 @@ GATE_FRONT: tuple[str, ...] = (
     "dedup_video_phash",
     "docs_scrub_repeated_spans",
     "image_text_pair_curation",
+    "audio_dedup_keepers",
+    "video_dedup_keepers",
     # replanned / oracle-changed this round — must re-gate:
     # * warc_zstd_stats / warc_zstd_deep_stats — the declared hot path
     #   now decodes via libzstd (frame_span + pa.Codec), pure-Python
@@ -294,9 +296,11 @@ GATE_FRONT: tuple[str, ...] = (
     "ann_ivfpq_recall_at_k",
     "ann_opq_ivfpq_recall_at_k",
     # r7-last-green fill (the written r11 note), registry order; the
-    # last five names (vocab_typo_pairs, events_countmin_users,
-    # q15_top_supplier, q21_waiting_suppliers, orders_overlap_pairs)
-    # defer to the r12 fill — the window is full at 50
+    # last seven names (view_purchase_attribution,
+    # view_purchase_attribution_outer, vocab_typo_pairs,
+    # events_countmin_users, q15_top_supplier, q21_waiting_suppliers,
+    # orders_overlap_pairs) defer to the r12 fill — the window is
+    # full at 50
     "bpe_fertility_by_lang",
     "orders_custkey_hll",
     "users_hll_by_type",
@@ -331,14 +335,13 @@ GATE_FRONT: tuple[str, ...] = (
     "orders_asof_last_event",
     "events_props_map",
     "events_salted_type_join",
-    "view_purchase_attribution",
-    "view_purchase_attribution_outer",
 )
 # ROUND-12 ROTATION (write it at the start of r12): rotate out the 50
 # names above once CORRECTNESS_r11 comes back green. Fill order:
+# view_purchase_attribution + view_purchase_attribution_outer +
 # vocab_typo_pairs + events_countmin_users + q9_profit_by_nation_year
 # + q15_top_supplier + q21_waiting_suppliers + orders_overlap_pairs
-# (deferred from this window when the five new r11 queries took
+# (deferred from this window when the seven new r11 queries took
 # slots), then the oldest r8-last-green block in registry order;
 # plus, as always, anything whose plan or oracle changes in r12 and
 # any newly added queries.

@@ -113,3 +113,38 @@ def test_unrelated_clips_far_apart():
 def test_fingerprint_rejects_short_clip():
     with pytest.raises(ValueError, match="empty fingerprint frames"):
         AU.fingerprint_of_samples(np.arange(40))
+
+
+def test_keepers_prefer_fidelity_then_base(spark, sf_dir):
+    """audio_dedup_keepers: one keeper per multi-clip group; the
+    planted variants are length-identical to their base, so the
+    min-aud_id tie-break keeps the base everywhere; the header
+    arithmetic matches the real decoded sample count."""
+    import io
+    import wave
+
+    rows = AU.audio_dedup_keepers(spark, sf_dir).collect()
+    assert rows, "fixture must have dup groups"
+    n_base = (
+        spark.read.parquet(AU.stage_audio_corpus(spark, sf_dir))
+        .where("variant = 0")
+        .count()
+    )
+    expected_groups = sum(
+        1 for i in range(n_base) if i % 5 == 0 or i % 7 == 0
+    )
+    assert len(rows) == expected_groups
+    for r in rows:
+        assert r.keeper_id % 10 == 0, f"group {r.group_id}: non-base keeper"
+        i = r.keeper_id // 10
+        assert r.keeper_samples == AU._clip_len(i)
+        assert r.group_size == 2 + (1 if i % 35 == 0 else 0)
+    # header arithmetic == real decode on a sample payload
+    payload = (
+        spark.read.parquet(AU.stage_audio_corpus(spark, sf_dir))
+        .where("aud_id = 0")
+        .collect()[0]
+        .payload
+    )
+    with wave.open(io.BytesIO(bytes(payload))) as wf:
+        assert len(bytes(payload)) - AU._WAV_HEADER_BYTES == 2 * wf.getnframes()

@@ -335,10 +335,13 @@ _CORPUS_BARRIER_ALLOWLIST = {
     "image dhash table",
     "audio fingerprint table",
     "video frame-hash table",
-    # r11: the image-pair graph feeding components in
-    # image_text_pair_curation (two longs per near-dup pair — same
+    # r11: the media-pair graphs feeding components in
+    # image_text_pair_curation / audio_dedup_keepers /
+    # video_dedup_keepers (two longs per near-dup pair — same
     # contract as the text dedup pair-graph edges)
     "image pair-graph edges",
+    "audio pair-graph edges",
+    "video pair-graph edges",
     "dedup_groups memoized labels+sizes result",
     "copurchase capped order-items",
     "chunk-dedup per-chunk fingerprints",

@@ -122,3 +122,30 @@ def test_fid_encoding_rejects_overflow(spark, sf_dir):
     for i in (0, 8, 17):
         n, _w, _h = VD._clip_dims(i)
         assert n < VD.FID_STRIDE
+
+
+def test_keepers_prefer_untrimmed_original(spark, sf_dir):
+    """video_dedup_keepers: the fidelity policy (most frames, then
+    min vid_id) keeps the untrimmed BASE in every planted group —
+    the trimmed reupload always loses on frame count, the per-frame
+    perturbed variant on the tie-break."""
+    rows = VD.dedup_video_phash(spark, sf_dir)  # warm staging
+    keepers = VD.video_dedup_keepers(spark, sf_dir).collect()
+    assert keepers, "fixture must have dup groups"
+    n_base = (
+        spark.read.parquet(VD.stage_video_dedup_corpus(spark, sf_dir))
+        .where("variant = 0")
+        .count()
+    )
+    expected_groups = sum(
+        1 for i in range(n_base) if i % 5 == 0 or i % 7 == 0
+    )
+    assert len(keepers) == expected_groups
+    for r in keepers:
+        assert r.keeper_id % 10 == 0, f"group {r.group_id}: non-base keeper"
+        i = r.keeper_id // 10
+        n, _w, _h = VD._clip_dims(i)
+        assert r.keeper_frames == n
+        assert r.group_size == 1 + (1 if i % 5 == 0 else 0) + (
+            1 if i % 7 == 0 else 0
+        )
