@@ -140,9 +140,11 @@ EXTENDED = [
     # the r10 detector) and the image-text pair retention composition
     "docs_scrub_repeated_spans",
     "image_text_pair_curation",
-    # new r11: media groups→keepers (fidelity policy)
+    # new r11: media groups→keepers (fidelity policy) + the
+    # incremental batch-vs-index image dedup
     "audio_dedup_keepers",
     "video_dedup_keepers",
+    "dedup_image_incremental",
 ]
 
 

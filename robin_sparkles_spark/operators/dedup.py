@@ -570,35 +570,8 @@ def hamming_blocked_pairs(
 
     ``hashes`` must be materialization-safe for two join sides (pass
     it through a barrier when the hash derivation is expensive)."""
-    from itertools import combinations
-
-    m = len(widths)
-    n_clean = m - max_hamming
-    if n_clean < 1:
-        raise ValueError(
-            f"{m} chunks cannot pigeonhole hamming ≤ {max_hamming}"
-        )
-    offsets = [sum(widths[:i]) for i in range(m)]
-    docs = hashes.select(
-        F.col(id_col).alias("doc_id"), F.col(hash_col).alias("simhash")
-    )
-
-    combos = list(combinations(range(m), n_clean))
-
-    # Key = the hash MASKED to the combo's chunks: equality of the
-    # masked value ⟺ equality on every chunk in the subset, at ONE
-    # bitwiseAND per combo instead of packing chunk values into a
-    # dense key (measured 2.5× faster explode at m=10/sf1 — the
-    # packed form was clean·|combos| multiplies+adds per row).
-    combo_masks = [
-        sum(((1 << widths[c]) - 1) << offsets[c] for c in combo)
-        for combo in combos
-    ]
-    subset_keys = F.array(
-        *[F.col("simhash").bitwiseAND(F.lit(mk)) for mk in combo_masks]
-    )
-    blocked = docs.select(
-        "doc_id", "simhash", F.posexplode(subset_keys).alias("key_idx", "key")
+    combos, blocked = _blocked_explode(
+        hashes, widths, max_hamming, id_col, hash_col
     )
     # SHUFFLE_HASH, explicitly (r10): the blocked side is
     # corpus × C(m, m−k) rows, but Catalyst's size estimate is blind
@@ -623,15 +596,64 @@ def hamming_blocked_pairs(
         F.col("b.simhash").alias("sim2"),
         F.col("a.key_idx").alias("key_idx"),
     )
-    # Canonical-subset dedupe (r9): a qualifying pair matches on
-    # C(clean, m−k) subsets; instead of shuffling every candidate
-    # through a distinct(), keep the pair ONLY on its
-    # lexicographically-first clean subset — sorted subset S is first
-    # exactly when the clean chunks below max(S) are S \ {max(S)}:
-    #   clean_mask & (2^max(S) − 1) == bitmask(S \ {max(S)}).
-    # Pure per-row arithmetic on the XOR (no shuffle); identical
-    # output pairs (each exactly once). At corpus scale this removes
-    # a full shuffle of the candidate set.
+    return _canonical_verified(candidates, widths, combos, max_hamming, out_cols)
+
+
+def _blocked_explode(
+    hashes: DataFrame,
+    widths: tuple[int, ...],
+    max_hamming: int,
+    id_col: str,
+    hash_col: str,
+):
+    """(combos, exploded frame): each row fans out to its
+    C(m, m−max_hamming) (key_idx, key) subset-mask rows. Key = the
+    hash MASKED to the combo's chunks: equality of the masked value ⟺
+    equality on every chunk in the subset, at ONE bitwiseAND per
+    combo instead of packing chunk values into a dense key (measured
+    2.5× faster explode at m=10/sf1)."""
+    from itertools import combinations
+
+    m = len(widths)
+    n_clean = m - max_hamming
+    if n_clean < 1:
+        raise ValueError(
+            f"{m} chunks cannot pigeonhole hamming ≤ {max_hamming}"
+        )
+    offsets = [sum(widths[:i]) for i in range(m)]
+    docs = hashes.select(
+        F.col(id_col).alias("doc_id"), F.col(hash_col).alias("simhash")
+    )
+    combos = list(combinations(range(m), n_clean))
+    combo_masks = [
+        sum(((1 << widths[c]) - 1) << offsets[c] for c in combo)
+        for combo in combos
+    ]
+    subset_keys = F.array(
+        *[F.col("simhash").bitwiseAND(F.lit(mk)) for mk in combo_masks]
+    )
+    return combos, docs.select(
+        "doc_id", "simhash", F.posexplode(subset_keys).alias("key_idx", "key")
+    )
+
+
+def _canonical_verified(
+    candidates: DataFrame,
+    widths: tuple[int, ...],
+    combos,
+    max_hamming: int,
+    out_cols: tuple[str, str, str],
+) -> DataFrame:
+    """Canonical-subset dedupe (r9) + hamming verify: a qualifying
+    pair matches on C(clean, m−k) subsets; instead of shuffling every
+    candidate through a distinct(), keep the pair ONLY on its
+    lexicographically-first clean subset — sorted subset S is first
+    exactly when the clean chunks below max(S) are S \\ {max(S)}:
+    clean_mask & (2^max(S) − 1) == bitmask(S \\ {max(S)}). Pure
+    per-row arithmetic on the XOR (no shuffle); identical output
+    pairs (each exactly once)."""
+    m = len(widths)
+    offsets = [sum(widths[:i]) for i in range(m)]
     xor = F.col("sim1").bitwiseXOR(F.col("sim2"))
     clean_mask = sum(
         (
@@ -659,6 +681,46 @@ def hamming_blocked_pairs(
         F.col("doc2").alias(out_cols[1]),
         hamming.alias(out_cols[2]),
     ).where(F.col(out_cols[2]) <= max_hamming)
+
+
+def hamming_blocked_pairs_between(
+    left: DataFrame,
+    right: DataFrame,
+    widths: tuple[int, ...],
+    max_hamming: int,
+    *,
+    id_col: str = "doc_id",
+    hash_col: str = "simhash",
+    out_cols: tuple[str, str, str] = ("doc1", "doc2", "hamming"),
+) -> DataFrame:
+    """The INCREMENTAL variant of :func:`hamming_blocked_pairs`: left
+    (a new batch) against right (the persisted index) — ids must be
+    DISJOINT sets. Only the two inputs' own rows explode (the batch
+    never pays a corpus×corpus candidate term), the join is the same
+    pigeonhole equi-join, and the canonical-subset filter plays
+    unchanged (it only looks at the XOR). Output: one row per
+    qualifying (left_id, right_id) pair."""
+    combos, lb = _blocked_explode(left, widths, max_hamming, id_col, hash_col)
+    _, rb = _blocked_explode(right, widths, max_hamming, id_col, hash_col)
+    # batch × corpus join: pin SHUFFLE_HASH (r10 audit — post-explode
+    # size estimates must never pick the broadcast)
+    candidates = (
+        lb.alias("a")
+        .hint("shuffle_hash")
+        .join(
+            rb.alias("b"),
+            (F.col("a.key_idx") == F.col("b.key_idx"))
+            & (F.col("a.key") == F.col("b.key")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc1"),
+            F.col("b.doc_id").alias("doc2"),
+            F.col("a.simhash").alias("sim1"),
+            F.col("b.simhash").alias("sim2"),
+            F.col("a.key_idx").alias("key_idx"),
+        )
+    )
+    return _canonical_verified(candidates, widths, combos, max_hamming, out_cols)
 
 
 def dedup_simhash_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -119,3 +119,30 @@ def test_dhash_rejects_degenerate_grid():
     tiny = np.zeros((3, 4, 3), np.int64)
     with pytest.raises(ValueError, match="empty dHash grid"):
         I.dhash_of_pixels(tiny)
+
+
+def test_incremental_matches_planted_structure(spark, sf_dir):
+    """dedup_image_incremental: variants of indexed families match
+    their base (perturbed at 1..6, PNG re-encode at 0); everything in
+    a % 4 == 3 family is genuinely new vs the index (its base is not
+    indexed, and within-batch dups are out of contract)."""
+    rows = {
+        r.img_id: r
+        for r in I.dedup_image_incremental(spark, sf_dir).collect()
+    }
+    assert rows
+    for img_id, r in rows.items():
+        fam, v = img_id // 10, img_id % 10
+        if fam % 4 == 3:
+            assert not r.is_dup and r.dup_of == -1 and r.hamming == -1, (
+                f"new-family item {img_id} wrongly matched {r.dup_of}"
+            )
+        else:
+            assert v != 0, "index items must not appear in the batch"
+            assert r.is_dup and r.dup_of == fam * 10, (
+                f"re-upload {img_id} missed its base"
+            )
+            if v == 2:
+                assert r.hamming == 0  # PNG re-encode: format-invariant
+            else:
+                assert 0 <= r.hamming <= I.IMAGE_MAX_HAMMING
