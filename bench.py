@@ -145,6 +145,7 @@ EXTENDED = [
     "audio_dedup_keepers",
     "video_dedup_keepers",
     "dedup_image_incremental",
+    "dedup_video_phash_strided",
 ]
 
 

@@ -564,7 +564,67 @@ FROM ranked WHERE rk = 1
 """
 
 
+# --- strided sampling variant (r11, executing the written r12
+# candidate #5): the fps-budget trade-off, measured not claimed ------------
+
+VIDEO_STRIDE = 2
+
+
+def dedup_video_phash_strided(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`dedup_video_phash` under a stride-2 frame budget (hash every
+    2nd container frame — the production fps-sampling dial). The
+    trade-off is structural and this query DOCUMENTS it in data: the
+    per-frame perturbed copies still match (perturbations ride the
+    same container positions), but the trimmed reupload becomes
+    INVISIBLE — its content sits at container offset −1, so stride-2
+    sampling sees disjoint content frames (odd vs even) and zero
+    matches. Production picks stride by how much of the
+    trim/temporal-shift recall it is willing to sell for a 1/stride
+    decode+index budget; stride 1 (the declared default above) keeps
+    it all."""
+    frames = barrier(
+        video_frame_hashes(spark, sf_dir, stride=VIDEO_STRIDE),
+        "corpus",
+        "video frame-hash table",
+        eager=False,
+    )
+    n_frames_total = frames.count()
+    frame_pairs = hamming_blocked_pairs(
+        frames,
+        _video_block_widths(n_frames_total),
+        FRAME_MAX_HAMMING,
+        id_col="fid",
+        hash_col="fhash",
+        out_cols=("fid1", "fid2", "hamming"),
+    )
+    counts = frames.groupBy("vid_id").agg(F.count(F.lit(1)).alias("n_frames"))
+    return _with_min_frames(_clip_pairs_from_frame_pairs(frame_pairs), counts)
+
+
+def video_strided_oracle(sf_dir: str) -> str:
+    """The pair oracle with container positions filtered to the
+    stride (content indices shift first for the trimmed variant, so
+    the filter applies to f — the CONTAINER index — exactly like the
+    kernel's ``frame % stride`` gate)."""
+    ctes = video_oracle_ctes(sf_dir).replace(
+        "WHERE f.range < d.nf",
+        f"WHERE f.range < d.nf AND f.range % {VIDEO_STRIDE} = 0",
+    )
+    return f"""
+WITH {ctes}
+SELECT m.vid1, m.vid2, m.matched_frames
+FROM matched m
+JOIN counts c1 ON c1.vid_id = m.vid1
+JOIN counts c2 ON c2.vid_id = m.vid2
+WHERE 2 * m.matched_frames >= LEAST(c1.nf, c2.nf)
+"""
+
+
 QUERIES = {
     "dedup_video_phash": (dedup_video_phash, video_phash_oracle),
     "video_dedup_keepers": (video_dedup_keepers, video_keepers_oracle),
+    "dedup_video_phash_strided": (
+        dedup_video_phash_strided,
+        video_strided_oracle,
+    ),
 }

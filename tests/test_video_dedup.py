@@ -149,3 +149,25 @@ def test_keepers_prefer_untrimmed_original(spark, sf_dir):
         assert r.group_size == 1 + (1 if i % 5 == 0 else 0) + (
             1 if i % 7 == 0 else 0
         )
+
+
+def test_strided_sampling_trades_trim_recall(spark, sf_dir):
+    """Stride 2 keeps every perturbed pair (same container positions)
+    and loses every trimmed pair (offset −1 → disjoint sampled
+    content) — the fps-budget trade-off, asserted in data."""
+    got = {
+        (a, b) for a, b, _m in _pairs(VD.dedup_video_phash_strided(spark, sf_dir))
+    }
+    n_base = (
+        spark.read.parquet(VD.stage_video_dedup_corpus(spark, sf_dir))
+        .where("variant = 0")
+        .count()
+    )
+    for i in range(n_base):
+        if i % 5 == 0:
+            assert (i * 10, i * 10 + 1) in got, f"perturbed {i} lost"
+        if i % 7 == 0:
+            assert (i * 10, i * 10 + 2) not in got, (
+                f"trimmed {i} should be invisible at stride 2"
+            )
+    assert len(got) == sum(1 for i in range(n_base) if i % 5 == 0)
