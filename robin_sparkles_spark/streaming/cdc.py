@@ -94,16 +94,25 @@ def apply_changes(spark: SparkSession, state_path: str, batch: DataFrame) -> Non
     last-writer-wins, silently dropping one batch. This matches the
     Structured Streaming execution model (one query = one sequential
     micro-batch applier per state path, which is how ``stream_upsert``
-    drives it); exactly-once holds under that model only. The guard
-    below fails fast if a racing writer already claimed v(n+1)."""
+    drives it); exactly-once holds under that model only.
+
+    RETRY RECOVERY (late r11; the first guard here RAISED on an
+    existing v(n+1), and the full-suite run caught it failing a real
+    foreachBatch retry): the marker flip is the COMMIT POINT, so a
+    v(n+1) directory that exists while the marker still names v(n) is
+    by definition the debris of a crashed or retried attempt under the
+    single-writer contract — Structured Streaming re-invokes
+    foreachBatch for a failed micro-batch, and refusing the retry
+    turns transient failures into permanent ones. The stale partial is
+    removed and rewritten (idempotent: same inputs → same snapshot).
+    Two live CONCURRENT writers remain out of contract — that cannot
+    be distinguished from crash debris without leases, which is why
+    the contract is documented rather than locked."""
     n = _latest_snapshot(state_path)
     claimed = os.path.join(state_path, f"v{0 if n is None else n + 1}")
     if os.path.exists(claimed):
-        raise RuntimeError(
-            f"snapshot {claimed} already exists — a concurrent writer "
-            "violated the single-writer contract (or a crashed apply "
-            "left an unflipped snapshot; remove it to recover)"
-        )
+        # unflipped ⇒ uncommitted ⇒ crash/retry debris (see docstring)
+        shutil.rmtree(claimed, ignore_errors=True)
     merged = latest_wins(read_state(spark, state_path).unionByName(batch))
     live = merged.where(~F.col("deleted"))
     nxt = 0 if n is None else n + 1

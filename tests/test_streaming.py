@@ -296,3 +296,34 @@ def test_streaming_cdc_upsert_exactly_once(spark, tmp_path):
         for r in cdc.read_state(spark, state).collect()
     }
     assert again == want
+
+
+def test_cdc_apply_recovers_from_crashed_attempt(spark, tmp_path):
+    """A v(n+1) directory without a marker flip is crash/retry debris
+    (the marker IS the commit point); apply_changes must remove it and
+    succeed — Structured Streaming re-invokes foreachBatch on retry,
+    and the first r11 guard wrongly turned that into a hard failure
+    (caught by the full-suite run)."""
+    import os
+
+    from robin_sparkles_spark.streaming import cdc
+
+    state = str(tmp_path / "state")
+    os.makedirs(state, exist_ok=True)
+    b1 = spark.createDataFrame(
+        [(1, 1, 1.0, False), (2, 1, 2.0, False)], cdc.CHANGES_SCHEMA
+    )
+    cdc.apply_changes(spark, state, b1)  # commits v0
+    # simulate a crashed second apply: partial v1, marker still at v0
+    crashed = os.path.join(state, "v1")
+    os.makedirs(crashed)
+    with open(os.path.join(crashed, "part-junk.parquet"), "wb") as fh:
+        fh.write(b"not parquet")
+    b2 = spark.createDataFrame(
+        [(2, 2, 2.5, False), (3, 1, 3.0, False)], cdc.CHANGES_SCHEMA
+    )
+    cdc.apply_changes(spark, state, b2)  # the retry must succeed
+    got = {
+        r.key: r.value for r in cdc.read_state(spark, state).collect()
+    }
+    assert got == {1: 1.0, 2: 2.5, 3: 3.0}
