@@ -146,3 +146,49 @@ def test_incremental_matches_planted_structure(spark, sf_dir):
                 assert r.hamming == 0  # PNG re-encode: format-invariant
             else:
                 assert 0 <= r.hamming <= I.IMAGE_MAX_HAMMING
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+import numpy as np
+
+
+@st.composite
+def _gray_images(draw):
+    w = draw(st.integers(min_value=9, max_value=40))
+    h = draw(st.integers(min_value=8, max_value=30))
+    seed = draw(st.integers(min_value=0, max_value=2**31 - 1))
+    rng = np.random.default_rng(seed)
+    return rng.integers(0, 256, size=(h, w), dtype=np.int64)
+
+
+@settings(max_examples=40, deadline=None)
+@given(_gray_images(), st.integers(min_value=1, max_value=9),
+       st.integers(min_value=0, max_value=500))
+def test_dhash_illumination_invariance(gray, gain, offset):
+    """dHash's comparisons are cross-multiplied cell means, so they
+    are structurally invariant to any positive gain and any uniform
+    brightness offset — the documented perceptual-hash property
+    (illumination changes must not defeat near-dup detection)."""
+    base = I.dhash_of_gray(gray)
+    assert I.dhash_of_gray(gray * gain) == base
+    assert I.dhash_of_gray(gray + offset) == base
+    assert I.dhash_of_gray(gray * gain + offset) == base
+
+
+@settings(max_examples=40, deadline=None)
+@given(_gray_images())
+def test_dhash_row_permutation_changes_hash(gray):
+    """Sanity against a degenerate kernel: a content change (vertical
+    flip of a non-symmetric image) must generally move the hash —
+    dHash is not a constant function of dims."""
+    flipped = gray[::-1].copy()
+    if np.array_equal(flipped, gray):
+        return
+    # not asserted unequal per-example (flips CAN collide; a uniform
+    # x-gradient image is flip-invariant by construction); assert on
+    # a deterministic unstructured concrete case instead
+    px = np.random.default_rng(7).integers(
+        0, 256, size=(12, 18), dtype=np.int64
+    )
+    assert I.dhash_of_gray(px[::-1].copy()) != I.dhash_of_gray(px)
