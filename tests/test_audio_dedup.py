@@ -148,3 +148,23 @@ def test_keepers_prefer_fidelity_then_base(spark, sf_dir):
     )
     with wave.open(io.BytesIO(bytes(payload))) as wf:
         assert len(bytes(payload)) - AU._WAV_HEADER_BYTES == 2 * wf.getnframes()
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.integers(min_value=0, max_value=2**31 - 1),
+    st.integers(min_value=64, max_value=400),
+    st.integers(min_value=1, max_value=12),
+)
+def test_fingerprint_gain_invariance_property(seed, n, gain):
+    """Loudness invariance over ARBITRARY clips, not just the planted
+    formula: energies scale by gain² on both sides of every
+    cross-multiplied comparison (int64-safe: |s| ≤ 2000·12, squared
+    and summed ≪ 2⁶³)."""
+    rng = np.random.default_rng(seed)
+    s = rng.integers(-2000, 2001, size=n).astype(np.int64)
+    assert AU.fingerprint_of_samples(s * gain) == AU.fingerprint_of_samples(s)
