@@ -168,3 +168,38 @@ def test_fingerprint_gain_invariance_property(seed, n, gain):
     rng = np.random.default_rng(seed)
     s = rng.integers(-2000, 2001, size=n).astype(np.int64)
     assert AU.fingerprint_of_samples(s * gain) == AU.fingerprint_of_samples(s)
+
+
+def test_incremental_composition_two_lines(spark, sf_dir):
+    """The SURVEY claim that audio's incremental twin is a two-line
+    composition, proven: batch = variants, index = bases, through
+    hamming_blocked_pairs_between — every variant finds its base
+    (gain copies at hamming 0), and no index×index pair appears."""
+    from pyspark.sql import functions as F
+
+    from robin_sparkles_spark.operators.dedup import (
+        hamming_blocked_pairs_between,
+    )
+
+    fps = AU.audio_fingerprints(spark, sf_dir).localCheckpoint()
+    matches = hamming_blocked_pairs_between(
+        fps.where(F.col("aud_id") % 10 != 0),
+        fps.where(F.col("aud_id") % 10 == 0),
+        AU.AUDIO_BLOCK_CONFIGS[-1][1],
+        AU.AUDIO_MAX_HAMMING,
+        id_col="aud_id",
+        hash_col="fp",
+        out_cols=("new_id", "index_id", "hamming"),
+    ).collect()
+    got = {(r.new_id, r.index_id): r.hamming for r in matches}
+    n = (
+        spark.read.parquet(AU.stage_audio_corpus(spark, sf_dir))
+        .where("variant = 0")
+        .count()
+    )
+    for i in range(n):
+        if i % 5 == 0:
+            assert (i * 10 + 1, i * 10) in got
+        if i % 7 == 0:
+            assert got.get((i * 10 + 2, i * 10)) == 0
+    assert all(new % 10 != 0 and idx % 10 == 0 for new, idx in got)
