@@ -146,6 +146,8 @@ EXTENDED = [
     "video_dedup_keepers",
     "dedup_image_incremental",
     "dedup_video_phash_strided",
+    # new r11: exact-integer water-filling budget allocation
+    "source_waterfill_allocation",
 ]
 
 

@@ -756,9 +756,132 @@ WHERE c.cum_before < m.budget_tokens
 """
 
 
+# --- water-filling source allocation (r11) -----------------------------------
+#
+# The CAP-aware complement of the τ-temperature table: given a total
+# token budget B, give every source an equal share λ except sources
+# too small to use theirs — they keep everything, and their unused
+# budget raises λ for the rest. That is water-filling, and despite
+# looking iterative it has a CLOSED FORM over the sources sorted
+# ascending by size: j* = max j with P_j + (k−j)·t_j ≤ B (P = running
+# sum) is the uncapped prefix; the rest split R = B − P_{j*} as
+# base = R div (k−j*) with the first R mod (k−j*) of them getting one
+# extra token, so Σ alloc == B EXACTLY in integers (no float water
+# level — engine-exact). Correctness guard: maximality of j* gives
+# t_{j*+1}·(k−j*) > R, hence base+1 ≤ t_{j*+1} — a capped source is
+# never allocated more than it has.
+#
+# Plan: the mixing table is a per-source aggregate (tiny by
+# definition), made PLAN-VISIBLY bounded through
+# orderBy().limit(MAX_MIX_SOURCES) → TakeOrderedAndProject, which is
+# exactly the bound the unbounded-window CI rule requires before the
+# rank/running-sum window; the two 1-row scalars (k/total, j*/P_j*)
+# ride sanctioned broadcast crossJoins.
+
+WATERFILL_BUDGET_PCT = 60  # B = (total_tokens · 60) div 100
+MAX_MIX_SOURCES = 100_000
+
+
+def source_waterfill_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(source, tokens, alloc_tokens, capped): the exact-integer
+    water-filling split of a 60%-of-corpus token budget across
+    sources (see the block comment for the closed form)."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "source", _n_words().alias("n_words")
+    )
+    per = d.groupBy("source").agg(
+        F.sum("n_words").cast("long").alias("tokens")
+    )
+    bounded = per.orderBy("tokens", "source").limit(MAX_MIX_SOURCES)
+    w = W.orderBy("tokens", "source")
+    ranked = bounded.select(
+        "source",
+        "tokens",
+        F.row_number().over(w).alias("r"),
+        F.sum("tokens").over(w).alias("p"),
+    )
+    tot = bounded.agg(
+        F.count("*").alias("k"), F.sum("tokens").cast("long").alias("total")
+    )
+    flags = ranked.crossJoin(F.broadcast(tot)).withColumn(
+        "budget", F.expr(f"(total * {WATERFILL_BUDGET_PCT}) div 100")
+    )
+    uncapped = (
+        F.col("p") + (F.col("k") - F.col("r")) * F.col("tokens")
+        <= F.col("budget")
+    )
+    jstar = flags.agg(
+        F.coalesce(F.max(F.when(uncapped, F.col("r"))), F.lit(0)).alias(
+            "jstar"
+        ),
+        F.coalesce(F.max(F.when(uncapped, F.col("p"))), F.lit(0))
+        .cast("long")
+        .alias("pjs"),
+    )
+    out = flags.crossJoin(F.broadcast(jstar)).select(
+        "source",
+        "tokens",
+        F.when(F.col("r") <= F.col("jstar"), F.col("tokens"))
+        .otherwise(
+            F.expr("(budget - pjs) div (k - jstar)")
+            + F.when(
+                F.col("r") - F.col("jstar")
+                <= F.expr("(budget - pjs) % (k - jstar)"),
+                F.lit(1),
+            ).otherwise(F.lit(0))
+        )
+        .cast("long")
+        .alias("alloc_tokens"),
+        (F.col("r") > F.col("jstar")).alias("capped"),
+    )
+    return out
+
+
+WATERFILL_SQL = f"""
+WITH per AS (
+  SELECT source,
+         CAST(SUM(len({ws_tokens_sql()})) AS BIGINT) AS tokens
+  FROM documents GROUP BY source
+),
+ranked AS (
+  SELECT source, tokens,
+         ROW_NUMBER() OVER (ORDER BY tokens, source) AS r,
+         SUM(tokens) OVER (ORDER BY tokens, source
+                           ROWS UNBOUNDED PRECEDING) AS p
+  FROM per
+),
+tot AS (SELECT COUNT(*) AS k, SUM(tokens) AS total FROM per),
+flags AS (
+  SELECT ranked.*, tot.k,
+         (tot.total * {WATERFILL_BUDGET_PCT}) // 100 AS budget,
+         ranked.p + (tot.k - ranked.r) * ranked.tokens
+           <= (tot.total * {WATERFILL_BUDGET_PCT}) // 100 AS uncapped
+  FROM ranked CROSS JOIN tot
+),
+js AS (
+  SELECT COALESCE(MAX(CASE WHEN uncapped THEN r END), 0) AS jstar,
+         COALESCE(MAX(CASE WHEN uncapped THEN p END), 0) AS pjs
+  FROM flags
+)
+SELECT f.source, f.tokens,
+       CAST(CASE WHEN f.r <= js.jstar THEN f.tokens
+            ELSE (f.budget - js.pjs) // (f.k - js.jstar)
+                 + CASE WHEN f.r - js.jstar
+                             <= (f.budget - js.pjs) % (f.k - js.jstar)
+                        THEN 1 ELSE 0 END
+       END AS BIGINT) AS alloc_tokens,
+       f.r > js.jstar AS capped
+FROM flags f CROSS JOIN js
+"""
+
+
 QUERIES: dict = {}
 
 QUERIES_TAIL = {
+    "source_waterfill_allocation": (
+        source_waterfill_allocation,
+        WATERFILL_SQL,
+    ),
     "source_mixture": (source_mixture, SOURCE_MIXTURE_SQL),
     "padding_waste_by_bucket": (padding_waste_by_bucket, _padding_sql()),
     "docs_balanced_sample": (docs_balanced_sample, _balanced_sql()),

@@ -277,6 +277,7 @@ GATE_FRONT: tuple[str, ...] = (
     "video_dedup_keepers",
     "dedup_image_incremental",
     "dedup_video_phash_strided",
+    "source_waterfill_allocation",
     # replanned / oracle-changed this round — must re-gate:
     # * warc_zstd_stats / warc_zstd_deep_stats — the declared hot path
     #   now decodes via libzstd (frame_span + pa.Codec), pure-Python
@@ -298,11 +299,12 @@ GATE_FRONT: tuple[str, ...] = (
     "ann_ivfpq_recall_at_k",
     "ann_opq_ivfpq_recall_at_k",
     # r7-last-green fill (the written r11 note), registry order; the
-    # last nine names (events_props_map, events_salted_type_join,
-    # view_purchase_attribution, view_purchase_attribution_outer,
-    # vocab_typo_pairs, events_countmin_users, q15_top_supplier,
-    # q21_waiting_suppliers, orders_overlap_pairs) defer to the r12
-    # fill — the window is full at 50
+    # last ten names (orders_asof_last_event, events_props_map,
+    # events_salted_type_join, view_purchase_attribution,
+    # view_purchase_attribution_outer, vocab_typo_pairs,
+    # events_countmin_users, q15_top_supplier, q21_waiting_suppliers,
+    # orders_overlap_pairs) defer to the r12 fill — the window is
+    # full at 50
     "bpe_fertility_by_lang",
     "orders_custkey_hll",
     "users_hll_by_type",
@@ -334,15 +336,14 @@ GATE_FRONT: tuple[str, ...] = (
     "events_json_extract",
     "events_user_stats",
     "events_argmax",
-    "orders_asof_last_event",
 )
 # ROUND-12 ROTATION (write it at the start of r12): rotate out the 50
 # names above once CORRECTNESS_r11 comes back green. Fill order:
-# events_props_map + events_salted_type_join +
-# view_purchase_attribution + view_purchase_attribution_outer +
+# orders_asof_last_event + events_props_map + events_salted_type_join
+# + view_purchase_attribution + view_purchase_attribution_outer +
 # vocab_typo_pairs + events_countmin_users + q9_profit_by_nation_year
 # + q15_top_supplier + q21_waiting_suppliers + orders_overlap_pairs
-# (deferred from this window when the nine new r11 queries took
+# (deferred from this window when the ten new r11 queries took
 # slots), then the oldest r8-last-green block in registry order;
 # plus, as always, anything whose plan or oracle changes in r12 and
 # any newly added queries.

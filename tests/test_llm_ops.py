@@ -829,3 +829,31 @@ def test_dsir_importance_separates_target_from_raw(spark, sf_dir):
         got = e * cu.DSIR_LOG_SCALE + cu._DSIR_LOG2_LUT[m]
         want = math.log2(q) * cu.DSIR_LOG_SCALE
         assert abs(got - want) <= 0.0224 * cu.DSIR_LOG_SCALE + 1, (q, got, want)
+
+
+def test_waterfill_exactness_properties(spark, sf_dir):
+    """source_waterfill_allocation is an exact integer solver: the
+    allocations sum to the budget EXACTLY, no source exceeds its own
+    tokens, uncapped sources keep everything, and capped sources sit
+    within one token of a common water level that is at least every
+    uncapped source's size (the defining water-filling shape)."""
+    from robin_sparkles_spark.operators.llm_prep import (
+        WATERFILL_BUDGET_PCT,
+        source_waterfill_allocation,
+    )
+
+    rows = source_waterfill_allocation(spark, sf_dir).collect()
+    assert rows
+    total = sum(r.tokens for r in rows)
+    budget = total * WATERFILL_BUDGET_PCT // 100
+    assert sum(r.alloc_tokens for r in rows) == budget
+    for r in rows:
+        assert 0 <= r.alloc_tokens <= r.tokens
+        if not r.capped:
+            assert r.alloc_tokens == r.tokens
+    capped = [r.alloc_tokens for r in rows if r.capped]
+    uncapped = [r.tokens for r in rows if not r.capped]
+    assert capped, "a 60% budget must cap something on this fixture"
+    assert max(capped) - min(capped) <= 1  # one common water level
+    if uncapped:
+        assert min(capped) >= max(uncapped)

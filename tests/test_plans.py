@@ -245,6 +245,7 @@ _BNL_ALLOWED = {
     "ngram_lm_score",  # scalar shape: 1-row vocab size V into the smoother
     "ngram_backoff_score",  # scalar shape: 1-row token total N
     "image_text_pair_curation",  # scalar shape: 1-row n_base into pairing
+    "source_waterfill_allocation",  # two 1-row scalars (k/total, j*/P_j*)
 }
 
 
