@@ -148,6 +148,10 @@ EXTENDED = [
     "dedup_video_phash_strided",
     # new r11: exact-integer water-filling budget allocation
     "source_waterfill_allocation",
+    # late r11: streaming-ingest batch twin (stream-legal agg plan)
+    # and the 63-bit wide simhash (32-bit noise-floor fix)
+    "dedup_image_stream_ingest",
+    "dedup_simhash_wide",
 ]
 
 

@@ -78,9 +78,9 @@ SIMHASH_MAX_HAMMING = 5
 #
 # A 32-bit fingerprint at hamming ≤ 5 saturates around there (the
 # clean subsets can never carry more than bits − k·width bits); the
-# documented next lever for 10⁹+ docs is a wider fingerprint — see
-# ``dedup_simhash64`` (Manku WWW'07 parameters) with the SAME
-# blocking machinery.
+# next lever for 10⁹+ docs is the wider fingerprint — SHIPPED late
+# r11 as ``dedup_simhash_wide`` (63 bits, Manku WWW'07 shape, same
+# blocking machinery; see its constants block below).
 # Thresholds from the r10 measurement campaign (BASELINE.md): with
 # the SHUFFLE_HASH self-join (the r10 fix — Catalyst's size estimate
 # is blind to the explode factor and silently broadcast the blocked
@@ -723,6 +723,161 @@ def hamming_blocked_pairs_between(
     return _canonical_verified(candidates, widths, combos, max_hamming, out_cols)
 
 
+# --- wide (63-bit) simhash: the production-scale precision form -------------
+#
+# The sf1 fixture-decorrelation audit (late r11) measured the 32-bit
+# form's RANDOM-collision floor directly: independent 32-bit hashes
+# land within hamming ≤ 5 at ~5.7e-5/pair binomial (~1.9× that on
+# real text — biased bits raise agreement), so random pairs grow as
+# N²·p — ~700 at 5k docs, noise-dominated well before 1M. The 32-bit
+# width stays declared (classic Charikar form, reference-parity
+# width, fixture-scale semantics); THIS is the twin a 100 TB corpus
+# runs: 63 bits (not 64 — 1<<63 overflows signed BIGINT in both
+# engines, the dHash lesson) drops the floor to P ≈ 8.3e-13/pair —
+# zero expected noise past 10⁹ docs.
+#
+# Feature bits: shingle hashes are mod-2³¹−1 (31 informative bits),
+# so each shingle is REHASHED to 63 bits via md5 — bits 0-59 from the
+# first 15 hex chars, bits 60-62 from the 16th (exact BIGINT
+# arithmetic, engine-identical: cross-checked Spark conv vs DuckDB
+# 0x-cast on literals). At hamming ≤ 5 over 63 bits the per-bit flip
+# budget is ~half the 32-bit form's, so this form keeps the
+# HIGH-similarity core (the J ≳ 0.9 re-crawls/mirrors web dedup
+# targets — Manku's regime) and cedes the moderate 0.8-0.9 band to
+# the exact-Jaccard paths (minhash/ngram verify set overlap, which
+# has no random floor). Recall vs the exact-Jaccard ≥ 0.8 truth is
+# MEASURED in pytest, not assumed.
+#
+# Blocking: the shared pigeonhole machinery, k=5 → C(m, m−5)
+# subsets; key_bits ∝ log₂N (the same sizing law):
+#   m=8 (8/7-bit chunks): 56 keys/doc, ≥23-bit keys → coll ∝ N²·3.3e-6
+#   m=9 (7-bit chunks):  126 keys/doc, ≥28-bit keys → coll ∝ N²·2.3e-7
+SIMHASH_WIDE_BITS = 63
+SIMHASH_WIDE_MAX_HAMMING = 5
+SIMHASH_WIDE_BLOCK_CONFIGS: tuple[tuple[int | None, tuple[int, ...]], ...] = (
+    (3_000_000, (8, 8, 8, 8, 8, 8, 8, 7)),
+    (None, (7, 7, 7, 7, 7, 7, 7, 7, 7)),
+)
+assert all(sum(w) == SIMHASH_WIDE_BITS for _, w in SIMHASH_WIDE_BLOCK_CONFIGS)
+
+_TWO_60 = 1 << 60
+
+
+def _wide_simhash_block_widths(n_docs: int) -> tuple[int, ...]:
+    for ceiling, widths in SIMHASH_WIDE_BLOCK_CONFIGS:
+        if ceiling is None or n_docs <= ceiling:
+            return widths
+    raise AssertionError("unreachable: last config has no ceiling")
+
+
+def _wide_feature(h: F.Column) -> F.Column:
+    """63-bit md5 rehash of a shingle hash — engine-exact BIGINT."""
+    d = F.md5(h.cast("string"))
+    return (
+        F.conv(F.substring(d, 1, 15), 16, 10).cast("long")
+        + (F.conv(F.substring(d, 16, 1), 16, 10).cast("long") % 8)
+        * F.lit(_TWO_60)
+    )
+
+
+def simhash_wide_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """63-bit SimHash over md5-rehashed shingle features — the same
+    one-shuffle conditional-sum aggregate shape as
+    :func:`simhash_docs`, 63 sums instead of 32."""
+    rows = _shingle_rows(spark, sf_dir).select(
+        "doc_id", _wide_feature(F.col("h")).alias("hw")
+    )
+    bit_sums = [
+        F.sum(
+            2 * (F.shiftright(F.col("hw"), j).bitwiseAND(F.lit(1))) - 1
+        ).alias(f"b{j}")
+        for j in range(SIMHASH_WIDE_BITS)
+    ]
+    packed = sum(
+        (F.col(f"b{j}") > 0).cast("long") * F.lit(1 << j)
+        for j in range(SIMHASH_WIDE_BITS)
+    )
+    return (
+        rows.groupBy("doc_id")
+        .agg(*bit_sums)
+        .select("doc_id", packed.alias("simhash"))
+    )
+
+
+def dedup_simhash_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs with Hamming(63-bit simhash) ≤ 5 — the
+    production-precision twin of :func:`dedup_simhash` (see the
+    constants block above for the noise-floor arithmetic that
+    motivates it). Identical plan shape: one materialized hash table
+    (barrier — the 63-sum aggregate is the expensive stage) feeding
+    the SHUFFLE_HASH-pinned pigeonhole self-join, widths adaptive in
+    the corpus count."""
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    docs = barrier(
+        simhash_wide_docs(spark, sf_dir),
+        "corpus",
+        "wide simhash table",
+        eager=False,
+    )
+    return hamming_blocked_pairs(
+        docs, _wide_simhash_block_widths(n_docs), SIMHASH_WIDE_MAX_HAMMING
+    )
+
+
+def dedup_simhash_wide_bruteforce(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """All-pairs hamming scan — pytest-only ground truth for the
+    blocked form; never declared."""
+    docs = simhash_wide_docs(spark, sf_dir)
+    a, b = docs.alias("a"), docs.alias("b")
+    hamming = F.bit_count(
+        F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+    ).cast("long")
+    return (
+        a.join(F.broadcast(b), F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc1"),
+            F.col("b.doc_id").alias("doc2"),
+            hamming.alias("hamming"),
+        )
+        .where(F.col("hamming") <= SIMHASH_WIDE_MAX_HAMMING)
+    )
+
+
+# DuckDB twin: identical rehash (0x-cast of md5 substrings — literal-
+# cross-checked vs Spark's conv), identical 63-bit packing, brute-
+# force pair scan.
+_WIDE_FEATURE_SQL = (
+    "CAST(concat('0x', substr(md5(CAST(h AS VARCHAR)), 1, 15)) AS BIGINT)"
+    " + (CAST(concat('0x', substr(md5(CAST(h AS VARCHAR)), 16, 1)) AS BIGINT) % 8)"
+    f" * {_TWO_60}"
+)
+
+_SIMHASH_WIDE_SQL = f"""
+  list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(generate_series(0, {SIMHASH_WIDE_BITS - 1}), k -> CAST({SIMHASH_WIDE_BITS - 1} AS BIGINT) - k)),
+    (acc, j) -> acc * 2 + (CASE WHEN
+      list_reduce(list_prepend(CAST(0 AS BIGINT), shw),
+        (a3, h) -> a3 + 2 * ((h >> j) & 1) - 1
+      ) > 0 THEN 1 ELSE 0 END)
+  )
+"""
+
+DEDUP_SIMHASH_WIDE_SQL = f"""
+WITH base AS ({_DOCS_SHINGLES_SQL}),
+wide AS (
+  SELECT doc_id,
+         list_transform(sh, h -> {_WIDE_FEATURE_SQL}) AS shw
+  FROM base
+),
+docs AS (SELECT doc_id, {_SIMHASH_WIDE_SQL} AS simhash FROM wide)
+SELECT a.doc_id AS doc1, b.doc_id AS doc2,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+FROM docs a JOIN docs b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {SIMHASH_WIDE_MAX_HAMMING}
+"""
+
+
 def dedup_simhash_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     """All-pairs hamming scan (broadcast NLJ) — pytest-only ground
     truth for the pigeonhole-blocked form; never declared."""
@@ -1039,4 +1194,12 @@ QUERIES = {
     # headline (direct call) so the headline metric stays comparable
     # to the recorded r2 baseline.
     "dedup_groups": (dedup_groups, DEDUP_GROUPS_SQL),
+}
+
+
+# Post-gate-cap additions (registry enumerates *_TAIL dicts after
+# every module's QUERIES, keeping the driver's 50-row gate window
+# stable).
+QUERIES_TAIL = {
+    "dedup_simhash_wide": (dedup_simhash_wide, DEDUP_SIMHASH_WIDE_SQL),
 }

@@ -540,3 +540,42 @@ QUERIES = {
         image_incremental_oracle,
     ),
 }
+
+
+# --- streaming ingest batch twin (r11, SURVEY r12 candidate #3) --------------
+
+
+def dedup_image_stream_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of ``streaming.media_ingest.media_ingest_stream`` —
+    the IDENTICAL function over the batch scan of the staged arrivals
+    directory and persisted hash index (every operator in it is
+    streaming-legal, so batch and stream plans share expressions; the
+    stream==batch parity pytest plus this oracle gate transitively
+    check the readStream form, the §2.9 contract).
+
+    Same semantics as :func:`dedup_image_incremental` — one verdict
+    row per new-batch image, best match = min (hamming, index_id) —
+    but the streaming-legal plan: grouped min(struct) aggregation
+    instead of a row_number window (unsupported over streams), left
+    outer candidate join instead of a post-hoc batch join-back."""
+    from ..streaming.media_ingest import (
+        ingest_dedup_stream,
+        stage_arrivals,
+        stage_index,
+    )
+
+    n_images = spark.read.parquet(stage_image_corpus(spark, sf_dir)).count()
+    arrivals = spark.read.parquet(stage_arrivals(spark, sf_dir))
+    index = spark.read.parquet(stage_index(spark, sf_dir))
+    return ingest_dedup_stream(arrivals, index, n_images)
+
+
+QUERIES_TAIL = {
+    # Oracle shared with dedup_image_incremental: same verdict
+    # semantics (the plans differ; the streaming one is the
+    # aggregation shape), same closed-form dHash recomputation.
+    "dedup_image_stream_ingest": (
+        dedup_image_stream_ingest,
+        image_incremental_oracle,
+    ),
+}

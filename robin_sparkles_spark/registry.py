@@ -334,8 +334,11 @@ GATE_FRONT: tuple[str, ...] = (
     "top_customers_revenue",
     "window_event_ranks",
     "events_json_extract",
-    "events_user_stats",
-    "events_argmax",
+    # new late-r11 queries (streaming media ingest batch twin; 63-bit
+    # wide simhash) take the last two slots; events_user_stats and
+    # events_argmax defer to the r12 fill
+    "dedup_image_stream_ingest",
+    "dedup_simhash_wide",
 )
 # ROUND-12 ROTATION (write it at the start of r12): rotate out the 50
 # names above once CORRECTNESS_r11 comes back green. Fill order:
@@ -343,8 +346,10 @@ GATE_FRONT: tuple[str, ...] = (
 # + view_purchase_attribution + view_purchase_attribution_outer +
 # vocab_typo_pairs + events_countmin_users + q9_profit_by_nation_year
 # + q15_top_supplier + q21_waiting_suppliers + orders_overlap_pairs
-# (deferred from this window when the ten new r11 queries took
-# slots), then the oldest r8-last-green block in registry order;
+# + events_user_stats + events_argmax
+# (deferred from this window when the ten new r11 queries + the two
+# late-r11 additions took slots), then the oldest
+# r8-last-green block in registry order;
 # plus, as always, anything whose plan or oracle changes in r12 and
 # any newly added queries.
 # q7_nation_trade_flows,

@@ -114,6 +114,56 @@ def test_simhash_adaptive_config_selection():
     assert ms == sorted(set(ms))
 
 
+@pytest.mark.parametrize(
+    "widths", [w for _, w in dedup.SIMHASH_WIDE_BLOCK_CONFIGS],
+    ids=lambda w: f"m{len(w)}",
+)
+def test_simhash_wide_blocked_equals_bruteforce_every_config(spark, widths):
+    """The 63-bit wide form under every adaptive chunk layout ==
+    its all-pairs bruteforce, on the real fixture corpus."""
+    sf = "/root/testdata/sf0.001"
+    docs = dedup.simhash_wide_docs(spark, sf)
+    blocked = sorted(
+        map(
+            tuple,
+            dedup.hamming_blocked_pairs(
+                docs, widths, dedup.SIMHASH_WIDE_MAX_HAMMING
+            ).collect(),
+        )
+    )
+    nlj = sorted(
+        map(tuple, dedup.dedup_simhash_wide_bruteforce(spark, sf).collect())
+    )
+    assert blocked == nlj
+    assert blocked  # non-vacuous: the fixture plants near-dup pairs
+
+
+def test_simhash_wide_precision_and_recall(spark):
+    """The wide form's design contract (see its constants block): it
+    keeps the HIGH-similarity core with ZERO random false pairs (the
+    32-bit form's noise floor is the thing it fixes), ceding part of
+    the moderate 0.8-0.9 Jaccard band. Measured against the
+    exact-Jaccard ≥ 0.8 truth: every wide pair is a true pair
+    (precision 1.0) and recall stays above the documented floor."""
+    sf = "/root/testdata/sf0.01"
+    truth = {
+        (r[0], r[1])
+        for r in dedup.dedup_ngram_jaccard(spark, sf)
+        .select("doc1", "doc2")
+        .collect()
+    }
+    wide = {
+        (r[0], r[1])
+        for r in dedup.dedup_simhash_wide(spark, sf)
+        .select("doc1", "doc2")
+        .collect()
+    }
+    assert truth, "fixture must plant Jaccard ≥ 0.8 pairs"
+    assert wide <= truth, f"false positives: {sorted(wide - truth)[:5]}"
+    recall = len(wide & truth) / len(truth)
+    assert recall >= 0.8, f"wide-simhash recall {recall:.2f} < 0.8"
+
+
 def test_ngram_df_cap_drops_hot_shingle(spark, tmp_path_factory):
     """Planted corpus-hot shingle (df = 200 > NGRAM_DF_CAP = 128): the
     cap must (a) drop exactly the hot shingle's index rows, (b) bound

@@ -68,6 +68,61 @@ def test_media_dedup_scales_linearly(modality, probe_results):
     )
 
 
+@pytest.fixture(scope="module")
+def groups_results(spark, probe_results):
+    # depends on probe_results so the staged corpora + memoized pair
+    # parquet are in place before the group stage is timed alone
+    spec = importlib.util.spec_from_file_location(
+        "media_dedup_scale_probe",
+        os.path.join(REPO, "tools", "media_dedup_scale_probe.py"),
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod.run_groups(spark, reps=2, scale=10), mod.BASE_N
+
+
+def _planted_groups(n: int) -> int:
+    # one group per family that planted ≥1 variant: %5 ∪ %7 survivors
+    return (n + 4) // 5 + (n + 6) // 7 - (n + 34) // 35
+
+
+@pytest.mark.parametrize("modality", sorted(GATES))
+def test_media_group_resolution_scales(modality, groups_results):
+    """SURVEY r12 candidate #4 (built in r11): the keeper queries'
+    GROUP-RESOLUTION stage (label propagation with pointer doubling
+    over the pair graph) measured at 10× pairs, decorrelated from the
+    hash+join wall via memoized pair parquet. The planted components
+    are bounded (≤3 members), so rounds-to-converge is scale-free and
+    the per-round joins are linear — the gate catches a superlinear
+    regression in the iterative stage."""
+    results, _ = groups_results
+    row = results[modality]
+    ratio = row["big"] / max(row["small"], 1e-9)
+    assert ratio <= GATES[modality], (
+        f"{modality} groups: {row['big']:.2f}s @ 10× vs "
+        f"{row['small']:.2f}s @ 1× → ratio {ratio:.2f} breaches the "
+        f"{GATES[modality]}× gate — check the propagation-loop joins"
+    )
+
+
+@pytest.mark.parametrize("modality", sorted(GATES))
+def test_media_groups_stay_planted(modality, groups_results):
+    """Group counts == planted families at BOTH scales, ± the random-
+    collision budget: a random cross-family near-collision can MERGE
+    two planted groups (−1) or CREATE a group from two family-less
+    base items (+1 — audio's one deterministic 63-bit near-collision
+    at 4000 ids does exactly this), so the slack is symmetric."""
+    results, base_n = groups_results
+    row = results[modality]
+    for label, n in (("small_groups", base_n), ("big_groups", base_n * 10)):
+        planted = _planted_groups(n)
+        assert planted - PAIR_SLACK <= row[label] <= planted + PAIR_SLACK, (
+            f"{modality} {label}: {row[label]} groups vs {planted} "
+            "planted families — label propagation or fixture "
+            "decorrelation regressed"
+        )
+
+
 @pytest.mark.parametrize("modality", sorted(GATES))
 def test_media_dedup_pairs_stay_planted(modality, probe_results):
     results, base_n = probe_results

@@ -112,6 +112,10 @@ MAP_IN_PANDAS_ALLOWLIST = {
     "dedup_image_phash",
     "dedup_audio_fingerprint",
     "dedup_video_phash",
+    # late-r11 streaming ingest twin: the same dHash kernel, visible
+    # in-plan because the stream-shared function cannot barrier
+    # (localCheckpoint is not streaming-legal)
+    "dedup_image_stream_ingest",
 }
 
 

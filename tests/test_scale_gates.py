@@ -52,6 +52,7 @@ SF01 = "/root/testdata/sf0.1"
 PRODUCTION_GATES = {
     "dedup_minhash_lsh": 4.0,
     "dedup_simhash": 4.0,
+    "dedup_simhash_wide": 4.0,
     "dedup_ngram_jaccard": 4.0,
     "embedding_dedup": 4.5,
     "embedding_similar_pairs_ivf": 13.0,
@@ -108,6 +109,174 @@ def test_production_path_scales_linearly(name, _timings):
         f"{ratio:.2f} breaches the {ceiling}× scale gate — a "
         "superlinear term crept into the plan (check the family's "
         "blocking keys / join pins before anything else)"
+    )
+
+
+def _copy_width(spark) -> int:
+    """The sf1 scale-up's copy-id stride (copy k adds k·10·n to every
+    doc_id/vec_id — see tools/sf1_scale_probe.build_sf1)."""
+    from robin_sparkles_spark.sources import load_table
+
+    return 10 * load_table(spark, SF01, "documents").count()
+
+
+def _pair_sets(df, c1: str, c2: str):
+    return {(r[0], r[1]) for r in df.select(c1, c2).collect()}
+
+
+def test_sf1_text_fixture_decorrelation_audit(spark, sf1_dir):
+    """SURVEY r12 candidate #5 (built in r11): the planted==output
+    discipline the media probes enforce, applied to the TEXT dedup
+    family at the decorrelated 10× corpus. The scale-up's claim is
+    that word-suffixing creates NO cross-copy structure and preserves
+    copy-0's structure exactly; both halves are asserted per query —
+    a regression here (e.g. a future transform that aliases across
+    copies the way the first image formulas aliased mod 256) turns the
+    probe's wall ratios into measurements of the wrong workload."""
+    from pyspark.sql import functions as F
+
+    from robin_sparkles_spark import registry
+
+    specs = registry.all_queries()
+    width = _copy_width(spark)
+
+    # pair queries: minhash/jaccard VERIFY on shingle sets, where
+    # cross-copy overlap is structurally zero → cross-copy budget 0.
+    # Every query additionally asserts copy-0 slice == 1× output (the
+    # per-doc-determinism half of the audit).
+    for name in ("dedup_minhash_lsh", "dedup_ngram_jaccard"):
+        big = specs[name].fn(spark, sf1_dir)
+        small = specs[name].fn(spark, SF01)
+        c1, c2 = big.columns[0], big.columns[1]
+        cross = big.where(
+            (F.col(c1) / width).cast("long") != (F.col(c2) / width).cast("long")
+        ).count()
+        assert cross == 0, (
+            f"{name}: {cross} cross-copy pairs at 10× — the scale-up "
+            "stopped decorrelating (shingle sets leaked across copies)"
+        )
+        slice0 = big.where((F.col(c1) < width) & (F.col(c2) < width))
+        got, want = _pair_sets(slice0, c1, c2), _pair_sets(small, c1, c2)
+        assert got == want, (
+            f"{name}: copy-0 slice diverged from the 1× output "
+            f"(+{len(got - want)}/−{len(want - got)}) — per-doc "
+            "determinism broke under the scale-up"
+        )
+
+    # simhash CANNOT gate on zero cross-copy pairs: over 32 bits,
+    # independent hashes land within hamming ≤ 5 at P ≈ 5.7e-5/pair
+    # (this audit measured ~1.9× that — biased bits raise agreement),
+    # so decorrelated copies legitimately emit ~10⁵ random cross
+    # pairs at 600k docs. THE NOISE FLOOR IS THE FINDING (see
+    # SCALE.md "32-bit simhash noise floor"); the aliasing gate here
+    # is distributional: aliasing would plant near-IDENTICAL docs
+    # across copies (hamming 0–1 mass), while random collisions
+    # concentrate at the threshold — so cross pairs must stay inside
+    # a generous band of the binomial model AND keep their mass at
+    # the high-hamming end. Copy-0 slice equality still holds exactly.
+    import math
+
+    from robin_sparkles_spark.operators.dedup import (
+        SIMHASH_BITS,
+        SIMHASH_MAX_HAMMING,
+    )
+
+    big = specs["dedup_simhash"].fn(spark, sf1_dir)
+    small = specs["dedup_simhash"].fn(spark, SF01)
+    n = width // 10
+    p_rand = (
+        sum(math.comb(SIMHASH_BITS, i) for i in range(SIMHASH_MAX_HAMMING + 1))
+        / 2**SIMHASH_BITS
+    )
+    expected_cross = 45 * n * n * p_rand  # C(10,2) copy pairs × n² each
+    cross = big.where(
+        (F.col("doc1") / width).cast("long") != (F.col("doc2") / width).cast("long")
+    )
+    n_cross = cross.count()
+    assert 0.2 * expected_cross <= n_cross <= 5 * expected_cross, (
+        f"dedup_simhash: {n_cross} cross-copy pairs vs binomial model "
+        f"{expected_cross:,.0f} — far outside the random band: the "
+        "scale-up aliased (high) or the hash derivation changed (low)"
+    )
+    near_identical = cross.where(F.col("hamming") <= 1).count()
+    assert near_identical <= 0.01 * n_cross, (
+        f"dedup_simhash: {near_identical}/{n_cross} cross-copy pairs "
+        "at hamming ≤ 1 — near-identical cross-copy docs mean the "
+        "suffix transform aliased, not random collision noise"
+    )
+    slice0 = big.where((F.col("doc1") < width) & (F.col("doc2") < width))
+    got, want = _pair_sets(slice0, "doc1", "doc2"), _pair_sets(small, "doc1", "doc2")
+    assert got == want, (
+        f"dedup_simhash: copy-0 slice diverged from the 1× output "
+        f"(+{len(got - want)}/−{len(want - got)})"
+    )
+
+    # the 63-bit WIDE form is the noise-floor fix — at P ≈ 8.3e-13 per
+    # pair its expected cross-copy count at this corpus is ~1e-3, so
+    # the budget is an exact zero (the empirical proof, next to the
+    # 32-bit form's measured ~10⁵, that width was the lever).
+    wide_big = specs["dedup_simhash_wide"].fn(spark, sf1_dir)
+    wide_cross = wide_big.where(
+        (F.col("doc1") / width).cast("long") != (F.col("doc2") / width).cast("long")
+    ).count()
+    assert wide_cross == 0, (
+        f"dedup_simhash_wide: {wide_cross} cross-copy pairs — the "
+        "63-bit noise floor (~8e-13/pair) cannot produce these; the "
+        "rehash or the scale-up aliased"
+    )
+    wide_small = specs["dedup_simhash_wide"].fn(spark, SF01)
+    wide_slice0 = wide_big.where(
+        (F.col("doc1") < width) & (F.col("doc2") < width)
+    )
+    got_w = _pair_sets(wide_slice0, "doc1", "doc2")
+    want_w = _pair_sets(wide_small, "doc1", "doc2")
+    assert got_w == want_w
+
+    # exact dedup (groups, not pairs): text equality is preserved by
+    # uniform suffixing and never spans copies, so dup-group count is
+    # exactly 10× and the copy-0 dup groups are bit-identical.
+    exact = specs["dedup_exact"].fn
+    big_dups = exact(spark, sf1_dir).where(F.col("n_copies") >= 2)
+    small_dups = exact(spark, SF01).where(F.col("n_copies") >= 2)
+    n_big, n_small = big_dups.count(), small_dups.count()
+    assert n_big == 10 * n_small, (
+        f"dedup_exact: {n_big} dup groups at 10× vs {n_small} at 1× — "
+        "expected exactly 10×: copies leaked equal texts"
+    )
+    got = {
+        (r[0], r[1])
+        for r in big_dups.where(F.col("canonical_doc_id") < width)
+        .select("canonical_doc_id", "n_copies")
+        .collect()
+    }
+    want = {
+        (r[0], r[1])
+        for r in small_dups.select("canonical_doc_id", "n_copies").collect()
+    }
+    assert got == want
+
+
+def test_sf1_embedding_fixture_decorrelation_audit(spark, sf1_dir):
+    """planted == output for ``embedding_dedup`` at the 10× corpus:
+    the sign-mask copies must add ZERO organic cos≥0.9 pairs (within-
+    copy inner products are preserved, cross-copy expected cosine is
+    0), so the output at 10× is EXACTLY the 50 planted pairs — the
+    same set as at 1×. A miss = banding recall regressed under the
+    corpus-adaptive geometry; an extra = the sign masks correlate."""
+    from robin_sparkles_spark import registry
+    from robin_sparkles_spark.operators.embedding_dedup import (
+        NEARDUP_ID_OFFSET,
+        NEARDUP_N,
+    )
+
+    fn = registry.all_queries()["embedding_dedup"].fn
+    got = _pair_sets(fn(spark, sf1_dir), "vec1", "vec2")
+    want = _pair_sets(fn(spark, SF01), "vec1", "vec2")
+    planted = {(i, i + NEARDUP_ID_OFFSET) for i in range(NEARDUP_N)}
+    assert want == planted
+    assert got == planted, (
+        f"embedding_dedup @ 10×: +{len(got - planted)} organic / "
+        f"−{len(planted - got)} missed planted pairs"
     )
 
 

@@ -143,6 +143,119 @@ def _pipeline_count(spark, modality: str, path: str) -> int:
     ).count()
 
 
+_ID_COLS = {"image": "img_id", "audio": "aud_id", "video": "vid_id"}
+
+
+def _stage_pairs(spark, modality: str, path: str) -> str:
+    """Memoize the pipeline's PAIR OUTPUT to parquet so the group
+    stage times label propagation alone, decorrelated from the
+    decode+hash+join wall already gated above."""
+    out = path + "_pairs"
+    if os.path.exists(os.path.join(out, "_SUCCESS")):
+        return out
+    from pyspark.sql import functions as F
+
+    from robin_sparkles_spark.functions.barrier import barrier
+    from robin_sparkles_spark.operators.dedup import hamming_blocked_pairs
+
+    media = spark.read.parquet(path)
+    if modality == "image":
+        from robin_sparkles_spark.operators import image_dedup as I
+
+        pairs = hamming_blocked_pairs(
+            barrier(I.image_dhash_over(media), "corpus", "probe image hashes", eager=False),
+            I._image_block_widths(media.count()),
+            I.IMAGE_MAX_HAMMING,
+            id_col="img_id",
+            hash_col="dhash",
+            out_cols=("id1", "id2", "hamming"),
+        )
+    elif modality == "audio":
+        from robin_sparkles_spark.operators import audio_dedup as A
+
+        pairs = hamming_blocked_pairs(
+            barrier(A.audio_fingerprints_over(media), "corpus", "probe audio fps", eager=False),
+            A._audio_block_widths(media.count()),
+            A.AUDIO_MAX_HAMMING,
+            id_col="aud_id",
+            hash_col="fp",
+            out_cols=("id1", "id2", "hamming"),
+        )
+    else:
+        from robin_sparkles_spark.operators import video_dedup as V
+
+        frames = barrier(
+            V.video_frame_hashes_over(media), "corpus", "probe video fhashes", eager=False
+        )
+        fp = hamming_blocked_pairs(
+            frames,
+            V._video_block_widths(frames.count()),
+            V.FRAME_MAX_HAMMING,
+            id_col="fid",
+            hash_col="fhash",
+            out_cols=("fid1", "fid2", "hamming"),
+        )
+        counts = frames.groupBy("vid_id").agg(F.count(F.lit(1)).alias("n_frames"))
+        pairs = (
+            V._with_min_frames(V._clip_pairs_from_frame_pairs(fp), counts)
+            .select(F.col("vid1").alias("id1"), F.col("vid2").alias("id2"))
+        )
+    pairs.select("id1", "id2").write.mode("overwrite").parquet(out)
+    return out
+
+
+def _groups_count(spark, modality: str, path: str, pairs_path: str) -> int:
+    """The GROUP-RESOLUTION stage the media keeper queries ride
+    (SURVEY r12 candidate #4): memoized pairs → bidirectional edges →
+    min-label propagation with pointer doubling → groups of size ≥ 2.
+    Returns the group count (gated against the planted family count)."""
+    from pyspark.sql import functions as F
+
+    from robin_sparkles_spark.functions.barrier import barrier
+    from robin_sparkles_spark.operators.dedup import propagate_min_labels
+
+    id_col = _ID_COLS[modality]
+    nodes = spark.read.parquet(path).select(
+        F.col(id_col).alias("doc_id")
+    ).distinct()
+    pairs = spark.read.parquet(pairs_path)
+    edges = barrier(
+        pairs.select(F.col("id1").alias("src"), F.col("id2").alias("dst")).union(
+            pairs.select(F.col("id2").alias("src"), F.col("id1").alias("dst"))
+        ),
+        "corpus",
+        "probe pair-graph edges",
+    )
+    labels = propagate_min_labels(nodes, edges)
+    return (
+        labels.groupBy("group_id")
+        .agg(F.count(F.lit(1)).alias("group_size"))
+        .where(F.col("group_size") >= 2)
+        .count()
+    )
+
+
+def run_groups(spark, reps: int = 2, scale: int = 10) -> dict:
+    """Time the group-resolution stage at 1× and 10× corpora."""
+    out = {}
+    for modality in ("image", "audio", "video"):
+        row = {}
+        for label, n in (("small", BASE_N), ("big", BASE_N * scale)):
+            path = _stage(spark, modality, n)
+            pairs_path = _stage_pairs(spark, modality, path)
+            best, groups = None, None
+            for _ in range(reps):
+                t0 = time.monotonic()
+                groups = _groups_count(spark, modality, path, pairs_path)
+                wall = time.monotonic() - t0
+                best = wall if best is None else min(best, wall)
+            row[label] = round(best, 3)
+            row[f"{label}_groups"] = groups
+        row["ratio"] = round(row["big"] / row["small"], 2)
+        out[modality] = row
+    return out
+
+
 def run(spark, reps: int = 2, scale: int = 10) -> dict:
     out = {}
     for modality in ("image", "audio", "video"):
@@ -169,7 +282,8 @@ def main() -> int:
     from robin_sparkles_spark.session import get_spark
 
     spark = get_spark(app_name="media_dedup_scale_probe")
-    print(json.dumps(run(spark, reps=reps, scale=scale)))
+    fn = run_groups if "--groups" in sys.argv else run
+    print(json.dumps(fn(spark, reps=reps, scale=scale)))
     return 0
 
 

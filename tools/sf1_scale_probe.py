@@ -62,6 +62,8 @@ QUERIES = (
     # window) — the zstd/OPQ additions are covered by the media probe
     # and the bounded-Q recall gates respectively
     "ngram_maximal_spans",
+    # late-r11: the 63-bit wide simhash (the 32-bit noise-floor fix)
+    "dedup_simhash_wide",
 )
 
 SCALED = ("documents", "embeddings")
