@@ -148,10 +148,14 @@ EXTENDED = [
     "dedup_video_phash_strided",
     # new r11: exact-integer water-filling budget allocation
     "source_waterfill_allocation",
-    # late r11: streaming-ingest batch twin (stream-legal agg plan)
-    # and the 63-bit wide simhash (32-bit noise-floor fix)
+    # late r11: streaming-ingest batch twins (stream-legal agg plans),
+    # the 63-bit wide simhash (32-bit noise-floor fix), and the
+    # JSONL/CSV ingest round-trips
     "dedup_image_stream_ingest",
+    "dedup_text_stream_ingest",
     "dedup_simhash_wide",
+    "jsonl_ingest_stats",
+    "csv_ingest_stats",
 ]
 
 

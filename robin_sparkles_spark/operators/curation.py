@@ -598,3 +598,43 @@ QUERIES = {
         _canonical_keepers_sql(),
     ),
 }
+
+
+# --- streaming text-ingest batch twin (late r11) -----------------------------
+
+
+def dedup_text_stream_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of ``streaming.text_ingest.text_ingest_stream`` —
+    the IDENTICAL function over the batch scan of the staged arrivals
+    and the persisted band/payload indexes (every operator in it is
+    streaming-legal; the stream==batch parity pytest plus this oracle
+    gate transitively check the readStream form).
+
+    Same verdict semantics as :func:`dedup_incremental` — so the
+    oracle is the same SQL — but the streaming-legal plan: projection
+    MinHash (array_min over transform, no aggregate), left-outer
+    band/payload joins carrying the arrival's shingle payload, and a
+    grouped max(struct(jaccard, −corpus_id)) argmax instead of the
+    row_number window."""
+    from ..streaming.text_ingest import (
+        stage_text_arrivals,
+        stage_text_index,
+        text_ingest_dedup_stream,
+    )
+
+    bands, payload = stage_text_index(spark, sf_dir)
+    arrivals = spark.read.parquet(stage_text_arrivals(spark, sf_dir))
+    return text_ingest_dedup_stream(
+        arrivals, spark.read.parquet(bands), spark.read.parquet(payload)
+    )
+
+
+QUERIES_TAIL = {
+    # Oracle shared with dedup_incremental: identical split,
+    # threshold, tie-break and sentinels (the plans differ — this is
+    # the streaming-legal aggregation shape).
+    "dedup_text_stream_ingest": (
+        dedup_text_stream_ingest,
+        DEDUP_INCREMENTAL_SQL,
+    ),
+}

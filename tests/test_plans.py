@@ -334,6 +334,9 @@ _CORPUS_BARRIER_ALLOWLIST = {
     "label-propagation iteration labels",
     "dedup pair-graph edges",
     "simhash table",
+    # late r11: 8 bytes/doc — the 63-bit wide form's hash table (same
+    # contract as the 32-bit simhash table)
+    "wide simhash table",
     # r11: 8 bytes/item — the persisted perceptual-hash / acoustic-
     # fingerprint indexes of image/audio/video near-dup dedup (same
     # contract as the simhash table; video is 8 B per SAMPLED frame)

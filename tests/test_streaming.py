@@ -183,6 +183,24 @@ def test_media_ingest_verdicts_cover_split(spark, sf_dir):
     assert (new_base.dup_of == -1).all() and (new_base.hamming == -1).all()
 
 
+def test_text_ingest_stream_equals_batch(spark, sf_dir):
+    """Streaming TEXT dedup ingest parity: readStream over multi-file
+    document arrivals (in-stream projection MinHash, stream-static
+    band + payload joins against the persisted index, grouped argmax)
+    drained with maxFilesPerTrigger=1 must equal the oracle-gated
+    batch twin — which itself equals window-ranked dedup_incremental
+    (asserted in the smoke run and by the shared oracle)."""
+    from robin_sparkles_spark.operators.curation import (
+        dedup_text_stream_ingest,
+    )
+    from robin_sparkles_spark.streaming import text_ingest as ti
+
+    stream = ti.text_ingest_stream(spark, sf_dir, max_files_per_trigger=1)
+    assert stream.isStreaming
+    batch = dedup_text_stream_ingest(spark, sf_dir)
+    _assert_stream_equals_batch(spark, stream, batch, "t_text_ingest")
+
+
 def test_watermark_is_set(spark, sf_dir):
     stream = se.tumbling_counts_stream(se.events_stream(spark, sf_dir))
     assert stream.isStreaming
