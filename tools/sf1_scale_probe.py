@@ -63,7 +63,10 @@ QUERIES = (
     # and the bounded-Q recall gates respectively
     "ngram_maximal_spans",
     # late-r11: the 63-bit wide simhash (the 32-bit noise-floor fix)
+    # and the streaming text-ingest batch twin (incremental join shape
+    # + grouped argmax)
     "dedup_simhash_wide",
+    "dedup_text_stream_ingest",
 )
 
 SCALED = ("documents", "embeddings")
