@@ -180,3 +180,186 @@ def media_ingest_stream(
     return ingest_dedup_stream(
         arrivals_stream(spark, sf_dir, max_files_per_trigger), index, n_images
     )
+
+
+# --- index MAINTENANCE (late r11; SURVEY r12 candidate #3 closed) ------------
+#
+# The read-only form above answers "is this arrival a dup of the
+# EXISTING index"; the full production contract also GROWS the index:
+# each micro-batch's novel content must join the index so later
+# batches (and later files of the same stream) dedup against it —
+# consecutive re-uploads of brand-new content are dups of each other,
+# not two independent "new" verdicts. foreachBatch + the CDC module's
+# versioned-snapshot pattern (read v(n) → write v(n+1) → atomic marker
+# flip; crash/retry debris recovery) make the maintenance exactly-once
+# under the same single-writer contract as streaming.cdc.
+#
+# Replay-idempotence needs one subtlety stated precisely: a replayed
+# batch may see an index that ALREADY contains its own keepers (crash
+# after marker flip, before checkpoint commit). Verdicts are therefore
+# computed over the union of (index matches EXCLUDING self-id) and
+# (within-batch smaller-id matches); on replay a keeper matches
+# nothing (self excluded, no smaller batch match — it was a keeper)
+# and a dup finds the same best candidate through either source, so
+# verdicts AND the merged state reach the same fixpoint. The state
+# merge itself dedupes by img_id (the hash is deterministic per id),
+# and the results sink writes one overwritten subdir per batch id.
+
+import os as _os
+import shutil as _shutil
+
+_MARKER = "_LATEST"
+INDEX_SCHEMA = "img_id long, dhash long"
+
+
+def _latest_version(state_path: str) -> int | None:
+    try:
+        with open(_os.path.join(state_path, _MARKER)) as fh:
+            return int(fh.read().strip())
+    except (FileNotFoundError, ValueError):
+        return None
+
+
+def read_index_state(spark: SparkSession, state_path: str) -> DataFrame:
+    """Current hash-index snapshot (the marker-named version only)."""
+    n = _latest_version(state_path)
+    if n is None:
+        return spark.createDataFrame([], INDEX_SCHEMA)
+    return spark.read.parquet(_os.path.join(state_path, f"v{n}"))
+
+
+def seed_index_state(spark: SparkSession, sf_dir: str, state_path: str) -> None:
+    """Bootstrap the maintained index from the persisted static one
+    (idempotent — an already-seeded state is left alone)."""
+    if _latest_version(state_path) is not None:
+        return
+    _os.makedirs(state_path, exist_ok=True)
+    spark.read.parquet(stage_index(spark, sf_dir)).write.mode(
+        "overwrite"
+    ).parquet(_os.path.join(state_path, "v0"))
+    tmp = _os.path.join(state_path, f".{_MARKER}.tmp")
+    with open(tmp, "w") as fh:
+        fh.write("0")
+    _os.replace(tmp, _os.path.join(state_path, _MARKER))
+
+
+def _batch_verdicts(
+    hashes: DataFrame, index: DataFrame, widths: tuple[int, ...]
+) -> DataFrame:
+    """(img_id, dup_of, hamming, is_dup) for one micro-batch's hash
+    table against the maintained index PLUS earlier (smaller-id)
+    members of the same batch — the replay-stable candidate union
+    (see the maintenance comment block)."""
+    from ..operators.dedup import (
+        hamming_blocked_pairs,
+        hamming_blocked_pairs_between,
+    )
+
+    idx = hamming_blocked_pairs_between(
+        hashes,
+        index,
+        widths,
+        IMAGE_MAX_HAMMING,
+        id_col="img_id",
+        hash_col="dhash",
+        out_cols=("new_id", "cand_id", "hamming"),
+    ).where(F.col("new_id") != F.col("cand_id"))
+    within = hamming_blocked_pairs(
+        hashes,
+        widths,
+        IMAGE_MAX_HAMMING,
+        id_col="img_id",
+        hash_col="dhash",
+        out_cols=("a", "b", "hamming"),
+    ).select(
+        F.col("b").alias("new_id"),
+        F.col("a").alias("cand_id"),
+        "hamming",
+    )
+    cands = idx.unionByName(within)
+    best = cands.groupBy("new_id").agg(
+        F.min(F.struct("hamming", "cand_id")).alias("best")
+    )
+    return hashes.select("img_id").join(
+        best, F.col("img_id") == F.col("new_id"), "left"
+    ).select(
+        "img_id",
+        F.coalesce(F.col("best.cand_id"), F.lit(-1)).cast("long").alias("dup_of"),
+        F.coalesce(F.col("best.hamming"), F.lit(-1)).cast("long").alias("hamming"),
+        F.col("best").isNotNull().alias("is_dup"),
+    )
+
+
+def apply_ingest_batch(
+    spark: SparkSession,
+    batch: DataFrame,
+    batch_id: int,
+    state_path: str,
+    results_path: str,
+    widths: tuple[int, ...],
+) -> None:
+    """One exactly-once maintenance step: hash the batch, emit
+    verdicts (idempotent per-batch-id subdir overwrite), merge the
+    keepers into the next index snapshot (idempotent by-id dedup;
+    crash/retry debris handling mirrors streaming.cdc.apply_changes,
+    single-writer contract and all)."""
+    from ..functions.barrier import barrier
+
+    hashes = barrier(
+        image_dhash_over(batch), "corpus", "ingest batch hash table"
+    )
+    index = read_index_state(spark, state_path)
+    verdicts = _batch_verdicts(hashes, index, widths)
+    verdicts.write.mode("overwrite").parquet(
+        _os.path.join(results_path, f"batch_id={batch_id}")
+    )
+    keepers = hashes.join(
+        verdicts.where(~F.col("is_dup")).select("img_id"), "img_id"
+    )
+    n = _latest_version(state_path)
+    nxt = 0 if n is None else n + 1
+    claimed = _os.path.join(state_path, f"v{nxt}")
+    if _os.path.exists(claimed):
+        _shutil.rmtree(claimed, ignore_errors=True)  # retry debris
+    merged = (
+        index.unionByName(keepers)
+        .groupBy("img_id")
+        .agg(F.min("dhash").alias("dhash"))
+    )
+    merged.write.mode("overwrite").parquet(claimed)
+    tmp = _os.path.join(state_path, f".{_MARKER}.tmp")
+    with open(tmp, "w") as fh:
+        fh.write(str(nxt))
+    _os.replace(tmp, _os.path.join(state_path, _MARKER))
+    for name in _os.listdir(state_path):
+        if name.startswith("v") and name[1:].isdigit() and int(name[1:]) < nxt - 1:
+            _shutil.rmtree(_os.path.join(state_path, name), ignore_errors=True)
+
+
+def stream_ingest_with_maintenance(
+    spark: SparkSession,
+    sf_dir: str,
+    state_path: str,
+    results_path: str,
+    checkpoint: str,
+    max_files_per_trigger: int = 1,
+):
+    """The checkpointed end-to-end query: arrivals file-stream →
+    foreachBatch(apply_ingest_batch) with the maintained index seeded
+    from the persisted static one. Returns the started query."""
+    seed_index_state(spark, sf_dir, state_path)
+    n_images = spark.read.parquet(stage_image_corpus(spark, sf_dir)).count()
+    widths = _image_block_widths(n_images)
+    stream = arrivals_stream(spark, sf_dir, max_files_per_trigger)
+
+    def sink(batch: DataFrame, batch_id: int) -> None:
+        apply_ingest_batch(
+            spark, batch, batch_id, state_path, results_path, widths
+        )
+
+    return (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -183,6 +183,104 @@ def test_media_ingest_verdicts_cover_split(spark, sf_dir):
     assert (new_base.dup_of == -1).all() and (new_base.hamming == -1).all()
 
 
+def test_media_ingest_index_maintenance_end_to_end(spark, sf_dir, tmp_path):
+    """The FULL production ingest contract (index maintenance): each
+    micro-batch's novel content joins the index, so later batches
+    dedup against earlier ones. Invariants asserted are order-free
+    (file→batch assignment is Spark's):
+    - every arrival gets exactly one verdict across all batches;
+    - the final index = initial index + EXACTLY ONE keeper per
+      brand-new family (every member of a new family matches its
+      base within hamming ≤ 6, so whoever arrives first wins and the
+      rest are dups), and zero members of already-indexed families;
+    - at least one dup verdict points at a MAINTAINED keeper (an id
+      absent from the initial index) — the cross-batch/within-batch
+      dedup the read-only form cannot produce."""
+    from robin_sparkles_spark.streaming import media_ingest as mi
+
+    state = str(tmp_path / "state")
+    results = str(tmp_path / "results")
+    q = mi.stream_ingest_with_maintenance(
+        spark, sf_dir, state, results, str(tmp_path / "ckpt")
+    )
+    q.awaitTermination()
+
+    verdicts = spark.read.parquet(results).toPandas()
+    arrivals = (
+        spark.read.parquet(mi.stage_arrivals(spark, sf_dir))
+        .select("img_id")
+        .toPandas()
+    )
+    assert sorted(verdicts.img_id) == sorted(arrivals.img_id)
+    assert verdicts.img_id.is_unique
+
+    initial = {
+        r[0]
+        for r in spark.read.parquet(mi.stage_index(spark, sf_dir))
+        .select("img_id")
+        .collect()
+    }
+    final = {
+        r[0]
+        for r in mi.read_index_state(spark, state).select("img_id").collect()
+    }
+    added = final - initial
+    assert initial <= final
+    new_families = {i // 10 for i in arrivals.img_id} - {
+        i // 10 for i in initial
+    }
+    # exactly one keeper per new family, none from indexed families
+    assert {i // 10 for i in added} == new_families
+    assert len(added) == len(new_families)
+    # keepers' verdicts say non-dup; everyone else is a dup
+    keeper_rows = verdicts[verdicts.img_id.isin(added)]
+    assert (~keeper_rows.is_dup).all()
+    others = verdicts[~verdicts.img_id.isin(added)]
+    assert others.is_dup.all()
+    # cross/within-batch dedup against MAINTAINED keepers happened
+    assert (others.dup_of.isin(list(added))).any()
+
+
+def test_media_ingest_maintenance_replay_idempotent(spark, sf_dir, tmp_path):
+    """foreachBatch is at-least-once: re-applying the same batch id
+    immediately (the crash-between-flip-and-checkpoint shape) must
+    reach the same verdicts and the same index content — the
+    replay-stable candidate-union argument, executed."""
+    from pyspark.sql import functions as F
+
+    from robin_sparkles_spark.streaming import media_ingest as mi
+
+    state = str(tmp_path / "state")
+    results = str(tmp_path / "results")
+    mi.seed_index_state(spark, sf_dir, state)
+    n_images = spark.read.parquet(
+        mi.stage_image_corpus(spark, sf_dir)
+    ).count()
+    widths = mi._image_block_widths(n_images)
+    batch = spark.read.parquet(mi.stage_arrivals(spark, sf_dir)).where(
+        F.col("img_id") % 3 == 0
+    )
+
+    def snapshot():
+        v = sorted(
+            map(
+                tuple,
+                spark.read.parquet(f"{results}/batch_id=7").collect(),
+            )
+        )
+        s = sorted(
+            map(tuple, mi.read_index_state(spark, state).collect())
+        )
+        return v, s
+
+    mi.apply_ingest_batch(spark, batch, 7, state, results, widths)
+    first = snapshot()
+    mi.apply_ingest_batch(spark, batch, 7, state, results, widths)
+    second = snapshot()
+    assert first == second
+    assert mi._latest_version(state) == 2  # version advanced, content fixed
+
+
 def test_text_ingest_stream_equals_batch(spark, sf_dir):
     """Streaming TEXT dedup ingest parity: readStream over multi-file
     document arrivals (in-stream projection MinHash, stream-static
