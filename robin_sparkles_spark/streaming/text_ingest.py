@@ -214,3 +214,206 @@ def text_ingest_stream(
         spark.read.parquet(bands),
         spark.read.parquet(payload),
     )
+
+
+# --- index MAINTENANCE (late r11; the text sibling of
+# media_ingest's maintenance — same versioned-snapshot commit, same
+# replay-stable candidate construction, one marker governing BOTH
+# state tables (bands + verify payload) so they flip atomically).
+
+import os as _os
+import shutil as _shutil
+
+_MARKER = "_LATEST"
+_BANDS_SCHEMA = "doc_id long, band_idx int, band_key string"
+_PAYLOAD_SCHEMA = "doc_id long, sh array<bigint>"
+
+
+def _latest_version(state_path: str) -> int | None:
+    try:
+        with open(_os.path.join(state_path, _MARKER)) as fh:
+            return int(fh.read().strip())
+    except (FileNotFoundError, ValueError):
+        return None
+
+
+def read_text_index_state(
+    spark: SparkSession, state_path: str
+) -> tuple[DataFrame, DataFrame]:
+    """(bands, payload) of the marker-named snapshot."""
+    n = _latest_version(state_path)
+    if n is None:
+        return (
+            spark.createDataFrame([], _BANDS_SCHEMA),
+            spark.createDataFrame([], _PAYLOAD_SCHEMA),
+        )
+    base = _os.path.join(state_path, f"v{n}")
+    return (
+        spark.read.parquet(_os.path.join(base, "bands")),
+        spark.read.parquet(_os.path.join(base, "payload")),
+    )
+
+
+def seed_text_index_state(
+    spark: SparkSession, sf_dir: str, state_path: str
+) -> None:
+    """Bootstrap from the persisted static index (idempotent)."""
+    if _latest_version(state_path) is not None:
+        return
+    bands, payload = stage_text_index(spark, sf_dir)
+    base = _os.path.join(state_path, "v0")
+    spark.read.parquet(bands).write.mode("overwrite").parquet(
+        _os.path.join(base, "bands")
+    )
+    spark.read.parquet(payload).write.mode("overwrite").parquet(
+        _os.path.join(base, "payload")
+    )
+    tmp = _os.path.join(state_path, f".{_MARKER}.tmp")
+    with open(tmp, "w") as fh:
+        fh.write("0")
+    _os.replace(tmp, _os.path.join(state_path, _MARKER))
+
+
+def apply_text_ingest_batch(
+    spark: SparkSession,
+    batch: DataFrame,
+    batch_id: int,
+    state_path: str,
+    results_path: str,
+) -> None:
+    """One exactly-once text-ingest maintenance step. Candidates per
+    arriving doc = (index band matches, excluding self-id) ∪
+    (within-batch smaller-id band matches); Jaccard-verified against
+    the payload union; keepers (no qualifying match) join the next
+    snapshot. Replay-idempotent by the same construction as
+    ``media_ingest.apply_ingest_batch``."""
+    from ..functions.barrier import barrier
+
+    banded = barrier(
+        _stream_banded_shingles(batch), "corpus", "text ingest batch bands"
+    )
+    batch_payload = banded.select("doc_id", "sh").dropDuplicates(["doc_id"])
+    idx_bands, idx_payload = read_text_index_state(spark, state_path)
+
+    keyed = banded.where(F.col("band_key").isNotNull()).select(
+        "doc_id", "band_idx", "band_key"
+    )
+    # index candidates (exclude self on replay)
+    ic = (
+        keyed.hint("shuffle_hash")
+        .join(
+            idx_bands.selectExpr(
+                "doc_id AS cand_id", "band_idx", "band_key"
+            ),
+            ["band_idx", "band_key"],
+        )
+        .where(F.col("doc_id") != F.col("cand_id"))
+    )
+    # within-batch smaller-id candidates
+    wc = (
+        keyed.alias("a")
+        .hint("shuffle_hash")
+        .join(
+            keyed.alias("b"),
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("b.doc_id").alias("doc_id"),
+            F.col("a.doc_id").alias("cand_id"),
+        )
+    )
+    cands = (
+        ic.select("doc_id", "cand_id").unionByName(wc).distinct()
+    )
+    # verify payloads: candidate sets come from (index ∪ batch) —
+    # within-batch candidates resolve through the batch payload,
+    # replayed keepers through either (identical arrays)
+    payload_all = (
+        idx_payload.unionByName(batch_payload).dropDuplicates(["doc_id"])
+    )
+    fetched = (
+        cands.join(batch_payload.selectExpr("doc_id", "sh AS sh1"), "doc_id")
+        .hint("shuffle_hash")
+        .join(
+            payload_all.selectExpr("doc_id AS cand_id", "sh AS sh2"),
+            "cand_id",
+        )
+    )
+    jaccard = (
+        F.size(F.array_intersect("sh1", "sh2")).cast("double")
+        / F.size(F.array_union("sh1", "sh2"))
+    )
+    best = (
+        fetched.select("doc_id", "cand_id", jaccard.alias("jaccard"))
+        .where(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .groupBy("doc_id")
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("jaccard"), (-F.col("cand_id")).alias("neg_id")
+                )
+            ).alias("best")
+        )
+    )
+    verdicts = batch.select("doc_id").join(best, ["doc_id"], "left").select(
+        "doc_id",
+        F.coalesce(-F.col("best.neg_id"), F.lit(-1)).cast("long").alias("dup_of"),
+        F.coalesce(F.col("best.jaccard"), F.lit(0.0)).alias("jaccard"),
+        F.col("best").isNotNull().alias("is_dup"),
+    )
+    verdicts.write.mode("overwrite").parquet(
+        _os.path.join(results_path, f"batch_id={batch_id}")
+    )
+
+    keeper_ids = verdicts.where(~F.col("is_dup")).select("doc_id")
+    n = _latest_version(state_path)
+    nxt = 0 if n is None else n + 1
+    claimed = _os.path.join(state_path, f"v{nxt}")
+    if _os.path.exists(claimed):
+        _shutil.rmtree(claimed, ignore_errors=True)  # retry debris
+    next_bands = (
+        idx_bands.unionByName(keyed.join(keeper_ids, "doc_id"))
+        .dropDuplicates(["doc_id", "band_idx"])
+    )
+    next_payload = (
+        idx_payload.unionByName(batch_payload.join(keeper_ids, "doc_id"))
+        .dropDuplicates(["doc_id"])
+    )
+    next_bands.write.mode("overwrite").parquet(_os.path.join(claimed, "bands"))
+    next_payload.write.mode("overwrite").parquet(
+        _os.path.join(claimed, "payload")
+    )
+    tmp = _os.path.join(state_path, f".{_MARKER}.tmp")
+    with open(tmp, "w") as fh:
+        fh.write(str(nxt))
+    _os.replace(tmp, _os.path.join(state_path, _MARKER))
+    for name in _os.listdir(state_path):
+        if name.startswith("v") and name[1:].isdigit() and int(name[1:]) < nxt - 1:
+            _shutil.rmtree(_os.path.join(state_path, name), ignore_errors=True)
+
+
+def stream_text_ingest_with_maintenance(
+    spark: SparkSession,
+    sf_dir: str,
+    state_path: str,
+    results_path: str,
+    checkpoint: str,
+    max_files_per_trigger: int = 1,
+):
+    """Checkpointed end-to-end text ingest with index maintenance."""
+    seed_text_index_state(spark, sf_dir, state_path)
+    stream = text_arrivals_stream(spark, sf_dir, max_files_per_trigger)
+
+    def sink(batch: DataFrame, batch_id: int) -> None:
+        apply_text_ingest_batch(
+            spark, batch, batch_id, state_path, results_path
+        )
+
+    return (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -281,6 +281,93 @@ def test_media_ingest_maintenance_replay_idempotent(spark, sf_dir, tmp_path):
     assert mi._latest_version(state) == 2  # version advanced, content fixed
 
 
+def test_text_ingest_index_maintenance_end_to_end(spark, sf_dir, tmp_path):
+    """Text-ingest maintenance invariants (the fixture's dup structure
+    is organic, so the order-free checks are coverage, growth
+    accounting, and MONOTONICITY vs the read-only form — the index
+    only grows, so anything the static index already catches must
+    stay caught)."""
+    from robin_sparkles_spark.operators.curation import (
+        dedup_text_stream_ingest,
+    )
+    from robin_sparkles_spark.streaming import text_ingest as ti
+
+    state = str(tmp_path / "state")
+    results = str(tmp_path / "results")
+    q = ti.stream_text_ingest_with_maintenance(
+        spark, sf_dir, state, results, str(tmp_path / "ckpt")
+    )
+    q.awaitTermination()
+
+    verdicts = spark.read.parquet(results).toPandas()
+    arrivals = (
+        spark.read.parquet(ti.stage_text_arrivals(spark, sf_dir))
+        .select("doc_id")
+        .toPandas()
+    )
+    assert sorted(verdicts.doc_id) == sorted(arrivals.doc_id)
+    assert verdicts.doc_id.is_unique
+
+    static_dups = {
+        r[0]
+        for r in dedup_text_stream_ingest(spark, sf_dir)
+        .where("is_dup")
+        .select("doc_id")
+        .collect()
+    }
+    maintained_dups = set(verdicts[verdicts.is_dup].doc_id)
+    assert static_dups <= maintained_dups  # the index only grows
+
+    bands, payload = ti.read_text_index_state(spark, state)
+    initial_payload = spark.read.parquet(ti.payload_index_path(sf_dir))
+    keepers = set(verdicts[~verdicts.is_dup].doc_id)
+    final_ids = {r[0] for r in payload.select("doc_id").collect()}
+    initial_ids = {r[0] for r in initial_payload.select("doc_id").collect()}
+    assert final_ids == initial_ids | keepers
+    # bands stay consistent with payload (keeper band rows landed;
+    # no-shingle keepers legitimately have no band rows)
+    band_ids = {r[0] for r in bands.select("doc_id").distinct().collect()}
+    assert band_ids <= final_ids
+
+
+def test_text_ingest_maintenance_replay_idempotent(spark, sf_dir, tmp_path):
+    """Immediate replay of the same batch id reaches the same
+    verdicts and the same (bands, payload) state content."""
+    from pyspark.sql import functions as F
+
+    from robin_sparkles_spark.streaming import text_ingest as ti
+
+    state = str(tmp_path / "state")
+    results = str(tmp_path / "results")
+    ti.seed_text_index_state(spark, sf_dir, state)
+    batch = spark.read.parquet(ti.stage_text_arrivals(spark, sf_dir)).where(
+        F.col("doc_id") % 3 == 0
+    )
+
+    def snapshot():
+        v = sorted(
+            map(
+                tuple,
+                spark.read.parquet(f"{results}/batch_id=3").collect(),
+            )
+        )
+        bands, payload = ti.read_text_index_state(spark, state)
+        return (
+            v,
+            sorted(map(tuple, bands.collect())),
+            sorted(
+                (r[0], tuple(r[1])) for r in payload.collect()
+            ),
+        )
+
+    ti.apply_text_ingest_batch(spark, batch, 3, state, results)
+    first = snapshot()
+    ti.apply_text_ingest_batch(spark, batch, 3, state, results)
+    second = snapshot()
+    assert first == second
+    assert ti._latest_version(state) == 2
+
+
 def test_text_ingest_stream_equals_batch(spark, sf_dir):
     """Streaming TEXT dedup ingest parity: readStream over multi-file
     document arrivals (in-stream projection MinHash, stream-static
