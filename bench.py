@@ -156,6 +156,7 @@ EXTENDED = [
     "dedup_simhash_wide",
     "jsonl_ingest_stats",
     "csv_ingest_stats",
+    "docs_epoch_shuffle",
 ]
 
 

@@ -875,9 +875,73 @@ FROM flags f CROSS JOIN js
 """
 
 
+# --- deterministic epoch shuffle (late r11) ----------------------------------
+
+EPOCH_SHUFFLE_SEED = 2  # the epoch number; production parameterizes
+EPOCH_SHUFFLE_SHARDS = 8
+SHUFFLE_HASH_IDX = 23  # affine family index (disjoint from other uses)
+
+
+def docs_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded global training-order shuffle WITHOUT a global sort:
+    every doc gets a portable pseudo-random key from (epoch seed,
+    doc_id), the key's modulus assigns one of N shuffle SHARDS
+    (a uniform random partition of the corpus — the unit a training
+    loader streams), and position-within-shard is a window ordered by
+    (key, doc_id). Rerunning yields the identical permutation on any
+    engine or cluster size — the property epoch reproducibility
+    needs; changing the seed re-permutes everything.
+
+    Scale: one shuffle on shard_id; each window task sorts |N/shards|
+    rows, so shard count grows with the corpus to keep per-task sorts
+    executor-sized (N_SHARDS here is the fixture setting). No stage
+    ever totals-orders the corpus — the composition (random shard,
+    random order within shard) IS a uniform global permutation when
+    the loader reads shards in index order."""
+    a, b = affine_params(SHUFFLE_HASH_IDX)
+    key = (
+        (F.col("doc_id") + F.lit(EPOCH_SHUFFLE_SEED) * F.lit(1_000_003))
+        * F.lit(a)
+        + F.lit(b)
+    ) % F.lit(MERSENNE_P)
+    w = W.partitionBy("shard_id").orderBy("sort_key", "doc_id")
+    return (
+        load_table(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            key.alias("sort_key"),
+        )
+        .withColumn(
+            "shard_id", (F.col("sort_key") % EPOCH_SHUFFLE_SHARDS).cast("int")
+        )
+        .select(
+            "doc_id",
+            "shard_id",
+            F.row_number().over(w).cast("long").alias("pos_in_shard"),
+        )
+    )
+
+
+def _epoch_shuffle_sql() -> str:
+    a, b = affine_params(SHUFFLE_HASH_IDX)
+    return f"""
+WITH keyed AS (
+  SELECT doc_id,
+         ((doc_id + {EPOCH_SHUFFLE_SEED} * 1000003) * {a} + {b}) % {MERSENNE_P} AS sort_key
+  FROM documents
+)
+SELECT doc_id,
+       CAST(sort_key % {EPOCH_SHUFFLE_SHARDS} AS INT) AS shard_id,
+       ROW_NUMBER() OVER (PARTITION BY sort_key % {EPOCH_SHUFFLE_SHARDS}
+                          ORDER BY sort_key, doc_id) AS pos_in_shard
+FROM keyed
+"""
+
+
 QUERIES: dict = {}
 
 QUERIES_TAIL = {
+    "docs_epoch_shuffle": (docs_epoch_shuffle, _epoch_shuffle_sql()),
     "source_waterfill_allocation": (
         source_waterfill_allocation,
         WATERFILL_SQL,

@@ -857,3 +857,31 @@ def test_waterfill_exactness_properties(spark, sf_dir):
     assert max(capped) - min(capped) <= 1  # one common water level
     if uncapped:
         assert min(capped) >= max(uncapped)
+
+
+def test_epoch_shuffle_is_a_permutation_and_seed_sensitive(spark, sf_dir):
+    """docs_epoch_shuffle: (a) output is a permutation — every doc
+    exactly once, positions within each shard are 1..|shard| dense;
+    (b) deterministic across runs; (c) shards are roughly uniform;
+    (d) a different seed yields a different order (the whole point)."""
+    from robin_sparkles_spark.operators import llm_prep as L
+
+    out = L.docs_epoch_shuffle(spark, sf_dir).toPandas()
+    n = len(out)
+    assert out.doc_id.is_unique
+    for _, grp in out.groupby("shard_id"):
+        assert sorted(grp.pos_in_shard) == list(range(1, len(grp) + 1))
+    sizes = out.groupby("shard_id").size()
+    assert len(sizes) == L.EPOCH_SHUFFLE_SHARDS
+    assert sizes.max() <= 2 * sizes.min() + 8  # uniform-ish partition
+    again = L.docs_epoch_shuffle(spark, sf_dir).toPandas()
+    key = lambda pdf: sorted(map(tuple, pdf.values.tolist()))
+    assert key(out) == key(again)
+    # seed sensitivity: monkeypatch the seed, expect a different order
+    orig = L.EPOCH_SHUFFLE_SEED
+    try:
+        L.EPOCH_SHUFFLE_SEED = orig + 1
+        other = L.docs_epoch_shuffle(spark, sf_dir).toPandas()
+    finally:
+        L.EPOCH_SHUFFLE_SEED = orig
+    assert key(out) != key(other)
