@@ -157,6 +157,11 @@ EXTENDED = [
     "jsonl_ingest_stats",
     "csv_ingest_stats",
     "docs_epoch_shuffle",
+    # late r11: the modality ingest matrix completed (audio
+    # incremental + stream twin; video incremental — frame rollup)
+    "dedup_audio_incremental",
+    "dedup_audio_stream_ingest",
+    "dedup_video_incremental",
 ]
 
 

@@ -239,11 +239,11 @@ def dedup_audio_fingerprint_bruteforce(
     )
 
 
-def audio_fingerprint_oracle(sf_dir: str) -> str:
-    """Closed-form DuckDB twin: regenerate every clip's samples
-    (perturbation p-descending = last-wins; variant 2 doubles the
-    BASE samples), partition into the exact 64 frames, build the same
-    63-bit hash, brute-force qualifying pairs."""
+def audio_fp_oracle_ctes(sf_dir: str) -> str:
+    """The closed-form fingerprint pipeline as a reusable CTE body
+    ending in ``fps(aud_id, fp)`` — shared by the pair oracle, the
+    keeper oracle's pair stage, and the incremental-ingest oracle
+    (the ``phash_oracle_ctes`` pattern from image dedup)."""
     from ..session import active_or_local
 
     path = stage_audio_corpus(active_or_local("audio_fp_oracle"), sf_dir)
@@ -252,8 +252,7 @@ def audio_fingerprint_oracle(sf_dir: str) -> str:
     )
     over = "(53*d.audio_id + {c}) % 4001 - 2000"
     pos = "d.variant = 1 AND j.range = (d.audio_id + {a}) % d.n"
-    return f"""
-WITH dims AS (
+    return f"""dims AS (
   SELECT aud_id, audio_id, variant, 64 + audio_id % 129 AS n
   FROM read_parquet('{path}/*.parquet')
 ),
@@ -284,7 +283,16 @@ fps AS (
   SELECT aud_id,
          SUM(CASE WHEN bit = 1 THEN CAST(1 AS BIGINT) << b ELSE 0 END) AS fp
   FROM bits GROUP BY aud_id
-)
+)"""
+
+
+def audio_fingerprint_oracle(sf_dir: str) -> str:
+    """Closed-form DuckDB twin: regenerate every clip's samples
+    (perturbation p-descending = last-wins; variant 2 doubles the
+    BASE samples), partition into the exact 64 frames, build the same
+    63-bit hash, brute-force qualifying pairs."""
+    return f"""
+WITH {audio_fp_oracle_ctes(sf_dir)}
 SELECT a.aud_id AS aud1, b.aud_id AS aud2,
        CAST(bit_count(xor(a.fp, b.fp)) AS BIGINT) AS hamming
 FROM fps a JOIN fps b ON a.aud_id < b.aud_id
@@ -399,4 +407,123 @@ QUERIES = {
         audio_fingerprint_oracle,
     ),
     "audio_dedup_keepers": (audio_dedup_keepers, audio_keepers_oracle),
+}
+
+
+# --- incremental + streaming ingest (late r11: modality matrix) ---------------
+#
+# Same fixture split arithmetic as image dedup (oracle-mirrored):
+# the index holds BASE clips of families f % 4 != 3; arrivals are
+# everything else (re-uploads of indexed families → dups; whole
+# f % 4 == 3 families → new content).
+
+
+def _aud_in_index() -> F.Column:
+    fam = (F.col("aud_id") / 10).cast("long")
+    return (F.col("aud_id") % 10 == 0) & (fam % 4 != 3)
+
+
+def dedup_audio_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup status of every NEW-batch clip vs the index:
+    (aud_id, dup_of, hamming, is_dup) — the audio twin of
+    ``dedup_image_incremental`` (same plan: one map-only fingerprint
+    pass, arithmetic split, blocked between-join, per-clip argmin
+    window, left join back)."""
+    from pyspark.sql import Window as W
+
+    from .dedup import hamming_blocked_pairs_between
+
+    fps = barrier(
+        audio_fingerprints(spark, sf_dir),
+        "corpus",
+        "audio fingerprint table",
+        eager=False,
+    )
+    n_clips = spark.read.parquet(stage_audio_corpus(spark, sf_dir)).count()
+    widths = _audio_block_widths(n_clips)
+    matches = hamming_blocked_pairs_between(
+        fps.where(~_aud_in_index()),
+        fps.where(_aud_in_index()),
+        widths,
+        AUDIO_MAX_HAMMING,
+        id_col="aud_id",
+        hash_col="fp",
+        out_cols=("new_id", "index_id", "hamming"),
+    )
+    w = W.partitionBy("new_id").orderBy(F.asc("hamming"), F.asc("index_id"))
+    best = (
+        matches.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .drop("rn")
+    )
+    batch = fps.where(~_aud_in_index()).select("aud_id")
+    return batch.join(best, batch.aud_id == best.new_id, "left").select(
+        "aud_id",
+        F.coalesce(F.col("index_id"), F.lit(-1)).cast("long").alias("dup_of"),
+        F.coalesce(F.col("hamming"), F.lit(-1)).cast("long").alias("hamming"),
+        F.col("index_id").isNotNull().alias("is_dup"),
+    )
+
+
+def audio_incremental_oracle(sf_dir: str) -> str:
+    """Shared fingerprint pipeline → arithmetic split → brute-force
+    new×index best match → left join back to the batch."""
+    return f"""
+WITH {audio_fp_oracle_ctes(sf_dir)},
+split AS (
+  SELECT aud_id, fp,
+         (aud_id % 10 = 0 AND (aud_id // 10) % 4 <> 3) AS in_index
+  FROM fps
+),
+matches AS (
+  SELECT n.aud_id AS new_id, i.aud_id AS index_id,
+         CAST(bit_count(xor(n.fp, i.fp)) AS BIGINT) AS hamming
+  FROM split n JOIN split i ON NOT n.in_index AND i.in_index
+  WHERE bit_count(xor(n.fp, i.fp)) <= {AUDIO_MAX_HAMMING}
+),
+best AS (
+  SELECT new_id, index_id, hamming,
+         ROW_NUMBER() OVER (PARTITION BY new_id
+                            ORDER BY hamming ASC, index_id ASC) AS rn
+  FROM matches
+)
+SELECT s.aud_id,
+       COALESCE(b.index_id, -1) AS dup_of,
+       COALESCE(b.hamming, -1) AS hamming,
+       b.index_id IS NOT NULL AS is_dup
+FROM split s LEFT JOIN best b ON b.new_id = s.aud_id AND b.rn = 1
+WHERE NOT s.in_index
+"""
+
+
+def dedup_audio_stream_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of ``streaming.media_ingest.audio_ingest_stream`` —
+    the identical streaming-legal function (generic
+    ``hash_ingest_verdicts``: left-outer band join + grouped
+    min(struct) argmin) over the batch scan of the staged arrivals
+    and persisted fingerprint index. Same semantics as
+    :func:`dedup_audio_incremental`, so the oracle is shared."""
+    from ..streaming.media_ingest import (
+        audio_ingest_dedup_stream,
+        stage_audio_arrivals,
+        stage_audio_index,
+    )
+
+    n_clips = spark.read.parquet(stage_audio_corpus(spark, sf_dir)).count()
+    arrivals = spark.read.parquet(stage_audio_arrivals(spark, sf_dir))
+    index = spark.read.parquet(stage_audio_index(spark, sf_dir))
+    return audio_ingest_dedup_stream(arrivals, index, n_clips)
+
+
+QUERIES_TAIL = {
+    "dedup_audio_incremental": (
+        dedup_audio_incremental,
+        audio_incremental_oracle,
+    ),
+    # oracle shared with the incremental form (identical semantics,
+    # streaming-legal plan)
+    "dedup_audio_stream_ingest": (
+        dedup_audio_stream_ingest,
+        audio_incremental_oracle,
+    ),
 }

@@ -628,3 +628,132 @@ QUERIES = {
         video_strided_oracle,
     ),
 }
+
+
+# --- incremental ingest (late r11: modality matrix) ---------------------------
+#
+# Same fixture split arithmetic as image/audio (oracle-mirrored). The
+# verdict rides FRAME-level matching: a new clip is a dup of an index
+# clip when their matched-frame count passes the same
+# half-the-shorter-clip rule as the pair query — so trimmed re-uploads
+# of indexed content are caught (a clip-level hash cannot).
+#
+# NO pure-streaming twin, deliberately: the verdict needs TWO chained
+# aggregations (frame pairs -> per-clip-pair matched count -> per-new-
+# clip argmax), and Structured Streaming supports a single aggregation
+# per query — the streaming form of this operator is the foreachBatch
+# maintenance shape (media_ingest.apply_ingest_batch generalizes; the
+# image/audio single-agg verdicts stream directly). Recorded as a
+# boundary, not a gap.
+
+
+def _vid_in_index() -> F.Column:
+    fam = (F.col("vid_id") / 10).cast("long")
+    return (F.col("vid_id") % 10 == 0) & (fam % 4 != 3)
+
+
+def dedup_video_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup status of every NEW-batch clip vs the index:
+    (vid_id, dup_of, matched_frames, is_dup). Best match = max
+    matched frames (ties -> min index vid); matched_frames is 0 for
+    non-dups (integer sentinels)."""
+    from pyspark.sql import Window as W
+
+    from .dedup import hamming_blocked_pairs_between
+
+    frames = barrier(
+        video_frame_hashes(spark, sf_dir),
+        "corpus",
+        "video frame-hash table",
+        eager=False,
+    )
+    n_frames_total = frames.count()
+    widths = _video_block_widths(n_frames_total)
+    fp = hamming_blocked_pairs_between(
+        frames.where(~_vid_in_index()),
+        frames.where(_vid_in_index()),
+        widths,
+        FRAME_MAX_HAMMING,
+        id_col="fid",
+        hash_col="fhash",
+        out_cols=("fid1", "fid2", "hamming"),
+    )
+    matched = (
+        fp.select(
+            (F.col("fid1") / FID_STRIDE).cast("long").alias("new_vid"),
+            (F.col("fid2") / FID_STRIDE).cast("long").alias("index_vid"),
+        )
+        .groupBy("new_vid", "index_vid")
+        .agg(F.count(F.lit(1)).alias("matched_frames"))
+    )
+    counts = frames.groupBy("vid_id").agg(F.count(F.lit(1)).alias("n_frames"))
+    c1 = counts.select(F.col("vid_id").alias("new_vid"), F.col("n_frames").alias("n1"))
+    c2 = counts.select(F.col("vid_id").alias("index_vid"), F.col("n_frames").alias("n2"))
+    qual = (
+        matched.join(F.broadcast(c1), "new_vid")
+        .join(F.broadcast(c2), "index_vid")
+        .where(F.col("matched_frames") * 2 >= F.least(F.col("n1"), F.col("n2")))
+    )
+    w = W.partitionBy("new_vid").orderBy(
+        F.desc("matched_frames"), F.asc("index_vid")
+    )
+    best = (
+        qual.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("new_vid", "index_vid", "matched_frames")
+    )
+    batch = counts.where(~_vid_in_index()).select("vid_id")
+    return batch.join(best, batch.vid_id == best.new_vid, "left").select(
+        "vid_id",
+        F.coalesce(F.col("index_vid"), F.lit(-1)).cast("long").alias("dup_of"),
+        F.coalesce(F.col("matched_frames"), F.lit(0)).cast("long").alias(
+            "matched_frames"
+        ),
+        F.col("index_vid").isNotNull().alias("is_dup"),
+    )
+
+
+def video_incremental_oracle(sf_dir: str) -> str:
+    """Shared frame-hash pipeline -> arithmetic split -> brute-force
+    new x index frame matches -> rollup -> best match -> left join."""
+    in_idx = "({v} % 10 = 0 AND ({v} // 10) % 4 <> 3)"
+    return f"""
+WITH {video_oracle_ctes(sf_dir)},
+fmatch AS (
+  SELECT n.vid_id AS new_vid, i.vid_id AS index_vid,
+         COUNT(*) AS matched_frames
+  FROM fhashes n JOIN fhashes i
+    ON NOT {in_idx.format(v='n.vid_id')}
+   AND {in_idx.format(v='i.vid_id')}
+   AND bit_count(xor(n.fh, i.fh)) <= {FRAME_MAX_HAMMING}
+  GROUP BY 1, 2
+),
+qual AS (
+  SELECT f.new_vid, f.index_vid, f.matched_frames
+  FROM fmatch f
+  JOIN counts c1 ON c1.vid_id = f.new_vid
+  JOIN counts c2 ON c2.vid_id = f.index_vid
+  WHERE 2 * f.matched_frames >= LEAST(c1.nf, c2.nf)
+),
+best AS (
+  SELECT new_vid, index_vid, matched_frames,
+         ROW_NUMBER() OVER (PARTITION BY new_vid
+                            ORDER BY matched_frames DESC, index_vid ASC) AS rn
+  FROM qual
+)
+SELECT c.vid_id,
+       COALESCE(b.index_vid, -1) AS dup_of,
+       CAST(COALESCE(b.matched_frames, 0) AS BIGINT) AS matched_frames,
+       b.index_vid IS NOT NULL AS is_dup
+FROM counts c
+LEFT JOIN (SELECT * FROM best WHERE rn = 1) b ON b.new_vid = c.vid_id
+WHERE NOT {in_idx.format(v='c.vid_id')}
+"""
+
+
+QUERIES_TAIL = {
+    "dedup_video_incremental": (
+        dedup_video_incremental,
+        video_incremental_oracle,
+    ),
+}

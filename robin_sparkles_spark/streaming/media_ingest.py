@@ -119,29 +119,30 @@ def arrivals_stream(
     )
 
 
-def _exploded(hashes: DataFrame, widths: tuple[int, ...]) -> DataFrame:
-    """Pigeonhole band-key explode (the shared ``dedup`` machinery) —
-    (doc_id, simhash, key_idx, key) rows."""
+def hash_ingest_verdicts(
+    arriving_hashes: DataFrame,
+    index_hashes: DataFrame,
+    widths: tuple[int, ...],
+    max_hamming: int,
+    *,
+    id_col: str,
+    hash_col: str,
+) -> DataFrame:
+    """The generic streaming-legal ingest verdict: best index match
+    per arriving hash — (id_col, dup_of, hamming, is_dup), sentinels
+    −1/−1/false on no match. Both inputs are (id_col, hash_col)
+    frames; the arriving side may be streaming (map, stateless left
+    join, grouped min aggregation only). Shared by the image and
+    audio ingest paths — any 63-bit fingerprint family plugs in."""
     from ..operators.dedup import _blocked_explode
 
-    _, blocked = _blocked_explode(
-        hashes, widths, IMAGE_MAX_HAMMING, "img_id", "dhash"
+    _, arriving = _blocked_explode(
+        arriving_hashes, widths, max_hamming, id_col, hash_col
     )
-    return blocked
-
-
-def ingest_dedup_stream(
-    media: DataFrame, index_hashes: DataFrame, n_images: int
-) -> DataFrame:
-    """Best index match per arriving image: (img_id, dup_of, hamming,
-    is_dup), sentinels −1/−1/false when nothing in the index is within
-    Hamming ≤ 6. ``media`` may be a streaming OR batch frame — every
-    operator here is streaming-legal (map, stateless left join,
-    grouped min aggregation); the batch twin is this exact function
-    applied to the batch scan."""
-    widths = _image_block_widths(n_images)
-    arriving = _exploded(image_dhash_over(media), widths)
-    index = _exploded(index_hashes, widths).select(
+    _, idx = _blocked_explode(
+        index_hashes, widths, max_hamming, id_col, hash_col
+    )
+    index = idx.select(
         F.col("doc_id").alias("index_id"),
         F.col("simhash").alias("index_hash"),
         "key_idx",
@@ -156,17 +157,33 @@ def ingest_dedup_stream(
         F.col("simhash").bitwiseXOR(F.col("index_hash"))
     ).cast("long")
     qualifying = F.when(
-        hamming <= IMAGE_MAX_HAMMING,
+        hamming <= max_hamming,
         F.struct(hamming.alias("hamming"), F.col("index_id").alias("index_id")),
     )
-    best = joined.groupBy(F.col("doc_id").alias("img_id")).agg(
+    best = joined.groupBy(F.col("doc_id").alias(id_col)).agg(
         F.min(qualifying).alias("best")
     )
     return best.select(
-        "img_id",
+        id_col,
         F.coalesce(F.col("best.index_id"), F.lit(-1)).cast("long").alias("dup_of"),
         F.coalesce(F.col("best.hamming"), F.lit(-1)).cast("long").alias("hamming"),
         F.col("best").isNotNull().alias("is_dup"),
+    )
+
+
+def ingest_dedup_stream(
+    media: DataFrame, index_hashes: DataFrame, n_images: int
+) -> DataFrame:
+    """Best index match per arriving image (the image instantiation of
+    :func:`hash_ingest_verdicts`): decode+dHash kernel, then the
+    generic verdict pipeline."""
+    return hash_ingest_verdicts(
+        image_dhash_over(media),
+        index_hashes,
+        _image_block_widths(n_images),
+        IMAGE_MAX_HAMMING,
+        id_col="img_id",
+        hash_col="dhash",
     )
 
 
@@ -362,4 +379,97 @@ def stream_ingest_with_maintenance(
         .option("checkpointLocation", checkpoint)
         .trigger(availableNow=True)
         .start()
+    )
+
+
+# --- audio ingest (late r11: the modality matrix completed) -------------------
+#
+# Same lifecycle as images: arrivals → fingerprint kernel →
+# stream-static index join → verdicts, over the generic
+# hash_ingest_verdicts (the acoustic fingerprint is a 63-bit hash
+# like dHash, so the whole pipeline is a parameter swap).
+
+AUDIO_SCHEMA = "aud_id long, audio_id long, variant int, payload binary"
+
+
+def audio_arrivals_path(sf_dir: str) -> str:
+    return staged_path(sf_dir, "audio_arrivals_v1", "documents")
+
+
+def audio_index_path(sf_dir: str) -> str:
+    return staged_path(sf_dir, "audio_hash_index_v1", "documents")
+
+
+def stage_audio_arrivals(spark: SparkSession, sf_dir: str) -> str:
+    from ..operators.audio_dedup import _aud_in_index, stage_audio_corpus
+
+    path = audio_arrivals_path(sf_dir)
+    if is_staged(path):
+        return path
+    corpus = spark.read.parquet(stage_audio_corpus(spark, sf_dir))
+    corpus.where(~_aud_in_index()).repartition(
+        ARRIVALS_FILES, "aud_id"
+    ).write.mode("overwrite").parquet(path)
+    return path
+
+
+def stage_audio_index(spark: SparkSession, sf_dir: str) -> str:
+    from ..operators.audio_dedup import (
+        _aud_in_index,
+        audio_fingerprints_over,
+        stage_audio_corpus,
+    )
+
+    path = audio_index_path(sf_dir)
+    if is_staged(path):
+        return path
+    corpus = spark.read.parquet(stage_audio_corpus(spark, sf_dir))
+    audio_fingerprints_over(corpus.where(_aud_in_index())).coalesce(
+        1
+    ).write.mode("overwrite").parquet(path)
+    return path
+
+
+def audio_arrivals_stream(
+    spark: SparkSession, sf_dir: str, max_files_per_trigger: int = 1
+) -> DataFrame:
+    path = stage_audio_arrivals(spark, sf_dir)
+    return (
+        spark.readStream.schema(AUDIO_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(path)
+    )
+
+
+def audio_ingest_dedup_stream(
+    media: DataFrame, index_hashes: DataFrame, n_clips: int
+) -> DataFrame:
+    """The audio instantiation of :func:`hash_ingest_verdicts`."""
+    from ..operators.audio_dedup import (
+        AUDIO_MAX_HAMMING,
+        _audio_block_widths,
+        audio_fingerprints_over,
+    )
+
+    return hash_ingest_verdicts(
+        audio_fingerprints_over(media),
+        index_hashes,
+        _audio_block_widths(n_clips),
+        AUDIO_MAX_HAMMING,
+        id_col="aud_id",
+        hash_col="fp",
+    )
+
+
+def audio_ingest_stream(
+    spark: SparkSession, sf_dir: str, max_files_per_trigger: int = 1
+) -> DataFrame:
+    from ..operators.audio_dedup import stage_audio_corpus
+
+    n_clips = spark.read.parquet(stage_audio_corpus(spark, sf_dir)).count()
+    index = spark.read.parquet(stage_audio_index(spark, sf_dir))
+    return audio_ingest_dedup_stream(
+        audio_arrivals_stream(spark, sf_dir, max_files_per_trigger),
+        index,
+        n_clips,
     )

@@ -112,10 +112,14 @@ MAP_IN_PANDAS_ALLOWLIST = {
     "dedup_image_phash",
     "dedup_audio_fingerprint",
     "dedup_video_phash",
-    # late-r11 streaming ingest twin: the same dHash kernel, visible
-    # in-plan because the stream-shared function cannot barrier
-    # (localCheckpoint is not streaming-legal)
+    # late-r11 streaming ingest twins + modality incrementals: the
+    # same decode kernels, visible in-plan because the stream-shared
+    # functions cannot barrier (localCheckpoint is not
+    # streaming-legal) or take the lazy-barrier path
     "dedup_image_stream_ingest",
+    "dedup_audio_stream_ingest",
+    "dedup_audio_incremental",
+    "dedup_video_incremental",
 }
 
 

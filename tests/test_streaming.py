@@ -281,6 +281,22 @@ def test_media_ingest_maintenance_replay_idempotent(spark, sf_dir, tmp_path):
     assert mi._latest_version(state) == 2  # version advanced, content fixed
 
 
+def test_audio_ingest_stream_equals_batch(spark, sf_dir):
+    """Audio streaming ingest parity (the generic hash_ingest_verdicts
+    instantiated for acoustic fingerprints): readStream over
+    multi-file clip arrivals drained with maxFilesPerTrigger=1 must
+    equal the oracle-gated batch twin."""
+    from robin_sparkles_spark.operators.audio_dedup import (
+        dedup_audio_stream_ingest,
+    )
+    from robin_sparkles_spark.streaming import media_ingest as mi
+
+    stream = mi.audio_ingest_stream(spark, sf_dir, max_files_per_trigger=1)
+    assert stream.isStreaming
+    batch = dedup_audio_stream_ingest(spark, sf_dir)
+    _assert_stream_equals_batch(spark, stream, batch, "t_audio_ingest")
+
+
 def test_text_ingest_index_maintenance_end_to_end(spark, sf_dir, tmp_path):
     """Text-ingest maintenance invariants (the fixture's dup structure
     is organic, so the order-free checks are coverage, growth
