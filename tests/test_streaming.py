@@ -241,6 +241,82 @@ def test_media_ingest_index_maintenance_end_to_end(spark, sf_dir, tmp_path):
     assert (others.dup_of.isin(list(added))).any()
 
 
+def test_media_ingest_maintenance_crash_restart(spark, sf_dir, tmp_path):
+    """Kill the maintenance query mid-drain and restart from the same
+    checkpoint: the final verdicts and index must satisfy the exact
+    invariants of the uninterrupted run — the versioned-snapshot
+    commit + replay-stable candidates surviving a REAL interruption,
+    not just the unit-level replay."""
+    import time as _t
+
+    from robin_sparkles_spark.streaming import media_ingest as mi
+
+    state = str(tmp_path / "state")
+    results = str(tmp_path / "results")
+    ckpt = str(tmp_path / "ckpt")
+
+    mi.seed_index_state(spark, sf_dir, state)
+    n_images = spark.read.parquet(
+        mi.stage_image_corpus(spark, sf_dir)
+    ).count()
+    widths = mi._image_block_widths(n_images)
+    stream = mi.arrivals_stream(spark, sf_dir, max_files_per_trigger=1)
+
+    def sink(batch, batch_id):
+        mi.apply_ingest_batch(spark, batch, batch_id, state, results, widths)
+
+    def start(**trigger):
+        return (
+            stream.writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(**trigger)
+            .start()
+        )
+
+    # phase 1: stop as soon as ≥1 micro-batch committed, work pending
+    q = start(processingTime="0 seconds")
+    deadline = _t.time() + 120
+    try:
+        while _t.time() < deadline:
+            if any(p["numInputRows"] > 0 for p in q.recentProgress):
+                break
+            _t.sleep(0.2)
+        else:
+            pytest.fail("stream never committed a batch")
+    finally:
+        q.stop()
+    q.awaitTermination(30)
+
+    # phase 2: restart from the same checkpoint, drain the rest
+    q2 = start(availableNow=True)
+    q2.awaitTermination()
+
+    verdicts = spark.read.parquet(results).toPandas()
+    arrivals = (
+        spark.read.parquet(mi.stage_arrivals(spark, sf_dir))
+        .select("img_id")
+        .toPandas()
+    )
+    assert sorted(verdicts.img_id) == sorted(arrivals.img_id)
+    assert verdicts.img_id.is_unique
+    initial = {
+        r[0]
+        for r in spark.read.parquet(mi.stage_index(spark, sf_dir))
+        .select("img_id")
+        .collect()
+    }
+    final = {
+        r[0]
+        for r in mi.read_index_state(spark, state).select("img_id").collect()
+    }
+    added = final - initial
+    new_families = {i // 10 for i in arrivals.img_id} - {
+        i // 10 for i in initial
+    }
+    assert {i // 10 for i in added} == new_families
+    assert len(added) == len(new_families)
+
+
 def test_media_ingest_maintenance_replay_idempotent(spark, sf_dir, tmp_path):
     """foreachBatch is at-least-once: re-applying the same batch id
     immediately (the crash-between-flip-and-checkpoint shape) must
