@@ -331,7 +331,7 @@ GATE_FRONT: tuple[str, ...] = (
     "q1_pricing_summary",
     # new late-r11 queries (streaming media/text/audio ingest batch
     # twins; audio/video incrementals; 63-bit wide simhash; JSONL/CSV
-    # ingest round-trips) take the last eight slots;
+    # ingest round-trips; epoch shuffle) take the last nine slots;
     # q3_shipping_priority, q5_region_revenue, top_customers_revenue,
     # window_event_ranks, events_json_extract, events_user_stats and
     # events_argmax defer to the r12 fill

@@ -35,22 +35,15 @@ like the batch twin (``scale_ops.orders_cdc_tombstones``).
 
 from __future__ import annotations
 
-import os
-import shutil
-
 from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from .snapshots import claim_next, commit, latest_version, version_dir
 
 CHANGES_SCHEMA = "key long, version long, value double, deleted boolean"
 
-_MARKER = "_LATEST"
-
 
 def _latest_snapshot(state_path: str) -> int | None:
-    try:
-        with open(os.path.join(state_path, _MARKER)) as fh:
-            return int(fh.read().strip())
-    except (FileNotFoundError, ValueError):
-        return None
+    return latest_version(state_path)
 
 
 def latest_wins(changes: DataFrame) -> DataFrame:
@@ -78,7 +71,7 @@ def read_state(spark: SparkSession, state_path: str) -> DataFrame:
     n = _latest_snapshot(state_path)
     if n is None:
         return spark.createDataFrame([], CHANGES_SCHEMA)
-    return spark.read.parquet(os.path.join(state_path, f"v{n}"))
+    return spark.read.parquet(version_dir(state_path, n))
 
 
 def apply_changes(spark: SparkSession, state_path: str, batch: DataFrame) -> None:
@@ -98,34 +91,15 @@ def apply_changes(spark: SparkSession, state_path: str, batch: DataFrame) -> Non
 
     RETRY RECOVERY (late r11; the first guard here RAISED on an
     existing v(n+1), and the full-suite run caught it failing a real
-    foreachBatch retry): the marker flip is the COMMIT POINT, so a
-    v(n+1) directory that exists while the marker still names v(n) is
-    by definition the debris of a crashed or retried attempt under the
-    single-writer contract — Structured Streaming re-invokes
-    foreachBatch for a failed micro-batch, and refusing the retry
-    turns transient failures into permanent ones. The stale partial is
-    removed and rewritten (idempotent: same inputs → same snapshot).
-    Two live CONCURRENT writers remain out of contract — that cannot
-    be distinguished from crash debris without leases, which is why
-    the contract is documented rather than locked."""
-    n = _latest_snapshot(state_path)
-    claimed = os.path.join(state_path, f"v{0 if n is None else n + 1}")
-    if os.path.exists(claimed):
-        # unflipped ⇒ uncommitted ⇒ crash/retry debris (see docstring)
-        shutil.rmtree(claimed, ignore_errors=True)
+    foreachBatch retry): handled by ``snapshots.claim_next`` — the
+    protocol (commit point, debris reclaim, prune, single-writer
+    scope) lives in ``streaming.snapshots``, shared with the ingest
+    index maintenance so it cannot drift between state tables."""
+    claimed, nxt = claim_next(state_path)
     merged = latest_wins(read_state(spark, state_path).unionByName(batch))
     live = merged.where(~F.col("deleted"))
-    nxt = 0 if n is None else n + 1
-    live.write.mode("overwrite").parquet(os.path.join(state_path, f"v{nxt}"))
-    tmp = os.path.join(state_path, f".{_MARKER}.tmp")
-    with open(tmp, "w") as fh:
-        fh.write(str(nxt))
-    os.replace(tmp, os.path.join(state_path, _MARKER))  # atomic commit
-    # prune snapshots older than the PREVIOUS one (kept for readers
-    # that resolved the marker just before the flip)
-    for name in os.listdir(state_path):
-        if name.startswith("v") and name[1:].isdigit() and int(name[1:]) < nxt - 1:
-            shutil.rmtree(os.path.join(state_path, name), ignore_errors=True)
+    live.write.mode("overwrite").parquet(claimed)
+    commit(state_path, nxt)
 
 
 def stream_upsert(

@@ -223,41 +223,35 @@ def media_ingest_stream(
 # and the results sink writes one overwritten subdir per batch id.
 
 import os as _os
-import shutil as _shutil
 
-_MARKER = "_LATEST"
+from .snapshots import claim_next, commit, latest_version, version_dir
+
 INDEX_SCHEMA = "img_id long, dhash long"
 
-
-def _latest_version(state_path: str) -> int | None:
-    try:
-        with open(_os.path.join(state_path, _MARKER)) as fh:
-            return int(fh.read().strip())
-    except (FileNotFoundError, ValueError):
-        return None
+# tests address the version via the module (kept as a thin alias now
+# that the protocol lives in streaming.snapshots)
+_latest_version = latest_version
 
 
 def read_index_state(spark: SparkSession, state_path: str) -> DataFrame:
     """Current hash-index snapshot (the marker-named version only)."""
-    n = _latest_version(state_path)
+    n = latest_version(state_path)
     if n is None:
         return spark.createDataFrame([], INDEX_SCHEMA)
-    return spark.read.parquet(_os.path.join(state_path, f"v{n}"))
+    return spark.read.parquet(version_dir(state_path, n))
 
 
 def seed_index_state(spark: SparkSession, sf_dir: str, state_path: str) -> None:
     """Bootstrap the maintained index from the persisted static one
     (idempotent — an already-seeded state is left alone)."""
-    if _latest_version(state_path) is not None:
+    if latest_version(state_path) is not None:
         return
     _os.makedirs(state_path, exist_ok=True)
+    claimed, nxt = claim_next(state_path)
     spark.read.parquet(stage_index(spark, sf_dir)).write.mode(
         "overwrite"
-    ).parquet(_os.path.join(state_path, "v0"))
-    tmp = _os.path.join(state_path, f".{_MARKER}.tmp")
-    with open(tmp, "w") as fh:
-        fh.write("0")
-    _os.replace(tmp, _os.path.join(state_path, _MARKER))
+    ).parquet(claimed)
+    commit(state_path, nxt)
 
 
 def _batch_verdicts(
@@ -266,7 +260,19 @@ def _batch_verdicts(
     """(img_id, dup_of, hamming, is_dup) for one micro-batch's hash
     table against the maintained index PLUS earlier (smaller-id)
     members of the same batch — the replay-stable candidate union
-    (see the maintenance comment block)."""
+    (see the maintenance comment block).
+
+    CHAIN SEMANTICS of dup_of (contract, review-hardened): within a
+    batch, dup_of may name an earlier arrival that is ITSELF a dup
+    (a ~ b ~ c where a ≁ c: c's verdict names b, and only a joins the
+    index). dup_of therefore resolves against (index ∪ this results
+    table), not against the index alone — every chain terminates at a
+    keeper or an index member because within-batch edges strictly
+    decrease the id and index edges terminate immediately (asserted
+    end-to-end in pytest). Canonical-replacement consumers follow the
+    verdict chain or join the keeper set; the READ-ONLY ingest form
+    (``hash_ingest_verdicts``) keeps the simpler dup_of ∈ index
+    contract."""
     from ..operators.dedup import (
         hamming_blocked_pairs,
         hamming_blocked_pairs_between,
@@ -326,31 +332,28 @@ def apply_ingest_batch(
         image_dhash_over(batch), "corpus", "ingest batch hash table"
     )
     index = read_index_state(spark, state_path)
-    verdicts = _batch_verdicts(hashes, index, widths)
+    # barrier the verdicts too (review finding): they feed BOTH the
+    # results write and the keeper extraction — unbarriered, the whole
+    # candidate-join pipeline re-executed per consumer
+    verdicts = barrier(
+        _batch_verdicts(hashes, index, widths),
+        "corpus",
+        "ingest batch verdicts",
+    )
     verdicts.write.mode("overwrite").parquet(
         _os.path.join(results_path, f"batch_id={batch_id}")
     )
     keepers = hashes.join(
         verdicts.where(~F.col("is_dup")).select("img_id"), "img_id"
     )
-    n = _latest_version(state_path)
-    nxt = 0 if n is None else n + 1
-    claimed = _os.path.join(state_path, f"v{nxt}")
-    if _os.path.exists(claimed):
-        _shutil.rmtree(claimed, ignore_errors=True)  # retry debris
+    claimed, nxt = claim_next(state_path)
     merged = (
         index.unionByName(keepers)
         .groupBy("img_id")
         .agg(F.min("dhash").alias("dhash"))
     )
     merged.write.mode("overwrite").parquet(claimed)
-    tmp = _os.path.join(state_path, f".{_MARKER}.tmp")
-    with open(tmp, "w") as fh:
-        fh.write(str(nxt))
-    _os.replace(tmp, _os.path.join(state_path, _MARKER))
-    for name in _os.listdir(state_path):
-        if name.startswith("v") and name[1:].isdigit() and int(name[1:]) < nxt - 1:
-            _shutil.rmtree(_os.path.join(state_path, name), ignore_errors=True)
+    commit(state_path, nxt)
 
 
 def stream_ingest_with_maintenance(

@@ -222,32 +222,29 @@ def text_ingest_stream(
 # state tables (bands + verify payload) so they flip atomically).
 
 import os as _os
-import shutil as _shutil
 
-_MARKER = "_LATEST"
+from .snapshots import claim_next, commit, latest_version, version_dir
+
 _BANDS_SCHEMA = "doc_id long, band_idx int, band_key string"
 _PAYLOAD_SCHEMA = "doc_id long, sh array<bigint>"
 
-
-def _latest_version(state_path: str) -> int | None:
-    try:
-        with open(_os.path.join(state_path, _MARKER)) as fh:
-            return int(fh.read().strip())
-    except (FileNotFoundError, ValueError):
-        return None
+# tests address the version via the module (thin alias; the protocol
+# lives in streaming.snapshots, shared with CDC and media ingest)
+_latest_version = latest_version
 
 
 def read_text_index_state(
     spark: SparkSession, state_path: str
 ) -> tuple[DataFrame, DataFrame]:
-    """(bands, payload) of the marker-named snapshot."""
-    n = _latest_version(state_path)
+    """(bands, payload) of the marker-named snapshot — both tables
+    live under ONE version directory so they flip atomically."""
+    n = latest_version(state_path)
     if n is None:
         return (
             spark.createDataFrame([], _BANDS_SCHEMA),
             spark.createDataFrame([], _PAYLOAD_SCHEMA),
         )
-    base = _os.path.join(state_path, f"v{n}")
+    base = version_dir(state_path, n)
     return (
         spark.read.parquet(_os.path.join(base, "bands")),
         spark.read.parquet(_os.path.join(base, "payload")),
@@ -258,20 +255,18 @@ def seed_text_index_state(
     spark: SparkSession, sf_dir: str, state_path: str
 ) -> None:
     """Bootstrap from the persisted static index (idempotent)."""
-    if _latest_version(state_path) is not None:
+    if latest_version(state_path) is not None:
         return
     bands, payload = stage_text_index(spark, sf_dir)
-    base = _os.path.join(state_path, "v0")
+    _os.makedirs(state_path, exist_ok=True)
+    claimed, nxt = claim_next(state_path)
     spark.read.parquet(bands).write.mode("overwrite").parquet(
-        _os.path.join(base, "bands")
+        _os.path.join(claimed, "bands")
     )
     spark.read.parquet(payload).write.mode("overwrite").parquet(
-        _os.path.join(base, "payload")
+        _os.path.join(claimed, "payload")
     )
-    tmp = _os.path.join(state_path, f".{_MARKER}.tmp")
-    with open(tmp, "w") as fh:
-        fh.write("0")
-    _os.replace(tmp, _os.path.join(state_path, _MARKER))
+    commit(state_path, nxt)
 
 
 def apply_text_ingest_batch(
@@ -286,7 +281,11 @@ def apply_text_ingest_batch(
     (within-batch smaller-id band matches); Jaccard-verified against
     the payload union; keepers (no qualifying match) join the next
     snapshot. Replay-idempotent by the same construction as
-    ``media_ingest.apply_ingest_batch``."""
+    ``media_ingest.apply_ingest_batch``, and the same CHAIN SEMANTICS
+    contract: within a batch, dup_of may name an earlier arrival that
+    is itself a dup — dup_of resolves against (index ∪ results), with
+    every chain terminating at a keeper or index doc (within-batch
+    edges strictly decrease the id)."""
     from ..functions.barrier import barrier
 
     banded = barrier(
@@ -357,22 +356,29 @@ def apply_text_ingest_batch(
             ).alias("best")
         )
     )
-    verdicts = batch.select("doc_id").join(best, ["doc_id"], "left").select(
-        "doc_id",
-        F.coalesce(-F.col("best.neg_id"), F.lit(-1)).cast("long").alias("dup_of"),
-        F.coalesce(F.col("best.jaccard"), F.lit(0.0)).alias("jaccard"),
-        F.col("best").isNotNull().alias("is_dup"),
+    # barrier the verdicts (review finding): three downstream actions
+    # (results write, keeper band rows, keeper payload rows) would
+    # otherwise each re-execute the whole candidate/verify pipeline
+    verdicts = barrier(
+        batch.select("doc_id")
+        .join(best, ["doc_id"], "left")
+        .select(
+            "doc_id",
+            F.coalesce(-F.col("best.neg_id"), F.lit(-1))
+            .cast("long")
+            .alias("dup_of"),
+            F.coalesce(F.col("best.jaccard"), F.lit(0.0)).alias("jaccard"),
+            F.col("best").isNotNull().alias("is_dup"),
+        ),
+        "corpus",
+        "text ingest batch verdicts",
     )
     verdicts.write.mode("overwrite").parquet(
         _os.path.join(results_path, f"batch_id={batch_id}")
     )
 
     keeper_ids = verdicts.where(~F.col("is_dup")).select("doc_id")
-    n = _latest_version(state_path)
-    nxt = 0 if n is None else n + 1
-    claimed = _os.path.join(state_path, f"v{nxt}")
-    if _os.path.exists(claimed):
-        _shutil.rmtree(claimed, ignore_errors=True)  # retry debris
+    claimed, nxt = claim_next(state_path)
     next_bands = (
         idx_bands.unionByName(keyed.join(keeper_ids, "doc_id"))
         .dropDuplicates(["doc_id", "band_idx"])
@@ -385,13 +391,7 @@ def apply_text_ingest_batch(
     next_payload.write.mode("overwrite").parquet(
         _os.path.join(claimed, "payload")
     )
-    tmp = _os.path.join(state_path, f".{_MARKER}.tmp")
-    with open(tmp, "w") as fh:
-        fh.write(str(nxt))
-    _os.replace(tmp, _os.path.join(state_path, _MARKER))
-    for name in _os.listdir(state_path):
-        if name.startswith("v") and name[1:].isdigit() and int(name[1:]) < nxt - 1:
-            _shutil.rmtree(_os.path.join(state_path, name), ignore_errors=True)
+    commit(state_path, nxt)
 
 
 def stream_text_ingest_with_maintenance(

@@ -239,6 +239,17 @@ def test_media_ingest_index_maintenance_end_to_end(spark, sf_dir, tmp_path):
     assert others.is_dup.all()
     # cross/within-batch dedup against MAINTAINED keepers happened
     assert (others.dup_of.isin(list(added))).any()
+    # CHAIN contract (review-hardened): dup_of may name a same-batch
+    # dup, but every chain must terminate at an index member or keeper
+    chain = dict(zip(others.img_id, others.dup_of))
+    terminal = initial | added
+    for start in chain:
+        cur, hops = start, 0
+        while cur in chain:
+            cur = chain[cur]
+            hops += 1
+            assert hops <= len(chain), f"dup_of cycle from {start}"
+        assert cur in terminal, f"chain from {start} dangles at {cur}"
 
 
 def test_media_ingest_maintenance_crash_restart(spark, sf_dir, tmp_path):
@@ -416,6 +427,16 @@ def test_text_ingest_index_maintenance_end_to_end(spark, sf_dir, tmp_path):
     final_ids = {r[0] for r in payload.select("doc_id").collect()}
     initial_ids = {r[0] for r in initial_payload.select("doc_id").collect()}
     assert final_ids == initial_ids | keepers
+    # chain contract: every dup_of chain terminates at the index
+    dups = verdicts[verdicts.is_dup]
+    chain = dict(zip(dups.doc_id, dups.dup_of))
+    for start in chain:
+        cur, hops = start, 0
+        while cur in chain:
+            cur = chain[cur]
+            hops += 1
+            assert hops <= len(chain), f"dup_of cycle from {start}"
+        assert cur in final_ids, f"chain from {start} dangles at {cur}"
     # bands stay consistent with payload (keeper band rows landed;
     # no-shingle keepers legitimately have no band rows)
     band_ids = {r[0] for r in bands.select("doc_id").distinct().collect()}

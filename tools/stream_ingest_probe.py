@@ -34,9 +34,8 @@ def _stage_10x(spark):
     corpus (reuses media_dedup_scale_probe's staged synthesis)."""
     import importlib.util
 
-    from pyspark.sql import functions as F
-
     from robin_sparkles_spark.operators.image_dedup import (
+        _img_in_index,
         image_dhash_over,
     )
 
@@ -50,8 +49,9 @@ def _stage_10x(spark):
 
     arrivals = os.path.join(OUT_DIR, "arrivals_10x")
     index = os.path.join(OUT_DIR, "index_10x")
-    fam = (F.col("img_id") / 10).cast("long")
-    in_index = (F.col("img_id") % 10 == 0) & (fam % 4 != 3)
+    # the SHIPPED split expression — a hand copy here would silently
+    # diverge if the fixture split changes again (review finding)
+    in_index = _img_in_index()
     corpus = spark.read.parquet(corpus_path)
     if not os.path.exists(os.path.join(arrivals, "_SUCCESS")):
         corpus.where(~in_index).repartition(40, "img_id").write.mode(
