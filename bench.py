@@ -162,6 +162,8 @@ EXTENDED = [
     "dedup_audio_incremental",
     "dedup_audio_stream_ingest",
     "dedup_video_incremental",
+    # late r11: hashed-linear quality-classifier inference
+    "quality_classifier_score",
 ]
 
 

@@ -430,9 +430,105 @@ FROM {table}"""
     return "\nUNION ALL\n".join(selects)
 
 
+# --- model-based quality filtering (late r11) ---------------------------------
+#
+# The INFERENCE sibling of DSIR: apply a TRAINED hashed linear text
+# classifier (the fastText-style quality filter every production LLM
+# pipeline runs — CCNet/LLaMA-style "looks like Wikipedia" scoring)
+# to every document, at scale. The engine's contribution is the
+# SCORING PLAN: hashed unigram+bigram bag-of-features (the DSIR
+# feature space), one weight lookup per feature, one
+# sum+count aggregation per document — map-side-combinable, one
+# shuffle, linear. The weight table is an input artifact in
+# production; the fixture uses a deterministic affine stand-in
+# (w(b) = (37b + 1009) % 4001 − 2000) so the oracle can recompute it
+# closed-form — swapping in real trained weights is a broadcast-array
+# or join-table substitution that does not change the plan.
+#
+# Exactness: the mean-logit score is fixed-point — score_fp =
+# ((Σw + 2000·n)·1000) div n − 2000000. The +2000·n shift keeps the
+# dividend nonnegative so Spark's `div` and DuckDB's `//` agree
+# (they differ on negative operands: truncation vs floor — the same
+# trap the DSIR fixed point documents). Sigmoid is monotone, so
+# thresholding the logit IS thresholding the probability; no libm
+# exp enters the gate. Threshold 130000 ≈ the fixture median
+# (measured at sf0.01) — selective and non-vacuous.
+
+QCLF_BUCKETS = 4096
+QCLF_THRESHOLD_FP = 130_000
+
+
+def quality_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, n_features, score_fp, keep): mean hashed-linear logit
+    per document in exact fixed point + the keep verdict at the
+    declared threshold."""
+    from .ngram_lm import _lc_tokens
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", _lc_tokens().alias("ws"))
+    feats_expr = (
+        "concat(ws, if(size(ws) >= 2,"
+        " transform(sequence(0, size(ws) - 2),"
+        "           i -> concat(ws[i], ' ', ws[i+1])),"
+        " array()))"
+    )
+    bucket = (
+        "CAST(conv(substring(md5(f), 1, 15), 16, 10) AS BIGINT)"
+        f" % {QCLF_BUCKETS}"
+    )
+    weight = "((37 * b + 1009) % 4001) - 2000"
+    feats = (
+        toks.select("doc_id", F.explode(F.expr(feats_expr)).alias("f"))
+        .withColumn("b", F.expr(bucket))
+        .withColumn("w", F.expr(weight))
+    )
+    per = feats.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_features"), F.sum("w").alias("s")
+    )
+    score = F.expr("((s + 2000 * n_features) * 1000) div n_features - 2000000")
+    return per.select(
+        "doc_id",
+        "n_features",
+        score.alias("score_fp"),
+        (score >= QCLF_THRESHOLD_FP).alias("keep"),
+    )
+
+
+QCLF_SQL = f"""
+WITH feats AS (
+  SELECT doc_id, unnest(list_concat(ws,
+           CASE WHEN len(ws) >= 2 THEN
+             list_transform(generate_series(1, len(ws) - 1),
+                            i -> concat(ws[i], ' ', ws[i+1]))
+           ELSE [] END)) AS f
+  FROM (SELECT doc_id,
+               list_filter(string_split(lower(text), ' '),
+                           t -> len(t) > 0) AS ws
+        FROM documents)
+  WHERE len(ws) > 0
+),
+scored AS (
+  SELECT doc_id, f,
+         ((37 * (CAST(concat('0x', substr(md5(f), 1, 15)) AS BIGINT)
+                 % {QCLF_BUCKETS}) + 1009) % 4001) - 2000 AS w
+  FROM feats
+),
+per AS (
+  SELECT doc_id, COUNT(*) AS n_features, CAST(SUM(w) AS BIGINT) AS s
+  FROM scored GROUP BY doc_id
+)
+SELECT doc_id, n_features,
+       ((s + 2000 * n_features) * 1000) // n_features - 2000000 AS score_fp,
+       ((s + 2000 * n_features) * 1000) // n_features - 2000000
+         >= {QCLF_THRESHOLD_FP} AS keep
+FROM per
+"""
+
+
 QUERIES: dict = {}
 
 QUERIES_TAIL = {
+    "quality_classifier_score": (quality_classifier_score, QCLF_SQL),
     "referential_integrity_audit": (referential_integrity_audit, _ri_sql()),
     "column_profile": (column_profile, _profile_oracle),
     "orders_price_histogram": (orders_price_histogram, ORDERS_HIST_SQL),

@@ -327,7 +327,6 @@ GATE_FRONT: tuple[str, ...] = (
     "text_quality",
     "text_langid",
     "doc_fingerprint",
-    "text_top_terms",
     "q1_pricing_summary",
     # new late-r11 queries (streaming media/text/audio ingest batch
     # twins; audio/video incrementals; 63-bit wide simhash; JSONL/CSV
@@ -344,6 +343,7 @@ GATE_FRONT: tuple[str, ...] = (
     "dedup_audio_stream_ingest",
     "dedup_video_incremental",
     "docs_epoch_shuffle",
+    "quality_classifier_score",
 )
 # ROUND-12 ROTATION (write it at the start of r12): rotate out the 50
 # names above once CORRECTNESS_r11 comes back green. Fill order:
@@ -351,7 +351,7 @@ GATE_FRONT: tuple[str, ...] = (
 # + view_purchase_attribution + view_purchase_attribution_outer +
 # vocab_typo_pairs + events_countmin_users + q9_profit_by_nation_year
 # + q15_top_supplier + q21_waiting_suppliers + orders_overlap_pairs
-# + text_repetition + docs_stable_sample + q3_shipping_priority
+# + text_top_terms + text_repetition + docs_stable_sample + q3_shipping_priority
 # + q5_region_revenue + top_customers_revenue + window_event_ranks
 # + events_json_extract + events_user_stats + events_argmax
 # (deferred from this window when the ten new r11 queries + the nine
