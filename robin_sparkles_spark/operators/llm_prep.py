@@ -875,45 +875,82 @@ FROM flags f CROSS JOIN js
 """
 
 
-# --- deterministic epoch shuffle (late r11) ----------------------------------
+# --- deterministic epoch shuffle (late r11; seed mixing fixed r12) -----------
 
 EPOCH_SHUFFLE_SEED = 2  # the epoch number; production parameterizes
-EPOCH_SHUFFLE_SHARDS = 8
-SHUFFLE_HASH_IDX = 23  # affine family index (disjoint from other uses)
+SHUFFLE_HASH_IDX = 23  # affine family index base (disjoint from other uses)
+
+# Shard-count sizing law (VERDICT r11 #1: the docstring promised
+# "shard count grows with the corpus" but a constant 8 shipped).
+# Each window task sorts |N/shards| rows, so shards must scale with N
+# to keep per-task sorts executor-sized: 8 shards up to 32M docs
+# (≤4M rows/sort), then stepwise growth capped at ~4M rows per shard.
+# Exact integer thresholds — the oracle SQL embeds the SAME table as a
+# CASE expression, so both engines agree at every boundary (no
+# floating log2 whose CEIL could differ in the last ulp).
+EPOCH_SHUFFLE_SHARD_CONFIGS: tuple[tuple[int | None, int], ...] = (
+    (32_000_000, 8),
+    (128_000_000, 32),
+    (512_000_000, 128),
+    (2_048_000_000, 512),
+    (None, 2048),
+)
+
+
+def _epoch_shuffle_shards(n_docs: int) -> int:
+    for ceiling, shards in EPOCH_SHUFFLE_SHARD_CONFIGS:
+        if ceiling is None or n_docs <= ceiling:
+            return shards
+    raise AssertionError("unreachable: last config has no ceiling")
+
+
+def _epoch_shuffle_params(seed: int) -> tuple[int, int]:
+    """Per-epoch affine permutation parameters. The SEED SELECTS THE
+    MULTIPLIER, not an additive offset: key(doc, s) = a_s·doc_id + b_s
+    mod p with a_s distinct per seed. The r11 form added the seed only
+    into the offset (key = a·doc_id + c(s) mod p), which makes every
+    epoch's key order the SAME fixed cyclic sequence cut at a different
+    wrap point — p rotations of one order, not a permutation family
+    (any 3 docs kept their cyclic order forever; pair order flipped
+    with probability ≈1/3, never resampled). With a seed-dependent
+    multiplier the family is the full affine group mod p: cross-seed
+    pair-order flips at ≈1/2 and triples change cyclic order — both
+    asserted by tests/test_llm_ops.py's rotation-detecting test."""
+    return affine_params(SHUFFLE_HASH_IDX + seed)
 
 
 def docs_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Seeded global training-order shuffle WITHOUT a global sort:
     every doc gets a portable pseudo-random key from (epoch seed,
-    doc_id), the key's modulus assigns one of N shuffle SHARDS
-    (a uniform random partition of the corpus — the unit a training
-    loader streams), and position-within-shard is a window ordered by
-    (key, doc_id). Rerunning yields the identical permutation on any
-    engine or cluster size — the property epoch reproducibility
-    needs; changing the seed re-permutes everything.
+    doc_id) — an affine permutation mod 2^31−1 whose MULTIPLIER is
+    seed-dependent (see _epoch_shuffle_params) — the key's modulus
+    assigns one of N shuffle SHARDS (a uniform random partition of the
+    corpus — the unit a training loader streams), and
+    position-within-shard is a window ordered by (key, doc_id).
+    Rerunning yields the identical permutation on any engine or
+    cluster size — the property epoch reproducibility needs; changing
+    the seed draws a genuinely different permutation (distinct odd
+    multiplier per epoch), not a rotation of the same order.
 
     Scale: one shuffle on shard_id; each window task sorts |N/shards|
-    rows, so shard count grows with the corpus to keep per-task sorts
-    executor-sized (N_SHARDS here is the fixture setting). No stage
-    ever totals-orders the corpus — the composition (random shard,
-    random order within shard) IS a uniform global permutation when
-    the loader reads shards in index order."""
-    a, b = affine_params(SHUFFLE_HASH_IDX)
-    key = (
-        (F.col("doc_id") + F.lit(EPOCH_SHUFFLE_SEED) * F.lit(1_000_003))
-        * F.lit(a)
-        + F.lit(b)
-    ) % F.lit(MERSENNE_P)
+    rows, and shard count grows stepwise with the corpus
+    (EPOCH_SHUFFLE_SHARD_CONFIGS, ≤4M rows per in-task sort) so the
+    per-task sort stays executor-sized at any N. No stage ever
+    total-orders the corpus — the composition (random shard, random
+    order within shard) IS a uniform global permutation when the
+    loader reads shards in index order. The up-front count() is a
+    parquet-metadata read, not a scan."""
+    docs = load_table(spark, sf_dir, "documents")
+    shards = _epoch_shuffle_shards(docs.count())
+    a, b = _epoch_shuffle_params(EPOCH_SHUFFLE_SEED)
+    key = (F.col("doc_id") * F.lit(a) + F.lit(b)) % F.lit(MERSENNE_P)
     w = W.partitionBy("shard_id").orderBy("sort_key", "doc_id")
     return (
-        load_table(spark, sf_dir, "documents")
-        .select(
+        docs.select(
             "doc_id",
             key.alias("sort_key"),
         )
-        .withColumn(
-            "shard_id", (F.col("sort_key") % EPOCH_SHUFFLE_SHARDS).cast("int")
-        )
+        .withColumn("shard_id", (F.col("sort_key") % shards).cast("int"))
         .select(
             "doc_id",
             "shard_id",
@@ -922,17 +959,32 @@ def docs_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _epoch_shuffle_shards_sql() -> str:
+    """The sizing law as a CASE over COUNT(*) — generated from the same
+    config tuple the Spark side uses, so parity holds by construction."""
+    arms = " ".join(
+        f"WHEN n <= {ceiling} THEN {shards}"
+        for ceiling, shards in EPOCH_SHUFFLE_SHARD_CONFIGS
+        if ceiling is not None
+    )
+    fallback = EPOCH_SHUFFLE_SHARD_CONFIGS[-1][1]
+    return f"CASE {arms} ELSE {fallback} END"
+
+
 def _epoch_shuffle_sql() -> str:
-    a, b = affine_params(SHUFFLE_HASH_IDX)
+    a, b = _epoch_shuffle_params(EPOCH_SHUFFLE_SEED)
     return f"""
-WITH keyed AS (
+WITH nn AS (SELECT {_epoch_shuffle_shards_sql()} AS shards
+            FROM (SELECT COUNT(*) AS n FROM documents)),
+keyed AS (
   SELECT doc_id,
-         ((doc_id + {EPOCH_SHUFFLE_SEED} * 1000003) * {a} + {b}) % {MERSENNE_P} AS sort_key
-  FROM documents
+         (doc_id * {a} + {b}) % {MERSENNE_P} AS sort_key,
+         nn.shards
+  FROM documents CROSS JOIN nn
 )
 SELECT doc_id,
-       CAST(sort_key % {EPOCH_SHUFFLE_SHARDS} AS INT) AS shard_id,
-       ROW_NUMBER() OVER (PARTITION BY sort_key % {EPOCH_SHUFFLE_SHARDS}
+       CAST(sort_key % shards AS INT) AS shard_id,
+       ROW_NUMBER() OVER (PARTITION BY sort_key % shards
                           ORDER BY sort_key, doc_id) AS pos_in_shard
 FROM keyed
 """

@@ -859,6 +859,15 @@ def test_waterfill_exactness_properties(spark, sf_dir):
         assert min(capped) >= max(uncapped)
 
 
+def _epoch_global_rank(pdf):
+    """Global training-order rank per doc_id: the loader reads shards
+    in index order, so order key = (shard_id, pos_in_shard)."""
+    ordered = pdf.sort_values(["shard_id", "pos_in_shard"]).reset_index(
+        drop=True
+    )
+    return {int(d): i for i, d in enumerate(ordered.doc_id)}
+
+
 def test_epoch_shuffle_is_a_permutation_and_seed_sensitive(spark, sf_dir):
     """docs_epoch_shuffle: (a) output is a permutation — every doc
     exactly once, positions within each shard are 1..|shard| dense;
@@ -872,7 +881,7 @@ def test_epoch_shuffle_is_a_permutation_and_seed_sensitive(spark, sf_dir):
     for _, grp in out.groupby("shard_id"):
         assert sorted(grp.pos_in_shard) == list(range(1, len(grp) + 1))
     sizes = out.groupby("shard_id").size()
-    assert len(sizes) == L.EPOCH_SHUFFLE_SHARDS
+    assert len(sizes) == L._epoch_shuffle_shards(n)
     assert sizes.max() <= 2 * sizes.min() + 8  # uniform-ish partition
     again = L.docs_epoch_shuffle(spark, sf_dir).toPandas()
     key = lambda pdf: sorted(map(tuple, pdf.values.tolist()))
@@ -885,3 +894,58 @@ def test_epoch_shuffle_is_a_permutation_and_seed_sensitive(spark, sf_dir):
     finally:
         L.EPOCH_SHUFFLE_SEED = orig
     assert key(out) != key(other)
+
+
+def test_epoch_shuffle_seeds_are_not_rotations(spark, sf_dir):
+    """VERDICT r11 #1: the r11 seed entered the key only additively, so
+    every epoch was a ROTATION of one fixed cyclic order — cross-seed
+    pair-order flip rate ≈1/3 (cut probability), and no document triple
+    ever changed cyclic order. A real permutation family resamples pair
+    order at ≈1/2 per seed pair. This test detects the rotation defect
+    the old `order(s) != order(s+1)` assert could not:
+
+    (a) for each of 3 seed pairs, the fraction of doc PAIRS whose
+        relative global order flips lies in a binomial-generous band
+        around 1/2 (a rotation concentrates near gap/p, mean 1/3);
+    (b) some doc TRIPLE changes cyclic order between seeds (invariant
+        under every rotation, so impossible for the r11 form)."""
+    from itertools import combinations
+
+    from robin_sparkles_spark.operators import llm_prep as L
+
+    orig = L.EPOCH_SHUFFLE_SEED
+    ranks = {}
+    try:
+        for s in (orig, orig + 1, orig + 2, orig + 3):
+            L.EPOCH_SHUFFLE_SEED = s
+            ranks[s] = _epoch_global_rank(
+                L.docs_epoch_shuffle(spark, sf_dir).toPandas()
+            )
+    finally:
+        L.EPOCH_SHUFFLE_SEED = orig
+    docs = sorted(ranks[orig])
+    # sample a deterministic subset of pairs to keep the test O(10^4)
+    sample = docs[:: max(1, len(docs) // 150)]
+    pairs = list(combinations(sample, 2))
+    assert len(pairs) >= 1000
+    for s1, s2 in [(orig, orig + 1), (orig + 1, orig + 2), (orig + 2, orig + 3)]:
+        r1, r2 = ranks[s1], ranks[s2]
+        flips = sum(
+            ((r1[a] < r1[b]) != (r2[a] < r2[b])) for a, b in pairs
+        )
+        rate = flips / len(pairs)
+        # pairs are not independent, so the band is generous; it still
+        # excludes the rotation family's 1/3 mean decisively
+        assert 0.42 <= rate <= 0.58, (s1, s2, rate)
+
+    def cyclic_class(triple, r):
+        order = tuple(sorted(triple, key=lambda d: r[d]))
+        # rotations of `order` are the same cyclic class
+        rots = {order, order[1:] + order[:1], order[2:] + order[:2]}
+        return min(rots)
+
+    changed = any(
+        cyclic_class(t, ranks[orig]) != cyclic_class(t, ranks[orig + 1])
+        for t in combinations(sample[:12], 3)
+    )
+    assert changed, "no triple changed cyclic order — seeds only rotate"
