@@ -265,109 +265,96 @@ def _collect() -> dict[str, QuerySpec]:
 # broadcast-audit/verify-join replans + the r6-last-green fill
 # deferred from r9 + dedup_exact; the two oldest r7 names deferred to
 # the r11 fill.
+# ROUND-11 ROTATION (executed; CORRECTNESS_r11 50/50 green, zero reds
+# ever recorded r1–r11). Its window: the 10 new r11 media-dedup /
+# curation queries + 9 replans (zstd hot path, BMP sign, simhash
+# blocking refactor, bmp/png pixel factoring, IVFPQ nprobe) + the
+# r7-last-green fill + the 10 late-r11 additions (streaming ingest
+# twins, incrementals, wide simhash, JSONL/CSV, epoch shuffle,
+# quality classifier); 21 r7-stale names deferred to the r12 fill.
 GATE_FRONT: tuple[str, ...] = (
-    # --- ROUND-11 ROTATION (this window; executes the note written at
-    # the end of r10). Policy unchanged: new queries + replans first,
-    # then strict staleness (the r7-last-green block).
-    # new this round — first driver rows
-    "dedup_image_phash",
-    "dedup_audio_fingerprint",
-    "dedup_video_phash",
-    "docs_scrub_repeated_spans",
-    "image_text_pair_curation",
-    "audio_dedup_keepers",
-    "video_dedup_keepers",
-    "dedup_image_incremental",
-    "dedup_video_phash_strided",
-    "source_waterfill_allocation",
-    # replanned / oracle-changed this round — must re-gate:
-    # * warc_zstd_stats / warc_zstd_deep_stats — the declared hot path
-    #   now decodes via libzstd (frame_span + pa.Codec), pure-Python
-    #   decoder kept as the verification twin
-    "warc_zstd_stats",
-    "warc_zstd_deep_stats",
-    # * multimodal_meta — BMP biHeight sign-extended in both dialects
-    "multimodal_meta",
-    # * dedup_simhash — blocking machinery factored into the shared
-    #   hamming_blocked_pairs (same plan shape, new code path)
-    "dedup_simhash",
-    # * bmp/png decode stats — pixel decode factored into
-    #   bmp_pixels/png_pixels (shared with image dedup)
-    "bmp_decode_stats",
-    "png_decode_stats",
-    # * the IVFPQ pipeline gained the nprobe parameter (defaults
-    #   preserved; re-gate the three routed queries)
-    "ann_ivfpq_topk",
-    "ann_ivfpq_recall_at_k",
-    "ann_opq_ivfpq_recall_at_k",
-    # r7-last-green fill (the written r11 note), registry order; the
-    # last ten names (orders_asof_last_event, events_props_map,
-    # events_salted_type_join, view_purchase_attribution,
-    # view_purchase_attribution_outer, vocab_typo_pairs,
-    # events_countmin_users, q15_top_supplier, q21_waiting_suppliers,
-    # orders_overlap_pairs) defer to the r12 fill — the window is
-    # full at 50
-    "bpe_fertility_by_lang",
-    "orders_custkey_hll",
-    "users_hll_by_type",
-    "mp4_box_stats",
-    "mp3_frame_stats",
-    "jpeg_marker_stats",
-    "jpeg_entropy_stats",
-    "warc_record_stats",
-    "zip_members_stats",
-    "tar_archive_stats",
-    "html_extract_text",
-    "url_normalize_stats",
-    "tfrecord_stats",
-    "bigram_stats",
-    "ann_bruteforce_topk",
-    "scrub_pii_docs",
-    "text_token_count",
-    "text_quality",
-    "text_langid",
-    "doc_fingerprint",
-    "q1_pricing_summary",
-    # new late-r11 queries (streaming media/text/audio ingest batch
-    # twins; audio/video incrementals; 63-bit wide simhash; JSONL/CSV
-    # ingest round-trips; epoch shuffle) take the last nine slots;
-    # q3_shipping_priority, q5_region_revenue, top_customers_revenue,
-    # window_event_ranks, events_json_extract, events_user_stats and
-    # events_argmax defer to the r12 fill
-    "dedup_image_stream_ingest",
-    "dedup_simhash_wide",
-    "dedup_text_stream_ingest",
-    "jsonl_ingest_stats",
-    "csv_ingest_stats",
-    "dedup_audio_incremental",
-    "dedup_audio_stream_ingest",
-    "dedup_video_incremental",
+    # --- ROUND-12 ROTATION (this window; executes the note written at
+    # the end of r11). Policy unchanged: new queries + replans first,
+    # then strict staleness.
+    # The 21 deferred r7-last-green names lead (the written r12 note):
+    "orders_asof_last_event",
+    "events_props_map",
+    "events_salted_type_join",
+    "view_purchase_attribution",
+    "view_purchase_attribution_outer",
+    "vocab_typo_pairs",
+    "events_countmin_users",
+    "q9_profit_by_nation_year",
+    "q15_top_supplier",
+    "q21_waiting_suppliers",
+    "orders_overlap_pairs",
+    "text_top_terms",
+    "text_repetition",
+    "docs_stable_sample",
+    "q3_shipping_priority",
+    "q5_region_revenue",
+    "top_customers_revenue",
+    "window_event_ranks",
+    "events_json_extract",
+    "events_user_stats",
+    "events_argmax",
+    # replanned / oracle-changed in r12 — must re-gate:
+    # * docs_epoch_shuffle — seed now selects the affine multiplier
+    #   (VERDICT r11 #1) + adaptive shard count; oracle changed
     "docs_epoch_shuffle",
-    "quality_classifier_score",
+    # * bpe_merge_training — merge count scaled past demo (r12 ask #7)
+    "bpe_merge_training",
+    # * embedding_dedup — adaptive band-bits law (r12 ask #8)
+    "embedding_dedup",
+    # * kmeans_assign / semdedup_dropped — centroid-TABLE join assign
+    #   path above the k threshold (r12 ask #3; fits bit-identical,
+    #   re-gate anyway since the code path changed)
+    "kmeans_assign",
+    "semdedup_dropped",
+    # r8-last-green fill, registry order; the last sixteen r8 names
+    # (events_multires_rollup, padding_waste_by_bucket,
+    # docs_balanced_sample, docs_chunked_context, docs_chunk_dedup,
+    # docs_rarity_topk, events_funnel_conversion,
+    # events_transition_matrix, orders_bloom_prune,
+    # lineitem_zorder_stats, orders_upsert_latest, column_profile,
+    # orders_price_histogram, docs_search_and, orders_scd2_history,
+    # copurchase_part_pairs) defer to the r13 fill — window full at 50
+    "wav_decode_stats",
+    "orders_cube",
+    "customers_with_big_orders",
+    "customers_without_urgent_orders",
+    "order_slices_setops",
+    "orders_by_month",
+    "part_filter_projection",
+    "order_lineitem_rollup",
+    "orders_pivot_status",
+    "lineitem_unpivot_charges",
+    "orders_grouping_sets",
+    "orders_price_quantiles",
+    "jpeg_pixel_stats",
+    "jpeg_progressive_dc_stats",
+    "warc_gzip_stats",
+    "warc_gz_member_stats",
+    "events_spend_alerts",
+    "events_cohort_enriched",
+    "events_rolling_anomaly",
+    "nation_coverage_recon",
+    "q2_min_cost_supplier",
+    "q11_part_value_share",
+    "q16_supplier_count_by_class",
+    "q20_excess_shippers",
 )
-# ROUND-12 ROTATION (write it at the start of r12): rotate out the 50
-# names above once CORRECTNESS_r11 comes back green. Fill order:
-# orders_asof_last_event + events_props_map + events_salted_type_join
-# + view_purchase_attribution + view_purchase_attribution_outer +
-# vocab_typo_pairs + events_countmin_users + q9_profit_by_nation_year
-# + q15_top_supplier + q21_waiting_suppliers + orders_overlap_pairs
-# + text_top_terms + text_repetition + docs_stable_sample + q3_shipping_priority
-# + q5_region_revenue + top_customers_revenue + window_event_ranks
-# + events_json_extract + events_user_stats + events_argmax
-# (deferred from this window when the ten new r11 queries + the nine
-# late-r11 additions took slots), then the oldest r8-last-green
-# block in registry order;
-# plus, as always, anything whose plan or oracle changes in r12 and
-# any newly added queries.
-# q7_nation_trade_flows,
-# q8_nation_market_share,
-# window_order_analytics,
-# wordcount_stopword, multimodal_meta, events_tumbling_1h,
-# events_sliding_30_15, user_sessions, dedup_exact,
-# dedup_ngram_jaccard, dedup_minhash_lsh) first, then the oldest
-# r7-gated names, then the r8 block as needed; plus, as always,
-# anything whose plan or oracle changes in r10 and any newly added
-# queries.
+# ROUND-13 ROTATION (write it at the start of r13): rotate out the 50
+# names above once CORRECTNESS_r12 comes back green. Fill order: the
+# sixteen r8-last-green names deferred from this window
+# (events_multires_rollup, padding_waste_by_bucket,
+# docs_balanced_sample, docs_chunked_context, docs_chunk_dedup,
+# docs_rarity_topk, events_funnel_conversion, events_transition_matrix,
+# orders_bloom_prune, lineitem_zorder_stats, orders_upsert_latest,
+# column_profile, orders_price_histogram, docs_search_and,
+# orders_scd2_history, copurchase_part_pairs), then the oldest
+# r9-last-green block in registry order; plus, as always, anything
+# whose plan or oracle changes in r13 and any newly added queries.
 
 
 _REGISTRY: dict[str, QuerySpec] | None = None
