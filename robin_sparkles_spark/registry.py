@@ -302,8 +302,11 @@ GATE_FRONT: tuple[str, ...] = (
     # * docs_epoch_shuffle — seed now selects the affine multiplier
     #   (VERDICT r11 #1) + adaptive shard count; oracle changed
     "docs_epoch_shuffle",
-    # * bpe_merge_training — merge count scaled past demo (r12 ask #7)
+    # * BPE family — merge count scaled 3 → 32 (r12 ask #7); all three
+    #   oracles unroll the new count, so all three re-gate
     "bpe_merge_training",
+    "docs_bpe_tokenize",
+    "bpe_fertility_by_lang",
     # * embedding_dedup — adaptive band-bits law (r12 ask #8)
     "embedding_dedup",
     # * kmeans_assign / semdedup_dropped — centroid-TABLE join assign
@@ -311,8 +314,9 @@ GATE_FRONT: tuple[str, ...] = (
     #   re-gate anyway since the code path changed)
     "kmeans_assign",
     "semdedup_dropped",
-    # r8-last-green fill, registry order; the last sixteen r8 names
-    # (events_multires_rollup, padding_waste_by_bucket,
+    # r8-last-green fill, registry order; the last eighteen r8 names
+    # (q16_supplier_count_by_class, q20_excess_shippers,
+    # events_multires_rollup, padding_waste_by_bucket,
     # docs_balanced_sample, docs_chunked_context, docs_chunk_dedup,
     # docs_rarity_topk, events_funnel_conversion,
     # events_transition_matrix, orders_bloom_prune,
@@ -341,13 +345,12 @@ GATE_FRONT: tuple[str, ...] = (
     "nation_coverage_recon",
     "q2_min_cost_supplier",
     "q11_part_value_share",
-    "q16_supplier_count_by_class",
-    "q20_excess_shippers",
 )
 # ROUND-13 ROTATION (write it at the start of r13): rotate out the 50
 # names above once CORRECTNESS_r12 comes back green. Fill order: the
-# sixteen r8-last-green names deferred from this window
-# (events_multires_rollup, padding_waste_by_bucket,
+# eighteen r8-last-green names deferred from this window
+# (q16_supplier_count_by_class, q20_excess_shippers,
+# events_multires_rollup, padding_waste_by_bucket,
 # docs_balanced_sample, docs_chunked_context, docs_chunk_dedup,
 # docs_rarity_topk, events_funnel_conversion, events_transition_matrix,
 # orders_bloom_prune, lineitem_zorder_stats, orders_upsert_latest,

@@ -155,6 +155,36 @@ def time_queries(spark, sf_dir: str, reps: int) -> dict:
     return out
 
 
+def time_table_assign(spark, sf_dir: str) -> dict:
+    """The join-form (centroid-TABLE) k-means fit+assign at this
+    scale's adaptive width — the k > K_LITERAL_MAX machinery from
+    VERDICT r11 #2, forced on regardless of the dispatch threshold so
+    the 10× hop measures the SCALE PATH itself (at gate scales the
+    dispatch keeps the literal plan). k = n/64 here so the probe
+    exercises a genuinely wide fit (78 → 781 for 10× embeddings)."""
+    import time as _t
+
+    from pyspark.sql import functions as F
+    from robin_sparkles_spark.operators import clustering as C
+
+    vecs = C._vectors(spark, sf_dir)
+    n = vecs.count()
+    k = max(C.K_CLUSTERS, n // 64)
+    t0 = _t.monotonic()
+    assigned = C.fit_and_assign_table(spark, vecs, k)
+    n_assigned = assigned.count()
+    wall = round(_t.monotonic() - t0, 3)
+    return {
+        "n": n,
+        "k": k,
+        "coarse_k": C._coarse_k_for(k),
+        "nprobe": C.ASSIGN_NPROBE,
+        "assigned": n_assigned,
+        "coverage": round(n_assigned / n, 4),
+        "wall_sec": wall,
+    }
+
+
 def main() -> int:
     copies = int(sys.argv[sys.argv.index("--copies") + 1]) if "--copies" in sys.argv else 10
     reps = int(sys.argv[sys.argv.index("--reps") + 1]) if "--reps" in sys.argv else 2
@@ -162,6 +192,18 @@ def main() -> int:
 
     spark = get_spark(app_name="sf1_scale_probe")
     build_sf1(spark, copies)
+    if "--table-assign" in sys.argv:
+        small = time_table_assign(spark, SF01)
+        big = time_table_assign(spark, SF1_DIR)
+        result = {
+            "probe": "kmeans_table_assign",
+            "copies": copies,
+            "sf01": small,
+            "sf1": big,
+            "ratio": round(big["wall_sec"] / max(small["wall_sec"], 1e-9), 2),
+        }
+        print("RESULT:" + json.dumps(result))
+        return 0
     small = time_queries(spark, SF01, reps)
     big = time_queries(spark, SF1_DIR, reps)
     result = {
