@@ -1,0 +1,101 @@
+"""Micro-batch-tax gates for BOTH streaming ingest paths (r12 —
+VERDICT r11 ask #5): the exact shipped ingest streams drained through
+``tools/stream_ingest_probe.py`` at per-file vs single-trigger
+``maxFilesPerTrigger``, at the fixture corpus and a 10× corpus — the
+same gate pattern as ``test_media_dedup_scale.py``.
+
+What the gates protect (the catastrophic classes, not host noise):
+
+- TAX FLATNESS: the per-trigger fixed cost must not grow with corpus
+  size. Measured r12 (min of 2 reps, local[32]): image ~0.94–1.08 s
+  per trigger at both 1× and 10×; text ~0.83–0.90 s. A tax that
+  scales with the corpus means some per-batch step re-reads or
+  rewrites corpus-sized state per micro-batch (the complete-mode
+  rewrite growing super-linearly, the index re-staged per trigger).
+- AMORTIZATION: one big trigger over the 10× corpus must beat the
+  per-file drain by a wide margin (measured 21–22×; gated at 4×).
+  If this collapses, per-row work has inflated to where trigger
+  sizing no longer matters — the sizing rule recorded in SCALE.md
+  ("pick maxFilesPerTrigger so real work ≫ ~1 s/trigger") is dead.
+- VERDICT INVARIANCE: the drained verdict row count must not depend
+  on trigger slicing (same arrivals → same per-doc verdicts whether
+  they arrive in 40 micro-batches or 1).
+"""
+
+from __future__ import annotations
+
+import importlib.util
+import os
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+# per-trigger tax at 10× corpus ≤ ceiling × tax at fixture corpus
+# (measured ~0.9× both paths; 3× absorbs host noise on ~1 s deltas)
+TAX_FLATNESS_CEILING = 3.0
+# 10× per-file wall / 10× single-trigger wall ≥ floor (measured 21–22×)
+AMORTIZATION_FLOOR = 4.0
+
+PATHS = ("image", "text")
+
+
+def _probe_tool():
+    spec = importlib.util.spec_from_file_location(
+        "stream_ingest_probe",
+        os.path.join(REPO, "tools", "stream_ingest_probe.py"),
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+@pytest.fixture(scope="module")
+def probe_results(spark):
+    return _probe_tool().run(spark, reps=2, paths=PATHS)
+
+
+def _tax(case: dict) -> float:
+    """Per-trigger fixed cost: (per-file wall − single-trigger wall)
+    / extra triggers. Both walls are min-of-reps."""
+    per_file = min(
+        (v for v in case.values() if v["triggers"] > 1),
+        key=lambda v: -v["triggers"],
+    )
+    single = next(v for v in case.values() if v["triggers"] == 1)
+    return (per_file["wall"] - single["wall"]) / (per_file["triggers"] - 1)
+
+
+@pytest.mark.parametrize("path", PATHS)
+def test_trigger_tax_is_flat_across_corpus_size(path, probe_results):
+    fixture_tax = max(_tax(probe_results[path]["fixture"]), 0.05)
+    big_tax = _tax(probe_results[path]["10x"])
+    assert big_tax <= TAX_FLATNESS_CEILING * fixture_tax, (
+        f"{path} ingest per-trigger tax grew with the corpus: "
+        f"{big_tax:.2f}s/trigger at 10x vs {fixture_tax:.2f}s at 1x "
+        f"(ceiling {TAX_FLATNESS_CEILING}x) — a per-batch step is "
+        f"doing corpus-sized work per micro-batch"
+    )
+
+
+@pytest.mark.parametrize("path", PATHS)
+def test_single_trigger_amortizes_the_tax(path, probe_results):
+    case = probe_results[path]["10x"]
+    per_file = case["mfpt_1"]["wall"]
+    single = next(v["wall"] for v in case.values() if v["triggers"] == 1)
+    assert per_file >= AMORTIZATION_FLOOR * single, (
+        f"{path} ingest: single-trigger drain ({single:.2f}s) no longer "
+        f"amortizes the per-file drain ({per_file:.2f}s) by "
+        f"{AMORTIZATION_FLOOR}x — per-row work has inflated; the "
+        f"maxFilesPerTrigger sizing rule in SCALE.md is stale"
+    )
+
+
+@pytest.mark.parametrize("path", PATHS)
+@pytest.mark.parametrize("label", ("fixture", "10x"))
+def test_verdict_rows_invariant_to_trigger_slicing(path, label, probe_results):
+    counts = {k: v["rows"] for k, v in probe_results[path][label].items()}
+    assert len(set(counts.values())) == 1, (
+        f"{path}/{label}: drained verdict count depends on trigger "
+        f"slicing: {counts}"
+    )
