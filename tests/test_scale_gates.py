@@ -54,6 +54,11 @@ PRODUCTION_GATES = {
     "dedup_simhash": 4.0,
     "dedup_simhash_wide": 4.0,
     "dedup_ngram_jaccard": 4.0,
+    # streaming text-ingest batch twin (r12 — VERDICT r11 ask #6):
+    # arrivals × persisted band/payload index, SHUFFLE_HASH-pinned.
+    # Measured 1.08× at 10× rows (min-of-3: 0.95 s → 1.02 s) —
+    # overhead-dominated like the rest of the 4× family.
+    "dedup_text_stream_ingest": 4.0,
     "embedding_dedup": 4.5,
     "embedding_similar_pairs_ivf": 13.0,
     "semdedup_dropped": 4.0,
