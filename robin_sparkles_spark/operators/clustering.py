@@ -246,6 +246,43 @@ def _fit_literal(
     return centroids
 
 
+# Coarse-quantizer training points per centroid (the FAISS-style
+# convention): past SAMPLE_PER_CENTROID·coarse_k vectors, the coarse
+# fit trains on a deterministic hash sample instead of the full
+# corpus, making its per-iteration cost corpus-INDEPENDENT. The r12
+# 100× probe (200k vectors) measured the unsampled form: 5 full-corpus
+# interpreted passes just to build the 195-cell coarse quantizer —
+# O(corpus · n_iter) of warm-up before the real fit ever starts, the
+# exact cost class a 100 TB fit cannot pay. The sample is uniform by
+# xxhash64(vec_id) (representative regardless of vec_id layout —
+# first-N-ids would train on whatever subset happens to sort first)
+# and repartitioned to the session parallelism so a badly-laid-out
+# corpus (single-row-group staging, few huge files) cannot serialize
+# the fit. Spark-only determinism is sufficient: no oracle re-derives
+# the coarse quantizer — full-probe table fits are coarse-independent
+# (every centroid reachable), which is what the literal-parity test
+# pins; default-probe consumers are gated on recall, not hashes.
+SAMPLE_PER_CENTROID = 256
+
+
+def _coarse_training_sample(
+    spark: SparkSession, vecs: DataFrame, coarse_k: int
+) -> DataFrame:
+    cap = SAMPLE_PER_CENTROID * coarse_k
+    n = vecs.count()
+    par = spark.sparkContext.defaultParallelism
+    if n <= cap:
+        return vecs.repartition(par)
+    denom = 1 << 16
+    thresh = max(1, (denom * cap) // n)
+    return barrier(
+        vecs.where(F.pmod(F.xxhash64("vec_id"), F.lit(denom)) < thresh)
+        .repartition(par),
+        "sample",
+        "kmeans_fit_table coarse training sample",
+    )
+
+
 # --- centroid-TABLE join assignment (the k > K_LITERAL_MAX path) -------------
 
 def _centroid_table(
@@ -374,7 +411,12 @@ def kmeans_fit_table(
     dim = len(vecs.first().v)
     if coarse_k is None:
         coarse_k = _coarse_k_for(k)
-    coarse = _fit_literal(spark, vecs, min(coarse_k, K_LITERAL_MAX), n_iter)
+    coarse = _fit_literal(
+        spark,
+        _coarse_training_sample(spark, vecs, min(coarse_k, K_LITERAL_MAX)),
+        min(coarse_k, K_LITERAL_MAX),
+        n_iter,
+    )
     w = W.orderBy("vec_id")
     centroids_df = barrier(
         vecs.orderBy("vec_id")

@@ -59,17 +59,25 @@ DEDUP_COS_THRESHOLD = 0.9
 # collisions ∝ bands·N²/2^bits, so bits must grow with the corpus;
 # recall at the 0.9 decision boundary is held ≥0.99 by growing bands
 # with bits per the banding law (p = 1 − acos(0.9)/π = 0.8564:
-# 24×10 → 1−(1−p¹⁰)²⁴ = 0.997; 38×14 → 1−(1−p¹⁴)³⁸ = 0.99; planted
-# pairs at cos ≈ 0.999 miss with prob ~1e-21 in either geometry).
-# Collision factor drops 24/2¹⁰ = 0.0234 → 38/2¹⁴ = 0.0023 (10×) for
-# 1.58× more blocking rows. Every geometry is gate-checkable: the
-# lazy oracle derives the SAME config from the same corpus count.
-# Beyond these two points the literal sign-bank expression gets
+# 24×10 → 1−(1−p¹⁰)²⁴ = 0.997; 38×14 → 1−(1−p¹⁴)³⁸ = 0.990;
+# 73×18 → 1−(1−p¹⁸)⁷³ = 0.990; planted pairs at cos ≈ 0.999 miss
+# with prob ≤ ~1e-21 in every geometry). Collision factor drops
+# 24/2¹⁰ = 0.0234 → 38/2¹⁴ = 0.0023 → 73/2¹⁸ = 0.00028 (~8-10× per
+# point) for ≤2× more blocking rows per point. Every geometry is
+# gate-checkable: the lazy oracle derives the SAME config from the
+# same corpus count. The third point exists because the r12 100×
+# probe (200k vectors) caught the table SATURATING at (38,14): chance
+# candidates grow with C(n,2)·bands/2^bits, so a fixed key width one
+# decade past its ceiling made the band self-join candidate-bound
+# (the same failure mode the 32-bit simhash noise floor measured) —
+# key bits must keep growing ≈ log₂N forever, table-stepped here.
+# Beyond these points the literal sign-bank expression gets
 # plan-heavy (bands·bits·dim literals) — the documented next step at
 # 10⁸+ vectors is hashed band keys instead of literal banks.
 NEARDUP_BAND_CONFIGS: tuple[tuple[int | None, tuple[int, int]], ...] = (
     (12_000, (24, 10)),
-    (None, (38, 14)),
+    (120_000, (38, 14)),
+    (None, (73, 18)),
 )
 
 
@@ -132,9 +140,17 @@ def build_neardup_corpus(spark: SparkSession, sf_dir: str) -> str:
             "label",
         )
     )
-    emb.select("vec_id", "embedding", "label").unionByName(dups).coalesce(1).write.mode(
-        "overwrite"
-    ).parquet(path)
+    # File count grows with the corpus (≈8k vectors per file, capped):
+    # a coalesce(1) staging at fixture scale was fine, but one task
+    # writing one row group makes the staged file UNSPLITTABLE — every
+    # downstream scan (normalize, banding) then runs single-task no
+    # matter how many byte-range partitions the reader plans. The r12
+    # 100× probe measured it: 12 of 13 read tasks got 0 records.
+    n_rows = emb.count()
+    n_files = max(1, min(64, n_rows // 8192))
+    emb.select("vec_id", "embedding", "label").unionByName(dups).repartition(
+        n_files
+    ).write.mode("overwrite").parquet(path)
     return path
 
 

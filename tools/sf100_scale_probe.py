@@ -22,8 +22,11 @@ wide form IS the production path past ~10⁵ docs (BASELINE.md
 "Wide-simhash threshold frontier").
 
 Usage: python tools/sf100_scale_probe.py [--copies 100] [--reps 2]
-Prints one JSON line: per-query {wall_1x, wall_100x, ratio, rows_1x,
-rows_100x, rows_per_copy}.
+[--embeddings]. Default mode probes the text flagships; --embeddings
+probes the embedding tier (200k vectors: embedding_dedup,
+semdedup_dropped, and the r12 centroid-TABLE k-means fit+assign at
+k = n/64). Prints one JSON line: per-query {wall_1x, wall_100x,
+ratio, rows_1x, rows_100x, ...}.
 """
 
 from __future__ import annotations
@@ -91,6 +94,127 @@ def build_sf100(spark, copies: int) -> str:
     return SF100_DIR
 
 
+def build_sf100_embeddings(spark, copies: int) -> str:
+    """100× embeddings (200k vectors) via the 10× build's sign-flip
+    decorrelation (seeded per-copy random ±1 per dimension — two
+    copies sharing a pattern is a 2^-dim event; sign flips preserve
+    intra-copy inner products, so each copy keeps the base corpus's
+    cluster/near-dup geometry). vec_id offset is 2n per copy — DENSE,
+    because embedding_dedup's planted-id guard requires max organic
+    id < NEARDUP_ID_OFFSET (the guard fired on a 10n spacing at
+    copies=100; that is the guard working, not a probe bug)."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    emb_path = os.path.join(SF100_DIR, "embeddings_100x.parquet")
+    if os.path.exists(os.path.join(emb_path, "_SUCCESS")):
+        return emb_path
+    base = spark.read.parquet(f"{SF01}/embeddings.parquet")
+    n = base.count()
+    dim = len(base.select("embedding").first()[0])
+    parts = []
+    for k in range(copies):
+        c = base.withColumn("vec_id", F.col("vec_id") + F.lit(k * 2 * n))
+        if k:
+            rng = random.Random(5000 + k)
+            signs = [float(rng.choice((-1.0, 1.0))) for _ in range(dim)]
+            c = c.withColumn(
+                "embedding",
+                F.expr(
+                    "zip_with(embedding, array("
+                    + ",".join(f"{s}F" for s in signs)
+                    + "), (x, s) -> x * s)"
+                ),
+            )
+        parts.append(c)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    out.repartition(64).write.mode("overwrite").parquet(emb_path)
+    return emb_path
+
+
+def run_embeddings(spark, copies: int, reps: int) -> dict:
+    """The embedding tier at 100×: the r12 centroid-TABLE k-means
+    path (k = n/64 → 3125 at 200k vectors, a decade past the 10×
+    table-assign row) plus the two adaptive-geometry consumers
+    (embedding_dedup band bits, SemDeDup's capped-k law — both
+    dispatch to the table path above K_LITERAL_MAX)."""
+    from robin_sparkles_spark import registry
+    from robin_sparkles_spark.operators import clustering as C
+
+    build_sf100(spark, copies)
+    emb_100x = build_sf100_embeddings(spark, copies)
+    # an sf dir whose embeddings are the 100× table (documents etc.
+    # symlinked) so registry queries run unmodified
+    emb_dir = os.path.join(SF100_DIR, "embdir")
+    os.makedirs(emb_dir, exist_ok=True)
+    for t in LINKED + ("documents",):
+        link = os.path.join(emb_dir, f"{t}.parquet")
+        src = (
+            os.path.join(SF01, f"{t}.parquet")
+            if t != "embeddings"
+            else emb_100x
+        )
+        if not os.path.exists(link):
+            os.symlink(src, link)
+
+    # Per-phase results stream to stderr as they complete and a phase
+    # failure (e.g. an OOM in the widest fit) records the error
+    # without losing the finished phases — the first run of this mode
+    # lost 20 min of completed measurements to an end-of-run print.
+    out = {}
+    specs = registry.all_queries()
+    for name in ("embedding_dedup", "semdedup_dropped"):
+        try:
+            cells = {}
+            for label, sf in (("1x", SF01), (f"{copies}x", emb_dir)):
+                walls, rows = [], None
+                for rep in range(reps):
+                    t0 = time.monotonic()
+                    rows = specs[name].fn(spark, sf).count()
+                    walls.append(round(time.monotonic() - t0, 3))
+                cells[label] = {"wall": min(walls), "rows": rows}
+            big = f"{copies}x"
+            out[name] = {
+                "wall_1x": cells["1x"]["wall"],
+                f"wall_{big}": cells[big]["wall"],
+                "ratio": round(cells[big]["wall"] / cells["1x"]["wall"], 2),
+                "rows_1x": cells["1x"]["rows"],
+                f"rows_{big}": cells[big]["rows"],
+            }
+        except Exception as exc:  # noqa: BLE001 — record, keep probing
+            out[name] = {"error": f"{type(exc).__name__}: {exc}"[:300]}
+        print(f"PHASE {name}: {json.dumps(out[name])}", file=sys.stderr)
+
+    # the join-form fit+assign itself at k = n/64 (forced table path)
+    try:
+        vecs = C._vectors(spark, emb_dir)
+        n = vecs.count()
+        k = max(C.K_CLUSTERS, n // 64)
+        t0 = time.monotonic()
+        assigned = C.fit_and_assign_table(spark, vecs, k)
+        n_assigned = assigned.count()
+        out["kmeans_table_assign"] = {
+            "n": n,
+            "k": k,
+            "coarse_k": C._coarse_k_for(k),
+            "nprobe": C.ASSIGN_NPROBE,
+            "coverage": round(n_assigned / n, 4),
+            "wall_sec": round(time.monotonic() - t0, 3),
+        }
+    except Exception as exc:  # noqa: BLE001
+        out["kmeans_table_assign"] = {
+            "error": f"{type(exc).__name__}: {exc}"[:300]
+        }
+    print(
+        f"PHASE kmeans_table_assign: {json.dumps(out['kmeans_table_assign'])}",
+        file=sys.stderr,
+    )
+    return out
+
+
 def run(spark, copies: int, reps: int) -> dict:
     from robin_sparkles_spark import registry
 
@@ -133,7 +257,11 @@ def main() -> int:
     from robin_sparkles_spark.session import get_spark
 
     spark = get_spark(app_name="sf100_scale_probe")
-    print(json.dumps({"copies": copies, "queries": run(spark, copies, reps)}))
+    if "--embeddings" in sys.argv:
+        result = run_embeddings(spark, copies, reps)
+    else:
+        result = run(spark, copies, reps)
+    print(json.dumps({"copies": copies, "queries": result}))
     return 0
 
 
