@@ -254,6 +254,18 @@ def main() -> int:
         else 100
     )
     reps = int(sys.argv[sys.argv.index("--reps") + 1]) if "--reps" in sys.argv else 2
+    if "--embeddings" in sys.argv:
+        # Production posture for the fit-heavy mode (must precede
+        # session creation): corpus barriers stage to parquet instead
+        # of the block manager — three phases of block-resident
+        # checkpoints starved execution memory and OOMed the widest
+        # fit under the 8g default — and the heap gets room for the
+        # 25.6M-candidate assign shuffles.
+        os.environ.setdefault(
+            "SPARK_GRAFT_BARRIER_DIR",
+            os.path.join(REPO, "spark-warehouse", "sf100_barrier_stages"),
+        )
+        os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "24g")
     from robin_sparkles_spark.session import get_spark
 
     spark = get_spark(app_name="sf100_scale_probe")
