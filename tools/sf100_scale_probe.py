@@ -247,6 +247,62 @@ def run(spark, copies: int, reps: int) -> dict:
     return out
 
 
+def run_stream(spark, copies: int, reps: int) -> dict:
+    """The readStream text-ingest drain at the 100× corpus (~100k
+    arrivals re-sharded to 40 files) — the sizing rule executed at
+    scale: maxFilesPerTrigger=40 (one trigger, per-trigger real work
+    ≫ the ~1 s tax) vs 8 (five triggers). The batch twin's 100×
+    verdict count (run()) must equal the drained count at every
+    trigger slicing."""
+    from robin_sparkles_spark.operators.curation import _is_new
+    from robin_sparkles_spark.sources import load_table
+    from robin_sparkles_spark.streaming.text_ingest import (
+        stage_text_index,
+        text_ingest_dedup_stream,
+    )
+
+    sf100 = build_sf100(spark, copies)
+    arrivals = os.path.join(SF100_DIR, "stream_arrivals_100x")
+    if not os.path.exists(os.path.join(arrivals, "_SUCCESS")):
+        load_table(spark, sf100, "documents").where(_is_new()).repartition(
+            40, "doc_id"
+        ).write.mode("overwrite").parquet(arrivals)
+    bands, payload = stage_text_index(spark, sf100)
+    schema = spark.read.parquet(arrivals).schema
+    out = {}
+    for mfpt in (8, 40):
+        walls, rows = [], None
+        for rep in range(reps):
+            stream = (
+                spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", mfpt)
+                .parquet(arrivals)
+            )
+            res = text_ingest_dedup_stream(
+                stream,
+                spark.read.parquet(bands),
+                spark.read.parquet(payload),
+            )
+            name = f"s100_{mfpt}_{rep}"
+            t0 = time.monotonic()
+            q = (
+                res.writeStream.outputMode("complete")
+                .format("memory")
+                .queryName(name)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+            walls.append(round(time.monotonic() - t0, 3))
+            rows = spark.sql(f"SELECT count(*) FROM {name}").first()[0]
+        out[f"mfpt_{mfpt}"] = {
+            "wall": min(walls),
+            "triggers": -(-40 // mfpt),
+            "rows": rows,
+        }
+    return out
+
+
 def main() -> int:
     copies = (
         int(sys.argv[sys.argv.index("--copies") + 1])
@@ -271,6 +327,8 @@ def main() -> int:
     spark = get_spark(app_name="sf100_scale_probe")
     if "--embeddings" in sys.argv:
         result = run_embeddings(spark, copies, reps)
+    elif "--stream" in sys.argv:
+        result = run_stream(spark, copies, reps)
     else:
         result = run(spark, copies, reps)
     print(json.dumps({"copies": copies, "queries": result}))
