@@ -246,31 +246,63 @@ _JACCARD_SQL = (
 # --- n-gram Jaccard via inverted index (declared scale path) ----------------
 
 def _df_capped_shingle_rows(
-    spark: SparkSession, sf_dir: str, df_cap: int = NGRAM_DF_CAP
+    spark: SparkSession, sf_dir: str, df_cap: int = NGRAM_DF_CAP, *,
+    keep_df: bool = False,
 ) -> DataFrame:
     """Shingle index rows with corpus-hot shingles removed: keep
     (doc_id, h) only where the shingle's document frequency ≤ df_cap
     (see NGRAM_DF_CAP). The df count is a whole-partition window over
     h — its exchange hash-partitions the index on h, which is exactly
     the partitioning the downstream self-equi-join needs, so the cap
-    costs zero extra shuffles (the join reuses the window's exchange)."""
+    costs zero extra shuffles (the join reuses the window's exchange).
+    ``keep_df`` retains the df column (the prefix filter orders by
+    it — rarest-first)."""
     w = W.partitionBy("h")
-    return (
+    out = (
         _shingle_rows(spark, sf_dir)
         .withColumn("df", F.count(F.lit(1)).over(w))
         .where(F.col("df") <= df_cap)
-        .drop("df")
     )
+    return out if keep_df else out.drop("df")
+
+
+# Past this many documents, dedup_ngram_jaccard dispatches to the
+# prefix-filtered plan (same dispatch discipline as K_LITERAL_MAX /
+# the simhash width law): below it the direct full-index join is
+# cheaper (the prefix form adds two doc_id windows + a verify join —
+# ~+0.6 s at sf0.1, measured); above it the full-index join volume
+# Σ_h df(h)² is the wall (the r12 100× probe measured 23.5× at 500k
+# docs vs 7.3× prefix-filtered, identical output).
+NGRAM_PREFIX_MIN_DOCS = 20_000
+
+_NGRAM_DOC_COUNTS: dict[tuple, int] = {}
+
+
+def _ngram_doc_count(spark: SparkSession, sf_dir: str) -> int:
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _NGRAM_DOC_COUNTS:
+        _NGRAM_DOC_COUNTS[key] = load_table(
+            spark, sf_dir, "documents"
+        ).count()
+    return _NGRAM_DOC_COUNTS[key]
 
 
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """3-gram Jaccard ≥ τ via an inverted-index self-equi-join: only
-    document pairs that SHARE a shingle are ever materialized, and
-    Jaccard derives from the shared count + per-doc set sizes
-    (|A∪B| = |A|+|B|−|A∩B|). A pair with zero shared shingles has
-    Jaccard 0 < τ, so the inverted index is exhaustive — and
-    linear-shuffle shaped: explode is the index build, the join is an
-    equi-join on the shingle hash.
+    """3-gram Jaccard ≥ τ over df-capped shingle sets — two plans,
+    one semantics, dispatched on corpus size:
+
+    - ≤ NGRAM_PREFIX_MIN_DOCS: inverted-index self-equi-join
+      (``_ngram_jaccard_full_index``) — only document pairs that
+      SHARE a shingle are ever materialized; Jaccard derives from the
+      shared count + per-doc set sizes.
+    - above: PREFIX-FILTERED form (``_ngram_jaccard_prefix``) — the
+      r12 100× probe measured the full-index join volume Σ_h df(h)²
+      as the one compute-saturated wall in the text family.
+
+    Both produce identical values (pinned by the fixture-equality
+    pytest and the Hypothesis bruteforce parity over both forms); the
+    DuckDB oracle keeps the direct full-index plan, so the gate
+    cross-checks strategies against each other.
 
     Skew (100 TB): the index is df-capped first (NGRAM_DF_CAP) — the
     declared semantics are Jaccard over the df-capped shingle sets,
@@ -279,20 +311,25 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     scale. The oracle mirrors the cap; the planted-hot-shingle pytest
     (tests/test_dedup_properties.py) asserts the bounded candidate
     count. AQE skew-join splitting handles sub-cap hot keys."""
-    sh = _df_capped_shingle_rows(spark, sf_dir)  # distinct (doc_id, h) per doc
+    if _ngram_doc_count(spark, sf_dir) <= NGRAM_PREFIX_MIN_DOCS:
+        return _ngram_jaccard_full_index(spark, sf_dir)
+    return _ngram_jaccard_prefix(spark, sf_dir)
+
+
+def _ngram_jaccard_full_index(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The direct inverted-index plan (cheapest at gate scales)."""
+    sh = _df_capped_shingle_rows(spark, sf_dir)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
-    # Every join below is corpus × corpus (the index, and the per-doc
-    # sizes table — one row per document). Catalyst's size estimates
-    # under the window/explode chain are blind to the real cardinality
-    # and broadcast these sides (r10 audit: 3 BroadcastHashJoins at a
-    # 200k-doc corpus) — a corpus-sized broadcast OOMs the driver at
-    # scale, so pin SHUFFLE_HASH explicitly.
+    # corpus × corpus joins: pin SHUFFLE_HASH (see _ngram_jaccard_prefix)
     a = sh.alias("a").hint("shuffle_hash")
     b = sh.alias("b")
     shared = (
         a.join(
             b,
-            (F.col("a.h") == F.col("b.h")) & (F.col("a.doc_id") < F.col("b.doc_id")),
+            (F.col("a.h") == F.col("b.h"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
         .groupBy(F.col("a.doc_id").alias("doc1"), F.col("b.doc_id").alias("doc2"))
         .agg(F.count("*").alias("shared"))
@@ -305,6 +342,71 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         shared.join(s1, F.col("doc1") == F.col("s1.doc_id"))
         .join(s2, F.col("doc2") == F.col("s2.doc_id"))
+        .select("doc1", "doc2", jaccard.alias("jaccard"))
+        .where(F.col("jaccard") >= JACCARD_THRESHOLD)
+    )
+
+
+def _ngram_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PREFIX FILTERING (r12): only each document's
+    L = |A| − ⌈τ·|A|⌉ + 1 rarest shingles (global (df, h) order) are
+    indexed for the candidate join. Lossless by the prefix-filter
+    theorem (Chaudhuri/Bayardo/Xiao): if J(A,B) ≥ τ then
+    |A∩B| ≥ τ·|A∪B| ≥ τ·max(|A|,|B|), and the smallest shared
+    shingle under the global order must sit inside BOTH prefixes —
+    else one side alone would contain ≥ |A|−L+1 = ⌈τ|A|⌉ non-shared
+    elements below it, contradicting the overlap bound. τ = 4/5, so
+    the prefix length is integer-exact: sz − (4·sz + 4) DIV 5 + 1.
+    Candidates additionally pass the lossless size-ratio prune
+    (J ≤ min/max → 5·min(sz) ≥ 4·max(sz)), then verify EXACTLY via
+    sorted capped-set arrays (array_intersect) — same values, same
+    double arithmetic as the full-index form."""
+    sh = _df_capped_shingle_rows(spark, sf_dir, keep_df=True)
+    # per-doc verify payload: the capped shingle SET as a sorted array
+    docs = sh.groupBy("doc_id").agg(
+        F.sort_array(F.collect_list("h")).alias("hs"),
+        F.count("*").alias("sz"),
+    )
+    # rarest-first prefix per doc; one doc_id exchange serves both
+    # windows (row_number and the size count share partitioning)
+    wd = W.partitionBy("doc_id")
+    prefix = (
+        sh.withColumn("rn", F.row_number().over(wd.orderBy("df", "h")))
+        .withColumn("sz", F.count(F.lit(1)).over(wd))
+        .where(F.expr("rn <= sz - (4 * sz + 4) DIV 5 + 1"))
+        .select("doc_id", "h", "sz")
+    )
+    # Every join below is corpus × corpus. Catalyst's size estimates
+    # under the window/explode chain are blind to the real cardinality
+    # and broadcast these sides (r10 audit: 3 BroadcastHashJoins at a
+    # 200k-doc corpus) — a corpus-sized broadcast OOMs the driver at
+    # scale, so pin SHUFFLE_HASH explicitly.
+    a = prefix.alias("a").hint("shuffle_hash")
+    b = prefix.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.h") == F.col("b.h"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (
+                5 * F.least(F.col("a.sz"), F.col("b.sz"))
+                >= 4 * F.greatest(F.col("a.sz"), F.col("b.sz"))
+            ),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc1"), F.col("b.doc_id").alias("doc2")
+        )
+        .distinct()
+    )
+    d1 = docs.alias("d1").hint("shuffle_hash")
+    d2 = docs.alias("d2").hint("shuffle_hash")
+    inter = F.size(F.array_intersect(F.col("d1.hs"), F.col("d2.hs")))
+    jaccard = inter.cast("double") / (
+        F.col("d1.sz") + F.col("d2.sz") - inter
+    )
+    return (
+        cands.join(d1, F.col("doc1") == F.col("d1.doc_id"))
+        .join(d2, F.col("doc2") == F.col("d2.doc_id"))
         .select("doc1", "doc2", jaccard.alias("jaccard"))
         .where(F.col("jaccard") >= JACCARD_THRESHOLD)
     )

@@ -62,6 +62,14 @@ def test_blocked_equals_bruteforce_on_generated_corpora(spark, tmp_path_factory,
     ngram = sorted(map(tuple, dedup.dedup_ngram_jaccard(spark, sf).collect()))
     brute = sorted(map(tuple, dedup.dedup_ngram_jaccard_bruteforce(spark, sf).collect()))
     assert ngram == brute
+    # the PREFIX-FILTERED plan (r12; dispatched only above
+    # NGRAM_PREFIX_MIN_DOCS, so generated corpora never reach it via
+    # the public entry) must agree bit-for-bit on every corpus too —
+    # this is the lossless-prefix-theorem check
+    prefix = sorted(
+        map(tuple, dedup._ngram_jaccard_prefix(spark, sf).collect())
+    )
+    assert prefix == brute
     blocked = sorted(map(tuple, dedup.dedup_simhash(spark, sf).collect()))
     nlj = sorted(map(tuple, dedup.dedup_simhash_bruteforce(spark, sf).collect()))
     assert blocked == nlj

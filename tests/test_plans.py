@@ -167,6 +167,18 @@ def test_ngram_inverted_index_is_equi_join(spark, sf_dir):
     assert _equi_joins(a) >= 1, a.formatted
 
 
+def test_ngram_prefix_plan_is_equi_join_no_broadcast(spark, sf_dir):
+    """The r12 prefix-filtered plan (dispatched above
+    NGRAM_PREFIX_MIN_DOCS — the fixture never reaches it via the
+    public entry, so audit it directly): candidate join and both
+    verify joins must be SHUFFLE_HASH equi-joins, zero broadcasts,
+    no nested loop."""
+    a = audit_plan(dedup._ngram_jaccard_prefix(spark, sf_dir))
+    assert a.bnl_joins == 0, a.formatted
+    assert _equi_joins(a) >= 1, a.formatted
+    assert a.broadcast_joins == 0, a.formatted
+
+
 def test_embedding_similar_bucket_join_is_equi_join(spark, sf_dir):
     a = audit_plan(dedup.embedding_similar_pairs(spark, sf_dir))
     assert a.bnl_joins == 0, a.formatted
