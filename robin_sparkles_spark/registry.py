@@ -346,6 +346,16 @@ GATE_FRONT: tuple[str, ...] = (
     "q2_min_cost_supplier",
     "q11_part_value_share",
 )
+# Late-r12 plan note: dedup_ngram_jaccard gained a corpus-size
+# dispatch (prefix-filtered plan above NGRAM_PREFIX_MIN_DOCS=20k).
+# At every driver gate SF the executed plan is BIT-IDENTICAL to the
+# previously gated full-index form (dispatch threshold sits above
+# sf0.1's 5k docs), so it takes no window slot this round; the prefix
+# plan itself is pinned by the Hypothesis bruteforce parity, a
+# dedicated plan audit, and tri-shape manual gates (BASELINE.md).
+# If the threshold ever drops below a gated SF, the name must rejoin
+# the window that round.
+#
 # ROUND-13 ROTATION (write it at the start of r13): rotate out the 50
 # names above once CORRECTNESS_r12 comes back green. Fill order: the
 # eighteen r8-last-green names deferred from this window
