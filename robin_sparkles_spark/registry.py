@@ -272,11 +272,85 @@ def _collect() -> dict[str, QuerySpec]:
 # r7-last-green fill + the 10 late-r11 additions (streaming ingest
 # twins, incrementals, wide simhash, JSONL/CSV, epoch shuffle,
 # quality classifier); 21 r7-stale names deferred to the r12 fill.
+# ROUND-12 ROTATION (executed; CORRECTNESS_r12 50/50 green, zero reds
+# ever recorded r1–r12). Its window: the 21 deferred r7-last-green
+# names, the r12 replans (epoch-shuffle seed, BPE 32 merges, adaptive
+# band-bits, centroid-TABLE assign), and 22 of the 40 r8-stale names;
+# the last 18 r8 names deferred to this r13 fill.
 GATE_FRONT: tuple[str, ...] = (
-    # --- ROUND-12 ROTATION (this window; executes the note written at
-    # the end of r11). Policy unchanged: new queries + replans first,
-    # then strict staleness.
-    # The 21 deferred r7-last-green names lead (the written r12 note):
+    # --- ROUND-13 ROTATION (this window; executes the note written at
+    # the end of r12 + VERDICT r13 #1). The 18 r8-last-green names
+    # lead (the deferred r13 fill, exactly VERDICT r13 #1's list):
+    "q16_supplier_count_by_class",
+    "q20_excess_shippers",
+    "events_multires_rollup",
+    "padding_waste_by_bucket",
+    "docs_balanced_sample",
+    "docs_chunked_context",
+    "docs_chunk_dedup",
+    "docs_rarity_topk",
+    "events_funnel_conversion",
+    "events_transition_matrix",
+    "orders_bloom_prune",
+    "lineitem_zorder_stats",
+    "orders_upsert_latest",
+    "column_profile",
+    "orders_price_histogram",
+    "docs_search_and",
+    "orders_scd2_history",
+    "copurchase_part_pairs",
+    # replanned in r13 — must re-gate. The sampled-fit law (VERDICT
+    # r13 #3) bounds the main k-means fit's training set at
+    # SAMPLE_PER_CENTROID·k; at the gate SF the corpus sits under the
+    # cap so fits stay bit-identical, but the code path changed, so
+    # every kmeans_fit consumer re-gates (the r12 precedent):
+    "kmeans_assign",
+    "ann_ivf_topk",
+    "ann_ivf_recall_at_k",
+    "embedding_similar_pairs_ivf",
+    "semdedup_dropped",
+    # hashed band keys (VERDICT r13 #2): the band index gains an
+    # O(1)-literal key expression above the base geometry; gate-SF
+    # geometry (24,10) keeps the literal bank (bit-identical keys
+    # either way — parity pinned in tests), re-gated anyway:
+    "embedding_dedup",
+    # r9-last-green fill, registry order; the last thirteen r9 names
+    # (user_retention_cohorts, orders_cdc_tombstones,
+    # referential_integrity_audit, table_fingerprints, docs_search_bm25,
+    # triangle_count_copurchase, custkey_overlap_kmv,
+    # orders_snapshot_diff, orders_mv_incremental, events_ewma_value,
+    # lineitem_qty_price_ols, embedding_gram_matrix,
+    # pysource_events_agg) defer to the r14 fill — window full at 50
+    "bmp_resize_stats",
+    "wav_frame_features",
+    "window_top_order_per_cust",
+    "window_order_gap_days",
+    "window_running_user_spend",
+    "nation_region_names",
+    "orders_price_winsorized",
+    "part_string_features",
+    "supplier_revenue_share",
+    "ngram_lm_score",
+    "ngram_repeated_spans",
+    "pq_encode",
+    "pq_adc_topk",
+    "tiff_frame_sample",
+    "jpeg_progressive_pixel_stats",
+    "jpeg_progressive_sa_stats",
+    "corpus_vocabulary",
+    "quality_threshold_sweep",
+    "users_kmv_by_type",
+    "orders_quantile_sketch",
+    "source_mixture",
+    "docs_token_diversity",
+    "docs_split_assign",
+    "docs_pack_assign",
+    "docs_token_budget_sample",
+    "pagerank_trade_graph",
+)
+_R12_WINDOW: tuple[str, ...] = (
+    # r12's window, kept for the rotation ledger (these names are all
+    # r12-green — the youngest rows in CORRECTNESS history):
     "orders_asof_last_event",
     "events_props_map",
     "events_salted_type_join",
@@ -356,18 +430,25 @@ GATE_FRONT: tuple[str, ...] = (
 # If the threshold ever drops below a gated SF, the name must rejoin
 # the window that round.
 #
-# ROUND-13 ROTATION (write it at the start of r13): rotate out the 50
-# names above once CORRECTNESS_r12 comes back green. Fill order: the
-# eighteen r8-last-green names deferred from this window
-# (q16_supplier_count_by_class, q20_excess_shippers,
-# events_multires_rollup, padding_waste_by_bucket,
-# docs_balanced_sample, docs_chunked_context, docs_chunk_dedup,
-# docs_rarity_topk, events_funnel_conversion, events_transition_matrix,
-# orders_bloom_prune, lineitem_zorder_stats, orders_upsert_latest,
-# column_profile, orders_price_histogram, docs_search_and,
-# orders_scd2_history, copurchase_part_pairs), then the oldest
-# r9-last-green block in registry order; plus, as always, anything
-# whose plan or oracle changes in r13 and any newly added queries.
+# ROUND-14 ROTATION (write it at the start of r14): rotate out the 50
+# GATE_FRONT names above once CORRECTNESS_r13 comes back green. Fill
+# order: the thirteen r9-last-green names deferred from this window
+# (user_retention_cohorts, orders_cdc_tombstones,
+# referential_integrity_audit, table_fingerprints, docs_search_bm25,
+# triangle_count_copurchase, custkey_overlap_kmv, orders_snapshot_diff,
+# orders_mv_incremental, events_ewma_value, lineitem_qty_price_ols,
+# embedding_gram_matrix, pysource_events_agg), then the oldest
+# r10-last-green block in registry order; plus, as always, anything
+# whose plan or oracle changes in r14 and any newly added queries.
+# Late-r13 plan notes (the bit-identical-dispatch precedent from r12's
+# ngram note): (a) the PQ/OPQ fits gained the same sampled-fit law as
+# the main k-means fit; their caps (SAMPLE_PER_CENTROID·KS) sit above
+# every gate-SF corpus, so gated fits/codebooks are bit-identical and
+# only pq_encode/pq_adc_topk (already in this window via the r9 fill)
+# re-gate — if a cap ever drops below a gated SF, the whole PQ family
+# re-joins the window that round. (b) dedup_ngram_jaccard's prefix
+# plan gained a length-band blocking key above NGRAM_PREFIX_MIN_DOCS;
+# below the threshold (every gate SF) the executed plan is unchanged.
 
 
 _REGISTRY: dict[str, QuerySpec] | None = None
