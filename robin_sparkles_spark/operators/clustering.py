@@ -166,7 +166,16 @@ def kmeans_fit(
     k × dim list). Init: the first k vectors by vec_id (deterministic,
     no RNG). Memoized per (sf_dir, k, n_iter): both declared queries
     need the same fit, and re-running 5 iterations of Spark jobs for
-    each would double the correctness gate's cost for no information."""
+    each would double the correctness gate's cost for no information.
+
+    Sampled-fit law (VERDICT r13 #3): iterations train on the bounded
+    ``_fit_training_sample`` (≤ SAMPLE_PER_CENTROID·k vectors), so the
+    fit's cost is corpus-independent; consumers assign the full corpus
+    exactly ONCE with the fitted centroids. Identity at every
+    gated/benched SF (corpora sit under the cap) — bit-identical
+    centroids to the pre-sampling fit there; past the cap the
+    quality trade is gated by the inertia test in
+    tests/test_clustering.py."""
     key = (sf_dir, k, n_iter)
     if key in _FIT_CACHE:
         return _FIT_CACHE[key]
@@ -176,7 +185,8 @@ def kmeans_fit(
     vecs = barrier(
         _vectors(spark, sf_dir), "corpus", "kmeans_fit cast vectors"
     )
-    centroids = _fit_literal(spark, vecs, k, n_iter, disable_codegen)
+    train = _fit_training_sample(spark, vecs, k)
+    centroids = _fit_literal(spark, train, k, n_iter, disable_codegen)
     _FIT_CACHE[key] = centroids
     return centroids
 
@@ -246,40 +256,64 @@ def _fit_literal(
     return centroids
 
 
-# Coarse-quantizer training points per centroid (the FAISS-style
-# convention): past SAMPLE_PER_CENTROID·coarse_k vectors, the coarse
-# fit trains on a deterministic hash sample instead of the full
-# corpus, making its per-iteration cost corpus-INDEPENDENT. The r12
-# 100× probe (200k vectors) measured the unsampled form: 5 full-corpus
-# interpreted passes just to build the 195-cell coarse quantizer —
-# O(corpus · n_iter) of warm-up before the real fit ever starts, the
-# exact cost class a 100 TB fit cannot pay. The sample is uniform by
-# xxhash64(vec_id) (representative regardless of vec_id layout —
-# first-N-ids would train on whatever subset happens to sort first)
-# and repartitioned to the session parallelism so a badly-laid-out
-# corpus (single-row-group staging, few huge files) cannot serialize
-# the fit. Spark-only determinism is sufficient: no oracle re-derives
-# the coarse quantizer — full-probe table fits are coarse-independent
-# (every centroid reachable), which is what the literal-parity test
-# pins; default-probe consumers are gated on recall, not hashes.
+# Training points per centroid (the FAISS-style convention): past
+# SAMPLE_PER_CENTROID·k vectors, EVERY Lloyd's fit in this module —
+# the literal fit, the table fit's main loop, and the coarse
+# quantizer — trains on a deterministic hash sample instead of the
+# full corpus, making per-iteration fit cost corpus-INDEPENDENT
+# (VERDICT r13 #3, generalizing the r12 coarse-only fix). The r12
+# 100× probe (200k vectors) measured the unsampled form: 5
+# full-corpus interpreted passes per fit — O(corpus · n_iter) the
+# exact cost class a 100 TB fit cannot pay; only the ONE final
+# assignment pass should touch the whole corpus. The sample is
+# uniform by xxhash64(vec_id) (representative regardless of vec_id
+# layout — first-N-ids would train on whatever subset happens to
+# sort first) and repartitioned to the session parallelism so a
+# badly-laid-out corpus (single-row-group staging, few huge files)
+# cannot serialize the fit. Spark-only determinism is sufficient for
+# the oracles: every centroid-literal oracle re-derives its fit by
+# re-RUNNING the same sampled fit (bit-deterministic — the sample
+# predicate, init order, and decimal sums are all engine-state-free),
+# so Spark query and DuckDB twin always see identical centroids. At
+# every gated/benched SF the corpora (≤2000 vectors) sit UNDER the
+# k=8 cap (2048), so gated fits are bit-identical to the pre-sampling
+# form; the quality cost past the cap is measured, not assumed —
+# tests/test_clustering.py gates sampled-fit inertia vs the full fit.
 SAMPLE_PER_CENTROID = 256
 
+# Sampling-fraction granularity. 1<<32 (not 1<<16 — ADVICE r12): with
+# a 16-bit denominator the threshold floors at 1 once n > 65536·cap
+# (~3.4e8 vectors at k=8), past which the sample grows as n/65536 and
+# fit cost becomes corpus-dependent again. xxhash64 is 64-bit, so a
+# 32-bit denominator keeps the fraction shrinking toward cap/n until
+# n > 2³²·cap — beyond any corpus this engine will meet.
+_SAMPLE_DENOM = 1 << 32
 
-def _coarse_training_sample(
-    spark: SparkSession, vecs: DataFrame, coarse_k: int
+
+def _fit_training_sample(
+    spark: SparkSession,
+    vecs: DataFrame,
+    k: int,
+    per_centroid: int = SAMPLE_PER_CENTROID,
 ) -> DataFrame:
-    cap = SAMPLE_PER_CENTROID * coarse_k
+    """Bounded, deterministic training set for a k-centroid fit:
+    identity (modulo a parallelism repartition) below the
+    ``per_centroid·k`` cap, a uniform xxhash64(vec_id) sample above
+    it. The repartition matters either way: the fit's interpreted
+    argmin is CPU-bound, so training must spread across the session's
+    cores even when the staged input has few/unsplittable files."""
+    cap = per_centroid * k
     n = vecs.count()
     par = spark.sparkContext.defaultParallelism
     if n <= cap:
         return vecs.repartition(par)
-    denom = 1 << 16
-    thresh = max(1, (denom * cap) // n)
+    thresh = max(1, (_SAMPLE_DENOM * cap) // n)
     return barrier(
-        vecs.where(F.pmod(F.xxhash64("vec_id"), F.lit(denom)) < thresh)
-        .repartition(par),
+        vecs.where(
+            F.pmod(F.xxhash64("vec_id"), F.lit(_SAMPLE_DENOM)) < thresh
+        ).repartition(par),
         "sample",
-        "kmeans_fit_table coarse training sample",
+        "kmeans fit training sample",
     )
 
 
@@ -408,18 +442,26 @@ def kmeans_fit_table(
     coarse quantizer travels with the table so assignments use the
     same cells the fit did."""
     vecs = barrier(vecs, "corpus", "kmeans_fit_table cast vectors")
-    dim = len(vecs.first().v)
+    # Sampled-fit law (VERDICT r13 #3): the Lloyd's loop — init,
+    # per-iteration assignment, and the coarse quantizer it trains —
+    # sees only the bounded sample; the caller's final assignment is
+    # the ONLY full-corpus pass. Drawing the coarse sample from the
+    # main training sample composes exactly (same xxhash64(vec_id)
+    # predicate, nested thresholds), and keeps the full-probe parity
+    # contract: a literal fit over the SAME sample is bit-identical.
+    train = _fit_training_sample(spark, vecs, k)
+    dim = len(train.first().v)
     if coarse_k is None:
         coarse_k = _coarse_k_for(k)
     coarse = _fit_literal(
         spark,
-        _coarse_training_sample(spark, vecs, min(coarse_k, K_LITERAL_MAX)),
+        _fit_training_sample(spark, train, min(coarse_k, K_LITERAL_MAX)),
         min(coarse_k, K_LITERAL_MAX),
         n_iter,
     )
     w = W.orderBy("vec_id")
     centroids_df = barrier(
-        vecs.orderBy("vec_id")
+        train.orderBy("vec_id")
         .limit(k)
         .select(
             (F.row_number().over(w) - 1).cast("int").alias("cluster"),
@@ -429,7 +471,7 @@ def kmeans_fit_table(
         "kmeans_fit_table init centroids",
     )
     for _ in range(n_iter):
-        assigned = assign_via_table(spark, vecs, centroids_df, coarse, nprobe)
+        assigned = assign_via_table(spark, train, centroids_df, coarse, nprobe)
         sums = assigned.groupBy("cluster").agg(
             F.count("*").alias("n"),
             *[

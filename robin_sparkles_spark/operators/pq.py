@@ -125,15 +125,24 @@ def pq_fit(
     sums, first-Ks init, fixed iterations, codegen off under the
     shared fit lock) so the oracles can inline the codebooks as
     literals; memoized per sf_dir/cache_key (the fit is bit-identical
-    in any session)."""
+    in any session).
+
+    Sampled-fit law (VERDICT r13 #3, shared with the main k-means
+    fit): iterations train on ``clustering._fit_training_sample``'s
+    bounded set (≤ SAMPLE_PER_CENTROID·PQ_KS vectors — one cap for
+    all M subspaces, which train on the SAME sampled rows), so fit
+    cost is corpus-independent; encoding assigns the full corpus once.
+    Identity below the cap (every gated/benched SF), so gated
+    codebooks are bit-identical to the pre-sampling fit."""
     key = cache_key or sf_dir
     if key in _PQ_CACHE:
         return _PQ_CACHE[key]
-    from .clustering import _FIT_LOCK
+    from .clustering import _FIT_LOCK, _fit_training_sample
     from .similarity import unit_vector_index
 
     if vecs is None:
         vecs = unit_vector_index(spark, sf_dir)
+    vecs = _fit_training_sample(spark, vecs, PQ_KS)
     init_rows = vecs.orderBy("vec_id").limit(PQ_KS).collect()
     books: list[list[list[float]]] = [
         [list(r.v[m * PQ_SUBDIM : (m + 1) * PQ_SUBDIM]) for r in init_rows]
@@ -667,19 +676,22 @@ def coarse_fit(
     vecs: DataFrame | None = None,
     cache_key: str | None = None,
 ) -> list[list[float]]:
-    """The coarse quantizer: decimal-exact Lloyd's over FULL unit
-    vectors (K = IVFPQ_CELLS, first-K init, fixed iterations) — the
-    same bit-reproducibility contract as ``pq_fit``, one 'subspace'
-    of width 64. ``vecs``/``cache_key`` as in ``pq_fit`` (the OPQ
-    composition fits over the rotated frame)."""
+    """The coarse quantizer: decimal-exact Lloyd's over unit vectors
+    (K = IVFPQ_CELLS, first-K init, fixed iterations) — the same
+    bit-reproducibility contract as ``pq_fit``, one 'subspace' of
+    width 64, trained on the same bounded deterministic sample law
+    (≤ SAMPLE_PER_CENTROID·IVFPQ_CELLS vectors; identity at every
+    gated/benched SF). ``vecs``/``cache_key`` as in ``pq_fit`` (the
+    OPQ composition fits over the rotated frame)."""
     key = cache_key or sf_dir
     if key in _COARSE_CACHE:
         return _COARSE_CACHE[key]
-    from .clustering import _FIT_LOCK
+    from .clustering import _FIT_LOCK, _fit_training_sample
     from .similarity import unit_vector_index
 
     if vecs is None:
         vecs = unit_vector_index(spark, sf_dir)
+    vecs = _fit_training_sample(spark, vecs, IVFPQ_CELLS)
     dim = len(vecs.first().v)
     book = [list(r.v) for r in vecs.orderBy("vec_id").limit(IVFPQ_CELLS).collect()]
     with _FIT_LOCK:
