@@ -23,11 +23,18 @@ POLY_BASE = 31
 
 # Affine hash-family constants: deterministic, coprime-ish multipliers
 # derived from the golden-ratio multiplier (Knuth); any fixed odd
-# a_i < p works. Generated as (2654435761 * (i+1)) mod p, forced odd.
+# a_i < p works. Generated as (AFFINE_A_MULT * (i+1)) mod p, forced
+# odd. Exported as named constants so in-plan twins (the hashed
+# projection bank in operators/similarity.py) can embed the SAME
+# family without duplicating magic numbers.
+AFFINE_A_MULT = 2654435761
+AFFINE_B_MULT = 40503
+
+
 def affine_params(i: int) -> tuple[int, int]:
-    a = (2654435761 * (i + 1)) % MERSENNE_P
+    a = (AFFINE_A_MULT * (i + 1)) % MERSENNE_P
     a = a | 1
-    b = (40503 * (i + 7) * (i + 13)) % MERSENNE_P
+    b = (AFFINE_B_MULT * (i + 7) * (i + 13)) % MERSENNE_P
     return a, b
 
 

@@ -243,16 +243,81 @@ def projection_band_keys_expr(
     )
 
 
+# Widest projection bank shipped as a plan LITERAL (VERDICT r13 #2).
+# The literal sign matrix costs bands·bits·dim doubles inside the
+# Catalyst plan — 15k at the base (24,10) geometry, 34k at (38,14),
+# 84k at (73,18) — so plan compile/broadcast size grew with the
+# corpus decade. At and below the base geometry the literal bank
+# stays (marginally cheaper per row: signs are free constants);
+# above it the HASHED bank computes the identical ±1 signs in-plan
+# from the affine hash family — O(1) literals at ANY geometry, so
+# plan size stops being a scale term. Both forms produce
+# bit-identical keys (parity pinned in tests/test_projection_lsh.py),
+# so the dispatch is invisible to oracles and gated hashes.
+LITERAL_BANK_MAX_PROJECTIONS = PROJ_BANDS * PROJ_BAND_BITS  # 240
+
+
+def projection_band_keys_hashed_expr(
+    dim: int, bands: int = PROJ_BANDS, bits: int = PROJ_BAND_BITS
+) -> F.Column:
+    """Bit-identical twin of ``projection_band_keys_expr`` with O(1)
+    plan literals: instead of embedding the ±1 sign matrix, each sign
+    is recomputed in-plan from the shared affine family —
+    ``sign(q, d) = ((a_q·d + b_q) mod p) odd ? +1 : −1`` with
+    ``a_q = ((A·(s+1)) mod p) | 1``, ``b_q = (B·(s+7)·(s+13)) mod p``,
+    ``s = _PROJ_SEED_BASE + q`` — exactly ``rademacher_signs``. The
+    per-projection dot keeps the identical left fold
+    (acc + v_d·(±1.0), products exact), so keys match the literal
+    bank bit-for-bit. All integer arithmetic stays < 2⁶² (A·s_max·d
+    ≈ 4.6e12 at the widest geometry), bigint-safe in codegen.
+
+    Cost shape: the sign arithmetic re-runs per (projection, dim)
+    term — a handful of integer ops next to the double multiply-add
+    the fold already pays; what it buys is a plan whose size is
+    independent of the band geometry (the 10⁸-vector posture the
+    geometry table's comment promised)."""
+    from ..functions.hashing import AFFINE_A_MULT, AFFINE_B_MULT, MERSENNE_P
+
+    s0 = _PROJ_SEED_BASE  # global projection index q = t*bits + j
+    # BIGINT-typed multipliers (AFFINE_A_MULT exceeds int32 so it
+    # parses as bigint already; AFFINE_B_MULT needs the cast or its
+    # int32 product overflows under ANSI mode at wide geometries)
+    a_mult = f"CAST({AFFINE_A_MULT} AS BIGINT)"
+    b_mult = f"CAST({AFFINE_B_MULT} AS BIGINT)"
+    sign = f"""
+      IF(((((({a_mult} * ({s0 + 1} + t * {bits} + j)) % {MERSENNE_P}) | 1) * d
+           + ({b_mult} * ({s0 + 7} + t * {bits} + j)
+              * ({s0 + 13} + t * {bits} + j)) % {MERSENNE_P})
+          % {MERSENNE_P}) % 2 = 1,
+         CAST(1.0 AS DOUBLE), CAST(-1.0 AS DOUBLE))
+    """
+    return F.expr(
+        f"""
+        transform(sequence(0, {bands - 1}), t ->
+          aggregate(sequence(0, {bits - 1}), CAST(0 AS BIGINT), (key, j) ->
+            key * 2 + CASE WHEN
+              aggregate(sequence(1, {dim}), CAST(0 AS DOUBLE), (acc, d) ->
+                acc + element_at(v, d) * ({sign})) > 0
+            THEN 1 ELSE 0 END))
+        """
+    )
+
+
 def projection_banded_from(
     e: DataFrame, dim: int, bands: int = PROJ_BANDS, bits: int = PROJ_BAND_BITS
 ) -> DataFrame:
     """(vec_id, band_idx, band_key) rows — drop-in replacement for
-    ``sign_banded_from`` with dim-independent key width."""
+    ``sign_banded_from`` with dim-independent key width. Dispatches to
+    the hashed bank above LITERAL_BANK_MAX_PROJECTIONS (bit-identical
+    keys, O(1) plan literals — see the constant's comment)."""
+    keys = (
+        projection_band_keys_hashed_expr(dim, bands, bits)
+        if bands * bits > LITERAL_BANK_MAX_PROJECTIONS
+        else projection_band_keys_expr(dim, bands, bits)
+    )
     return e.select(
         "vec_id",
-        F.posexplode(projection_band_keys_expr(dim, bands, bits)).alias(
-            "band_idx", "band_key"
-        ),
+        F.posexplode(keys).alias("band_idx", "band_key"),
     )
 
 

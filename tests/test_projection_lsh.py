@@ -164,3 +164,63 @@ def test_embedding_dedup_geometry_selection():
     assert (
         ed._neardup_band_geometry(10**9) == ed.NEARDUP_BAND_CONFIGS[-1][1]
     )
+
+
+@pytest.mark.parametrize("bands,bits", [(4, 10), (24, 10), (38, 14), (73, 18)])
+def test_hashed_bank_matches_literal_bank_bitwise(spark, sf_dir, bands, bits):
+    """VERDICT r13 #2: the hashed projection bank recomputes the ±1
+    signs in-plan from the affine family instead of embedding a
+    bands·bits·dim literal matrix — keys must be BIT-IDENTICAL to the
+    literal bank at every geometry (same sign family, same left fold),
+    so the above-threshold dispatch is invisible to oracles."""
+    e = S._unit_vectors(spark, sf_dir).limit(40)
+    lit = {
+        (r.vec_id, r.band_idx, r.band_key)
+        for r in e.select(
+            "vec_id",
+            F.posexplode(
+                S.projection_band_keys_expr(DIM, bands, bits)
+            ).alias("band_idx", "band_key"),
+        ).collect()
+    }
+    hashed = {
+        (r.vec_id, r.band_idx, r.band_key)
+        for r in e.select(
+            "vec_id",
+            F.posexplode(
+                S.projection_band_keys_hashed_expr(DIM, bands, bits)
+            ).alias("band_idx", "band_key"),
+        ).collect()
+    }
+    assert hashed == lit
+    assert len(hashed) == bands * 40
+
+
+def test_hashed_bank_plan_size_is_geometry_independent(spark):
+    """The point of the hashed bank: the expression (and therefore
+    the Catalyst plan fragment) must not grow with the band geometry.
+    The literal bank at (73,18) embeds 84k doubles; the hashed one
+    stays O(1)."""
+    small = str(S.projection_band_keys_hashed_expr(DIM, 4, 10))
+    wide = str(S.projection_band_keys_hashed_expr(DIM, 73, 18))
+    assert abs(len(wide) - len(small)) < 50  # only the digit widths differ
+    lit_wide = str(S.projection_band_keys_expr(DIM, 73, 18))
+    assert len(lit_wide) > 100 * len(wide)
+
+
+def test_banded_from_dispatches_above_literal_cap(spark, sf_dir):
+    """projection_banded_from must keep the literal bank at the base
+    geometry (gate plans unchanged) and switch to the hashed bank
+    above LITERAL_BANK_MAX_PROJECTIONS — checked via the analyzed
+    plan's expression footprint, not implementation internals: the
+    literal bank's plan string carries the sign matrix, the hashed
+    one stays small."""
+    e = S._unit_vectors(spark, sf_dir).limit(8)
+    base = S.projection_banded_from(e, DIM, 24, 10)
+    wide = S.projection_banded_from(e, DIM, 38, 14)
+    base_plan = base._jdf.queryExecution().analyzed().toString()
+    wide_plan = wide._jdf.queryExecution().analyzed().toString()
+    assert len(wide_plan) < len(base_plan)
+    # and both still compute: 8 vectors × bands rows
+    assert base.count() == 24 * 8
+    assert wide.count() == 38 * 8
