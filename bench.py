@@ -54,7 +54,14 @@ HEADLINE = [
     "dedup_minhash_lsh",
     "dedup_simhash",
     "dedup_ngram_jaccard",
-    "embedding_similar_pairs",
+    # r13 (VERDICT r12 ask #6): the retired quadratic-banding
+    # diagnostic embedding_similar_pairs is replaced by the PRODUCTION
+    # learned-cell form — the headline now benches only
+    # registry-declared queries. Re-anchor recorded in BASELINE.md
+    # ("Headline re-anchor, r13"): headline totals before/after the
+    # swap are both recorded there, so round-over-round comparability
+    # survives the member change.
+    "embedding_similar_pairs_ivf",
     "ann_lsh_topk",
     "events_tumbling_1h",
     "user_sessions",
@@ -167,6 +174,37 @@ EXTENDED = [
 ]
 
 
+# Host-speed anchor for the noise reference workload (see
+# _noise_ref_sec), recorded on a quiet box at r13 close (local[32],
+# median of 3). A round whose noise_ref median sits well above this
+# says "loaded host" — the whole draw is proportionally inflated —
+# without having to re-run r-minus-1 code (VERDICT r12 ask #7: the
+# r12 bench read 1.39× on every query including constant-work ones;
+# this field makes that diagnosis a recorded number, not archaeology).
+NOISE_REF_ANCHOR_SEC = 1.45
+
+
+def _noise_ref_sec(spark) -> float:
+    """Fixed, CODE-INDEPENDENT reference workload — one codegen'd
+    scan-agg over spark.range and one 1000-key shuffle. It exercises
+    the same resources the bench queries contend for (CPU, shuffle,
+    scheduler) but touches no repo code or data, so its wall time
+    moves with host load only. Interleaved once per rep like any
+    other query."""
+    from pyspark.sql import functions as F
+
+    t0 = time.perf_counter()
+    spark.range(50_000_000).select(F.sum(F.col("id") * 2)).collect()
+    (
+        spark.range(5_000_000)
+        .groupBy((F.col("id") % 1000).alias("k"))
+        .count()
+        .select(F.sum("count"))
+        .collect()
+    )
+    return round(time.perf_counter() - t0, 4)
+
+
 def _parse_sf(sf_dir: str) -> float | str:
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     return float(sf) if sf.replace(".", "").isdigit() else sf
@@ -237,20 +275,6 @@ def main() -> None:
 
     spark = get_spark(app_name="robin_sparkles_bench")
     specs = dict(registry.all_queries())
-    # embedding_similar_pairs was retired from the declared registry
-    # in r11 (quadratic banding diagnostic; production =
-    # embedding_similar_pairs_ivf) but stays in the HEADLINE set via
-    # direct call so the headline metric remains comparable to the
-    # recorded r2 baseline.
-    from robin_sparkles_spark.operators.dedup import (
-        EMBEDDING_SIMILAR_SQL,
-        embedding_similar_pairs,
-    )
-
-    specs.setdefault(
-        "embedding_similar_pairs",
-        registry.QuerySpec(embedding_similar_pairs, EMBEDDING_SIMILAR_SQL),
-    )
     names = [n for n in HEADLINE if n in specs]
 
     # Warm the JVM + parquet footer caches once so per-query numbers
@@ -306,9 +330,13 @@ def main() -> None:
     reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
     ext_names = [n for n in EXTENDED if n in specs]
     both = names + ext_names
-    passes = [_run_set(spark, specs, sf_dir, both) for _ in range(reps)]
+    passes, noise_reps = [], []
+    for _ in range(reps):
+        noise_reps.append(_noise_ref_sec(spark))
+        passes.append(_run_set(spark, specs, sf_dir, both))
     med = {n: round(statistics.median(p[n] for p in passes), 4) for n in names}
     low = {n: round(min(p[n] for p in passes), 4) for n in names}
+    noise_med = round(statistics.median(noise_reps), 4)
     payload = {
         "metric": "headline_queries_wall_clock",
         "value": round(sum(med.values()), 4),
@@ -319,15 +347,37 @@ def main() -> None:
         "min_value": round(sum(low.values()), 4),
         "first_pass_value": round(sum(passes[0][n] for n in names), 4),
         "sf": _parse_sf(sf_dir),
+        # host-load self-label (VERDICT r12 ask #7): vs_anchor ≫ 1
+        # says this draw ran on a loaded host and the query walls are
+        # proportionally inflated — read the round's numbers with that
+        # multiplier in mind before calling anything a regression.
+        "noise_ref": {
+            "per_rep": noise_reps,
+            "median_sec": noise_med,
+            "min_sec": round(min(noise_reps), 4),
+            "anchor_sec": NOISE_REF_ANCHOR_SEC,
+            "vs_anchor": round(noise_med / NOISE_REF_ANCHOR_SEC, 3),
+        },
     }
     ext_med = {
         n: round(statistics.median(p[n] for p in passes), 4) for n in ext_names
     }
     ext_low = {n: round(min(p[n] for p in passes), 4) for n in ext_names}
+    # Per-family subtotals (VERDICT r12 ask #8): the extended set grew
+    # ~8 queries/round, so a single extended_value hides WHERE a
+    # regression lives. Families come from registry.by_family() (the
+    # module grouping the README table uses), so attribution can't
+    # drift from the registry itself.
+    fam_subtotals = {}
+    for family, members in registry.by_family().items():
+        tot = sum(ext_med[n] for n in members if n in ext_med)
+        if tot:
+            fam_subtotals[family] = round(tot, 4)
     payload["extended"] = {
         "value": round(sum(ext_med.values()), 4),
         "min_value": round(sum(ext_low.values()), 4),
         "model_staging_sec": staging_sec,
+        "family_subtotals": fam_subtotals,
         "queries": ext_med,
         "queries_min": ext_low,
     }
@@ -369,6 +419,7 @@ def main() -> None:
         "first_pass_value": payload["first_pass_value"],
         "extended_value": payload["extended"]["value"],
         "extended_min_value": payload["extended"]["min_value"],
+        "noise_ref": payload["noise_ref"],
         "queries": med,
         "detail": "bench_detail.json",
     }
