@@ -279,7 +279,18 @@ _NGRAM_DOC_COUNTS: dict[tuple, int] = {}
 
 
 def _ngram_doc_count(spark: SparkSession, sf_dir: str) -> int:
-    key = (spark.sparkContext.applicationId, sf_dir)
+    # Keyed on the source CONTENT fingerprint (ADVICE r12), not just
+    # (application, sf_dir): if documents under sf_dir are rewritten
+    # or appended within one application (the streaming-ingest
+    # scenario), the dispatch must see the grown corpus — a stale
+    # count keeps a 100×-grown corpus on the full-index plan whose
+    # join volume is the measured 23.5× wall.
+    from ..sources.staging import source_fingerprint
+
+    key = (
+        spark.sparkContext.applicationId,
+        source_fingerprint(sf_dir, "documents"),
+    )
     if key not in _NGRAM_DOC_COUNTS:
         _NGRAM_DOC_COUNTS[key] = load_table(
             spark, sf_dir, "documents"

@@ -107,7 +107,9 @@ def build_neardup_corpus(spark: SparkSession, sf_dir: str) -> str:
     # Planted ids live at vec_id + NEARDUP_ID_OFFSET; if the organic
     # table ever reaches the offset (larger SF), ids would silently
     # collide and corrupt the planted-pair contract (ADVICE r4).
-    max_id = emb.agg(F.max("vec_id")).first()[0]
+    # one action for both staging stats (ADVICE r12: count was a
+    # second full pass)
+    max_id, n_organic = emb.agg(F.max("vec_id"), F.count("*")).first()
     if max_id is not None and max_id >= NEARDUP_ID_OFFSET:
         raise ValueError(
             f"embeddings.vec_id max {max_id} >= NEARDUP_ID_OFFSET "
@@ -146,7 +148,10 @@ def build_neardup_corpus(spark: SparkSession, sf_dir: str) -> str:
     # downstream scan (normalize, banding) then runs single-task no
     # matter how many byte-range partitions the reader plans. The r12
     # 100× probe measured it: 12 of 13 read tasks got 0 records.
-    n_rows = emb.count()
+    # Sized from the WRITTEN row count (organic + planted — ADVICE
+    # r12: sizing from organic alone drifted rows/file above the
+    # target near the ceiling).
+    n_rows = (n_organic or 0) + min(NEARDUP_N, n_organic or 0)
     n_files = max(1, min(64, n_rows // 8192))
     emb.select("vec_id", "embedding", "label").unionByName(dups).repartition(
         n_files

@@ -20,16 +20,26 @@ _WAREHOUSE = os.path.join(
 )
 
 
+def source_fingerprint(sf_dir: str, source_table: str) -> str:
+    """Identity + content fingerprint of a source table's parquet
+    (realpath|size|mtime). Besides naming staged paths, this is the
+    cache key for any memo derived from the table's CONTENT (e.g.
+    dedup's corpus-size plan dispatch — ADVICE r12): a rewritten or
+    appended source changes the fingerprint, so the memo can't serve
+    a stale value within one application."""
+    src = os.path.realpath(os.path.join(sf_dir, f"{source_table}.parquet"))
+    try:
+        st = os.stat(src)
+        return f"{src}|{st.st_size}|{int(st.st_mtime)}"
+    except OSError:
+        return src
+
+
 def staged_path(sf_dir: str, name: str, source_table: str) -> str:
     """Deterministic staging directory for ``name`` derived from
     ``sf_dir``'s ``source_table`` parquet, keyed by source identity
     AND content fingerprint."""
-    src = os.path.realpath(os.path.join(sf_dir, f"{source_table}.parquet"))
-    try:
-        st = os.stat(src)
-        ident = f"{src}|{st.st_size}|{int(st.st_mtime)}"
-    except OSError:
-        ident = src
+    ident = source_fingerprint(sf_dir, source_table)
     tag = hashlib.sha1(ident.encode()).hexdigest()[:12]
     return os.path.join(_WAREHOUSE, f"{name}_{tag}")
 

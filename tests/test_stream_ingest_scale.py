@@ -55,6 +55,21 @@ def probe_results(spark):
     return _probe_tool().run(spark, reps=2, paths=PATHS)
 
 
+def _single_trigger(case: dict) -> dict:
+    """The one-trigger cell, with a diagnosable failure: if staged
+    arrival file counts drift from the hardcoded maxFilesPerTrigger
+    settings (e.g. a fixture with != expected files makes every mfpt
+    produce >1 trigger), say so instead of raising a bare
+    StopIteration from an anonymous generator (ADVICE r12)."""
+    single = [v for v in case.values() if v["triggers"] == 1]
+    assert single, (
+        "no single-trigger cell in probe results — staged arrival "
+        "file counts drifted from the probe's mfpt settings; observed "
+        f"triggers per cell: { {k: v['triggers'] for k, v in case.items()} }"
+    )
+    return single[0]
+
+
 def _tax(case: dict) -> float:
     """Per-trigger fixed cost: (per-file wall − single-trigger wall)
     / extra triggers. Both walls are min-of-reps."""
@@ -62,7 +77,7 @@ def _tax(case: dict) -> float:
         (v for v in case.values() if v["triggers"] > 1),
         key=lambda v: -v["triggers"],
     )
-    single = next(v for v in case.values() if v["triggers"] == 1)
+    single = _single_trigger(case)
     return (per_file["wall"] - single["wall"]) / (per_file["triggers"] - 1)
 
 
@@ -82,7 +97,7 @@ def test_trigger_tax_is_flat_across_corpus_size(path, probe_results):
 def test_single_trigger_amortizes_the_tax(path, probe_results):
     case = probe_results[path]["10x"]
     per_file = case["mfpt_1"]["wall"]
-    single = next(v["wall"] for v in case.values() if v["triggers"] == 1)
+    single = _single_trigger(case)["wall"]
     assert per_file >= AMORTIZATION_FLOOR * single, (
         f"{path} ingest: single-trigger drain ({single:.2f}s) no longer "
         f"amortizes the per-file drain ({per_file:.2f}s) by "

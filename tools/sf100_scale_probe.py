@@ -303,6 +303,103 @@ def run_stream(spark, copies: int, reps: int) -> dict:
     return out
 
 
+def run_stream_media(spark, reps: int) -> dict:
+    """The MEDIA twin of ``run_stream`` (VERDICT r13 #4): the
+    readStream image-ingest drain at a 100× corpus — 40,000 base
+    images (~51k rows with variants) through the real driver-side
+    synthesizers, arrivals re-sharded to 400 files, index persisted
+    once. Drained at maxFilesPerTrigger 40 (10 triggers) and 400 (one
+    trigger); the drained verdict count must equal the batch twin's
+    at every slicing (stream==batch one decade past the 10× gate)."""
+    import importlib.util
+
+    from pyspark.sql import functions as F
+
+    from robin_sparkles_spark.operators.image_dedup import (
+        _img_in_index,
+        image_dhash_over,
+    )
+    from robin_sparkles_spark.streaming.media_ingest import (
+        ingest_dedup_stream,
+    )
+
+    spec = importlib.util.spec_from_file_location(
+        "media_dedup_scale_probe",
+        os.path.join(REPO, "tools", "media_dedup_scale_probe.py"),
+    )
+    probe = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(probe)
+    corpus_path = probe._stage(spark, "image", 40_000)
+    corpus = spark.read.parquet(corpus_path)
+    n_images = corpus.count()
+
+    arrivals = os.path.join(SF100_DIR, "media_arrivals_100x")
+    index = os.path.join(SF100_DIR, "media_index_100x")
+    if not os.path.exists(os.path.join(arrivals, "_SUCCESS")):
+        corpus.where(~_img_in_index()).repartition(400, "img_id").write.mode(
+            "overwrite"
+        ).parquet(arrivals)
+    if not os.path.exists(os.path.join(index, "_SUCCESS")):
+        image_dhash_over(corpus.where(_img_in_index())).repartition(
+            8
+        ).write.mode("overwrite").parquet(index)
+
+    index_hashes = spark.read.parquet(index)
+    schema = spark.read.parquet(arrivals).schema
+    out = {}
+    # batch twin: the same verdict pipeline over a batch read — the
+    # stream==batch reference cell
+    t0 = time.monotonic()
+    batch = ingest_dedup_stream(
+        spark.read.parquet(arrivals), index_hashes, n_images
+    )
+    batch_rows = batch.count()
+    batch_dups = batch.where(F.col("is_dup")).count()
+    out["batch_twin"] = {
+        "wall": round(time.monotonic() - t0, 3),
+        "rows": batch_rows,
+        "dups": batch_dups,
+    }
+    print(f"PHASE batch_twin: {json.dumps(out['batch_twin'])}", file=sys.stderr)
+
+    for mfpt in (40, 400):
+        walls, rows, dups = [], None, None
+        for rep in range(reps):
+            stream = (
+                spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", mfpt)
+                .parquet(arrivals)
+            )
+            res = ingest_dedup_stream(stream, index_hashes, n_images)
+            name = f"m100_{mfpt}_{rep}"
+            t0 = time.monotonic()
+            q = (
+                res.writeStream.outputMode("complete")
+                .format("memory")
+                .queryName(name)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+            walls.append(round(time.monotonic() - t0, 3))
+            rows = spark.sql(f"SELECT count(*) FROM {name}").first()[0]
+            dups = spark.sql(
+                f"SELECT count(*) FROM {name} WHERE is_dup"
+            ).first()[0]
+        out[f"mfpt_{mfpt}"] = {
+            "wall": min(walls),
+            "triggers": -(-400 // mfpt),
+            "rows": rows,
+            "dups": dups,
+            "stream_eq_batch": rows == batch_rows and dups == batch_dups,
+        }
+        print(
+            f"PHASE mfpt_{mfpt}: {json.dumps(out[f'mfpt_{mfpt}'])}",
+            file=sys.stderr,
+        )
+    return out
+
+
 def main() -> int:
     copies = (
         int(sys.argv[sys.argv.index("--copies") + 1])
@@ -327,6 +424,8 @@ def main() -> int:
     spark = get_spark(app_name="sf100_scale_probe")
     if "--embeddings" in sys.argv:
         result = run_embeddings(spark, copies, reps)
+    elif "--stream-media" in sys.argv:
+        result = run_stream_media(spark, reps)
     elif "--stream" in sys.argv:
         result = run_stream(spark, copies, reps)
     else:
