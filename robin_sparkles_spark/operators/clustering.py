@@ -27,8 +27,11 @@ Scale shape per iteration (the textbook Spark k-means):
 - re-estimation is one groupBy(cluster) partial+final aggregation of
   per-dimension sums (one shuffle of k × dim partial sums per
   partition, not of the data).
-Fixed seed-free init (first k vec_ids) + fixed iteration count keep
-the fit deterministic.
+Fixed seed-free init (first k vec_ids of the training set) + fixed
+iteration count keep the fit deterministic. Iterations train on a
+bounded deterministic sample (≤ SAMPLE_PER_CENTROID·k vectors —
+VERDICT r13 #3), so fit cost is corpus-independent; only the final
+assignment scans the full corpus. Identity at every gated SF.
 """
 
 from __future__ import annotations

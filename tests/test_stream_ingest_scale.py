@@ -114,3 +114,51 @@ def test_verdict_rows_invariant_to_trigger_slicing(path, label, probe_results):
         f"{path}/{label}: drained verdict count depends on trigger "
         f"slicing: {counts}"
     )
+
+
+# --- 100× media drain (r13 — VERDICT r12 ask #4) ---------------------------
+# The media twin of the r12 text 100× drain: 40k base images (~51k
+# rows), arrivals re-sharded to 400 files, drained at mfpt 40 (10
+# triggers) and 400 (one trigger) through the REAL readStream path.
+# The staged corpus/arrivals/index are cached under spark-warehouse by
+# the probe tool, so suite reruns pay only the drains (~30-60 s).
+
+
+def _sf100_tool():
+    spec = importlib.util.spec_from_file_location(
+        "sf100_scale_probe",
+        os.path.join(REPO, "tools", "sf100_scale_probe.py"),
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+@pytest.fixture(scope="module")
+def media_100x(spark):
+    return _sf100_tool().run_stream_media(spark, reps=1)
+
+
+def test_media_100x_stream_equals_batch(media_100x):
+    """The stream==batch contract one decade past the 10× gate: the
+    drained verdict rows AND dup counts must equal the batch twin's at
+    every trigger slicing (measured r13: 23,715 rows / 10,287 dups,
+    identical at mfpt 40 and 400)."""
+    for cell in ("mfpt_40", "mfpt_400"):
+        assert media_100x[cell]["stream_eq_batch"], (
+            f"{cell}: drained verdicts diverged from the batch twin: "
+            f"{media_100x[cell]} vs {media_100x['batch_twin']}"
+        )
+
+
+def test_media_100x_single_trigger_amortizes(media_100x):
+    """One big trigger must still beat the 10-trigger drain at 100×
+    (measured r13: 25.1 s vs 3.35 s = 7.5×; gated at 2× for host
+    noise) — if this collapses, per-trigger work has grown
+    corpus-sized and the maxFilesPerTrigger sizing rule is dead."""
+    many = media_100x["mfpt_40"]["wall"]
+    single = media_100x["mfpt_400"]["wall"]
+    assert many >= 2.0 * single, (
+        f"100× media drain: 10-trigger {many:.2f}s vs single-trigger "
+        f"{single:.2f}s — amortization below 2×"
+    )
