@@ -368,10 +368,30 @@ def _ngram_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     else one side alone would contain ≥ |A|−L+1 = ⌈τ|A|⌉ non-shared
     elements below it, contradicting the overlap bound. τ = 4/5, so
     the prefix length is integer-exact: sz − (4·sz + 4) DIV 5 + 1.
-    Candidates additionally pass the lossless size-ratio prune
-    (J ≤ min/max → 5·min(sz) ≥ 4·max(sz)), then verify EXACTLY via
-    sorted capped-set arrays (array_intersect) — same values, same
-    double arithmetic as the full-index form."""
+    Candidates additionally pass two more LOSSLESS prunes before the
+    exact verify (the verify join is the measured wall at 500k docs —
+    r13 stage profile):
+
+    - size-ratio: J ≤ min/max → 5·min(sz) ≥ 4·max(sz);
+    - POSITIONAL filter (r13; Xiao/Wang/Lin/Yu's PPJoin bound):
+      J ≥ τ needs overlap α = ⌈τ/(1+τ)·(|A|+|B|)⌉ = ⌈4(|A|+|B|)/9⌉,
+      and at the pair's minimal shared element w (global (df, h)
+      order; 1-based positions i, j within each doc's full capped
+      set) overlap ≤ 1 + min(|A|−i, |B|−j) — nothing below w is
+      shared. w is findable from prefix rows alone: any shared
+      element smaller than the minimal PREFIX-shared one would
+      itself sort into both prefixes (a prefix is its doc's
+      smallest-L elements), contradiction — so the per-pair
+      struct-min over joined prefix rows IS w. Pairs whose bound
+      can't reach α (integer-exact: 9·(1 + min(szA−i, szB−j)) <
+      4·(szA+szB)) never reach the verify join. Measured at 500k
+      docs: 4.35M → 1.28M candidates (3.4×), full-query wall ~2×
+      down at the measured draw (64.2 → 32.7 s best-of-reps on a
+      loaded host), output identical (25,600 pairs).
+
+    Survivors verify EXACTLY via sorted capped-set arrays
+    (array_intersect) — same values, same double arithmetic as the
+    full-index form."""
     sh = _df_capped_shingle_rows(spark, sf_dir, keep_df=True)
     # per-doc verify payload: the capped shingle SET as a sorted array
     docs = sh.groupBy("doc_id").agg(
@@ -385,7 +405,7 @@ def _ngram_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
         sh.withColumn("rn", F.row_number().over(wd.orderBy("df", "h")))
         .withColumn("sz", F.count(F.lit(1)).over(wd))
         .where(F.expr("rn <= sz - (4 * sz + 4) DIV 5 + 1"))
-        .select("doc_id", "h", "sz")
+        .select("doc_id", "df", "h", "sz", "rn")
     )
     # Every join below is corpus × corpus. Catalyst's size estimates
     # under the window/explode chain are blind to the real cardinality
@@ -394,6 +414,17 @@ def _ngram_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     # scale, so pin SHUFFLE_HASH explicitly.
     a = prefix.alias("a").hint("shuffle_hash")
     b = prefix.alias("b")
+    # the per-pair struct-min (lexicographic on (df, h)) replaces the
+    # bare DISTINCT at the same shuffle cost and finds the minimal
+    # shared element's positions for the positional bound
+    w_min = F.min(
+        F.struct(
+            F.col("a.df").alias("df"),
+            F.col("a.h").alias("h"),
+            F.col("a.rn").alias("i"),
+            F.col("b.rn").alias("j"),
+        )
+    ).alias("m")
     cands = (
         a.join(
             b,
@@ -404,10 +435,24 @@ def _ngram_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
                 >= 4 * F.greatest(F.col("a.sz"), F.col("b.sz"))
             ),
         )
-        .select(
-            F.col("a.doc_id").alias("doc1"), F.col("b.doc_id").alias("doc2")
+        .groupBy(
+            F.col("a.doc_id").alias("doc1"),
+            F.col("b.doc_id").alias("doc2"),
+            F.col("a.sz").alias("sa"),
+            F.col("b.sz").alias("sb"),
         )
-        .distinct()
+        .agg(w_min)
+        .where(
+            9
+            * (
+                1
+                + F.least(
+                    F.col("sa") - F.col("m.i"), F.col("sb") - F.col("m.j")
+                )
+            )
+            >= 4 * (F.col("sa") + F.col("sb"))
+        )
+        .select("doc1", "doc2")
     )
     d1 = docs.alias("d1").hint("shuffle_hash")
     d2 = docs.alias("d2").hint("shuffle_hash")
