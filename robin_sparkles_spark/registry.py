@@ -71,6 +71,7 @@ def _modules() -> tuple:
         video_dedup,
         clustering,
         container_parse,
+        containment,
         curation,
         dedup,
         embedding_dedup,
@@ -118,6 +119,7 @@ def _modules() -> tuple:
         streaming_queries,
         clustering,
         dedup,
+        containment,
         embedding_dedup,
         image_dedup,
         audio_dedup,
@@ -314,8 +316,11 @@ GATE_FRONT: tuple[str, ...] = (
     # geometry (24,10) keeps the literal bank (bit-identical keys
     # either way — parity pinned in tests), re-gated anyway:
     "embedding_dedup",
-    # r9-last-green fill, registry order; the last thirteen r9 names
-    # (user_retention_cohorts, orders_cdc_tombstones,
+    # new r13 query — first driver row:
+    "dedup_containment",
+    # r9-last-green fill, registry order; the last fourteen r9 names
+    # (pagerank_trade_graph — displaced by the new query above —
+    # user_retention_cohorts, orders_cdc_tombstones,
     # referential_integrity_audit, table_fingerprints, docs_search_bm25,
     # triangle_count_copurchase, custkey_overlap_kmv,
     # orders_snapshot_diff, orders_mv_incremental, events_ewma_value,
@@ -346,7 +351,6 @@ GATE_FRONT: tuple[str, ...] = (
     "docs_split_assign",
     "docs_pack_assign",
     "docs_token_budget_sample",
-    "pagerank_trade_graph",
 )
 _R12_WINDOW: tuple[str, ...] = (
     # r12's window, kept for the rotation ledger (these names are all
@@ -432,8 +436,8 @@ _R12_WINDOW: tuple[str, ...] = (
 #
 # ROUND-14 ROTATION (write it at the start of r14): rotate out the 50
 # GATE_FRONT names above once CORRECTNESS_r13 comes back green. Fill
-# order: the thirteen r9-last-green names deferred from this window
-# (user_retention_cohorts, orders_cdc_tombstones,
+# order: the fourteen r9-last-green names deferred from this window
+# (pagerank_trade_graph, user_retention_cohorts, orders_cdc_tombstones,
 # referential_integrity_audit, table_fingerprints, docs_search_bm25,
 # triangle_count_copurchase, custkey_overlap_kmv, orders_snapshot_diff,
 # orders_mv_incremental, events_ewma_value, lineitem_qty_price_ols,

@@ -1,0 +1,84 @@
+"""Containment dedup (r13): planted embedded-document recall, the
+Jaccard-invisibility property that motivates the operator, and oracle
+parity."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from robin_sparkles_spark.operators import containment as C
+from robin_sparkles_spark.operators.dedup import JACCARD_THRESHOLD
+
+from .oracle_utils import assert_query_matches_oracle
+
+
+def test_containment_oracle_parity(spark, sf_dir):
+    assert_query_matches_oracle(
+        C.dedup_containment(spark, sf_dir),
+        C.dedup_containment_oracle,
+        sf_dir,
+    )
+
+
+def test_planted_pairs_found_at_full_containment(spark, sf_dir):
+    """Every planted (inner, inner+OFFSET) pair must surface with
+    containment exactly 1.0 — the outer document contains the inner's
+    text verbatim, so every inner shingle is shared."""
+    rows = {
+        (r.inner_doc, r.outer_doc): r.containment
+        for r in C.dedup_containment(spark, sf_dir).collect()
+    }
+    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    expected = min(C.CONTAIN_N, n_docs)
+    found = 0
+    for i in range(expected):
+        key = (i, i + C.CONTAIN_ID_OFFSET)
+        if key in rows:
+            found += 1
+            assert rows[key] == 1.0, (key, rows[key])
+    assert found == expected, f"planted recall {found}/{expected}"
+
+
+def test_planted_pairs_are_invisible_to_jaccard(spark, sf_dir):
+    """The operator's reason to exist: the planted pairs' JACCARD over
+    the same staged corpus sits under the dedup threshold (the filler
+    dilutes the union), so symmetric near-dup detection cannot find
+    them. Checked on the real shingle pipeline, not the prose."""
+    corpus = spark.read.parquet(C.build_containment_corpus(spark, sf_dir))
+    from robin_sparkles_spark.operators.dedup import (
+        _SHINGLES_FROM_WH,
+        _WORD_HASH_EXPR,
+    )
+
+    sets = (
+        corpus.where(
+            (F.col("doc_id") < C.CONTAIN_N)
+            | (F.col("doc_id") >= C.CONTAIN_ID_OFFSET)
+        )
+        .select("doc_id", F.expr(_WORD_HASH_EXPR).alias("wh"))
+        .select(
+            "doc_id",
+            F.array_distinct(F.expr(_SHINGLES_FROM_WH)).alias("sh"),
+        )
+    )
+    by_id = {r.doc_id: set(r.sh) for r in sets.collect() if r.sh != [None]}
+    checked = 0
+    for i in range(C.CONTAIN_N):
+        a, b = by_id.get(i), by_id.get(i + C.CONTAIN_ID_OFFSET)
+        if not a or not b:
+            continue
+        checked += 1
+        j = len(a & b) / len(a | b)
+        cont = len(a & b) / min(len(a), len(b))
+        assert cont >= C.CONTAIN_THRESHOLD
+        assert j < JACCARD_THRESHOLD, (i, j)
+    assert checked > 0
+
+
+def test_inner_is_the_smaller_set(spark, sf_dir):
+    """Labeling contract: inner_doc's capped set is never larger than
+    outer_doc's (ties keep the smaller id as inner)."""
+    out = C.dedup_containment(spark, sf_dir)
+    planted = out.where(F.col("outer_doc") >= C.CONTAIN_ID_OFFSET)
+    assert planted.where(F.col("inner_doc") >= C.CONTAIN_ID_OFFSET).count() == 0
+    assert out.where(F.col("containment") > 1.0).count() == 0
