@@ -175,13 +175,17 @@ EXTENDED = [
 
 
 # Host-speed anchor for the noise reference workload (see
-# _noise_ref_sec), recorded on a quiet box at r13 close (local[32],
-# median of 3). A round whose noise_ref median sits well above this
-# says "loaded host" — the whole draw is proportionally inflated —
-# without having to re-run r-minus-1 code (VERDICT r12 ask #7: the
-# r12 bench read 1.39× on every query including constant-work ones;
-# this field makes that diagnosis a recorded number, not archaeology).
-NOISE_REF_ANCHOR_SEC = 1.45
+# _noise_ref_sec): the r13 closing-bench median (local[32], median of
+# 3 reps: [1.33, 0.94, 1.06]). A round whose noise_ref median sits
+# well above this says "loaded host" — the whole draw is
+# proportionally inflated — without having to re-run r-minus-1 code
+# (VERDICT r12 ask #7: the r12 bench read 1.39× on every query
+# including constant-work ones; this field makes that diagnosis a
+# recorded number, not archaeology). Calibration note: the r13 close
+# ran on a moderately contended box (headline 22.1 s vs r12's quiet
+# 15.9), so the anchor errs HIGH — quiet rounds should read
+# vs_anchor < 1, loaded ones ≫ 1.
+NOISE_REF_ANCHOR_SEC = 1.06
 
 
 def _noise_ref_sec(spark) -> float:
