@@ -35,16 +35,25 @@ labeled (inner_doc, outer_doc, containment) where inner is the
 smaller capped set (ties → the smaller doc_id, which is also the
 join's doc1).
 
-Plan shape (100 TB posture): one inverted-index self-equi-join on the
-shingle hash — identical to ``dedup_ngram_jaccard``'s full-index form,
-whose join volume Σ_h df(h)² is bounded by the df-cap (a hot shingle
-contributes ≤ cap² pairs at any corpus size) and whose 10×/100× scale
-behavior is measured in SCALE.md. SHUFFLE_HASH-pinned (the r10
-corpus-broadcast audit). The containment analogue of prefix filtering
-(index only the inner side's rarest |A| − ⌈0.9|A|⌉ + 1 shingles; the
-outer side must stay fully indexed — Bayardo §3.2's asymmetric
-variant) is the documented next step past ~10⁵ docs, the same
-dispatch discipline as NGRAM_PREFIX_MIN_DOCS.
+Plan shape (100 TB posture): two plans, one semantics, dispatched on
+corpus size — the NGRAM_PREFIX_MIN_DOCS discipline:
+
+- ≤ CONTAIN_PREFIX_MIN_DOCS: one inverted-index self-equi-join on the
+  shingle hash — identical to ``dedup_ngram_jaccard``'s full-index
+  form, join volume Σ_h df(h)² bounded by the df-cap (a hot shingle
+  contributes ≤ cap² pairs at any corpus size).
+- above: the ASYMMETRIC prefix filter (Bayardo/Chaudhuri adapted to
+  containment): C(A→B) ≥ τ needs |A∩B| ≥ ⌈τ|A|⌉, so the smallest
+  shared element must land in A's L_A = |A| − ⌈τ|A|⌉ + 1 rarest
+  shingles — at τ = 0.9 the INNER probe side shrinks to ~|A|/10
+  rows, while the outer side stays fully indexed (any of B's
+  elements can match an inner prefix). Join volume drops from
+  Σ df(h)² to Σ df_prefix(h)·df(h); candidates verify EXACTLY via
+  sorted capped-set arrays — identical values to the full-index
+  form (parity pytest forces both plans on the fixture).
+
+Both corpus × corpus joins are SHUFFLE_HASH-pinned (the r10
+corpus-broadcast audit).
 """
 
 from __future__ import annotations
@@ -81,7 +90,8 @@ def build_containment_corpus(spark: SparkSession, sf_dir: str) -> str:
     if is_staged(path):
         return path
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    max_id = docs.agg(F.max("doc_id")).first()[0]
+    # one action for both staging stats (the embedding_dedup pattern)
+    max_id, n_docs = docs.agg(F.max("doc_id"), F.count("*")).first()
     if max_id is not None and max_id >= CONTAIN_ID_OFFSET:
         raise ValueError(
             f"documents.doc_id max {max_id} >= CONTAIN_ID_OFFSET "
@@ -109,32 +119,71 @@ def build_containment_corpus(spark: SparkSession, sf_dir: str) -> str:
             "text"
         ),
     )
-    docs.unionByName(outers).repartition(4).write.mode("overwrite").parquet(
-        path
-    )
+    # file count grows with the corpus (≈8k docs/file, capped) — a
+    # few-file staging at probe scale would be UNSPLITTABLE and
+    # single-task every downstream scan (the r12 coalesce(1) lesson)
+    n_files = max(4, min(64, ((n_docs or 0) + CONTAIN_N) // 8192))
+    docs.unionByName(outers).repartition(n_files).write.mode(
+        "overwrite"
+    ).parquet(path)
     return path
 
 
-def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Pairs with shingle containment ≥ 0.9 over the planted corpus:
-    (inner_doc, outer_doc, containment). The integer pre-filter
-    ``10·shared ≥ 9·min(sz)`` is exact for τ = 0.9, so the double
-    division happens only on emitted rows (and is the same
-    shared/min(sz) expression in both engines — bit-identical)."""
+# Past this many documents the asymmetric prefix plan takes over
+# (the NGRAM_PREFIX_MIN_DOCS discipline — below it the direct
+# full-index join is cheaper; every gate SF stays on it, so gated
+# plans never change when this constant moves).
+CONTAIN_PREFIX_MIN_DOCS = 20_000
+
+_DOC_COUNTS: dict[tuple, int] = {}
+
+
+def _corpus_doc_count(spark: SparkSession, sf_dir: str) -> int:
+    # fingerprint-keyed like dedup._ngram_doc_count (ADVICE r12)
+    from ..sources.staging import source_fingerprint
+
+    key = (
+        spark.sparkContext.applicationId,
+        source_fingerprint(sf_dir, "documents"),
+    )
+    if key not in _DOC_COUNTS:
+        _DOC_COUNTS[key] = spark.read.parquet(
+            build_containment_corpus(spark, sf_dir)
+        ).count()
+    return _DOC_COUNTS[key]
+
+
+def _capped_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """df-capped (doc_id, h) rows over the staged corpus. The h-window
+    exchange is the candidate join's partitioning, so the cap costs no
+    extra shuffle (see dedup._df_capped_shingle_rows)."""
     corpus = spark.read.parquet(build_containment_corpus(spark, sf_dir))
     sh = (
         corpus.select("doc_id", F.expr(_WORD_HASH_EXPR).alias("wh"))
         .select("doc_id", F.explode(F.expr(_SHINGLES_FROM_WH)).alias("h"))
         .where(F.col("h").isNotNull())
     )
-    # df-cap via the h-window: the exchange it needs is the join's
-    # partitioning, so the cap costs no extra shuffle (see
-    # dedup._df_capped_shingle_rows)
-    capped = (
+    return (
         sh.withColumn("df", F.count(F.lit(1)).over(W.partitionBy("h")))
         .where(F.col("df") <= NGRAM_DF_CAP)
-        .drop("df")
     )
+
+
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairs with shingle containment ≥ 0.9 over the planted corpus:
+    (inner_doc, outer_doc, containment) — dispatched on corpus size
+    (see module docstring). The integer pre-filter
+    ``10·shared ≥ 9·min(sz)`` is exact for τ = 0.9, so the double
+    division happens only on emitted rows (and is the same
+    shared/min(sz) expression in both engines — bit-identical)."""
+    if _corpus_doc_count(spark, sf_dir) <= CONTAIN_PREFIX_MIN_DOCS:
+        return _containment_full_index(spark, sf_dir)
+    return _containment_prefix(spark, sf_dir)
+
+
+def _containment_full_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The direct inverted-index plan (cheapest at gate scales)."""
+    capped = _capped_rows(spark, sf_dir).drop("df")
     sizes = capped.groupBy("doc_id").agg(F.count("*").alias("sz"))
     a = capped.alias("a").hint("shuffle_hash")
     b = capped.alias("b")
@@ -167,6 +216,66 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
             inner.alias("inner_doc"),
             outer.alias("outer_doc"),
             (F.col("shared").cast("double") / inner_sz).alias("containment"),
+        )
+        .where(F.col("containment") >= CONTAIN_THRESHOLD)
+    )
+
+
+def _containment_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ASYMMETRIC prefix plan (see module docstring): the inner probe
+    side indexes only each doc's L = sz − ⌈0.9·sz⌉ + 1 rarest shingles
+    (global (df, h) order — ⌈9·sz/10⌉ = (9·sz+9) DIV 10, integer-
+    exact); the outer side stays fully indexed. Lossless: a pair with
+    C(A→B) ≥ τ shares ≥ ⌈τ|A|⌉ elements, so A's rarest L_A elements
+    cannot all be non-shared. Candidates then verify EXACTLY via
+    sorted capped-set arrays — the same shared/min(sz) arithmetic as
+    the full-index form (fixture parity pinned in tests)."""
+    capped = _capped_rows(spark, sf_dir)
+    wd = W.partitionBy("doc_id")
+    ranked = capped.withColumn(
+        "rn", F.row_number().over(wd.orderBy("df", "h"))
+    ).withColumn("sz", F.count(F.lit(1)).over(wd))
+    prefix = ranked.where(
+        F.expr("rn <= sz - (9 * sz + 9) DIV 10 + 1")
+    ).select("doc_id", "h", "sz")
+    full = ranked.select("doc_id", "h", "sz")
+    docs = capped.groupBy("doc_id").agg(
+        F.sort_array(F.collect_list("h")).alias("hs"),
+        F.count("*").alias("sz"),
+    )
+    a = prefix.alias("a").hint("shuffle_hash")  # inner probe side
+    b = full.alias("b")  # outer side: fully indexed
+    # inner strictly smaller, ties -> smaller doc_id (the full-index
+    # labeling rule, expressed at candidate time)
+    cands = (
+        a.join(
+            b,
+            (F.col("a.h") == F.col("b.h"))
+            & (
+                (F.col("a.sz") < F.col("b.sz"))
+                | (
+                    (F.col("a.sz") == F.col("b.sz"))
+                    & (F.col("a.doc_id") < F.col("b.doc_id"))
+                )
+            ),
+        )
+        .select(
+            F.col("a.doc_id").alias("inner_doc"),
+            F.col("b.doc_id").alias("outer_doc"),
+        )
+        .distinct()
+    )
+    d1 = docs.alias("d1").hint("shuffle_hash")
+    d2 = docs.alias("d2").hint("shuffle_hash")
+    shared = F.size(F.array_intersect(F.col("d1.hs"), F.col("d2.hs")))
+    return (
+        cands.join(d1, F.col("inner_doc") == F.col("d1.doc_id"))
+        .join(d2, F.col("outer_doc") == F.col("d2.doc_id"))
+        .where(10 * shared >= 9 * F.col("d1.sz"))
+        .select(
+            "inner_doc",
+            "outer_doc",
+            (shared.cast("double") / F.col("d1.sz")).alias("containment"),
         )
         .where(F.col("containment") >= CONTAIN_THRESHOLD)
     )

@@ -82,3 +82,19 @@ def test_inner_is_the_smaller_set(spark, sf_dir):
     planted = out.where(F.col("outer_doc") >= C.CONTAIN_ID_OFFSET)
     assert planted.where(F.col("inner_doc") >= C.CONTAIN_ID_OFFSET).count() == 0
     assert out.where(F.col("containment") > 1.0).count() == 0
+
+
+def test_prefix_plan_matches_full_index_bitwise(spark, sf_dir):
+    """The above-threshold asymmetric-prefix plan must produce the
+    IDENTICAL row set as the full-index plan (lossless prefix theorem
+    at τ = 0.9) — forced on the fixture where both are runnable."""
+    full = {
+        (r.inner_doc, r.outer_doc, r.containment)
+        for r in C._containment_full_index(spark, sf_dir).collect()
+    }
+    pref = {
+        (r.inner_doc, r.outer_doc, r.containment)
+        for r in C._containment_prefix(spark, sf_dir).collect()
+    }
+    assert pref == full
+    assert full  # non-vacuous: the planted pairs are in there

@@ -52,6 +52,7 @@ LINKED = (
 # under test)
 QUERIES = (
     "dedup_exact",
+    "dedup_containment",
     "dedup_minhash_lsh",
     "dedup_simhash_wide",
     "dedup_ngram_jaccard",
