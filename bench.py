@@ -171,6 +171,8 @@ EXTENDED = [
     "dedup_video_incremental",
     # late r11: hashed-linear quality-classifier inference
     "quality_classifier_score",
+    # new r13: embedded-document (containment) dedup
+    "dedup_containment",
 ]
 
 

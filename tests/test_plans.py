@@ -211,6 +211,7 @@ _CORPUS_PAIR_BROADCAST_BUDGET = {
     "image_text_pair_curation": 0,  # labels/sizes joins pinned; only
     # the sanctioned 1-row n_base scalar rides a broadcast (BNL, not
     # BHJ, so it doesn't count here)
+    "dedup_containment": 0,  # r13: shared-count + both size joins pinned
 }
 
 
@@ -527,3 +528,17 @@ def test_r9_family_plan_shapes(spark, sf_dir):
     assert lm.bnl_joins <= 1, lm.formatted  # only the 1-row V scalar
     bo = audit_plan(ngram_lm.ngram_backoff_score(spark, sf_dir))
     assert bo.bnl_joins <= 1, bo.formatted  # only the 1-row N scalar
+
+
+def test_containment_prefix_plan_is_equi_join_no_broadcast(spark, sf_dir):
+    """The r13 asymmetric-prefix containment plan (dispatched above
+    CONTAIN_PREFIX_MIN_DOCS — the fixture never reaches it via the
+    public entry, so audit it directly): candidate join and both
+    verify joins must be SHUFFLE_HASH equi-joins, zero broadcasts, no
+    nested loop — the same posture as the ngram prefix plan."""
+    from robin_sparkles_spark.operators import containment as Cm
+
+    a = audit_plan(Cm._containment_prefix(spark, sf_dir))
+    assert a.bnl_joins == 0, a.formatted
+    assert _equi_joins(a) >= 1, a.formatted
+    assert a.broadcast_joins == 0, a.formatted
