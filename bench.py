@@ -171,8 +171,10 @@ EXTENDED = [
     "dedup_video_incremental",
     # late r11: hashed-linear quality-classifier inference
     "quality_classifier_score",
-    # new r13: embedded-document (containment) dedup
+    # new r13: embedded-document (containment) dedup + C4-style
+    # cross-document line dedup
     "dedup_containment",
+    "docs_line_dedup",
 ]
 
 

@@ -74,6 +74,7 @@ def _modules() -> tuple:
         containment,
         curation,
         dedup,
+        line_dedup,
         embedding_dedup,
         image_dedup,
         ingest_formats,
@@ -120,6 +121,7 @@ def _modules() -> tuple:
         clustering,
         dedup,
         containment,
+        line_dedup,
         embedding_dedup,
         image_dedup,
         audio_dedup,
@@ -316,7 +318,9 @@ GATE_FRONT: tuple[str, ...] = (
     # geometry (24,10) keeps the literal bank (bit-identical keys
     # either way — parity pinned in tests), re-gated anyway:
     "embedding_dedup",
-    # new r13 query — first driver row:
+    # new r13 queries — first driver rows (docs_line_dedup is pinned
+    # at the window tail, displacing docs_token_budget_sample to the
+    # r14 fill):
     "dedup_containment",
     # r9-last-green fill, registry order; the last fourteen r9 names
     # (pagerank_trade_graph — displaced by the new query above —
@@ -350,7 +354,7 @@ GATE_FRONT: tuple[str, ...] = (
     "docs_token_diversity",
     "docs_split_assign",
     "docs_pack_assign",
-    "docs_token_budget_sample",
+    "docs_line_dedup",
 )
 _R12_WINDOW: tuple[str, ...] = (
     # r12's window, kept for the rotation ledger (these names are all
@@ -436,8 +440,9 @@ _R12_WINDOW: tuple[str, ...] = (
 #
 # ROUND-14 ROTATION (write it at the start of r14): rotate out the 50
 # GATE_FRONT names above once CORRECTNESS_r13 comes back green. Fill
-# order: the fourteen r9-last-green names deferred from this window
-# (pagerank_trade_graph, user_retention_cohorts, orders_cdc_tombstones,
+# order: the fifteen r9-last-green names deferred from this window
+# (docs_token_budget_sample, pagerank_trade_graph,
+# user_retention_cohorts, orders_cdc_tombstones,
 # referential_integrity_audit, table_fingerprints, docs_search_bm25,
 # triangle_count_copurchase, custkey_overlap_kmv, orders_snapshot_diff,
 # orders_mv_incremental, events_ewma_value, lineitem_qty_price_ols,
