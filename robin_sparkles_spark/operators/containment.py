@@ -154,19 +154,24 @@ def _corpus_doc_count(spark: SparkSession, sf_dir: str) -> int:
 
 
 def _capped_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """df-capped (doc_id, h) rows over the staged corpus. The h-window
-    exchange is the candidate join's partitioning, so the cap costs no
-    extra shuffle (see dedup._df_capped_shingle_rows)."""
+    """df-capped (doc_id, h, df) rows over the staged corpus. df is a
+    groupBy(h) partial aggregation joined back — not an h-keyed window
+    (VERDICT r13 #1: a window co-locates every occurrence of a hot
+    shingle in one un-splittable task; the join-back is AQE-skew-
+    splittable and its exchange is the same h-partitioning the
+    candidate join needs — see dedup._df_capped_shingle_rows)."""
     corpus = spark.read.parquet(build_containment_corpus(spark, sf_dir))
     sh = (
         corpus.select("doc_id", F.expr(_WORD_HASH_EXPR).alias("wh"))
         .select("doc_id", F.explode(F.expr(_SHINGLES_FROM_WH)).alias("h"))
         .where(F.col("h").isNotNull())
     )
-    return (
-        sh.withColumn("df", F.count(F.lit(1)).over(W.partitionBy("h")))
+    dfs = (
+        sh.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("df"))
         .where(F.col("df") <= NGRAM_DF_CAP)
     )
+    return sh.join(dfs.hint("shuffle_hash"), "h")
 
 
 def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:

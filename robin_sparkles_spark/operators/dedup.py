@@ -251,18 +251,30 @@ def _df_capped_shingle_rows(
 ) -> DataFrame:
     """Shingle index rows with corpus-hot shingles removed: keep
     (doc_id, h) only where the shingle's document frequency ≤ df_cap
-    (see NGRAM_DF_CAP). The df count is a whole-partition window over
-    h — its exchange hash-partitions the index on h, which is exactly
-    the partitioning the downstream self-equi-join needs, so the cap
-    costs zero extra shuffles (the join reuses the window's exchange).
+    (see NGRAM_DF_CAP). The df count is a ``groupBy(h)`` partial
+    aggregation joined back on h — NOT a whole-partition window
+    (VERDICT r13 #1): a window keyed on h puts EVERY occurrence of a
+    corpus-hot shingle in one task with no map-side combine, which is
+    precisely the key this cap exists to drop. The groupBy's partial
+    agg shrinks the df shuffle to one row per shingle per mapper, the
+    df side is pre-filtered to ≤ df_cap so hot shingles never even
+    enter the join's build side, and the join-back is a plain
+    equi-join that AQE skew-join splitting CAN split (it cannot split
+    window partitions). The join's exchange hash-partitions the index
+    on h — the same partitioning the downstream self-equi-join needs,
+    so the cap still costs no extra shuffle on the occurrence rows.
     ``keep_df`` retains the df column (the prefix filter orders by
     it — rarest-first)."""
-    w = W.partitionBy("h")
-    out = (
-        _shingle_rows(spark, sf_dir)
-        .withColumn("df", F.count(F.lit(1)).over(w))
+    sh = _shingle_rows(spark, sf_dir)
+    dfs = (
+        sh.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("df"))
         .where(F.col("df") <= df_cap)
     )
+    # df side is corpus-cardinality (one row per surviving distinct
+    # shingle) — pin SHUFFLE_HASH against the broadcast-OOM trap, with
+    # the small per-key side as the build side.
+    out = sh.join(dfs.hint("shuffle_hash"), "h")
     return out if keep_df else out.drop("df")
 
 

@@ -22,17 +22,21 @@ text lines stay under it except organic exact-dup groups of ≥
 LINE_DUP_DF documents — which the C4 rule REALLY does blank out, and
 both engines mirror.
 
-Semantics (hash-gated): split on newline, hash each line, count the
-line's corpus-wide document frequency, drop lines with df ≥
-LINE_DUP_DF, reassemble survivors in original order. Output per doc:
+Semantics (hash-gated): split on newline, count each line's
+corpus-wide OCCURRENCE count (C4's rule is occurrence-based — a line
+repeated 3× inside one document is removed too, matching Raffel et
+al.'s "three-sentence span occurring more than once" spirit; NOT a
+distinct-document frequency), drop lines with count ≥ LINE_DUP_DF,
+reassemble survivors in original order. Output per doc:
 (doc_id, n_lines, n_removed, clean_md5) — the md5 of the reassembled
 text (identical bytes ⇒ identical digest in any engine; empty string
 when everything was boilerplate).
 
 Plan shape (100 TB posture): one explode (docs × lines-per-doc rows),
-ONE exchange on the line value for the df window (the same
-no-extra-shuffle trick as dedup's df-cap — the window's hash
-partitioning is reused downstream), one groupBy(doc_id) reassembly.
+a groupBy(line) partial-aggregated occurrence count joined back on
+the line value (AQE-skew-splittable; a line-keyed WINDOW would
+co-locate every occurrence of a corpus-hot boilerplate line in one
+task — VERDICT r13 #1), one groupBy(doc_id) reassembly.
 No self-join at all — line dedup is aggregation-shaped, strictly
 cheaper than any pair-forming family; the only wide row is the
 per-doc collect_list, bounded by document size exactly like the
@@ -41,12 +45,13 @@ shingle-set payloads the jaccard verify already carries.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..sources import load_table
 from ..sources.staging import is_staged, staged_path
 
-LINE_DUP_DF = 3  # remove a line occurring in >= this many places (C4 rule)
+LINE_DUP_DF = 3  # remove a line with >= this many corpus-wide OCCURRENCES
+# (C4's occurrence-based rule: in-document repeats count — ADVICE r13)
 BOILER_POOL = 5
 BOILER_LINES_PER_DOC = 2
 BOILER_EVERY = 4  # doc_id % BOILER_EVERY == 0 docs get boilerplate
@@ -97,9 +102,19 @@ def docs_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("arr").alias("n_lines"),
         F.posexplode("arr").alias("pos", "line"),
     )
-    # corpus-wide line df via the value window — one exchange, no join
-    df = F.count(F.lit(1)).over(W.partitionBy("line"))
-    kept = lines.withColumn("df", df).where(F.col("df") < LINE_DUP_DF)
+    # corpus-wide occurrence count via groupBy + join-back, NOT a
+    # line-keyed window (VERDICT r13 #1): a window puts every
+    # occurrence of a corpus-hot boilerplate line — the exact thing
+    # this pass removes — in one un-splittable task; the groupBy gets
+    # map-side partial aggregation, the surviving-lines side is
+    # pre-filtered below the threshold so hot lines never enter the
+    # join's build side, and AQE skew splitting covers the join.
+    dfs = (
+        lines.groupBy("line")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where(F.col("df") < LINE_DUP_DF)
+    )
+    kept = lines.join(dfs.hint("shuffle_hash"), "line")
     rebuilt = kept.groupBy("doc_id").agg(
         F.first("n_lines").alias("n_lines"),
         F.count("*").alias("n_kept"),

@@ -542,3 +542,45 @@ def test_containment_prefix_plan_is_equi_join_no_broadcast(spark, sf_dir):
     assert a.bnl_joins == 0, a.formatted
     assert _equi_joins(a) >= 1, a.formatted
     assert a.broadcast_joins == 0, a.formatted
+
+
+def _value_keyed_windows(formatted: str, value_cols: tuple[str, ...]) -> list[str]:
+    """Window nodes whose partition spec LEADS with one of the given
+    value columns (partition columns print first in
+    ``windowspecdefinition(...)``). doc_id-keyed windows are allowed —
+    their partitions are bounded by per-document row counts."""
+    hits = []
+    for line in formatted.splitlines():
+        line = line.strip()
+        if "windowspecdefinition(" not in line:
+            continue
+        spec = line.split("windowspecdefinition(", 1)[1]
+        first = spec.split(",", 1)[0].strip()
+        if any(first.startswith(c + "#") for c in value_cols):
+            hits.append(line)
+    return hits
+
+
+def test_no_value_keyed_df_windows(spark, sf_dir):
+    """VERDICT r13 #1: the df/occurrence-count stage of the text-dedup
+    family must NOT be a window partitioned on the shingle/line VALUE
+    — a hot key (a boilerplate line in 10% of documents, a
+    corpus-universal 3-gram) would co-locate 10^8+ rows in ONE task
+    with no partial aggregation and no AQE split (AQE splits join
+    partitions, not window partitions). The fix is groupBy(key).count()
+    + join-back; this audit pins the shape on every plan that carries
+    the df stage, both dispatch arms."""
+    from robin_sparkles_spark.operators import containment as Cm
+    from robin_sparkles_spark.operators import dedup, line_dedup
+
+    plans = {
+        "ngram_full": (dedup._ngram_jaccard_full_index(spark, sf_dir), ("h",)),
+        "ngram_prefix": (dedup._ngram_jaccard_prefix(spark, sf_dir), ("h",)),
+        "contain_full": (Cm._containment_full_index(spark, sf_dir), ("h",)),
+        "contain_prefix": (Cm._containment_prefix(spark, sf_dir), ("h",)),
+        "line_dedup": (line_dedup.docs_line_dedup(spark, sf_dir), ("line",)),
+    }
+    for name, (df, cols) in plans.items():
+        a = audit_plan(df)
+        bad = _value_keyed_windows(a.formatted, cols)
+        assert not bad, f"{name}: value-keyed window(s): {bad}"
