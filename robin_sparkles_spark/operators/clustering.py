@@ -298,23 +298,36 @@ def _fit_training_sample(
     vecs: DataFrame,
     k: int,
     per_centroid: int = SAMPLE_PER_CENTROID,
+    salt: int | None = None,
 ) -> DataFrame:
     """Bounded, deterministic training set for a k-centroid fit:
     identity (modulo a parallelism repartition) below the
     ``per_centroid·k`` cap, a uniform xxhash64(vec_id) sample above
     it. The repartition matters either way: the fit's interpreted
     argmin is CPU-bound, so training must spread across the session's
-    cores even when the staged input has few/unsplittable files."""
+    cores even when the staged input has few/unsplittable files.
+
+    ``salt`` makes the draw independent of an unsalted (or
+    differently-salted) draw over the same rows — REQUIRED when
+    sampling a frame that is itself an xxhash64(vec_id) sample
+    (ADVICE r14: a nested UNsalted draw re-filters hashes already
+    conditioned on [0, thresh₁), so the second threshold — computed
+    from the inner frame's count as if hashes were uniform on the
+    full range — under-filters by up to n/cap₁, breaking the sample
+    cap it was meant to enforce)."""
     cap = per_centroid * k
     n = vecs.count()
     par = spark.sparkContext.defaultParallelism
     if n <= cap:
         return vecs.repartition(par)
+    h = (
+        F.xxhash64("vec_id")
+        if salt is None
+        else F.xxhash64("vec_id", F.lit(salt))
+    )
     thresh = max(1, (_SAMPLE_DENOM * cap) // n)
     return barrier(
-        vecs.where(
-            F.pmod(F.xxhash64("vec_id"), F.lit(_SAMPLE_DENOM)) < thresh
-        ).repartition(par),
+        vecs.where(F.pmod(h, F.lit(_SAMPLE_DENOM)) < thresh).repartition(par),
         "sample",
         "kmeans fit training sample",
     )
@@ -448,17 +461,22 @@ def kmeans_fit_table(
     # Sampled-fit law (VERDICT r13 #3): the Lloyd's loop — init,
     # per-iteration assignment, and the coarse quantizer it trains —
     # sees only the bounded sample; the caller's final assignment is
-    # the ONLY full-corpus pass. Drawing the coarse sample from the
-    # main training sample composes exactly (same xxhash64(vec_id)
-    # predicate, nested thresholds), and keeps the full-probe parity
-    # contract: a literal fit over the SAME sample is bit-identical.
+    # the ONLY full-corpus pass. The coarse sample is a SALTED nested
+    # draw from the main training sample (ADVICE r14): train's hashes
+    # are conditioned on [0, thresh₁), so re-drawing with the SAME
+    # unsalted predicate under-filters (up to ~k/coarse_k over the
+    # 256·coarse_k cap); the salt makes the second fraction
+    # independent, restoring the cost bound. Both draws are identity
+    # below their caps, so gate-SF fits are bit-identical either way.
     train = _fit_training_sample(spark, vecs, k)
     dim = len(train.first().v)
     if coarse_k is None:
         coarse_k = _coarse_k_for(k)
     coarse = _fit_literal(
         spark,
-        _fit_training_sample(spark, train, min(coarse_k, K_LITERAL_MAX)),
+        _fit_training_sample(
+            spark, train, min(coarse_k, K_LITERAL_MAX), salt=1
+        ),
         min(coarse_k, K_LITERAL_MAX),
         n_iter,
     )

@@ -577,3 +577,38 @@ def test_sampled_fit_inertia_gate(spark, sf_dir):
     i_full = inertia(full)
     i_sampled = inertia(sampled)
     assert i_sampled <= 1.25 * i_full, (i_sampled, i_full)
+
+
+def test_nested_salted_sample_composes(spark, sf_dir):
+    """ADVICE r14: a nested sample drawn FROM a sample must be salted.
+    The inner draw keeps rows with pmod(xxhash64(vec_id), D) < t1, so
+    an unsalted second draw's threshold t2 (computed from the inner
+    count as if hashes were uniform on [0, D)) under-filters —
+    whenever t2 >= t1 it keeps EVERYTHING. The salted draw is
+    independent, so the nested fraction concentrates at its own cap.
+    This pins the coarse-quantizer cost bound in kmeans_fit_table."""
+    from robin_sparkles_spark.operators import clustering as C
+
+    vecs = C._vectors(spark, sf_dir)
+    n = vecs.count()
+    k = C.K_CLUSTERS
+    outer = C._fit_training_sample(spark, vecs, k, per_centroid=16)
+    n_outer = outer.count()
+    assert 16 * k < n  # outer really sampled
+    # nested UNsalted draw at a cap half the outer count: t2 > t1
+    # (cap2/n_outer > cap1/n since cap2 = n_outer/2 >= cap1*n_outer/n),
+    # so it degenerates to identity — the failure mode being fixed
+    inner_cap_pc = max(1, (n_outer // 2) // k)
+    unsalted = C._fit_training_sample(spark, outer, k, per_centroid=inner_cap_pc)
+    assert unsalted.count() == n_outer  # demonstrates the under-filter
+    salted = C._fit_training_sample(
+        spark, outer, k, per_centroid=inner_cap_pc, salt=1
+    )
+    n_salted = salted.count()
+    cap2 = inner_cap_pc * k
+    assert n_salted < n_outer
+    assert 0.4 * cap2 <= n_salted <= 1.8 * cap2, (n_salted, cap2, n_outer)
+    # determinism across draws (oracle re-derives in another process)
+    assert n_salted == C._fit_training_sample(
+        spark, outer, k, per_centroid=inner_cap_pc, salt=1
+    ).count()
