@@ -74,7 +74,7 @@ def arrivals_path(sf_dir: str) -> str:
 
 
 def index_path(sf_dir: str) -> str:
-    return staged_path(sf_dir, "media_hash_index_v1", "documents")
+    return staged_path(sf_dir, "media_hash_index_v2", "documents")
 
 
 def stage_arrivals(spark: SparkSession, sf_dir: str) -> str:
@@ -92,6 +92,16 @@ def stage_arrivals(spark: SparkSession, sf_dir: str) -> str:
     return path
 
 
+def _index_files(n_rows: int) -> int:
+    """≈8k rows per staged index file, capped (the embedding-staging
+    file-count law, SCALE.md r12; VERDICT r13 #3 applied it here): a
+    ``coalesce(1)`` index is one unsplittable row group, so the
+    stream-static join's build side would scan single-task at ANY
+    corpus size. The index is corpus-cardinality — file count must
+    grow with it."""
+    return max(1, min(64, n_rows // 8192))
+
+
 def stage_index(spark: SparkSession, sf_dir: str) -> str:
     """Idempotently persist the perceptual-hash index (img_id, dhash)
     over the index half of the corpus — the table a production
@@ -100,9 +110,10 @@ def stage_index(spark: SparkSession, sf_dir: str) -> str:
     if is_staged(path):
         return path
     corpus = spark.read.parquet(stage_image_corpus(spark, sf_dir))
-    image_dhash_over(corpus.where(_img_in_index())).coalesce(1).write.mode(
-        "overwrite"
-    ).parquet(path)
+    half = corpus.where(_img_in_index())
+    image_dhash_over(half).repartition(
+        _index_files(half.count())
+    ).write.mode("overwrite").parquet(path)
     return path
 
 
@@ -400,7 +411,7 @@ def audio_arrivals_path(sf_dir: str) -> str:
 
 
 def audio_index_path(sf_dir: str) -> str:
-    return staged_path(sf_dir, "audio_hash_index_v1", "documents")
+    return staged_path(sf_dir, "audio_hash_index_v2", "documents")
 
 
 def stage_audio_arrivals(spark: SparkSession, sf_dir: str) -> str:
@@ -427,8 +438,9 @@ def stage_audio_index(spark: SparkSession, sf_dir: str) -> str:
     if is_staged(path):
         return path
     corpus = spark.read.parquet(stage_audio_corpus(spark, sf_dir))
-    audio_fingerprints_over(corpus.where(_aud_in_index())).coalesce(
-        1
+    half = corpus.where(_aud_in_index())
+    audio_fingerprints_over(half).repartition(
+        _index_files(half.count())  # never coalesce(1) — see _index_files
     ).write.mode("overwrite").parquet(path)
     return path
 
