@@ -72,6 +72,7 @@ def _modules() -> tuple:
         clustering,
         container_parse,
         containment,
+        crossmodal,
         curation,
         dedup,
         line_dedup,
@@ -128,6 +129,7 @@ def _modules() -> tuple:
         video_dedup,
         multimodal_curation,
         similarity,
+        crossmodal,
         text_analysis,
         relational,
         relational2,
@@ -282,6 +284,83 @@ def _collect() -> dict[str, QuerySpec]:
 # band-bits, centroid-TABLE assign), and 22 of the 40 r8-stale names;
 # the last 18 r8 names deferred to this r13 fill.
 GATE_FRONT: tuple[str, ...] = (
+    # --- ROUND-14 ROTATION (this window; executes the note written at
+    # the end of r13 + VERDICT r13 #2). The fifteen r9-last-green
+    # names lead (exactly the deferred list from the r13 note):
+    "docs_token_budget_sample",
+    "pagerank_trade_graph",
+    "user_retention_cohorts",
+    "orders_cdc_tombstones",
+    "referential_integrity_audit",
+    "table_fingerprints",
+    "docs_search_bm25",
+    "triangle_count_copurchase",
+    "custkey_overlap_kmv",
+    "orders_snapshot_diff",
+    "orders_mv_incremental",
+    "events_ewma_value",
+    "lineitem_qty_price_ols",
+    "embedding_gram_matrix",
+    "pysource_events_agg",
+    # replanned in r14 — must re-gate (VERDICT r13 #1): the df-cap /
+    # occurrence-count stage moved from a value-keyed window to
+    # groupBy+join-back partial aggregation. Unlike dispatch-gated
+    # changes, this executes at EVERY SF, so all three re-gate even
+    # though dedup_containment/docs_line_dedup are r13-green:
+    "dedup_ngram_jaccard",
+    "dedup_containment",
+    "docs_line_dedup",
+    # ADVICE r13: the r13 sampled-fit law also rotated through
+    # opq_fit/ivfpq coarse fits; their consumers re-gate now (the
+    # kmeans precedent — re-gate on code-path change even when the
+    # gate-SF fit is bit-identical). opq_recall_at_k is also r10-stale:
+    "opq_recall_at_k",
+    "ann_opq_ivfpq_recall_at_k",
+    "ann_ivfpq_topk",
+    "ann_ivfpq_recall_at_k",
+    # [clustering.py coarse-draw salt (ADVICE r14) needs NO re-gate:
+    # the changed code path (kmeans_fit_table's nested coarse sample)
+    # dispatches only above K_LITERAL_MAX and both draws are identity
+    # below their caps — no gated query ever executes it; pinned by
+    # test_nested_salted_sample_composes instead.]
+    # r10-last-green fill, registry order; the last nine r10 names
+    # (q18_large_quantity_orders, q19_disjunctive_revenue,
+    # q22_idle_balance_by_segment, q4_late_shipment_priority,
+    # orders_monthly_gapfill, ngram_maximal_spans,
+    # ngram_backoff_score, pq_rerank_topk, pq_recall_at_k) defer to
+    # the r15 fill — window full at 50 (two slots held for the new
+    # r14 queries appended at the tail):
+    "wordcount_stopword",
+    "events_tumbling_1h",
+    "events_sliding_30_15",
+    "user_sessions",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_groups",
+    "ann_lsh_topk",
+    "ann_recall_at_k",
+    "orders_rollup",
+    "q10_returned_revenue",
+    "q17_small_quantity_revenue",
+    "embedding_array_stats",
+    "window_order_analytics",
+    "q6_forecast_revenue",
+    "q12_priority_shipping",
+    "q14_promo_revenue_pct",
+    "dedup_incremental",
+    "dsir_importance_weights",
+    "curation_pipeline",
+    "decontaminate_train",
+    "source_overlap_matrix",
+    "dedup_canonical_keepers",
+    "q7_nation_trade_flows",
+    "q8_nation_market_share",
+    "q13_order_count_distribution",
+    # new r14 queries — first driver rows (the two held slots):
+    "crossmodal_text_image_topk",
+    "crossmodal_paired_recall",
+)
+_R13_WINDOW: tuple[str, ...] = (
     # --- ROUND-13 ROTATION (this window; executes the note written at
     # the end of r12 + VERDICT r13 #1). The 18 r8-last-green names
     # lead (the deferred r13 fill, exactly VERDICT r13 #1's list):
@@ -356,78 +435,6 @@ GATE_FRONT: tuple[str, ...] = (
     "docs_pack_assign",
     "docs_line_dedup",
 )
-_R12_WINDOW: tuple[str, ...] = (
-    # r12's window, kept for the rotation ledger (these names are all
-    # r12-green — the youngest rows in CORRECTNESS history):
-    "orders_asof_last_event",
-    "events_props_map",
-    "events_salted_type_join",
-    "view_purchase_attribution",
-    "view_purchase_attribution_outer",
-    "vocab_typo_pairs",
-    "events_countmin_users",
-    "q9_profit_by_nation_year",
-    "q15_top_supplier",
-    "q21_waiting_suppliers",
-    "orders_overlap_pairs",
-    "text_top_terms",
-    "text_repetition",
-    "docs_stable_sample",
-    "q3_shipping_priority",
-    "q5_region_revenue",
-    "top_customers_revenue",
-    "window_event_ranks",
-    "events_json_extract",
-    "events_user_stats",
-    "events_argmax",
-    # replanned / oracle-changed in r12 — must re-gate:
-    # * docs_epoch_shuffle — seed now selects the affine multiplier
-    #   (VERDICT r11 #1) + adaptive shard count; oracle changed
-    "docs_epoch_shuffle",
-    # * BPE family — merge count scaled 3 → 32 (r12 ask #7); all three
-    #   oracles unroll the new count, so all three re-gate
-    "bpe_merge_training",
-    "docs_bpe_tokenize",
-    "bpe_fertility_by_lang",
-    # * embedding_dedup — adaptive band-bits law (r12 ask #8)
-    "embedding_dedup",
-    # * kmeans_assign / semdedup_dropped — centroid-TABLE join assign
-    #   path above the k threshold (r12 ask #3; fits bit-identical,
-    #   re-gate anyway since the code path changed)
-    "kmeans_assign",
-    "semdedup_dropped",
-    # r8-last-green fill, registry order; the last eighteen r8 names
-    # (q16_supplier_count_by_class, q20_excess_shippers,
-    # events_multires_rollup, padding_waste_by_bucket,
-    # docs_balanced_sample, docs_chunked_context, docs_chunk_dedup,
-    # docs_rarity_topk, events_funnel_conversion,
-    # events_transition_matrix, orders_bloom_prune,
-    # lineitem_zorder_stats, orders_upsert_latest, column_profile,
-    # orders_price_histogram, docs_search_and, orders_scd2_history,
-    # copurchase_part_pairs) defer to the r13 fill — window full at 50
-    "wav_decode_stats",
-    "orders_cube",
-    "customers_with_big_orders",
-    "customers_without_urgent_orders",
-    "order_slices_setops",
-    "orders_by_month",
-    "part_filter_projection",
-    "order_lineitem_rollup",
-    "orders_pivot_status",
-    "lineitem_unpivot_charges",
-    "orders_grouping_sets",
-    "orders_price_quantiles",
-    "jpeg_pixel_stats",
-    "jpeg_progressive_dc_stats",
-    "warc_gzip_stats",
-    "warc_gz_member_stats",
-    "events_spend_alerts",
-    "events_cohort_enriched",
-    "events_rolling_anomaly",
-    "nation_coverage_recon",
-    "q2_min_cost_supplier",
-    "q11_part_value_share",
-)
 # Late-r12 plan note: dedup_ngram_jaccard gained a corpus-size
 # dispatch (prefix-filtered plan above NGRAM_PREFIX_MIN_DOCS=20k).
 # At every driver gate SF the executed plan is BIT-IDENTICAL to the
@@ -455,9 +462,23 @@ _R12_WINDOW: tuple[str, ...] = (
 # every gate-SF corpus, so gated fits/codebooks are bit-identical and
 # only pq_encode/pq_adc_topk (already in this window via the r9 fill)
 # re-gate — if a cap ever drops below a gated SF, the whole PQ family
-# re-joins the window that round. (b) dedup_ngram_jaccard's prefix
-# plan gained a length-band blocking key above NGRAM_PREFIX_MIN_DOCS;
-# below the threshold (every gate SF) the executed plan is unchanged.
+# re-joins the window that round. [r14 amendment, ADVICE r13: that
+# re-gate scope was too narrow — opq_fit re-enters BOTH sampled fits
+# with the rotated frame, so the OPQ/IVFPQ consumers re-gate in the
+# r14 window below, matching the kmeans precedent (re-gate on
+# code-path change even when bit-identical).]
+# (b) [CORRECTED in r14 — ADVICE r13 + VERDICT r13 #3: the original
+# note mis-described the change as "a length-band blocking key"; no
+# such join key landed in r13.] dedup_ngram_jaccard's prefix plan
+# gained the PPJoin POSITIONAL candidate filter (the w-min bound:
+# per-pair minimal shared prefix element's positions cap achievable
+# overlap — 4.35M → 1.28M verify candidates at 500k docs, lossless);
+# the size-ratio predicate (5·min ≥ 4·max) remains a join FILTER, not
+# a key. Below NGRAM_PREFIX_MIN_DOCS (every gate SF) the executed
+# plan was unchanged in r13; in r14 the df-cap stage itself was
+# replanned (window → groupBy+join, VERDICT r13 #1), which executes
+# at EVERY SF, so the whole text-dedup trio re-gates in the window
+# below.
 
 
 _REGISTRY: dict[str, QuerySpec] | None = None
