@@ -50,3 +50,44 @@ def test_every_query_gated_or_pinned():
         "queries with no driver row and no window slot this round: "
         f"{missing}"
     )
+
+
+def test_gate_check_stale_selection(tmp_path):
+    """tools/gate_check.py --stale N must pick the N names with the
+    OLDEST last-green driver row (never-green names stalest of all,
+    registry order breaking ties) — the round ritual's targeted
+    staleness sweep (VERDICT r13 #6). Synthetic history: no reliance
+    on the repo's real CORRECTNESS files."""
+    import json
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parents[1] / "tools"))
+    import gate_check as gc
+
+    reg = ["a", "b", "c", "d", "e"]
+    hist = {
+        "CORRECTNESS_r1.json": {
+            "a": {"hash_match": True},
+            "b": {"hash_match": True},
+            "c": {"hash_match": True},
+        },
+        "CORRECTNESS_r2.json": {
+            "a": {"hash_match": True},
+            # b: red row — does NOT refresh staleness
+            "b": {"hash_match": False, "rows_match": False, "err": "x"},
+            # d: rows-only green
+            "d": {"rows_match": True, "err": None},
+        },
+    }
+    saved = gc.REPO_ROOT
+    try:
+        gc.REPO_ROOT = str(tmp_path)
+        for fname, rows in hist.items():
+            (tmp_path / fname).write_text(json.dumps(rows))
+        # e never green (round 0) -> stalest; then b,c (r1); then a,d (r2)
+        assert gc.stalest_names(1, reg) == ["e"]
+        assert gc.stalest_names(3, reg) == ["e", "b", "c"]
+        assert gc.stalest_names(5, reg) == ["e", "b", "c", "a", "d"]
+    finally:
+        gc.REPO_ROOT = saved

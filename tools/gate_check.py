@@ -2,14 +2,23 @@
 timing: runs every registry query Spark-vs-DuckDB at a given SF and
 prints a row per query plus a JSON summary.
 
-Usage: python tools/gate_check.py [sf_dir] [--names n1,n2,...]
+Usage: python tools/gate_check.py [sf_dir] [--names n1,n2,...] [--stale N]
+
+``--stale N`` (VERDICT r13 #6) auto-selects the N queries whose last
+green DRIVER row (CORRECTNESS_r*.json history at the repo root) is
+oldest — the staleness tail the per-round 50-name driver window can't
+reach — so the round ritual provably covers it without paying the
+full-registry sweep. Never-recorded names sort stalest of all.
+Combinable with --names (union).
 """
 
 from __future__ import annotations
 
 import argparse
+import glob
 import json
 import os
+import re
 import sys
 import time
 import traceback
@@ -19,6 +28,32 @@ if REPO_ROOT not in sys.path:
     sys.path.insert(0, REPO_ROOT)
 
 
+def stalest_names(n: int, registry_names: "list[str]") -> "list[str]":
+    """The n registry names with the oldest last-green driver row.
+    Staleness key: (last green round, registry order) — never-green
+    names get round 0. A row is green if it hash-matched, or
+    rows-matched with no error (the rows-only oracle mode)."""
+    last: dict[str, int] = {}
+    for path in glob.glob(os.path.join(REPO_ROOT, "CORRECTNESS_r*.json")):
+        m = re.search(r"r(\d+)", os.path.basename(path))
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        try:
+            rows = json.load(open(path))
+        except (OSError, json.JSONDecodeError):
+            continue
+        for name, row in rows.items():
+            ok = row.get("hash_match") or (
+                row.get("rows_match") and row.get("err") is None
+            )
+            if ok:
+                last[name] = max(last.get(name, 0), rnd)
+    order = {name: i for i, name in enumerate(registry_names)}
+    ranked = sorted(registry_names, key=lambda q: (last.get(q, 0), order[q]))
+    return ranked[:n]
+
+
 def main() -> int:
     # argparse so both '--names=a,b' and '--names a,b' work and any
     # unrecognized argument errors out instead of silently running the
@@ -26,6 +61,12 @@ def main() -> int:
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("sf_dir", nargs="?", default="/root/testdata/sf0.01")
     ap.add_argument("--names", help="comma-separated query names to check")
+    ap.add_argument(
+        "--stale",
+        type=int,
+        metavar="N",
+        help="also check the N stalest-driver-green registry names",
+    )
     ns = ap.parse_args()
     sf_dir = ns.sf_dir
     only = set(ns.names.split(",")) if ns.names else None
@@ -39,6 +80,10 @@ def main() -> int:
         if unknown:
             print(f"unknown query names: {sorted(unknown)}", file=sys.stderr)
             return 2
+    if ns.stale:
+        picked = stalest_names(ns.stale, list(registry.all_queries()))
+        print(f"stale-{ns.stale} selection: {picked}", file=sys.stderr)
+        only = (only or set()) | set(picked)
 
     # Session-shape overrides for partition-invariance sweeps: every
     # declared query claims its result is independent of parallelism
