@@ -171,6 +171,10 @@ EXTENDED = [
     "dedup_video_incremental",
     # late r11: hashed-linear quality-classifier inference
     "quality_classifier_score",
+    # new r14: cross-modal retrieval (text query → image ANN over the
+    # shared memoized IVF fit) + its declared recall gate
+    "crossmodal_text_image_topk",
+    "crossmodal_paired_recall",
     # new r13: embedded-document (containment) dedup + C4-style
     # cross-document line dedup
     "dedup_containment",

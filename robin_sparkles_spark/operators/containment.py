@@ -226,28 +226,33 @@ def _containment_full_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _containment_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ASYMMETRIC prefix plan (see module docstring): the inner probe
-    side indexes only each doc's L = sz − ⌈0.9·sz⌉ + 1 rarest shingles
-    (global (df, h) order — ⌈9·sz/10⌉ = (9·sz+9) DIV 10, integer-
-    exact); the outer side stays fully indexed. Lossless: a pair with
-    C(A→B) ≥ τ shares ≥ ⌈τ|A|⌉ elements, so A's rarest L_A elements
-    cannot all be non-shared. Candidates then verify EXACTLY via
-    sorted capped-set arrays — the same shared/min(sz) arithmetic as
-    the full-index form (fixture parity pinned in tests)."""
+def _prefix_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate (inner_doc, outer_doc) pairs of the asymmetric
+    prefix plan — factored out so probes can count candidates
+    directly (the r13/r14 stage-profiling discipline).
+
+    q-PREFIX scheme (r14 — the lever the r13 note named for the 100×
+    verify join's 6.9M candidates): the inner side indexes its
+    L_A + 1 rarest shingles (one more than the minimal prefix) and a
+    candidate must share ≥ 2 of them with the outer's full index
+    whenever ⌈τ|A|⌉ ≥ 2 (i.e. |A| ≥ 2 at τ = 0.9). Lossless: a
+    qualifying pair shares s ≥ ⌈τ|A|⌉ elements, so A has ≤
+    |A| − ⌈τ|A|⌉ = L_A − 1 non-shared elements, and among A's rarest
+    L_A + 1 at most L_A − 1 are non-shared ⇒ ≥ 2 shared, each of
+    which hits B's full index (per-doc shingles are DISTINCT, so
+    hits = distinct shared prefix elements). |A| = 1 keeps the 1-hit
+    rule. The pair groupBy replaces the former DISTINCT at the same
+    shuffle cost (the ngram struct-min precedent), so the scheme's
+    only added cost is one prefix row per inner doc."""
     capped = _capped_rows(spark, sf_dir)
     wd = W.partitionBy("doc_id")
     ranked = capped.withColumn(
         "rn", F.row_number().over(wd.orderBy("df", "h"))
     ).withColumn("sz", F.count(F.lit(1)).over(wd))
     prefix = ranked.where(
-        F.expr("rn <= sz - (9 * sz + 9) DIV 10 + 1")
+        F.expr("rn <= sz - (9 * sz + 9) DIV 10 + 2")
     ).select("doc_id", "df", "h", "sz", "rn")
     full = ranked.select("doc_id", "df", "h", "sz", "rn")
-    docs = capped.groupBy("doc_id").agg(
-        F.sort_array(F.collect_list("h")).alias("hs"),
-        F.count("*").alias("sz"),
-    )
     a = prefix.alias("a").hint("shuffle_hash")  # inner probe side
     b = full.alias("b")  # outer side: fully indexed
     # inner strictly smaller, ties -> smaller doc_id (the full-index
@@ -269,16 +274,38 @@ def _containment_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     # minimal shared element near the front of BOTH rarest-first
     # orders, and the inner's prefix holds its globally RAREST
     # shingles, which therefore also rank early in the outer's (df, h)
-    # order — the j-side constraint almost never bites. So candidates
-    # keep the plain DISTINCT; the verify join's cost is linear in
-    # candidates, which the df-cap bounds per shingle.
-    cands = (
-        joined.select(
+    # order — the j-side constraint almost never bites. The q-prefix
+    # hit-count bound above is the lever that does bite (measured in
+    # SCALE.md r14).
+    return (
+        joined.groupBy(
             F.col("a.doc_id").alias("inner_doc"),
             F.col("b.doc_id").alias("outer_doc"),
+            F.col("a.sz").alias("sz_a"),
         )
-        .distinct()
+        .agg(F.count(F.lit(1)).alias("hits"))
+        .where(
+            F.col("hits")
+            >= F.when(F.col("sz_a") >= 2, F.lit(2)).otherwise(F.lit(1))
+        )
+        .select("inner_doc", "outer_doc")
     )
+
+
+def _containment_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ASYMMETRIC prefix plan (see module docstring): the inner probe
+    side indexes only its rarest shingles (global (df, h) order —
+    ⌈9·sz/10⌉ = (9·sz+9) DIV 10, integer-exact, q-prefix form — see
+    ``_prefix_candidates``); the outer side stays fully indexed.
+    Candidates then verify EXACTLY via sorted capped-set arrays — the
+    same shared/min(sz) arithmetic as the full-index form (fixture
+    parity pinned in tests)."""
+    capped = _capped_rows(spark, sf_dir)
+    docs = capped.groupBy("doc_id").agg(
+        F.sort_array(F.collect_list("h")).alias("hs"),
+        F.count("*").alias("sz"),
+    )
+    cands = _prefix_candidates(spark, sf_dir)
     d1 = docs.alias("d1").hint("shuffle_hash")
     d2 = docs.alias("d2").hint("shuffle_hash")
     shared = F.size(F.array_intersect(F.col("d1.hs"), F.col("d2.hs")))

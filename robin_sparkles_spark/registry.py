@@ -306,7 +306,15 @@ GATE_FRONT: tuple[str, ...] = (
     # occurrence-count stage moved from a value-keyed window to
     # groupBy+join-back partial aggregation. Unlike dispatch-gated
     # changes, this executes at EVERY SF, so all three re-gate even
-    # though dedup_containment/docs_line_dedup are r13-green:
+    # though dedup_containment/docs_line_dedup are r13-green.
+    # [late-r14 note: containment's PREFIX arm also gained the
+    # q-prefix hit-count bound (L+1 rarest indexed, ≥2 shared
+    # required when ⌈τ|A|⌉ ≥ 2 — 100× verify candidates 6.905M →
+    # 83,163, lossless, SCALE.md r14). Dispatch-gated above 20k docs,
+    # so gate-SF plans run the full-index arm either way; the prefix
+    # arm is pinned by the bitwise prefix==full parity pytest, and
+    # dedup_containment re-gates this round regardless via the
+    # df-window replan above:]
     "dedup_ngram_jaccard",
     "dedup_containment",
     "docs_line_dedup",

@@ -162,3 +162,58 @@ def test_media_100x_single_trigger_amortizes(media_100x):
         f"100× media drain: 10-trigger {many:.2f}s vs single-trigger "
         f"{single:.2f}s — amortization below 2×"
     )
+
+
+# r14 (VERDICT r13 #5): the AUDIO drain and the VIDEO incremental at
+# 100×, mirroring the image/media gates above. Measured r14
+# (local[32], min of 2): audio batch twin 6.98 s, mfpt 40 drain
+# 19.6 s, mfpt 400 drain 4.98 s (3.9× amortization), 23,715 verdicts /
+# 10,373 dups identical at every slicing; video (30k clips, 479k
+# frames) batch 21.0 s vs 10-slice foreachBatch-shaped drain 49.9 s
+# (17,786 verdicts / 7,714 dups, sliced == batch).
+
+
+@pytest.fixture(scope="module")
+def audio_100x(spark):
+    return _sf100_tool().run_stream_audio(spark, reps=1)
+
+
+def test_audio_100x_stream_equals_batch(audio_100x):
+    for cell in ("mfpt_40", "mfpt_400"):
+        assert audio_100x[cell]["stream_eq_batch"], (
+            f"{cell}: drained audio verdicts diverged from the batch "
+            f"twin: {audio_100x[cell]} vs {audio_100x['batch_twin']}"
+        )
+
+
+def test_audio_100x_single_trigger_amortizes(audio_100x):
+    many = audio_100x["mfpt_40"]["wall"]
+    single = audio_100x["mfpt_400"]["wall"]
+    assert many >= 2.0 * single, (
+        f"100× audio drain: 10-trigger {many:.2f}s vs single-trigger "
+        f"{single:.2f}s — amortization below 2×"
+    )
+
+
+@pytest.fixture(scope="module")
+def video_100x(spark):
+    return _sf100_tool().run_video_incremental(spark, reps=1)
+
+
+def test_video_100x_sliced_equals_batch(video_100x):
+    """Video's streaming form is the foreachBatch shape (two chained
+    aggs — the documented single-agg streaming boundary), so the 100×
+    drain is batch-driven: 10 arrival slices against the same
+    persisted frame index with index-owned block widths must
+    reproduce the one-shot verdicts exactly."""
+    assert video_100x["sliced"]["sliced_eq_batch"], (
+        f"sliced video verdicts diverged: {video_100x['sliced']} vs "
+        f"{video_100x['batch']}"
+    )
+
+
+def test_video_100x_batch_beats_sliced(video_100x):
+    """One shot must beat 10 slices (measured 2.4×; gated at 1.3× for
+    host noise) — if this collapses, per-slice work has grown
+    corpus-sized (e.g. the index side re-derived per slice)."""
+    assert video_100x["sliced"]["wall"] >= 1.3 * video_100x["batch"]["wall"]

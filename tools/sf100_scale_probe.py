@@ -56,6 +56,7 @@ QUERIES = (
     "dedup_minhash_lsh",
     "dedup_simhash_wide",
     "dedup_ngram_jaccard",
+    "docs_line_dedup",
     "dedup_text_stream_ingest",
     "docs_search_bm25",
 )
@@ -401,6 +402,251 @@ def run_stream_media(spark, reps: int) -> dict:
     return out
 
 
+
+
+def _media_probe_tool():
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "media_dedup_scale_probe",
+        os.path.join(REPO, "tools", "media_dedup_scale_probe.py"),
+    )
+    probe = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(probe)
+    return probe
+
+
+def run_stream_audio(spark, reps: int) -> dict:
+    """The AUDIO twin of ``run_stream_media`` (VERDICT r13 #5): the
+    readStream fingerprint-ingest drain at a 100x corpus - 40,000
+    base clips (~51k rows with variants) through the real WAV
+    synthesizer, arrivals re-sharded to 400 files, index persisted
+    once (multi-file). Drained at maxFilesPerTrigger 40 and 400; the
+    drained verdicts must equal the batch twin's at every slicing."""
+    from pyspark.sql import functions as F
+
+    from robin_sparkles_spark.operators.audio_dedup import (
+        _aud_in_index,
+        audio_fingerprints_over,
+    )
+    from robin_sparkles_spark.streaming.media_ingest import (
+        audio_ingest_dedup_stream,
+    )
+
+    probe = _media_probe_tool()
+    corpus_path = probe._stage(spark, "audio", 40_000)
+    corpus = spark.read.parquet(corpus_path)
+    n_clips = corpus.count()
+
+    os.makedirs(SF100_DIR, exist_ok=True)
+    arrivals = os.path.join(SF100_DIR, "audio_arrivals_100x")
+    index = os.path.join(SF100_DIR, "audio_index_100x")
+    if not os.path.exists(os.path.join(arrivals, "_SUCCESS")):
+        corpus.where(~_aud_in_index()).repartition(400, "aud_id").write.mode(
+            "overwrite"
+        ).parquet(arrivals)
+    if not os.path.exists(os.path.join(index, "_SUCCESS")):
+        audio_fingerprints_over(corpus.where(_aud_in_index())).repartition(
+            8
+        ).write.mode("overwrite").parquet(index)
+
+    index_hashes = spark.read.parquet(index)
+    schema = spark.read.parquet(arrivals).schema
+    out = {}
+    t0 = time.monotonic()
+    batch = audio_ingest_dedup_stream(
+        spark.read.parquet(arrivals), index_hashes, n_clips
+    )
+    batch_rows = batch.count()
+    batch_dups = batch.where(F.col("is_dup")).count()
+    out["batch_twin"] = {
+        "wall": round(time.monotonic() - t0, 3),
+        "rows": batch_rows,
+        "dups": batch_dups,
+    }
+    print(f"PHASE batch_twin: {json.dumps(out['batch_twin'])}", file=sys.stderr)
+
+    for mfpt in (40, 400):
+        walls, rows, dups = [], None, None
+        for rep in range(reps):
+            stream = (
+                spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", mfpt)
+                .parquet(arrivals)
+            )
+            res = audio_ingest_dedup_stream(stream, index_hashes, n_clips)
+            name = f"a100_{mfpt}_{rep}"
+            t0 = time.monotonic()
+            q = (
+                res.writeStream.outputMode("complete")
+                .format("memory")
+                .queryName(name)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+            walls.append(round(time.monotonic() - t0, 3))
+            rows = spark.sql(f"SELECT count(*) FROM {name}").first()[0]
+            dups = spark.sql(
+                f"SELECT count(*) FROM {name} WHERE is_dup"
+            ).first()[0]
+        out[f"mfpt_{mfpt}"] = {
+            "wall": min(walls),
+            "triggers": -(-400 // mfpt),
+            "rows": rows,
+            "dups": dups,
+            "stream_eq_batch": rows == batch_rows and dups == batch_dups,
+        }
+        print(
+            f"PHASE mfpt_{mfpt}: {json.dumps(out[f'mfpt_{mfpt}'])}",
+            file=sys.stderr,
+        )
+    return out
+
+
+def _video_verdicts(spark, new_frames, index_frames, counts, widths):
+    """The dedup_video_incremental verdict pipeline over explicit
+    frame tables with FIXED widths (index-owned, as production would
+    key them) - frame pairs -> matched rollup -> half-the-shorter
+    rule -> per-new-clip argmax -> sentinel left join."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from robin_sparkles_spark.operators.dedup import (
+        hamming_blocked_pairs_between,
+    )
+    from robin_sparkles_spark.operators.video_dedup import (
+        FID_STRIDE,
+        FRAME_MAX_HAMMING,
+    )
+
+    fp = hamming_blocked_pairs_between(
+        new_frames,
+        index_frames,
+        widths,
+        FRAME_MAX_HAMMING,
+        id_col="fid",
+        hash_col="fhash",
+        out_cols=("fid1", "fid2", "hamming"),
+    )
+    matched = (
+        fp.select(
+            (F.col("fid1") / FID_STRIDE).cast("long").alias("new_vid"),
+            (F.col("fid2") / FID_STRIDE).cast("long").alias("index_vid"),
+        )
+        .groupBy("new_vid", "index_vid")
+        .agg(F.count(F.lit(1)).alias("matched_frames"))
+    )
+    c1 = counts.select(
+        F.col("vid_id").alias("new_vid"), F.col("n_frames").alias("n1")
+    )
+    c2 = counts.select(
+        F.col("vid_id").alias("index_vid"), F.col("n_frames").alias("n2")
+    )
+    qual = (
+        matched.join(F.broadcast(c1), "new_vid")
+        .join(F.broadcast(c2), "index_vid")
+        .where(F.col("matched_frames") * 2 >= F.least(F.col("n1"), F.col("n2")))
+    )
+    w = W.partitionBy("new_vid").orderBy(
+        F.desc("matched_frames"), F.asc("index_vid")
+    )
+    best = (
+        qual.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("new_vid", "index_vid", "matched_frames")
+    )
+    batch = new_frames.select(
+        (F.col("fid") / FID_STRIDE).cast("long").alias("vid_id")
+    ).distinct()
+    return batch.join(best, batch.vid_id == best.new_vid, "left").select(
+        "vid_id",
+        F.coalesce(F.col("index_vid"), F.lit(-1)).cast("long").alias("dup_of"),
+        F.coalesce(F.col("matched_frames"), F.lit(0))
+        .cast("long")
+        .alias("matched_frames"),
+        F.col("index_vid").isNotNull().alias("is_dup"),
+    )
+
+
+def run_video_incremental(spark, reps: int, n_base: int = 30_000) -> dict:
+    """The VIDEO incremental path at 100x (VERDICT r13 #5): 30,000
+    base clips (100x the fixture's 300) through the real TIFF
+    synthesizer. Video's streaming form is the foreachBatch shape
+    (two chained aggregations - the documented single-agg streaming
+    boundary, video_dedup.py), so the drain is batch-driven: the NEW
+    half is applied in 10 slices and in one shot against the SAME
+    persisted frame index with index-owned block widths; the union of
+    sliced verdicts must equal the one-shot batch (per-clip verdicts
+    depend only on clip + index, so slicing is semantics-free - the
+    invariance test_media_100x checks through a real readStream)."""
+    from pyspark.sql import functions as F
+
+    from robin_sparkles_spark.functions.barrier import barrier
+    from robin_sparkles_spark.operators.video_dedup import (
+        FID_STRIDE,
+        _vid_in_index,
+        _video_block_widths,
+        video_frame_hashes_over,
+    )
+
+    probe = _media_probe_tool()
+    corpus_path = probe._stage(spark, "video", n_base)
+    corpus = spark.read.parquet(corpus_path)
+
+    os.makedirs(SF100_DIR, exist_ok=True)
+    frames_path = os.path.join(SF100_DIR, "video_frames_100x")
+    if not os.path.exists(os.path.join(frames_path, "_SUCCESS")):
+        video_frame_hashes_over(corpus).repartition(32).write.mode(
+            "overwrite"
+        ).parquet(frames_path)
+    frames = spark.read.parquet(frames_path)
+    n_frames_total = frames.count()
+    widths = _video_block_widths(n_frames_total)
+    counts = barrier(
+        frames.groupBy("vid_id").agg(F.count(F.lit(1)).alias("n_frames")),
+        "vocab",
+        "video 100x frame counts",
+    )
+    index_frames = frames.where(_vid_in_index())
+    new_frames = frames.where(~_vid_in_index())
+
+    out = {"n_frames": n_frames_total, "widths": list(widths)}
+    t0 = time.monotonic()
+    batch = _video_verdicts(spark, new_frames, index_frames, counts, widths)
+    batch_rows = batch.count()
+    batch_dups = batch.where(F.col("is_dup")).count()
+    out["batch"] = {
+        "wall": round(time.monotonic() - t0, 3),
+        "rows": batch_rows,
+        "dups": batch_dups,
+    }
+    print(f"PHASE batch: {json.dumps(out['batch'])}", file=sys.stderr)
+
+    n_slices = 10
+    walls = []
+    for rep in range(reps):
+        t0 = time.monotonic()
+        rows = dups = 0
+        for s in range(n_slices):
+            sl = new_frames.where(
+                (F.col("fid") / FID_STRIDE).cast("long") % n_slices == s
+            )
+            v = _video_verdicts(spark, sl, index_frames, counts, widths)
+            rows += v.count()
+            dups += v.where(F.col("is_dup")).count()
+        walls.append(round(time.monotonic() - t0, 3))
+    out["sliced"] = {
+        "wall": min(walls),
+        "slices": n_slices,
+        "rows": rows,
+        "dups": dups,
+        "sliced_eq_batch": rows == batch_rows and dups == batch_dups,
+    }
+    print(f"PHASE sliced: {json.dumps(out['sliced'])}", file=sys.stderr)
+    return out
+
+
 def main() -> int:
     copies = (
         int(sys.argv[sys.argv.index("--copies") + 1])
@@ -427,6 +673,10 @@ def main() -> int:
         result = run_embeddings(spark, copies, reps)
     elif "--stream-media" in sys.argv:
         result = run_stream_media(spark, reps)
+    elif "--stream-audio" in sys.argv:
+        result = run_stream_audio(spark, reps)
+    elif "--video-incremental" in sys.argv:
+        result = run_video_incremental(spark, reps)
     elif "--stream" in sys.argv:
         result = run_stream(spark, copies, reps)
     else:
