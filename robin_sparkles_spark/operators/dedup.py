@@ -370,53 +370,34 @@ def _ngram_jaccard_full_index(
     )
 
 
-def _ngram_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PREFIX FILTERING (r12): only each document's
-    L = |A| − ⌈τ·|A|⌉ + 1 rarest shingles (global (df, h) order) are
-    indexed for the candidate join. Lossless by the prefix-filter
-    theorem (Chaudhuri/Bayardo/Xiao): if J(A,B) ≥ τ then
-    |A∩B| ≥ τ·|A∪B| ≥ τ·max(|A|,|B|), and the smallest shared
-    shingle under the global order must sit inside BOTH prefixes —
-    else one side alone would contain ≥ |A|−L+1 = ⌈τ|A|⌉ non-shared
-    elements below it, contradicting the overlap bound. τ = 4/5, so
-    the prefix length is integer-exact: sz − (4·sz + 4) DIV 5 + 1.
-    Candidates additionally pass two more LOSSLESS prunes before the
-    exact verify (the verify join is the measured wall at 500k docs —
-    r13 stage profile):
+def _ngram_prefix_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate (doc1, doc2) pairs of the prefix plan — factored out
+    so probes can count candidates directly. Three LOSSLESS prunes
+    compose before the exact verify:
 
-    - size-ratio: J ≤ min/max → 5·min(sz) ≥ 4·max(sz);
-    - POSITIONAL filter (r13; Xiao/Wang/Lin/Yu's PPJoin bound):
-      J ≥ τ needs overlap α = ⌈τ/(1+τ)·(|A|+|B|)⌉ = ⌈4(|A|+|B|)/9⌉,
-      and at the pair's minimal shared element w (global (df, h)
-      order; 1-based positions i, j within each doc's full capped
-      set) overlap ≤ 1 + min(|A|−i, |B|−j) — nothing below w is
-      shared. w is findable from prefix rows alone: any shared
-      element smaller than the minimal PREFIX-shared one would
-      itself sort into both prefixes (a prefix is its doc's
-      smallest-L elements), contradiction — so the per-pair
-      struct-min over joined prefix rows IS w. Pairs whose bound
-      can't reach α (integer-exact: 9·(1 + min(szA−i, szB−j)) <
-      4·(szA+szB)) never reach the verify join. Measured at 500k
-      docs: 4.35M → 1.28M candidates (3.4×), full-query wall ~2×
-      down at the measured draw (64.2 → 32.7 s best-of-reps on a
-      loaded host), output identical (25,600 pairs).
-
-    Survivors verify EXACTLY via sorted capped-set arrays
-    (array_intersect) — same values, same double arithmetic as the
-    full-index form."""
+    - q-PREFIX (r14, the containment precedent): both sides index
+      their L + 1 rarest elements (one past the minimal prefix) and a
+      pair must share ≥ 2 of them whenever ⌈τ·max(|A|,|B|)⌉ ≥ 2.
+      Lossless: J ≥ τ ⇒ overlap s ≥ ⌈τ·max⌉, and each doc has at
+      most |X| − s ≤ L_X − 1 non-shared elements among its rarest
+      L_X + 1 — so ≥ 2 shared land in BOTH extended prefixes. hits
+      counts distinct shared elements (per-doc shingles are a set).
+    - size-ratio: J ≤ min/max → 5·min(sz) ≥ 4·max(sz), a join-time
+      predicate.
+    - POSITIONAL (r13; PPJoin): the per-pair struct-min over joined
+      prefix rows IS the pair's globally minimal shared element (any
+      smaller shared element would itself sort into both prefixes —
+      the argument is prefix-length-independent, so it survives the
+      q-prefix extension), and overlap ≤ 1 + min(|A|−i, |B|−j) at its
+      positions must reach α = ⌈4(|A|+|B|)/9⌉."""
     sh = _df_capped_shingle_rows(spark, sf_dir, keep_df=True)
-    # per-doc verify payload: the capped shingle SET as a sorted array
-    docs = sh.groupBy("doc_id").agg(
-        F.sort_array(F.collect_list("h")).alias("hs"),
-        F.count("*").alias("sz"),
-    )
     # rarest-first prefix per doc; one doc_id exchange serves both
     # windows (row_number and the size count share partitioning)
     wd = W.partitionBy("doc_id")
     prefix = (
         sh.withColumn("rn", F.row_number().over(wd.orderBy("df", "h")))
         .withColumn("sz", F.count(F.lit(1)).over(wd))
-        .where(F.expr("rn <= sz - (4 * sz + 4) DIV 5 + 1"))
+        .where(F.expr("rn <= sz - (4 * sz + 4) DIV 5 + 2"))
         .select("doc_id", "df", "h", "sz", "rn")
     )
     # Every join below is corpus × corpus. Catalyst's size estimates
@@ -437,7 +418,7 @@ def _ngram_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("b.rn").alias("j"),
         )
     ).alias("m")
-    cands = (
+    return (
         a.join(
             b,
             (F.col("a.h") == F.col("b.h"))
@@ -453,7 +434,13 @@ def _ngram_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("a.sz").alias("sa"),
             F.col("b.sz").alias("sb"),
         )
-        .agg(w_min)
+        .agg(w_min, F.count(F.lit(1)).alias("hits"))
+        .where(
+            F.col("hits")
+            >= F.when(
+                F.greatest(F.col("sa"), F.col("sb")) >= 2, F.lit(2)
+            ).otherwise(F.lit(1))
+        )
         .where(
             9
             * (
@@ -466,6 +453,27 @@ def _ngram_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc1", "doc2")
     )
+
+
+def _ngram_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PREFIX-FILTERED plan (r12; Chaudhuri/Bayardo/Xiao): only each
+    document's rarest shingles (global (df, h) order) are indexed for
+    the candidate join — τ = 4/5 makes every bound integer-exact.
+    Candidate pruning history, all LOSSLESS and all measured at the
+    500k-doc probe: r12 prefix (Σdf² → 4.35M verify candidates), r13
+    size-ratio + PPJoin positional (→ 1.28M), r14 q-prefix hit bound
+    (→ 57,769; full-query wall 22.0 → 17.3 s, output identical
+    25,600 pairs) — theorems and expressions live in
+    ``_ngram_prefix_candidates``. Survivors verify EXACTLY via sorted
+    capped-set arrays (array_intersect) — same values, same double
+    arithmetic as the full-index form."""
+    sh = _df_capped_shingle_rows(spark, sf_dir, keep_df=True)
+    # per-doc verify payload: the capped shingle SET as a sorted array
+    docs = sh.groupBy("doc_id").agg(
+        F.sort_array(F.collect_list("h")).alias("hs"),
+        F.count("*").alias("sz"),
+    )
+    cands = _ngram_prefix_candidates(spark, sf_dir)
     d1 = docs.alias("d1").hint("shuffle_hash")
     d2 = docs.alias("d2").hint("shuffle_hash")
     inter = F.size(F.array_intersect(F.col("d1.hs"), F.col("d2.hs")))

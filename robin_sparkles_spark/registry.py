@@ -314,7 +314,12 @@ GATE_FRONT: tuple[str, ...] = (
     # so gate-SF plans run the full-index arm either way; the prefix
     # arm is pinned by the bitwise prefix==full parity pytest, and
     # dedup_containment re-gates this round regardless via the
-    # df-window replan above:]
+    # df-window replan above. The SAME q-prefix bound landed in
+    # dedup_ngram_jaccard's prefix arm (both sides extended by one,
+    # ≥2 hits when ⌈τ·max⌉ ≥ 2 — 100× candidates 1.28M → 57,769,
+    # Hypothesis bruteforce parity green), likewise dispatch-gated
+    # above NGRAM_PREFIX_MIN_DOCS and likewise re-gating via the
+    # df-window replan:]
     "dedup_ngram_jaccard",
     "dedup_containment",
     "docs_line_dedup",
