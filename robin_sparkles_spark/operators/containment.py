@@ -275,8 +275,8 @@ def _prefix_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     # orders, and the inner's prefix holds its globally RAREST
     # shingles, which therefore also rank early in the outer's (df, h)
     # order — the j-side constraint almost never bites. The q-prefix
-    # hit-count bound above is the lever that does bite (measured in
-    # SCALE.md r14).
+    # hit-count bound in the groupBy below is the lever that DOES bite
+    # (6.905M → 83,163 measured; SCALE.md r14).
     return (
         joined.groupBy(
             F.col("a.doc_id").alias("inner_doc"),
