@@ -98,3 +98,47 @@ def test_prefix_plan_matches_full_index_bitwise(spark, sf_dir):
     }
     assert pref == full
     assert full  # non-vacuous: the planted pairs are in there
+
+
+def test_prefix_parity_on_tiny_shingle_sets(spark, tmp_path):
+    """q-prefix edge coverage (r14): docs with sz = 1 (exactly 3
+    words) and sz = 2 (4 words) exercise the ⌈τ|A|⌉ < 2 fallback —
+    the ≥2-hit rule must relax to 1 hit for singleton sets or true
+    pairs vanish. Synthetic corpus with exact copies and an embedded
+    superset; prefix arm must equal full-index arm bitwise."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    texts = [
+        "alpha beta gamma",                      # sz=1
+        "alpha beta gamma",                      # exact copy -> containment 1.0
+        "alpha beta gamma delta",                # sz=2, contains the 3-gram above
+        "epsilon zeta eta theta iota",           # sz=3, unrelated
+        "alpha beta gamma delta epsilon zeta",   # superset of both above
+        "mu nu",                                 # < 3 words: no shingles at all
+    ]
+    pdf = pd.DataFrame(
+        {
+            "doc_id": range(len(texts)),
+            "text": texts,
+            "lang": ["en"] * len(texts),
+            "source": ["gen"] * len(texts),
+            "n_chars": [len(t) for t in texts],
+        }
+    )
+    pq.write_table(pa.Table.from_pandas(pdf), f"{tmp_path}/documents.parquet")
+    sf = str(tmp_path)
+    full = {
+        (r.inner_doc, r.outer_doc, r.containment)
+        for r in C._containment_full_index(spark, sf).collect()
+    }
+    pref = {
+        (r.inner_doc, r.outer_doc, r.containment)
+        for r in C._containment_prefix(spark, sf).collect()
+    }
+    assert pref == full
+    # non-vacuous: the sz=1 exact copy and the embedded sz=1 -> sz=2
+    # containments must both be present with containment 1.0
+    assert (0, 1, 1.0) in full
+    assert (0, 2, 1.0) in full
