@@ -370,6 +370,25 @@ def _ngram_jaccard_full_index(
     )
 
 
+def _ngram_doc_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc capped shingle set as ONE (df, h)-sorted struct array:
+    (doc_id, arr, sz) — the single groupBy(doc_id) pass both the
+    prefix index and the verify payload derive from (the payload's
+    h-sorted array is a transform of this one, no second shuffle).
+    Wide rows are bounded by document size — the same payload bound
+    the verify join has always carried."""
+    return (
+        _df_capped_shingle_rows(spark, sf_dir, keep_df=True)
+        .groupBy("doc_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("df", "h"))
+            ).alias("arr")
+        )
+        .withColumn("sz", F.size("arr"))
+    )
+
+
 def _ngram_prefix_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Candidate (doc1, doc2) pairs of the prefix plan — factored out
     so probes can count candidates directly. Three LOSSLESS prunes
@@ -390,15 +409,28 @@ def _ngram_prefix_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
       the argument is prefix-length-independent, so it survives the
       q-prefix extension), and overlap ≤ 1 + min(|A|−i, |B|−j) at its
       positions must reach α = ⌈4(|A|+|B|)/9⌉."""
-    sh = _df_capped_shingle_rows(spark, sf_dir, keep_df=True)
-    # rarest-first prefix per doc; one doc_id exchange serves both
-    # windows (row_number and the size count share partitioning)
-    wd = W.partitionBy("doc_id")
-    prefix = (
-        sh.withColumn("rn", F.row_number().over(wd.orderBy("df", "h")))
-        .withColumn("sz", F.count(F.lit(1)).over(wd))
-        .where(F.expr("rn <= sz - (4 * sz + 4) DIV 5 + 2"))
-        .select("doc_id", "df", "h", "sz", "rn")
+    # rarest-first prefix per doc, derived from ONE groupBy(doc_id)
+    # aggregation (r14 stage profile: the former two-window form cost
+    # ~7 s of the 21 s 100× wall on the 26M-row index; the aggregated
+    # array form shares its doc_id exchange with the verify payload
+    # and sorts per group instead of per partition). rn == array
+    # position because (df, h) is strictly ordered within a doc
+    # (per-doc shingles are distinct), so the positional-filter
+    # semantics are unchanged.
+    prefix = _ngram_doc_arrays(spark, sf_dir).select(
+        "doc_id",
+        "sz",
+        F.posexplode(
+            F.slice(
+                F.col("arr"), 1, F.expr("sz - (4 * sz + 4) DIV 5 + 2")
+            )
+        ).alias("pos", "e"),
+    ).select(
+        "doc_id",
+        F.col("e.df").alias("df"),
+        F.col("e.h").alias("h"),
+        "sz",
+        (F.col("pos") + 1).alias("rn"),
     )
     # Every join below is corpus × corpus. Catalyst's size estimates
     # under the window/explode chain are blind to the real cardinality
@@ -467,11 +499,15 @@ def _ngram_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``_ngram_prefix_candidates``. Survivors verify EXACTLY via sorted
     capped-set arrays (array_intersect) — same values, same double
     arithmetic as the full-index form."""
-    sh = _df_capped_shingle_rows(spark, sf_dir, keep_df=True)
-    # per-doc verify payload: the capped shingle SET as a sorted array
-    docs = sh.groupBy("doc_id").agg(
-        F.sort_array(F.collect_list("h")).alias("hs"),
-        F.count("*").alias("sz"),
+    # per-doc verify payload: the capped shingle SET as an h-sorted
+    # array — a pure transform of the shared doc-array aggregation
+    # (one groupBy serves payload AND prefix; r14 stage profile)
+    docs = _ngram_doc_arrays(spark, sf_dir).select(
+        "doc_id",
+        F.array_sort(
+            F.transform(F.col("arr"), lambda e: e["h"])
+        ).alias("hs"),
+        F.col("sz").cast("long").alias("sz"),
     )
     cands = _ngram_prefix_candidates(spark, sf_dir)
     d1 = docs.alias("d1").hint("shuffle_hash")
