@@ -172,9 +172,11 @@ EXTENDED = [
     # late r11: hashed-linear quality-classifier inference
     "quality_classifier_score",
     # new r14: cross-modal retrieval (text query → image ANN over the
-    # shared memoized IVF fit) + its declared recall gate
+    # shared memoized IVF fit) + its declared recall gate, and the
+    # Gopher-style per-domain document cap
     "crossmodal_text_image_topk",
     "crossmodal_paired_recall",
+    "docs_domain_capped_sample",
     # new r13: embedded-document (containment) dedup + C4-style
     # cross-document line dedup
     "dedup_containment",

@@ -337,7 +337,8 @@ GATE_FRONT: tuple[str, ...] = (
     # below their caps — no gated query ever executes it; pinned by
     # test_nested_salted_sample_composes instead.]
     # r10-last-green fill, registry order; the last nine r10 names
-    # (q18_large_quantity_orders, q19_disjunctive_revenue,
+    # (q13_order_count_distribution,
+    # q18_large_quantity_orders, q19_disjunctive_revenue,
     # q22_idle_balance_by_segment, q4_late_shipment_priority,
     # orders_monthly_gapfill, ngram_maximal_spans,
     # ngram_backoff_score, pq_rerank_topk, pq_recall_at_k) defer to
@@ -368,10 +369,12 @@ GATE_FRONT: tuple[str, ...] = (
     "dedup_canonical_keepers",
     "q7_nation_trade_flows",
     "q8_nation_market_share",
-    "q13_order_count_distribution",
-    # new r14 queries — first driver rows (the two held slots):
+    # (q13_order_count_distribution displaced to the r15 fill by the
+    # third new r14 query below)
+    # new r14 queries — first driver rows:
     "crossmodal_text_image_topk",
     "crossmodal_paired_recall",
+    "docs_domain_capped_sample",
 )
 _R13_WINDOW: tuple[str, ...] = (
     # --- ROUND-13 ROTATION (this window; executes the note written at

@@ -584,3 +584,29 @@ def test_no_value_keyed_df_windows(spark, sf_dir):
         a = audit_plan(df)
         bad = _value_keyed_windows(a.formatted, cols)
         assert not bad, f"{name}: value-keyed window(s): {bad}"
+
+
+def test_domain_cap_uses_window_group_limit(spark, sf_dir):
+    """The per-domain cap's scale claim, machine-checked: the
+    row_number() <= K window must compile to WindowGroupLimit (Spark's
+    partial per-mapper top-K), so a mega-domain can't flood one task —
+    the hot-key-SAFE window shape, in contrast to the df-count windows
+    r14 removed. Also: deterministic output (two runs identical) and
+    the cap actually binds on the fixture."""
+    from robin_sparkles_spark.operators import text_analysis as T
+
+    df = T.docs_domain_capped_sample(spark, sf_dir)
+    a = audit_plan(df)
+    assert "WindowGroupLimit" in a.formatted, a.formatted
+    assert not a.has_python_eval
+    rows = {(r.doc_id, r.source, r.rank_in_domain) for r in df.collect()}
+    rows2 = {
+        (r.doc_id, r.source, r.rank_in_domain)
+        for r in T.docs_domain_capped_sample(spark, sf_dir).collect()
+    }
+    assert rows == rows2
+    per_src = {}
+    for _, src, _rk in rows:
+        per_src[src] = per_src.get(src, 0) + 1
+    assert max(per_src.values()) <= T.DOMAIN_CAP
+    assert max(per_src.values()) == T.DOMAIN_CAP  # the cap binds
