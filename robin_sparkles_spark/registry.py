@@ -283,6 +283,18 @@ def _collect() -> dict[str, QuerySpec]:
 # names, the r12 replans (epoch-shuffle seed, BPE 32 merges, adaptive
 # band-bits, centroid-TABLE assign), and 22 of the 40 r8-stale names;
 # the last 18 r8 names deferred to this r13 fill.
+# ROUND-15 ROTATION (write it at the start of r15): rotate out the 50
+# GATE_FRONT names below once CORRECTNESS_r14 comes back green. Fill
+# order: the ten r10-last-green names deferred from this window
+# (q13_order_count_distribution, q18_large_quantity_orders,
+# q19_disjunctive_revenue, q22_idle_balance_by_segment,
+# q4_late_shipment_priority, orders_monthly_gapfill,
+# ngram_maximal_spans, ngram_backoff_score, pq_rerank_topk,
+# pq_recall_at_k), then the oldest r11-last-green block in registry
+# order; plus, as always, anything whose plan or oracle changes in r15
+# and any newly added queries. `tools/gate_check.py --stale N` (new
+# r14) computes exactly this staleness ranking from CORRECTNESS
+# history — use it to cross-check the hand-written fill.
 GATE_FRONT: tuple[str, ...] = (
     # --- ROUND-14 ROTATION (this window; executes the note written at
     # the end of r13 + VERDICT r13 #2). The fifteen r9-last-green
