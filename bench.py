@@ -177,6 +177,7 @@ EXTENDED = [
     "crossmodal_text_image_topk",
     "crossmodal_paired_recall",
     "docs_domain_capped_sample",
+    "docs_gopher_quality_flags",
     # new r13: embedded-document (containment) dedup + C4-style
     # cross-document line dedup
     "dedup_containment",

@@ -385,6 +385,121 @@ FROM ranked WHERE rn <= {DOMAIN_CAP}
 """
 
 
+# --- Gopher quality-filter battery (r14) --------------------------------------
+
+# The NAMED production rule set (Rae et al. 2021 §A1.1 — the Gopher
+# quality filters, reused by MassiveText/FineWeb-class pipelines),
+# declared as one per-document flag row so a pipeline can audit WHICH
+# rule fired, not just the keep verdict. Every rule is evaluated in
+# exact integer arithmetic (cross-multiplied thresholds — no doubles,
+# no rounding) so both engines hash identically.
+GOPHER_MIN_WORDS, GOPHER_MAX_WORDS = 50, 100_000
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def docs_gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc Gopher §A1.1 flags: word-count bounds, mean word length
+    in [3, 10], symbol-to-word ratio ('#'/'...') ≤ 0.1, ≤ 90 % bullet
+    lines, ≤ 30 % ellipsis-ended lines, ≥ 80 % words with an alphabetic
+    char, ≥ 2 distinct required stop words — and the conjunction as
+    ``keep``. Pure Catalyst higher-order functions, one projection —
+    map-only, no shuffle at all."""
+    d = load_table(spark, sf_dir, "documents")
+    words = F.filter(F.split(F.col("text"), " "), lambda w: F.length(w) > 0)
+    lines = F.filter(F.split(F.col("text"), "\n"), lambda l: F.length(l) > 0)
+    n_words = F.size(words)
+    n_lines = F.size(lines)
+    sum_len = F.aggregate(
+        words, F.lit(0).cast("long"), lambda a, w: a + F.length(w)
+    )
+    n_alpha = F.size(F.filter(words, lambda w: w.rlike("[A-Za-z]")))
+    n_hash = F.length("text") - F.length(F.expr("replace(text, '#', '')"))
+    n_ell = (
+        F.length("text") - F.length(F.expr("replace(text, '...', '')"))
+    ) / 3
+    n_sym = (n_hash + n_ell).cast("long")
+    n_bullet = F.size(F.filter(lines, lambda l: l.rlike("^[-*•]")))
+    n_ell_end = F.size(
+        F.filter(lines, lambda l: l.rlike("(\\.\\.\\.|…)$"))
+    )
+    n_stop = F.size(
+        F.array_intersect(
+            F.array_distinct(words),
+            F.array(*[F.lit(s) for s in GOPHER_STOPWORDS]),
+        )
+    )
+    flags = {
+        "wc_ok": (n_words >= GOPHER_MIN_WORDS)
+        & (n_words <= GOPHER_MAX_WORDS),
+        "mwl_ok": (sum_len >= 3 * n_words) & (sum_len <= 10 * n_words),
+        "symbol_ok": 10 * n_sym <= n_words,
+        "bullet_ok": 10 * n_bullet <= 9 * n_lines,
+        "ellipsis_ok": 10 * n_ell_end <= 3 * n_lines,
+        "alpha_ok": 10 * n_alpha >= 8 * n_words,
+        "stopword_ok": n_stop >= 2,
+    }
+    keep = None
+    for c in flags.values():
+        keep = c if keep is None else (keep & c)
+    return d.select(
+        "doc_id",
+        n_words.cast("long").alias("n_words"),
+        # emitted as a value (not just the >= 2 flag): the fixture's
+        # synthetic vocabulary contains only "the" from the canonical
+        # set, so stopword_ok is uniformly false there (correct — the
+        # corpus is not natural English and Gopher would drop it);
+        # n_stop keeps the column hash-sensitive per doc.
+        n_stop.cast("long").alias("n_stop"),
+        *[c.alias(name) for name, c in flags.items()],
+        keep.alias("keep"),
+    )
+
+
+def _docs_gopher_quality_sql() -> str:
+    stop = ", ".join(f"'{s}'" for s in GOPHER_STOPWORDS)
+    return f"""
+WITH base AS (
+  SELECT doc_id, text,
+         list_filter(string_split(text, ' '), w -> len(w) > 0) AS words,
+         list_filter(string_split(text, chr(10)), l -> len(l) > 0) AS lines
+  FROM documents
+),
+m AS (
+  SELECT doc_id,
+         len(words) AS n_words,
+         len(lines) AS n_lines,
+         list_reduce(list_prepend(CAST(0 AS BIGINT),
+                     list_transform(words, w -> CAST(len(w) AS BIGINT))),
+                     (a, x) -> a + x) AS sum_len,
+         len(list_filter(words, w -> regexp_matches(w, '[A-Za-z]'))) AS n_alpha,
+         CAST((len(text) - len(replace(text, '#', '')))
+              + (len(text) - len(replace(text, '...', ''))) / 3 AS BIGINT) AS n_sym,
+         len(list_filter(lines, l -> regexp_matches(l, '^[-*•]'))) AS n_bullet,
+         len(list_filter(lines, l -> regexp_matches(l, '(\\.\\.\\.|…)$'))) AS n_ell_end,
+         len(list_intersect(list_distinct(words), [{stop}])) AS n_stop
+  FROM base
+)
+SELECT doc_id,
+       CAST(n_words AS BIGINT) AS n_words,
+       CAST(n_stop AS BIGINT) AS n_stop,
+       (n_words >= {GOPHER_MIN_WORDS} AND n_words <= {GOPHER_MAX_WORDS}) AS wc_ok,
+       (sum_len >= 3 * n_words AND sum_len <= 10 * n_words) AS mwl_ok,
+       (10 * n_sym <= n_words) AS symbol_ok,
+       (10 * n_bullet <= 9 * n_lines) AS bullet_ok,
+       (10 * n_ell_end <= 3 * n_lines) AS ellipsis_ok,
+       (10 * n_alpha >= 8 * n_words) AS alpha_ok,
+       (n_stop >= 2) AS stopword_ok,
+       ((n_words >= {GOPHER_MIN_WORDS} AND n_words <= {GOPHER_MAX_WORDS})
+        AND (sum_len >= 3 * n_words AND sum_len <= 10 * n_words)
+        AND (10 * n_sym <= n_words)
+        AND (10 * n_bullet <= 9 * n_lines)
+        AND (10 * n_ell_end <= 3 * n_lines)
+        AND (10 * n_alpha >= 8 * n_words)
+        AND (n_stop >= 2)) AS keep
+FROM m
+"""
+
+
 # --- PII scrubbing (library surface) ----------------------------------------
 
 # Deliberately simple, auditable patterns — production systems layer
@@ -658,6 +773,10 @@ QUERIES = {
     "docs_domain_capped_sample": (
         docs_domain_capped_sample,
         _docs_domain_capped_sql(),
+    ),
+    "docs_gopher_quality_flags": (
+        docs_gopher_quality_flags,
+        _docs_gopher_quality_sql(),
     ),
 }
 

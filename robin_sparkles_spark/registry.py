@@ -286,11 +286,12 @@ def _collect() -> dict[str, QuerySpec]:
 # ROUND-15 ROTATION (write it at the start of r15): rotate out the 50
 # GATE_FRONT names below once CORRECTNESS_r14 comes back green. Fill
 # order: the ten r10-last-green names deferred from this window
-# (q13_order_count_distribution, q18_large_quantity_orders,
-# q19_disjunctive_revenue, q22_idle_balance_by_segment,
-# q4_late_shipment_priority, orders_monthly_gapfill,
-# ngram_maximal_spans, ngram_backoff_score, pq_rerank_topk,
-# pq_recall_at_k), then the oldest r11-last-green block in registry
+# (q8_nation_market_share, q13_order_count_distribution,
+# q18_large_quantity_orders, q19_disjunctive_revenue,
+# q22_idle_balance_by_segment, q4_late_shipment_priority,
+# orders_monthly_gapfill, ngram_maximal_spans, ngram_backoff_score,
+# pq_rerank_topk, pq_recall_at_k — eleven
+# names), then the oldest r11-last-green block in registry
 # order; plus, as always, anything whose plan or oracle changes in r15
 # and any newly added queries. `tools/gate_check.py --stale N` (new
 # r14) computes exactly this staleness ranking from CORRECTNESS
@@ -380,13 +381,14 @@ GATE_FRONT: tuple[str, ...] = (
     "source_overlap_matrix",
     "dedup_canonical_keepers",
     "q7_nation_trade_flows",
-    "q8_nation_market_share",
-    # (q13_order_count_distribution displaced to the r15 fill by the
-    # third new r14 query below)
+    # (q8_nation_market_share and q13_order_count_distribution
+    # displaced to the r15 fill by the third and fourth new r14
+    # queries below)
     # new r14 queries — first driver rows:
     "crossmodal_text_image_topk",
     "crossmodal_paired_recall",
     "docs_domain_capped_sample",
+    "docs_gopher_quality_flags",
 )
 _R13_WINDOW: tuple[str, ...] = (
     # --- ROUND-13 ROTATION (this window; executes the note written at
