@@ -31,8 +31,11 @@ if REPO_ROOT not in sys.path:
 def stalest_names(n: int, registry_names: "list[str]") -> "list[str]":
     """The n registry names with the oldest last-green driver row.
     Staleness key: (last green round, registry order) — never-green
-    names get round 0. A row is green if it hash-matched, or
-    rows-matched with no error (the rows-only oracle mode)."""
+    names get round 0. A row is green if it hash-matched, or — ONLY
+    when the row carries no hash verdict at all (the rows-only oracle
+    mode) — rows-matched with no error. A row with hash_match=False
+    is a real content divergence even if the row counts agree, so it
+    must NOT refresh staleness (ADVICE r14)."""
     last: dict[str, int] = {}
     for path in glob.glob(os.path.join(REPO_ROOT, "CORRECTNESS_r*.json")):
         m = re.search(r"r(\d+)", os.path.basename(path))
@@ -43,9 +46,18 @@ def stalest_names(n: int, registry_names: "list[str]") -> "list[str]":
             rows = json.load(open(path))
         except (OSError, json.JSONDecodeError):
             continue
+        # Malformed history files (top level not a dict, or null/odd
+        # rows) are skipped rather than crashing the whole --stale
+        # selection (ADVICE r14).
+        if not isinstance(rows, dict):
+            continue
         for name, row in rows.items():
+            if not isinstance(row, dict):
+                continue
             ok = row.get("hash_match") or (
-                row.get("rows_match") and row.get("err") is None
+                row.get("hash_match") is None
+                and row.get("rows_match")
+                and row.get("err") is None
             )
             if ok:
                 last[name] = max(last.get(name, 0), rnd)
