@@ -810,23 +810,20 @@ def _embeddings_k(spark: SparkSession, sf_dir: str) -> int:
     return k
 
 
-def embedding_similar_pairs_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Similar pairs at the WEAK τ = 0.40 via learned-cell blocking —
-    the production alternative to sign-LSH banding where wide hash
-    keys collapse recall (SCALE.md band-key note: p≈0.63 per bit at
-    this τ). BOTH sides multi-probe their ``SIMILAR_IVF_NPROBE``
-    nearest k-means cells, so a pair becomes a candidate iff the
-    probe sets intersect; the exact cosine verifies candidates only.
-
-    Scale contract: candidates ∝ Σ_cells (P·|cell|)²; |cell| is held
-    ~constant by growing k with the corpus (the SemDeDup adaptive-k
-    rule — here k is the shared fixture fit), so the pair scan stays
-    ~linear at fixed P, vs the banded form's N²/2^band_bits term.
-    Recall (measured vs the exact all-pairs twin in
-    tests/test_clustering.py) is the P knob, same as ann_ivf_topk's
-    nprobe curve."""
-    from .dedup import COSINE_SIMILAR_THRESHOLD
-
+def ivf_pair_candidates(
+    spark: SparkSession, sf_dir: str
+) -> "tuple[DataFrame, DataFrame]":
+    """The candidate stage of ``embedding_similar_pairs_ivf``, factored
+    out (r15 — VERDICT r14 #1) so the scale gate can count VERIFY
+    CANDIDATES deterministically instead of gating only on wall clock:
+    candidate count is a pure function of the fitted cells + probe
+    width, immune to box load, and it is the quantity whose growth the
+    gate exists to catch (fixed k → quadratic candidates). Returns
+    ``(base, cands)`` — the deduped unit-vector table and the distinct
+    (vec1 < vec2) candidate pairs; the caller adds the exact-cosine
+    verify. The plan is byte-identical to the pre-factoring inline
+    form (pure code motion — the declared query re-gates this round
+    regardless, per the bit-identical-replan precedent)."""
     k = _embeddings_k(spark, sf_dir)
     base = (
         _vectors(spark, sf_dir)
@@ -863,6 +860,27 @@ def embedding_similar_pairs_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.vec_id").alias("vec1"), F.col("b.vec_id").alias("vec2"))
         .distinct()
     )
+    return base, cands
+
+
+def embedding_similar_pairs_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Similar pairs at the WEAK τ = 0.40 via learned-cell blocking —
+    the production alternative to sign-LSH banding where wide hash
+    keys collapse recall (SCALE.md band-key note: p≈0.63 per bit at
+    this τ). BOTH sides multi-probe their ``SIMILAR_IVF_NPROBE``
+    nearest k-means cells, so a pair becomes a candidate iff the
+    probe sets intersect; the exact cosine verifies candidates only.
+
+    Scale contract: candidates ∝ Σ_cells (P·|cell|)²; |cell| is held
+    ~constant by growing k with the corpus (the SemDeDup adaptive-k
+    rule — here k is the shared fixture fit), so the pair scan stays
+    ~linear at fixed P, vs the banded form's N²/2^band_bits term.
+    Recall (measured vs the exact all-pairs twin in
+    tests/test_clustering.py) is the P knob, same as ann_ivf_topk's
+    nprobe curve."""
+    from .dedup import COSINE_SIMILAR_THRESHOLD
+
+    base, cands = ivf_pair_candidates(spark, sf_dir)
     cos = dot(F.col("e1.v"), F.col("e2.v")) / (
         F.sqrt(dot(F.col("e1.v"), F.col("e1.v")))
         * F.sqrt(dot(F.col("e2.v"), F.col("e2.v")))

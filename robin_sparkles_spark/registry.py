@@ -79,6 +79,7 @@ def _modules() -> tuple:
         embedding_dedup,
         image_dedup,
         ingest_formats,
+        gopher_repetition,
         graph,
         media_decode,
         multimodal_curation,
@@ -131,6 +132,7 @@ def _modules() -> tuple:
         similarity,
         crossmodal,
         text_analysis,
+        gopher_repetition,
         relational,
         relational2,
         relational3,
@@ -358,8 +360,16 @@ GATE_FRONT: tuple[str, ...] = (
     "dedup_audio_incremental",
     "dedup_audio_stream_ingest",
     "dedup_video_incremental",
-    "bigram_stats",
-    "dedup_text_stream_ingest",
+    # (bigram_stats and dedup_text_stream_ingest displaced to the r16
+    # fill by the r15 replan + new query below)
+    # replanned in r15 — must re-gate (the bit-identical-replan
+    # precedent): the candidate stage was factored into
+    # ivf_pair_candidates() so the scale gate can count verify
+    # candidates deterministically (VERDICT r14 #1). Pure code
+    # motion, plan byte-identical — re-gates anyway:
+    "embedding_similar_pairs_ivf",
+    # new r15 queries — first driver rows:
+    "docs_gopher_repetition_flags",
 )
 _R14_WINDOW: tuple[str, ...] = (
     # --- ROUND-14 ROTATION (executed; CORRECTNESS_r14 50/50 green).

@@ -46,9 +46,15 @@ SF01 = "/root/testdata/sf0.1"
 #   10.96× at 10× rows — linear by the adaptive-k design — and wall
 #   tracks candidates 1:1 at 10.3×; the 2.72× once recorded for it
 #   was an overhead-dominated r8 snapshot). A linear plan saturating
-#   fixed cores legitimately takes ~data-ratio× the wall, so its gate
-#   is 13× — it still fails on the quadratic failure mode (fixed k →
-#   100× candidates), which is what this gate exists to catch.
+#   fixed cores legitimately takes ~data-ratio× the wall. r15
+#   (VERDICT r14 #1 — the 13.0 ceiling flaked at 13.17 under two
+#   concurrent gate JVMs in r14): the PRIMARY gate for this family is
+#   now the deterministic verify-candidate COUNT ratio
+#   (test_ivf_pairs_candidate_count_scales_linearly below — load-
+#   immune, and it is the actual quantity the gate exists to bound);
+#   the wall ceiling here is demoted to a secondary catastrophic
+#   backstop at 16× (≥20% headroom over the worst loaded-box reading,
+#   still far under the 100×-candidate quadratic failure mode).
 PRODUCTION_GATES = {
     "dedup_minhash_lsh": 4.0,
     "dedup_simhash": 4.0,
@@ -60,7 +66,7 @@ PRODUCTION_GATES = {
     # overhead-dominated like the rest of the 4× family.
     "dedup_text_stream_ingest": 4.0,
     "embedding_dedup": 4.5,
-    "embedding_similar_pairs_ivf": 13.0,
+    "embedding_similar_pairs_ivf": 16.0,  # secondary; primary is the candidate-count gate
     "semdedup_dropped": 4.0,
     "ann_ivfpq_topk": 4.0,
     "ngram_maximal_spans": 4.0,
@@ -128,6 +134,36 @@ def test_production_path_scales_linearly(name, _timings, spark, sf1_dir):
         f"{ratio:.2f} breaches the {ceiling}× scale gate (post-retry) "
         "— a superlinear term crept into the plan (check the family's "
         "blocking keys / join pins before anything else)"
+    )
+
+
+def test_ivf_pairs_candidate_count_scales_linearly(spark, sf1_dir):
+    """r15 (VERDICT r14 #1): the PRIMARY scale gate for
+    ``embedding_similar_pairs_ivf``. The family's cost law is
+    candidates ∝ Σ_cells (P·|cell|)², held linear by growing k with
+    the corpus (adaptive-k); its failure mode is k sticking while the
+    corpus grows → candidates go quadratic (100× at 10× rows). The
+    wall-clock gate above proxies this through box-load noise (it
+    flaked at 13.17 vs 13.0 in r14 under two concurrent gate JVMs);
+    the candidate COUNT is the quantity itself and is bit-
+    deterministic for a fixed corpus + fit, so this gate cannot cry
+    wolf. Calibration: measured 0.93M → 10.2M = 10.96× at 10× rows
+    (r11 diagnosis, re-confirmed r15); ceiling 13× ≈ 1.19× headroom
+    over the structural reading vs the ~100× failure mode — and a
+    floor of 7× guards the opposite regression (a candidate COLLAPSE
+    means the fit/probe stage broke and recall silently died; the
+    audit fixture's planted pairs check recall at τ=0.9 but this
+    family's τ=0.40 organic pairs have no planted twin)."""
+    from robin_sparkles_spark.operators.clustering import ivf_pair_candidates
+
+    small = ivf_pair_candidates(spark, SF01)[1].count()
+    big = ivf_pair_candidates(spark, sf1_dir)[1].count()
+    ratio = big / max(small, 1)
+    assert 7.0 <= ratio <= 13.0, (
+        f"embedding_similar_pairs_ivf verify candidates: {big:,} @ 10× vs "
+        f"{small:,} @ 1× → ratio {ratio:.2f} outside [7, 13] — high: the "
+        "adaptive-k rule stopped tracking the corpus (quadratic verify "
+        "ahead); low: the probe stage lost candidates (recall collapse)"
     )
 
 
