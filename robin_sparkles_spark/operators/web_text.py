@@ -180,9 +180,142 @@ FROM p
 """
 
 
+# --- UT1-style URL/domain blocklist filter (r15 — VERDICT r14 #6) -----------
+# The FIRST filter every crawl pipeline applies (the UT1/Université
+# Toulouse blocklists, used verbatim by FineWeb/RefinedWeb/CCNet-class
+# curation): drop documents whose URL's domain — or ANY parent domain,
+# UT1 entries block whole subtrees — appears on a categorized
+# blocklist, and account for survival per source so the curation
+# report shows what the list cost each slice.
+#
+# Deterministic fixture blocklist over the _url_expr host universe
+# (host-0..host-49): every K % 10 == 3 registered domain is "adult",
+# every K % 10 == 7 is "gambling", plus ONE exact-host entry
+# ("www.host-1.test" → "tracker") so the subtree-vs-exact matching
+# distinction is exercised — a registered-domain entry catches the
+# www. subdomain, the exact entry catches only itself.
+BLOCK_CATEGORIES = ("adult", "gambling", "tracker")
+URL_BLOCKLIST: tuple[tuple[str, str], ...] = tuple(
+    sorted(
+        [(f"host-{k}.test", "adult") for k in range(50) if k % 10 == 3]
+        + [(f"host-{k}.test", "gambling") for k in range(50) if k % 10 == 7]
+        + [("www.host-1.test", "tracker")]
+    )
+)
+
+
+def docs_url_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source survival accounting under the domain blocklist:
+    (source, n_docs, n_blocked, n_kept, blocked_<category>...,
+    block_rate).
+
+    Matching semantics (UT1): an entry blocks the domain AND every
+    subdomain, so each host expands to its ≥2-label suffix chain
+    (``www.host-3.test`` → [``host-3.test``, ``www.host-3.test``]) and
+    matches by equi-join. A doc matching several entries takes the
+    lexicographically first category (deterministic in both engines).
+
+    Scale shape: the suffix explode is bounded by label count (≤ ~5
+    real-world), the blocklist is BROADCAST (UT1 is ~4M rows ≈ 10²
+    MB — the canonical broadcast dim), the match is a map-side hash
+    join, and the only shuffles are the per-doc min-category
+    aggregation (doc_id-keyed, partial-aggregating) and the tiny
+    per-source rollup. No window, no self-join, no Python."""
+    d = load_table(spark, sf_dir, "documents")
+    url = _url_expr()
+    host = F.lower(F.regexp_extract(url, r"^https://([^/]+)/", 1))
+    labels = F.split(host, r"\.")
+    suffixes = F.expr(
+        "transform(sequence(2, size(labels)), "
+        "L -> array_join(slice(labels, -L, L), '.'))"
+    )
+    exploded = (
+        d.select("doc_id", "source", labels.alias("labels"))
+        .select("doc_id", "source", F.explode(suffixes).alias("suffix"))
+    )
+    bl = spark.createDataFrame(
+        list(URL_BLOCKLIST), "domain string, category string"
+    )
+    per_doc = (
+        exploded.join(
+            F.broadcast(bl), exploded.suffix == bl.domain, "left"
+        )
+        .groupBy("doc_id", "source")
+        .agg(F.min("category").alias("category"))
+    )
+    blocked = F.col("category").isNotNull()
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(blocked.cast("long")).alias("n_blocked"),
+            *[
+                F.sum(
+                    F.when(F.col("category") == c, 1).otherwise(0)
+                ).cast("long").alias(f"blocked_{c}")
+                for c in BLOCK_CATEGORIES
+            ],
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_blocked",
+            (F.col("n_docs") - F.col("n_blocked")).alias("n_kept"),
+            *[f"blocked_{c}" for c in BLOCK_CATEGORIES],
+            (
+                F.col("n_blocked").cast("double")
+                / F.col("n_docs").cast("double")
+            ).alias("block_rate"),
+        )
+    )
+
+
+_BLOCKLIST_SQL = ", ".join(f"('{d}', '{c}')" for d, c in URL_BLOCKLIST)
+_BLOCKED_CAT_SQL = ",\n       ".join(
+    f"CAST(SUM(CASE WHEN category = '{c}' THEN 1 ELSE 0 END) AS BIGINT)"
+    f" AS blocked_{c}"
+    for c in BLOCK_CATEGORIES
+)
+
+URL_BLOCKLIST_SQL = rf"""
+WITH u AS (
+  SELECT doc_id, source,
+         string_split(lower(regexp_extract({_URL_SQL}, '^https://([^/]+)/', 1)),
+                      '.') AS labels
+  FROM documents
+),
+ex AS (
+  SELECT doc_id, source,
+         array_to_string(list_slice(labels, len(labels) - L + 1, len(labels)),
+                         '.') AS suffix
+  FROM (SELECT doc_id, source, labels,
+               unnest(generate_series(2, len(labels))) AS L
+        FROM u)
+),
+bl(domain, category) AS (VALUES {_BLOCKLIST_SQL}),
+per_doc AS (
+  SELECT doc_id, source, MIN(category) AS category
+  FROM ex LEFT JOIN bl ON ex.suffix = bl.domain
+  GROUP BY doc_id, source
+)
+SELECT source,
+       COUNT(*) AS n_docs,
+       CAST(SUM(CASE WHEN category IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_blocked,
+       COUNT(*) - CAST(SUM(CASE WHEN category IS NOT NULL THEN 1 ELSE 0 END)
+                       AS BIGINT) AS n_kept,
+       {_BLOCKED_CAT_SQL},
+       CAST(SUM(CASE WHEN category IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+         / CAST(COUNT(*) AS DOUBLE) AS block_rate
+FROM per_doc
+GROUP BY source
+"""
+
+
 QUERIES: dict = {}
 
 QUERIES_TAIL = {
     "html_extract_text": (html_extract_text, HTML_EXTRACT_SQL),
     "url_normalize_stats": (url_normalize_stats, URL_NORMALIZE_SQL),
+    "docs_url_blocklist_filter": (docs_url_blocklist_filter, URL_BLOCKLIST_SQL),
 }

@@ -763,6 +763,59 @@ def test_url_normalize_drops_tracking_and_lowercases_host(spark, sf_dir):
         assert "/Path/" in r.normalized_url
 
 
+def test_url_blocklist_subtree_vs_exact_semantics(spark, sf_dir):
+    """UT1 matching pins (r15): a registered-domain entry blocks its
+    whole subtree (the www. host of every K % 10 == 3/7 domain), the
+    exact-host entry blocks ONLY www.host-1.test, and every other host
+    survives. Closed-form per source: source s holds doc_ids ≡ s
+    (mod n_sources), hosts cycle doc_id % 50 — so the expected blocked
+    count per source is computable exactly from the two moduli."""
+    from robin_sparkles_spark.operators.web_text import (
+        URL_BLOCKLIST,
+        docs_url_blocklist_filter,
+    )
+    from robin_sparkles_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    rows = {r.source: r for r in docs_url_blocklist_filter(spark, sf_dir).collect()}
+    blocked_domains = {d for d, _ in URL_BLOCKLIST if not d.startswith("www.")}
+    exact_hosts = {d for d, _ in URL_BLOCKLIST if d.startswith("www.")}
+    expect: dict[str, list[int]] = {}
+    for r in docs.collect():
+        k = r.doc_id % 50
+        hit = (
+            f"host-{k}.test" in blocked_domains
+            or f"www.host-{k}.test" in exact_hosts
+        )
+        expect.setdefault(r.source, []).append(int(hit))
+    assert set(rows) == set(expect)
+    for src, hits in expect.items():
+        got = rows[src]
+        assert got.n_docs == len(hits)
+        assert got.n_blocked == sum(hits), src
+        assert got.n_kept == len(hits) - sum(hits)
+        assert (
+            got.blocked_adult + got.blocked_gambling + got.blocked_tracker
+            == got.n_blocked
+        )
+
+
+def test_url_blocklist_broadcasts_the_list(spark, sf_dir):
+    """The blocklist side must appear as a BroadcastExchange in the
+    physical plan — at UT1 scale (~4M rows) a shuffled join here would
+    put a full exchange of the corpus on the match path."""
+    from robin_sparkles_spark.operators.web_text import docs_url_blocklist_filter
+
+    plan = (
+        docs_url_blocklist_filter(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastExchange" in plan
+
+
 def test_maximal_spans_find_planted_passage(spark, tmp_path):
     """Lee-et-al semantics check on a planted corpus: two documents
     share one 12-token passage embedded among unique filler; the span
