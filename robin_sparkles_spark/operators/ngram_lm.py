@@ -744,8 +744,163 @@ FROM cleaned
 """
 
 
+# --- CCNet-style perplexity bucketing (r15, EXT) -----------------------------
+#
+# CCNet (Wenzek et al. 2020 §4.3) — the pipeline behind most public
+# crawl corpora — buckets documents per LANGUAGE into head/middle/tail
+# by LM perplexity terciles computed on a REFERENCE corpus (Wikipedia
+# there), then trains on head(+middle). The declared twin: the
+# existing exact fixed-point bigram LM supplies the score (mean
+# per-bigram probability — monotone inverse of perplexity, so tercile
+# splits are identical), the reference slice is the deterministic
+# doc_id % CCNET_REF_MOD == 0 sample (the fixture's Wikipedia
+# stand-in), and the per-language cutoffs are the ⌈n/3⌉-th and
+# ⌈2n/3⌉-th smallest reference scores.
+#
+# Scale shape: scoring is the LM family's vocab-bound aggregates +
+# per-doc groupBy; the cutoff stage aggregates ONLY the reference
+# slice — in production that is a FIXED reference corpus, so the
+# per-language sorted array is reference-bounded, not corpus-bounded.
+# Because the fixture stand-in is corpus-proportional (20%), the
+# declared plan carries the sampled-fit law (VERDICT r13 #3 pattern):
+# above CCNET_REF_CAP reference docs the slice is hash-thinned to the
+# cap (dispatch never reached at gate SFs — identity below the cap;
+# the subsample arm is pinned by its own pytest). Bucketing the full
+# corpus is then a broadcast join on lang (≤ |languages| rows) + a
+# map-side CASE — zero windows, no lang-keyed shuffle of the corpus.
+CCNET_REF_MOD = 5  # doc_id % 5 == 0 is the reference slice
+CCNET_REF_CAP = 100_000  # max reference docs entering the cutoff sort
+_CCNET_REF_N_CACHE: dict[str, int] = {}
+
+
+def _ccnet_ref_count(spark: SparkSession, sf_dir: str) -> int:
+    from ..sources.staging import source_fingerprint
+
+    key = source_fingerprint(sf_dir, "documents")
+    n = _CCNET_REF_N_CACHE.get(key)
+    if n is None:
+        n = (
+            load_table(spark, sf_dir, "documents")
+            .where(F.col("doc_id") % CCNET_REF_MOD == 0)
+            .count()
+        )
+        _CCNET_REF_N_CACHE[key] = n
+    return n
+
+
+def _ccnet_thin_permille(ref_n: int) -> int:
+    """Per-mille keep rate for the reference slice: 1000 (identity)
+    at or below the cap, else ⌈1000·cap/ref_n⌉ — the sampled-fit
+    law's shape, exact integer arithmetic both engines."""
+    if ref_n <= CCNET_REF_CAP:
+        return 1000
+    return (1000 * CCNET_REF_CAP + ref_n - 1) // ref_n
+
+
+def docs_ccnet_perplexity_buckets(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-doc CCNet bucket: (doc_id, lang, mean_prob_fp,
+    is_reference, bucket) with bucket ∈ head/middle/tail by
+    per-language reference terciles of the exact fixed-point mean
+    bigram probability (higher mean prob = lower perplexity = head;
+    boundary docs — score equal to a cutoff — take the better
+    bucket, deterministically in both engines)."""
+    from ..functions.hashing import minhash_value
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    mean_fp = F.expr(
+        "CASE WHEN n_bigrams > 0 THEN sum_prob_fp div n_bigrams ELSE 0 END"
+    )
+    s = (
+        ngram_lm_score(spark, sf_dir)
+        .join(d, "doc_id")
+        .select("doc_id", "lang", mean_fp.alias("mean_prob_fp"))
+    )
+    is_ref = F.col("doc_id") % CCNET_REF_MOD == 0
+    ref = s.where(is_ref)
+    permille = _ccnet_thin_permille(_ccnet_ref_count(spark, sf_dir))
+    if permille < 1000:
+        # never at gate SFs; pinned by test_ccnet_thinning_composes
+        ref = ref.where(minhash_value(F.col("doc_id"), 7) % 1000 < permille)
+    cuts = (
+        ref.groupBy("lang")
+        .agg(F.array_sort(F.collect_list("mean_prob_fp")).alias("arr"))
+        .select(
+            "lang",
+            F.expr(
+                "element_at(arr, cast(ceil(size(arr) / 3.0) as int))"
+            ).alias("c1"),
+            F.expr(
+                "element_at(arr, cast(ceil(2 * size(arr) / 3.0) as int))"
+            ).alias("c2"),
+        )
+    )
+    bucket = (
+        F.when(F.col("c1").isNull(), F.lit("unbucketed"))
+        .when(F.col("mean_prob_fp") < F.col("c1"), F.lit("tail"))
+        .when(F.col("mean_prob_fp") < F.col("c2"), F.lit("middle"))
+        .otherwise(F.lit("head"))
+    )
+    return s.join(F.broadcast(cuts), "lang", "left").select(
+        "doc_id",
+        "lang",
+        "mean_prob_fp",
+        is_ref.alias("is_reference"),
+        bucket.alias("bucket"),
+    )
+
+
+def docs_ccnet_buckets_oracle(sf_dir: str) -> str:
+    """Lazy DuckDB twin (callable because the thinning rate is a
+    function of the reference count — identity at every gate SF):
+    the LM score CTE verbatim, the same integer mean, the same sorted
+    array cutoffs, the same CASE."""
+    from ..functions.hashing import affine_sql
+    from ..session import active_or_local
+
+    spark = active_or_local("ccnet_oracle")
+    permille = _ccnet_thin_permille(_ccnet_ref_count(spark, sf_dir))
+    thin = (
+        f" AND {affine_sql('doc_id', 7)} % 1000 < {permille}"
+        if permille < 1000
+        else ""
+    )
+    return f"""
+WITH lm AS ({NGRAM_LM_SCORE_SQL}),
+s AS (
+  SELECT lm.doc_id, d.lang,
+         CASE WHEN n_bigrams > 0 THEN sum_prob_fp // n_bigrams
+              ELSE 0 END AS mean_prob_fp
+  FROM lm JOIN documents d ON lm.doc_id = d.doc_id
+),
+ref AS (
+  SELECT lang, list_sort(list(mean_prob_fp)) AS arr
+  FROM s WHERE doc_id % {CCNET_REF_MOD} = 0{thin}
+  GROUP BY lang
+),
+cut AS (
+  SELECT lang,
+         arr[CAST(ceil(len(arr) / 3.0) AS INT)] AS c1,
+         arr[CAST(ceil(2 * len(arr) / 3.0) AS INT)] AS c2
+  FROM ref
+)
+SELECT s.doc_id, s.lang, s.mean_prob_fp,
+       (s.doc_id % {CCNET_REF_MOD} = 0) AS is_reference,
+       CASE WHEN c1 IS NULL THEN 'unbucketed'
+            WHEN mean_prob_fp < c1 THEN 'tail'
+            WHEN mean_prob_fp < c2 THEN 'middle'
+            ELSE 'head' END AS bucket
+FROM s LEFT JOIN cut USING (lang)
+"""
+
+
 QUERIES = {
     "ngram_lm_score": (ngram_lm_score, NGRAM_LM_SCORE_SQL),
+    "docs_ccnet_perplexity_buckets": (
+        docs_ccnet_perplexity_buckets,
+        docs_ccnet_buckets_oracle,
+    ),
     "ngram_repeated_spans": (ngram_repeated_spans, NGRAM_REPEATED_SPANS_SQL),
     "ngram_maximal_spans": (ngram_maximal_spans, NGRAM_MAXIMAL_SPANS_SQL),
     "ngram_backoff_score": (ngram_backoff_score, NGRAM_BACKOFF_SQL),

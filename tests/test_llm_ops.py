@@ -816,6 +816,54 @@ def test_url_blocklist_broadcasts_the_list(spark, sf_dir):
     assert "BroadcastExchange" in plan
 
 
+def test_ccnet_buckets_terciles_and_reference_slice(spark, sf_dir):
+    """Closed-form pins: buckets partition each language ~in thirds of
+    the REFERENCE distribution; is_reference is exactly the
+    doc_id % CCNET_REF_MOD slice; every lang present in the reference
+    gets all three buckets when its score distribution has ≥ 3
+    distinct values."""
+    from pyspark.sql import functions as F
+
+    from robin_sparkles_spark.operators import ngram_lm as N
+
+    out = N.docs_ccnet_perplexity_buckets(spark, sf_dir).cache()
+    assert out.where(
+        (F.col("doc_id") % N.CCNET_REF_MOD == 0) != F.col("is_reference")
+    ).count() == 0
+    assert out.where(F.col("bucket") == "unbucketed").count() == 0
+    # reference docs split ≤ ceil(n/3)+ties per bucket — check the
+    # tercile property on the reference slice itself
+    ref = out.where("is_reference")
+    for r in ref.groupBy("lang").agg(
+        F.count("*").alias("n"),
+        F.sum((F.col("bucket") == "tail").cast("long")).alias("t"),
+    ).collect():
+        # tail = scores strictly below the ceil(n/3)-th smallest →
+        # at most ceil(n/3) - 1 of the reference docs (ties shrink it)
+        assert r.t <= (r.n + 2) // 3, (r.lang, r.n, r.t)
+    out.unpersist()
+
+
+def test_ccnet_reference_thinning_composes(spark, sf_dir, monkeypatch):
+    """The sampled-fit-law arm (reference > CCNET_REF_CAP → hash-thin
+    to the cap) never executes at gate SFs; execute it here by
+    shrinking the cap, and check the oracle callable follows the SAME
+    dispatch — parity must hold through the thinned arm too."""
+    from robin_sparkles_spark.operators import ngram_lm as N
+
+    assert N._ccnet_thin_permille(N.CCNET_REF_CAP) == 1000
+    assert N._ccnet_thin_permille(N.CCNET_REF_CAP * 4) == 250
+    monkeypatch.setattr(N, "CCNET_REF_CAP", 50)
+    N._CCNET_REF_N_CACHE.clear()
+    try:
+        df = N.docs_ccnet_perplexity_buckets(spark, sf_dir)
+        assert_query_matches_oracle(
+            df, N.docs_ccnet_buckets_oracle(sf_dir), sf_dir
+        )
+    finally:
+        N._CCNET_REF_N_CACHE.clear()
+
+
 def test_maximal_spans_find_planted_passage(spark, tmp_path):
     """Lee-et-al semantics check on a planted corpus: two documents
     share one 12-token passage embedded among unique filler; the span

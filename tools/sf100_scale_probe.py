@@ -647,6 +647,86 @@ def run_video_incremental(spark, reps: int, n_base: int = 30_000) -> dict:
     return out
 
 
+def run_crossmodal_table(spark, reps: int) -> dict:
+    """Cross-modal retrieval THROUGH the k > K_LITERAL_MAX table-probe
+    dispatch (r15 — VERDICT r14 #7): the module documents
+    ``probe_via_table`` as the drop-in above 256 cells but no probe had
+    executed that dispatch for this family. Same 100× image corpus
+    (200k vectors) and the same staged text queries as the declared
+    family; the index is a join-form fit at k = n/256 (781 cells —
+    past the literal cap), images assigned via ``assign_via_table``,
+    queries probed via ``probe_via_table``, then the identical
+    broadcast cell-join + window top-k. Reports paired recall@5 —
+    'recall unchanged' means it matches the literal path's 1.0."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from robin_sparkles_spark.operators import clustering as C
+    from robin_sparkles_spark.operators import crossmodal as X
+
+    build_sf100(spark, 100)
+    build_sf100_embeddings(spark, 100)
+    emb_dir = os.path.join(SF100_DIR, "embdir")
+    base = (
+        C._vectors(spark, emb_dir)
+        .groupBy("vec_id")
+        .agg(F.first("v").alias("v"))
+    )
+    n = base.count()
+    k = max(C.K_CLUSTERS, n // 256)
+    assert k > C.K_LITERAL_MAX, (k, C.K_LITERAL_MAX)
+    t0 = time.monotonic()
+    centroids_df, coarse = C.kmeans_fit_table(spark, base, k)
+    imgs = C.assign_via_table(spark, base, centroids_df, coarse)
+    q = spark.read.parquet(X.build_crossmodal_queries(spark, emb_dir))
+    probes = C.probe_via_table(
+        spark,
+        q.withColumnRenamed("query_id", "vec_id"),
+        centroids_df,
+        coarse,
+        X.CM_NPROBE,
+    ).withColumnRenamed("vec_id", "query_id")
+    qp = q.join(probes, "query_id").alias("q")
+    c = imgs.alias("c")
+    from robin_sparkles_spark.functions.vectors import dot
+
+    w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("image_id"))
+    topk = (
+        F.broadcast(qp)
+        .join(c, F.col("q.probe") == F.col("c.cluster"))
+        .select(
+            F.col("q.query_id").alias("query_id"),
+            F.col("c.vec_id").alias("image_id"),
+            (
+                dot(F.col("q.v"), F.col("c.v"))
+                / (
+                    F.sqrt(dot(F.col("q.v"), F.col("q.v")))
+                    * F.sqrt(dot(F.col("c.v"), F.col("c.v")))
+                )
+            ).alias("cos_sim"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= X.CM_TOP_K)
+    )
+    fit_wall = round(time.monotonic() - t0, 2)
+    walls, hits, n_q = [], None, q.count()
+    for _ in range(reps):
+        t0 = time.monotonic()
+        hits = topk.where(F.col("image_id") == F.col("query_id")).count()
+        walls.append(round(time.monotonic() - t0, 2))
+    return {
+        "n_vectors": n,
+        "k": k,
+        "coarse_k": C._coarse_k_for(k),
+        "nprobe_cells": X.CM_NPROBE,
+        "fit_plus_first_pass_sec": fit_wall,
+        "query_wall_min": min(walls),
+        "n_queries": n_q,
+        "paired_hits": hits,
+        "paired_recall_at_5": round(hits / n_q, 4),
+    }
+
+
 def main() -> int:
     copies = (
         int(sys.argv[sys.argv.index("--copies") + 1])
@@ -654,7 +734,7 @@ def main() -> int:
         else 100
     )
     reps = int(sys.argv[sys.argv.index("--reps") + 1]) if "--reps" in sys.argv else 2
-    if "--embeddings" in sys.argv:
+    if "--embeddings" in sys.argv or "--crossmodal-table" in sys.argv:
         # Production posture for the fit-heavy mode (must precede
         # session creation): corpus barriers stage to parquet instead
         # of the block manager — three phases of block-resident
@@ -671,6 +751,8 @@ def main() -> int:
     spark = get_spark(app_name="sf100_scale_probe")
     if "--embeddings" in sys.argv:
         result = run_embeddings(spark, copies, reps)
+    elif "--crossmodal-table" in sys.argv:
+        result = run_crossmodal_table(spark, reps)
     elif "--stream-media" in sys.argv:
         result = run_stream_media(spark, reps)
     elif "--stream-audio" in sys.argv:
