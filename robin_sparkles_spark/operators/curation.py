@@ -629,6 +629,192 @@ def dedup_text_stream_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- FineWeb-style survival funnel (r15) -------------------------------------
+#
+# The table every curation report leads with: the ordered filter chain
+# with cumulative doc/token survival per stage — FineWeb/RefinedWeb
+# publish exactly this shape (URL filtering → quality → repetition →
+# dedup, each with "docs remaining / tokens remaining"). Composes four
+# DECLARED r14/r15 operators by their per-doc verdicts (each verdict
+# is keyed by doc_id; the repetition verdict is computed on its staged
+# re-chunked twin of the same documents — the doc_id key is the
+# contract), so the funnel is pure composition with zero new filter
+# logic to drift.
+#
+# Plan shape: four verdict frames (one map-only + blocklist broadcast
+# join, two flag projections, one digest groupBy+join-back), joined on
+# doc_id (co-partitioned equi-joins), ONE global aggregation of the
+# five cumulative sums, and a 5-row literal unpivot. At 100 TB every
+# stage partial-aggregates; nothing is corpus × corpus.
+
+FUNNEL_STAGES = (
+    "raw",
+    "url_blocklist",
+    "gopher_quality",
+    "gopher_repetition",
+    "exact_dedup",
+    "near_dedup",
+)
+
+
+def curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(stage, stage_name, docs_out, tokens_out) — cumulative
+    survivors after each filter, in FUNNEL_STAGES order."""
+    from ..functions.text import ws_tokens
+    from .gopher_repetition import docs_gopher_repetition_flags
+    from .text_analysis import docs_gopher_quality_flags
+    from .web_text import url_blocked_docs
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(ws_tokens()).cast("long").alias("n_tokens"),
+        F.sha2(F.col("text"), 256).alias("digest"),
+    )
+    v1 = url_blocked_docs(spark, sf_dir).select(
+        "doc_id", F.col("category").isNull().alias("v1")
+    )
+    # stopword_ok is excluded from the funnel's quality verdict: the
+    # fixture vocabulary contains only "the" from the canonical stop
+    # set, so the full Gopher conjunction keeps ZERO synthetic docs
+    # (correct Gopher behavior — documented at
+    # text_analysis.docs_gopher_quality_flags — but it would zero
+    # stages 2-4 and leave the downstream verdict logic untested;
+    # FineWeb likewise re-tunes the stop-word rule per corpus).
+    q = docs_gopher_quality_flags(spark, sf_dir)
+    v2 = q.select(
+        "doc_id",
+        (
+            F.col("wc_ok")
+            & F.col("mwl_ok")
+            & F.col("symbol_ok")
+            & F.col("bullet_ok")
+            & F.col("ellipsis_ok")
+            & F.col("alpha_ok")
+        ).alias("v2"),
+    )
+    v3 = docs_gopher_repetition_flags(spark, sf_dir).select(
+        "doc_id", F.col("keep").alias("v3")
+    )
+    canon = (
+        d.groupBy("digest")
+        .agg(F.min("doc_id").alias("canonical_doc_id"))
+    )
+    # stage 5: MinHash near-dup canonicals (the FineWeb dedup unit —
+    # exact dups are absent from the fixture below sf0.1, so the
+    # near-dup stage is the one that discriminates at every gate SF;
+    # both are kept because production funnels report both)
+    v5 = dedup_groups(spark, sf_dir).select(
+        "doc_id", F.col("is_canonical").alias("v5")
+    )
+    j = (
+        d.join(v1.hint("shuffle_hash"), "doc_id")
+        .join(v2.hint("shuffle_hash"), "doc_id")
+        .join(v3.hint("shuffle_hash"), "doc_id")
+        .join(v5.hint("shuffle_hash"), "doc_id")
+        .join(canon.hint("shuffle_hash"), "digest")
+        .withColumn("v4", F.col("doc_id") == F.col("canonical_doc_id"))
+    )
+    conds = [
+        F.lit(True),
+        F.col("v1"),
+        F.col("v1") & F.col("v2"),
+        F.col("v1") & F.col("v2") & F.col("v3"),
+        F.col("v1") & F.col("v2") & F.col("v3") & F.col("v4"),
+        F.col("v1") & F.col("v2") & F.col("v3") & F.col("v4") & F.col("v5"),
+    ]
+    agg = j.agg(
+        *[
+            F.sum(F.when(c, 1).otherwise(0)).cast("long").alias(f"d{i}")
+            for i, c in enumerate(conds)
+        ],
+        *[
+            F.sum(F.when(c, F.col("n_tokens")).otherwise(0))
+            .cast("long")
+            .alias(f"t{i}")
+            for i, c in enumerate(conds)
+        ],
+    )
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(i).cast("long").alias("stage"),
+                F.lit(name).alias("stage_name"),
+                F.col(f"d{i}").alias("docs_out"),
+                F.col(f"t{i}").alias("tokens_out"),
+            )
+            for i, name in enumerate(FUNNEL_STAGES)
+        ]
+    )
+    return agg.select(F.explode(rows).alias("r")).select(
+        "r.stage", "r.stage_name", "r.docs_out", "r.tokens_out"
+    )
+
+
+def curation_funnel_oracle(sf_dir: str) -> str:
+    """Lazy twin (the repetition stage reads its staged corpus):
+    identical verdict CTEs, identical cumulative sums, 5-row UNION."""
+    from .gopher_repetition import docs_gopher_repetition_oracle
+    from .text_analysis import _docs_gopher_quality_sql
+    from .web_text import _BLOCKLIST_SQL, _URL_BLOCKED_PERDOC_SQL
+
+    perdoc = _URL_BLOCKED_PERDOC_SQL.replace(
+        "__BLOCKLIST_VALUES__", _BLOCKLIST_SQL
+    )
+    union = "\nUNION ALL\n".join(
+        f"SELECT CAST({i} AS BIGINT) AS stage, '{name}' AS stage_name, "
+        f"d{i} AS docs_out, t{i} AS tokens_out FROM agg"
+        for i, name in enumerate(FUNNEL_STAGES)
+    )
+    conds = [
+        "TRUE",
+        "v1",
+        "v1 AND v2",
+        "v1 AND v2 AND v3",
+        "v1 AND v2 AND v3 AND v4",
+        "v1 AND v2 AND v3 AND v4 AND v5",
+    ]
+    sums = ", ".join(
+        f"CAST(SUM(CASE WHEN {c} THEN 1 ELSE 0 END) AS BIGINT) AS d{i}, "
+        f"CAST(SUM(CASE WHEN {c} THEN n_tokens ELSE 0 END) AS BIGINT) AS t{i}"
+        for i, c in enumerate(conds)
+    )
+    from .dedup import DEDUP_GROUPS_SQL
+
+    return f"""
+WITH RECURSIVE {perdoc},
+groups AS ({DEDUP_GROUPS_SQL}),
+q AS (SELECT doc_id,
+             (wc_ok AND mwl_ok AND symbol_ok AND bullet_ok
+              AND ellipsis_ok AND alpha_ok) AS v2
+      FROM ({_docs_gopher_quality_sql()})),
+r AS (SELECT doc_id, keep AS v3 FROM ({docs_gopher_repetition_oracle(sf_dir)})),
+base AS (
+  SELECT doc_id,
+         CAST(len(list_filter(string_split(text, ' '), t -> len(t) > 0))
+              AS BIGINT) AS n_tokens,
+         sha256(text) AS digest
+  FROM documents
+),
+canon AS (
+  SELECT digest, MIN(doc_id) AS canonical_doc_id FROM base GROUP BY digest
+),
+j AS (
+  SELECT b.doc_id, b.n_tokens,
+         (p.category IS NULL) AS v1, q.v2 AS v2, r.v3 AS v3,
+         (b.doc_id = c.canonical_doc_id) AS v4,
+         g.is_canonical AS v5
+  FROM base b
+  JOIN per_doc p ON b.doc_id = p.doc_id
+  JOIN q ON b.doc_id = q.doc_id
+  JOIN r ON b.doc_id = r.doc_id
+  JOIN canon c ON b.digest = c.digest
+  JOIN groups g ON b.doc_id = g.doc_id
+),
+agg AS (SELECT {sums} FROM j)
+{union}
+"""
+
+
 QUERIES_TAIL = {
     # Oracle shared with dedup_incremental: identical split,
     # threshold, tie-break and sentinels (the plans differ — this is
@@ -637,4 +823,5 @@ QUERIES_TAIL = {
         dedup_text_stream_ingest,
         DEDUP_INCREMENTAL_SQL,
     ),
+    "curation_funnel": (curation_funnel, curation_funnel_oracle),
 }

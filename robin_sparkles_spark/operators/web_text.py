@@ -204,6 +204,61 @@ URL_BLOCKLIST: tuple[tuple[str, str], ...] = tuple(
 )
 
 
+def url_blocked_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc blocklist verdict — (doc_id, source, category) with
+    category NULL for unblocked docs. The shared candidate stage of
+    ``docs_url_blocklist_filter`` and ``curation_funnel`` (factored
+    r15 — pure code motion, the filter query re-gates this round
+    anyway as a new query)."""
+    d = load_table(spark, sf_dir, "documents")
+    url = _url_expr()
+    host = F.lower(F.regexp_extract(url, r"^https://([^/]+)/", 1))
+    labels = F.split(host, r"\.")
+    suffixes = F.expr(
+        "transform(sequence(2, size(labels)), "
+        "L -> array_join(slice(labels, -L, L), '.'))"
+    )
+    exploded = (
+        d.select("doc_id", "source", labels.alias("labels"))
+        .select("doc_id", "source", F.explode(suffixes).alias("suffix"))
+    )
+    bl = spark.createDataFrame(
+        list(URL_BLOCKLIST), "domain string, category string"
+    )
+    return (
+        exploded.join(
+            F.broadcast(bl), exploded.suffix == bl.domain, "left"
+        )
+        .groupBy("doc_id", "source")
+        .agg(F.min("category").alias("category"))
+    )
+
+
+# the per-doc verdict CTE shared by the filter oracle and the funnel
+# oracle — must stay term-for-term identical to url_blocked_docs
+_URL_BLOCKED_PERDOC_SQL = rf"""
+ex AS (
+  SELECT doc_id, source,
+         array_to_string(list_slice(labels, len(labels) - L + 1, len(labels)),
+                         '.') AS suffix
+  FROM (SELECT doc_id, source, labels,
+               unnest(generate_series(2, len(labels))) AS L
+        FROM (
+          SELECT doc_id, source,
+                 string_split(lower(regexp_extract({_URL_SQL},
+                              '^https://([^/]+)/', 1)), '.') AS labels
+          FROM documents
+        ))
+),
+bl(domain, category) AS (VALUES __BLOCKLIST_VALUES__),
+per_doc AS (
+  SELECT doc_id, source, MIN(category) AS category
+  FROM ex LEFT JOIN bl ON ex.suffix = bl.domain
+  GROUP BY doc_id, source
+)
+"""
+
+
 def docs_url_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source survival accounting under the domain blocklist:
     (source, n_docs, n_blocked, n_kept, blocked_<category>...,
@@ -221,28 +276,7 @@ def docs_url_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     join, and the only shuffles are the per-doc min-category
     aggregation (doc_id-keyed, partial-aggregating) and the tiny
     per-source rollup. No window, no self-join, no Python."""
-    d = load_table(spark, sf_dir, "documents")
-    url = _url_expr()
-    host = F.lower(F.regexp_extract(url, r"^https://([^/]+)/", 1))
-    labels = F.split(host, r"\.")
-    suffixes = F.expr(
-        "transform(sequence(2, size(labels)), "
-        "L -> array_join(slice(labels, -L, L), '.'))"
-    )
-    exploded = (
-        d.select("doc_id", "source", labels.alias("labels"))
-        .select("doc_id", "source", F.explode(suffixes).alias("suffix"))
-    )
-    bl = spark.createDataFrame(
-        list(URL_BLOCKLIST), "domain string, category string"
-    )
-    per_doc = (
-        exploded.join(
-            F.broadcast(bl), exploded.suffix == bl.domain, "left"
-        )
-        .groupBy("doc_id", "source")
-        .agg(F.min("category").alias("category"))
-    )
+    per_doc = url_blocked_docs(spark, sf_dir)
     blocked = F.col("category").isNotNull()
     return (
         per_doc.groupBy("source")
@@ -278,26 +312,7 @@ _BLOCKED_CAT_SQL = ",\n       ".join(
 )
 
 URL_BLOCKLIST_SQL = rf"""
-WITH u AS (
-  SELECT doc_id, source,
-         string_split(lower(regexp_extract({_URL_SQL}, '^https://([^/]+)/', 1)),
-                      '.') AS labels
-  FROM documents
-),
-ex AS (
-  SELECT doc_id, source,
-         array_to_string(list_slice(labels, len(labels) - L + 1, len(labels)),
-                         '.') AS suffix
-  FROM (SELECT doc_id, source, labels,
-               unnest(generate_series(2, len(labels))) AS L
-        FROM u)
-),
-bl(domain, category) AS (VALUES {_BLOCKLIST_SQL}),
-per_doc AS (
-  SELECT doc_id, source, MIN(category) AS category
-  FROM ex LEFT JOIN bl ON ex.suffix = bl.domain
-  GROUP BY doc_id, source
-)
+WITH {_URL_BLOCKED_PERDOC_SQL.replace("__BLOCKLIST_VALUES__", _BLOCKLIST_SQL)}
 SELECT source,
        COUNT(*) AS n_docs,
        CAST(SUM(CASE WHEN category IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)

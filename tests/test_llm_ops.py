@@ -864,6 +864,38 @@ def test_ccnet_reference_thinning_composes(spark, sf_dir, monkeypatch):
         N._CCNET_REF_N_CACHE.clear()
 
 
+def test_curation_funnel_shape(spark, sf_dir):
+    """Funnel invariants: stages in declared order, docs/tokens
+    monotonically non-increasing, the first three filters each drop
+    something on the fixture (blocklist ~22 % of hosts, the relaxed
+    quality battery, the repetition battery — all non-vacuous by
+    construction), and stage 0 equals the raw corpus exactly."""
+    from pyspark.sql import functions as F
+
+    from robin_sparkles_spark.operators.curation import (
+        FUNNEL_STAGES,
+        curation_funnel,
+    )
+    from robin_sparkles_spark.functions.text import ws_tokens
+    from robin_sparkles_spark.sources import load_table
+
+    rows = {
+        r.stage: r
+        for r in curation_funnel(spark, sf_dir).collect()
+    }
+    assert [rows[i].stage_name for i in sorted(rows)] == list(FUNNEL_STAGES)
+    d = load_table(spark, sf_dir, "documents")
+    n, toks = d.count(), d.select(
+        F.sum(F.size(ws_tokens())).alias("t")
+    ).first().t
+    assert rows[0].docs_out == n and rows[0].tokens_out == toks
+    for i in range(1, len(FUNNEL_STAGES)):
+        assert rows[i].docs_out <= rows[i - 1].docs_out
+        assert rows[i].tokens_out <= rows[i - 1].tokens_out
+    for i in (1, 2, 3):  # the strict-drop stages on this fixture
+        assert rows[i].docs_out < rows[i - 1].docs_out, FUNNEL_STAGES[i]
+
+
 def test_maximal_spans_find_planted_passage(spark, tmp_path):
     """Lee-et-al semantics check on a planted corpus: two documents
     share one 12-token passage embedded among unique filler; the span
