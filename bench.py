@@ -182,6 +182,14 @@ EXTENDED = [
     # cross-document line dedup
     "dedup_containment",
     "docs_line_dedup",
+    # new r15: the Gopher repetition battery, the UT1 blocklist
+    # filter, CCNet perplexity buckets, and the FineWeb survival
+    # funnel (which composes blocklist + both Gopher batteries +
+    # exact/near dedup, so it amortizes their staged fixtures)
+    "docs_gopher_repetition_flags",
+    "docs_url_blocklist_filter",
+    "docs_ccnet_perplexity_buckets",
+    "curation_funnel",
 ]
 
 

@@ -217,7 +217,18 @@ def run_embeddings(spark, copies: int, reps: int) -> dict:
     return out
 
 
-def run(spark, copies: int, reps: int) -> dict:
+# new r15 text operators (VERDICT r14 #3/#6 + EXT): per-doc batteries,
+# the broadcast blocklist, the LM bucketing, and the composed funnel —
+# all claim linear/flat scaling; probed with the same harness.
+QUERIES_R15 = (
+    "docs_gopher_repetition_flags",
+    "docs_url_blocklist_filter",
+    "docs_ccnet_perplexity_buckets",
+    "curation_funnel",
+)
+
+
+def run(spark, copies: int, reps: int, names: tuple = QUERIES) -> dict:
     from robin_sparkles_spark import registry
 
     sf100 = build_sf100(spark, copies)
@@ -226,7 +237,7 @@ def run(spark, copies: int, reps: int) -> dict:
     walls: dict[str, dict[str, list]] = {}
     for label, sf in (("1x", SF01), (f"{copies}x", sf100)):
         for rep in range(reps):
-            for name in QUERIES:
+            for name in names:
                 t0 = time.monotonic()
                 rows = specs[name].fn(spark, sf).count()
                 w = round(time.monotonic() - t0, 3)
@@ -761,6 +772,8 @@ def main() -> int:
         result = run_video_incremental(spark, reps)
     elif "--stream" in sys.argv:
         result = run_stream(spark, copies, reps)
+    elif "--r15-text" in sys.argv:
+        result = run(spark, copies, reps, names=QUERIES_R15)
     else:
         result = run(spark, copies, reps)
     print(json.dumps({"copies": copies, "queries": result}))
