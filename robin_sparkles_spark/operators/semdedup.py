@@ -209,6 +209,108 @@ FROM pairs GROUP BY drop_id
 """
 
 
+# --- semantic decontamination (r15, EXT) -------------------------------------
+#
+# Eval-set decontamination in EMBEDDING space — the companion to
+# curation.decontaminate_train's n-gram form: a train document whose
+# embedding sits within cos >= tau of ANY held-out eval embedding is a
+# paraphrase-level leak that shingle overlap misses (the reason
+# phi-class data pipelines run both passes). Same held-out split rule
+# as the n-gram form (id % EVAL_MOD == EVAL_REM, applied to vec_id).
+#
+# Plan shape: REUSES the gated IVF candidate machinery verbatim —
+# clustering.ivf_pair_candidates (learned-cell blocked pair join,
+# SHUFFLE_HASH-pinned, adaptive k) generates the vec1 < vec2 candidate
+# pairs; this operator verifies the exact cosine, keeps only
+# CROSS-SPLIT pairs, and aggregates per train vector. Zero new join
+# shapes; candidates are the same 10.96x-at-10x-gated quantity.
+
+
+def decontaminate_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-TRAIN-vector semantic contamination report:
+    (vec_id, n_eval_matches, max_eval_cos, contaminated) — matches are
+    eval vectors sharing an IVF probe cell with exact cosine >=
+    the pair family's weak tau (0.40: the audit threshold; a
+    production pass would sweep it exactly like the quality ladder).
+    Sentinels, not NULLs, for clean vectors (the dedup_incremental
+    contract)."""
+    from .clustering import ivf_pair_candidates
+    from .curation import EVAL_MOD, EVAL_REM
+    from .dedup import COSINE_SIMILAR_THRESHOLD
+
+    base, cands = ivf_pair_candidates(spark, sf_dir)
+    cos = vdot(F.col("e1.v"), F.col("e2.v")) / (
+        F.sqrt(vdot(F.col("e1.v"), F.col("e1.v")))
+        * F.sqrt(vdot(F.col("e2.v"), F.col("e2.v")))
+    )
+    pairs = (
+        cands.join(
+            base.alias("e1").hint("shuffle_hash"),
+            F.col("vec1") == F.col("e1.vec_id"),
+        )
+        .join(
+            base.alias("e2").hint("shuffle_hash"),
+            F.col("vec2") == F.col("e2.vec_id"),
+        )
+        .select("vec1", "vec2", cos.alias("cos_sim"))
+        .where(F.col("cos_sim") >= COSINE_SIMILAR_THRESHOLD)
+    )
+    ev1 = F.col("vec1") % EVAL_MOD == EVAL_REM
+    ev2 = F.col("vec2") % EVAL_MOD == EVAL_REM
+    cross = pairs.where(ev1 != ev2).select(
+        F.when(ev1, F.col("vec2")).otherwise(F.col("vec1")).alias("train_id"),
+        "cos_sim",
+    )
+    hits = cross.groupBy("train_id").agg(
+        F.count(F.lit(1)).alias("n_eval_matches"),
+        F.max("cos_sim").alias("max_eval_cos"),
+    )
+    train = base.where(F.col("vec_id") % EVAL_MOD != EVAL_REM).select("vec_id")
+    return train.join(
+        hits.hint("shuffle_hash"),
+        train.vec_id == hits.train_id,
+        "left",
+    ).select(
+        "vec_id",
+        F.coalesce("n_eval_matches", F.lit(0)).cast("long").alias("n_eval_matches"),
+        F.coalesce("max_eval_cos", F.lit(0.0)).alias("max_eval_cos"),
+        F.col("train_id").isNotNull().alias("contaminated"),
+    )
+
+
+def decontaminate_semantic_oracle(sf_dir: str) -> str:
+    """Lazy twin: the hash-gated pair family oracle as the pairs CTE,
+    then the identical split/agg SQL."""
+    from .clustering import embedding_similar_pairs_ivf_oracle
+    from .curation import EVAL_MOD, EVAL_REM
+
+    return f"""
+WITH pairs AS ({embedding_similar_pairs_ivf_oracle(sf_dir)}),
+cross_pairs AS (
+  SELECT CASE WHEN vec1 % {EVAL_MOD} = {EVAL_REM} THEN vec2 ELSE vec1 END
+           AS train_id,
+         cos_sim
+  FROM pairs
+  WHERE (vec1 % {EVAL_MOD} = {EVAL_REM}) != (vec2 % {EVAL_MOD} = {EVAL_REM})
+),
+hits AS (
+  SELECT train_id, COUNT(*) AS n_eval_matches, MAX(cos_sim) AS max_eval_cos
+  FROM cross_pairs GROUP BY train_id
+)
+SELECT e.vec_id,
+       CAST(COALESCE(h.n_eval_matches, 0) AS BIGINT) AS n_eval_matches,
+       COALESCE(h.max_eval_cos, 0.0) AS max_eval_cos,
+       h.train_id IS NOT NULL AS contaminated
+FROM (SELECT DISTINCT vec_id FROM embeddings
+      WHERE vec_id % {EVAL_MOD} != {EVAL_REM}) e
+LEFT JOIN hits h ON e.vec_id = h.train_id
+"""
+
+
 QUERIES = {
     "semdedup_dropped": (semdedup_dropped, semdedup_dropped_oracle),
+    "decontaminate_semantic": (
+        decontaminate_semantic,
+        decontaminate_semantic_oracle,
+    ),
 }

@@ -356,11 +356,10 @@ GATE_FRONT: tuple[str, ...] = (
     "tar_archive_stats",
     "tfrecord_stats",
     "dedup_simhash_wide",
-    "dedup_image_stream_ingest",
-    # (dedup_audio_incremental, dedup_audio_stream_ingest,
-    # dedup_video_incremental, bigram_stats and
-    # dedup_text_stream_ingest displaced to the r16 fill by the r15
-    # replan + new queries below)
+    # (dedup_image_stream_ingest, dedup_audio_incremental,
+    # dedup_audio_stream_ingest, dedup_video_incremental, bigram_stats
+    # and dedup_text_stream_ingest displaced to the r16 fill by the
+    # r15 replan + new queries below)
     # replanned in r15 — must re-gate (the bit-identical-replan
     # precedent): the candidate stage was factored into
     # ivf_pair_candidates() so the scale gate can count verify
@@ -372,6 +371,7 @@ GATE_FRONT: tuple[str, ...] = (
     "docs_url_blocklist_filter",
     "docs_ccnet_perplexity_buckets",
     "curation_funnel",
+    "decontaminate_semantic",
 )
 _R14_WINDOW: tuple[str, ...] = (
     # --- ROUND-14 ROTATION (executed; CORRECTNESS_r14 50/50 green).

@@ -864,6 +864,50 @@ def test_ccnet_reference_thinning_composes(spark, sf_dir, monkeypatch):
         N._CCNET_REF_N_CACHE.clear()
 
 
+def test_semantic_decontamination_split_and_flags(spark, sf_dir):
+    """Semantic pins: the output universe is exactly the TRAIN side of
+    the split (no eval vec ever appears), contaminated ⇔
+    n_eval_matches > 0 ⇔ max_eval_cos ≥ τ, and clean rows carry the
+    0/0.0 sentinels."""
+    from pyspark.sql import functions as F
+
+    from robin_sparkles_spark.operators.curation import EVAL_MOD, EVAL_REM
+    from robin_sparkles_spark.operators.dedup import COSINE_SIMILAR_THRESHOLD
+    from robin_sparkles_spark.operators.semdedup import decontaminate_semantic
+    from robin_sparkles_spark.sources import load_table
+
+    out = decontaminate_semantic(spark, sf_dir).cache()
+    n_train = (
+        load_table(spark, sf_dir, "embeddings")
+        .select("vec_id")
+        .distinct()
+        .where(F.col("vec_id") % EVAL_MOD != EVAL_REM)
+        .count()
+    )
+    assert out.count() == n_train
+    assert out.where(F.col("vec_id") % EVAL_MOD == EVAL_REM).count() == 0
+    assert (
+        out.where(
+            F.col("contaminated") != (F.col("n_eval_matches") > 0)
+        ).count()
+        == 0
+    )
+    assert (
+        out.where("contaminated").where(
+            F.col("max_eval_cos") < COSINE_SIMILAR_THRESHOLD
+        ).count()
+        == 0
+    )
+    assert (
+        out.where("NOT contaminated").where(
+            (F.col("n_eval_matches") != 0) | (F.col("max_eval_cos") != 0.0)
+        ).count()
+        == 0
+    )
+    assert out.where("contaminated").count() > 0  # non-vacuous on fixture
+    out.unpersist()
+
+
 def test_curation_funnel_shape(spark, sf_dir):
     """Funnel invariants: stages in declared order, docs/tokens
     monotonically non-increasing, the first three filters each drop
