@@ -190,6 +190,7 @@ EXTENDED = [
     "docs_url_blocklist_filter",
     "docs_ccnet_perplexity_buckets",
     "curation_funnel",
+    "decontaminate_semantic",
 ]
 
 
