@@ -191,6 +191,7 @@ EXTENDED = [
     "docs_ccnet_perplexity_buckets",
     "curation_funnel",
     "decontaminate_semantic",
+    "docs_c4_line_filters",
 ]
 
 

@@ -66,6 +66,7 @@ def _modules() -> tuple:
     from .operators import (
         analytics,
         archive_parse,
+        c4_filters,
         audio_dedup,
         bpe,
         video_dedup,
@@ -133,6 +134,7 @@ def _modules() -> tuple:
         crossmodal,
         text_analysis,
         gopher_repetition,
+        c4_filters,
         relational,
         relational2,
         relational3,
@@ -355,11 +357,11 @@ GATE_FRONT: tuple[str, ...] = (
     "zip_members_stats",
     "tar_archive_stats",
     "tfrecord_stats",
-    "dedup_simhash_wide",
-    # (dedup_image_stream_ingest, dedup_audio_incremental,
-    # dedup_audio_stream_ingest, dedup_video_incremental, bigram_stats
-    # and dedup_text_stream_ingest displaced to the r16 fill by the
-    # r15 replan + new queries below)
+    # (dedup_simhash_wide, dedup_image_stream_ingest,
+    # dedup_audio_incremental, dedup_audio_stream_ingest,
+    # dedup_video_incremental, bigram_stats and
+    # dedup_text_stream_ingest displaced to the r16 fill by the r15
+    # replan + new queries below)
     # replanned in r15 — must re-gate (the bit-identical-replan
     # precedent): the candidate stage was factored into
     # ivf_pair_candidates() so the scale gate can count verify
@@ -372,6 +374,7 @@ GATE_FRONT: tuple[str, ...] = (
     "docs_ccnet_perplexity_buckets",
     "curation_funnel",
     "decontaminate_semantic",
+    "docs_c4_line_filters",
 )
 _R14_WINDOW: tuple[str, ...] = (
     # --- ROUND-14 ROTATION (executed; CORRECTNESS_r14 50/50 green).

@@ -7,6 +7,7 @@ import pytest
 
 from robin_sparkles_spark.operators import (
     bpe,
+    c4_filters,
     curation,
     dedup,
     embedding_dedup,
@@ -24,7 +25,7 @@ from robin_sparkles_spark.operators import (
 from .oracle_utils import assert_query_matches_oracle
 
 ALL = {}
-for mod in (text_analysis, dedup, embedding_dedup, similarity, curation, sketches, graph, semdedup, bpe, web_text, ngram_lm, pq, opq):
+for mod in (text_analysis, dedup, embedding_dedup, similarity, curation, sketches, graph, semdedup, bpe, web_text, ngram_lm, pq, opq, c4_filters):
     ALL.update(mod.QUERIES)
     ALL.update(getattr(mod, "QUERIES_TAIL", {}))
 
