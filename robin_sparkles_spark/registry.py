@@ -300,6 +300,22 @@ def _collect() -> dict[str, QuerySpec]:
 # fill, and the 4 new r14 queries (crossmodal ×2, domain cap, Gopher
 # quality); 11 r10 names deferred to this r15 fill.
 #
+# ROUND-16 ROTATION (write it at the start of r16): rotate out the 50
+# GATE_FRONT names below once CORRECTNESS_r15 comes back green. Fill
+# order: the seven r11-last-green names displaced from this window
+# (dedup_simhash_wide, dedup_image_stream_ingest,
+# dedup_audio_incremental, dedup_audio_stream_ingest,
+# dedup_video_incremental, bigram_stats, dedup_text_stream_ingest),
+# then the remaining r11-last-green block in registry order
+# (orders_custkey_hll, users_hll_by_type, source_waterfill_allocation,
+# quality_classifier_score, html_extract_text, url_normalize_stats —
+# note html_extract_text/url_normalize_stats share web_text with the
+# r15 blocklist work but their own plans/oracles were untouched),
+# then the oldest r12-last-green block; plus, as always, anything
+# whose plan or oracle changes in r16 and any newly added queries.
+# `tools/gate_check.py --stale N` computes exactly this staleness
+# ranking from CORRECTNESS history — cross-check the hand fill.
+#
 # ROUND-15 ROTATION (this window; executes the note written at the
 # end of r14 + VERDICT r14 #2 — the hand fill below was cross-checked
 # against `tools/gate_check.py --stale` this round, which computes the
