@@ -41,6 +41,7 @@ import threading
 from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
 from ..functions.barrier import barrier
+from ..functions.litconst import memo_expr, probe_cells_sql
 from ..functions.vectors import as_double, dot, dot_sql
 from ..sources import load_table
 
@@ -137,7 +138,10 @@ def _assign_expr(
         aggregate(zip_with({vec_col}, element_at({c_lit}, i + 1), (x, c) -> x * c),
                   CAST(0 AS DOUBLE), (acc, y) -> acc + y)
     """
-    return F.expr(
+    # memo_expr (r15): the argmin string is a pure function of the
+    # fitted centroids, so re-parsing it on every plan construction
+    # is wasted py4j/parser work — see functions.litconst.
+    return memo_expr(
         f"""
         aggregate(sequence(0, {k - 1}),
           named_struct('idx', CAST(0 AS INT),
@@ -555,15 +559,11 @@ def _probe_cells_expr(centroids: list[list[float]], nprobe: int) -> F.Column:
     recall knob. Pure Catalyst: an array of (score, cell) structs,
     ``array_sort`` (lexicographic: score first, cell breaks exact
     ties), slice, project the cell ids. k is small, so this is a
-    constant-width per-row projection like ``_assign_expr``."""
-    pairs = []
-    for i, c in enumerate(centroids):
-        c_arr = F.array(*[F.lit(float(x)) for x in c])
-        c_norm2 = float(sum(x * x for x in c))
-        score = F.lit(c_norm2) - 2.0 * dot(F.col("v"), c_arr)
-        pairs.append(F.struct(score.alias("s"), F.lit(i).alias("c")))
-    ranked = F.slice(F.array_sort(F.array(*pairs)), 1, nprobe)
-    return F.transform(ranked, lambda p: p["c"])
+    constant-width per-row projection like ``_assign_expr``. Rendered
+    as ONE memoized SQL string (r15): the element-wise ``F.lit`` form
+    cost ~10·k·dim py4j round-trips per plan construction — see
+    ``functions.litconst``. Arithmetic and tie rules unchanged."""
+    return memo_expr(probe_cells_sql(centroids, nprobe))
 
 
 IVF_NPROBE = 2

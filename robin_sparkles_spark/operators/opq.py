@@ -42,6 +42,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..functions.barrier import barrier
+from ..functions.litconst import dot_spark_sql, memo_expr, render_double_array
 from ..functions.vectors import dot, dot_sql
 from .pq import (
     IVFPQ_NPROBE,
@@ -127,11 +128,19 @@ def rotated_unit_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     cached = _ROT_INDEX_CACHE.get(key)
     if cached is None:
         R = opq_fit(spark, sf_dir)
-        cols = [
-            F.array(*[F.lit(R[i][j]) for i in range(DIM)])
-            for j in range(DIM)
-        ]
-        vrot = F.array(*[dot(F.col("v"), c) for c in cols])
+        # ONE memoized SQL parse for the 64x64 rotation (r15): the
+        # element-wise F.lit form cost ~4k py4j round-trips per build
+        # (functions.litconst); the fold arithmetic is unchanged.
+        vrot = memo_expr(
+            "array("
+            + ",".join(
+                dot_spark_sql(
+                    "v", render_double_array([R[i][j] for i in range(DIM)])
+                )
+                for j in range(DIM)
+            )
+            + ")"
+        )
         cached = barrier(
             unit_vector_index(spark, sf_dir).select(
                 "vec_id", vrot.alias("v")

@@ -58,6 +58,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
+from ..functions.litconst import memo_expr, probe_cells_sql
 from ..functions.vectors import dot, dot_sql
 
 PQ_M = 16  # subspaces (one 4-bit nibble each in the packed code)
@@ -95,7 +96,9 @@ def _subspace_assign_expr(cents: list[list[float]], sub: str) -> F.Column:
         aggregate(zip_with({sub}, element_at({c_lit}, j + 1), (x, c) -> x * c),
                   CAST(0 AS DOUBLE), (acc, y) -> acc + y)
     """
-    return F.expr(
+    # memo_expr (r15): pure function of the fitted codebook — skip
+    # the re-parse on every plan construction (functions.litconst).
+    return memo_expr(
         f"""
         aggregate(sequence(0, {ks - 1}),
           named_struct('idx', CAST(0 AS INT),
@@ -350,7 +353,8 @@ def _lut_columns(books: list[list[list[float]]]) -> dict[str, F.Column]:
             _dlit(sum(x * x for x in c)) for c in book
         ) + ")"
         sub = _sub_spark(m)
-        luts[f"lut{m}"] = F.expr(
+        # memo_expr (r15): one parse per fitted codebook, not per plan
+        luts[f"lut{m}"] = memo_expr(
             f"""
             transform(sequence(0, {PQ_KS - 1}), j ->
               element_at({n2_lit}, j + 1) - CAST(2.0 AS DOUBLE) *
@@ -405,7 +409,7 @@ def _adc_scored(
         .select(
             F.col("q.vec_id").alias("query_id"),
             F.col("c.vec_id").alias("neighbor_id"),
-            F.expr(_ADC_EXPR).alias("adc_dist"),
+            memo_expr(_ADC_EXPR).alias("adc_dist"),
         )
     )
 
@@ -728,17 +732,11 @@ def coarse_fit(
 def _probe_expr(book: list[list[float]], nprobe: int) -> F.Column:
     """The query's ``nprobe`` nearest cells (array) — same
     struct/array_sort shape and (score, cell) tie rule as
-    ``clustering._probe_cells_expr``, over the coarse codebook."""
-    from ..functions.vectors import dot as _dot
-
-    pairs = []
-    for i, c in enumerate(book):
-        c_arr = F.array(*[F.lit(float(x)) for x in c])
-        n2 = float(sum(x * x for x in c))
-        score = F.lit(n2) - 2.0 * _dot(F.col("v"), c_arr)
-        pairs.append(F.struct(score.alias("s"), F.lit(i).alias("c")))
-    ranked = F.slice(F.array_sort(F.array(*pairs)), 1, nprobe)
-    return F.transform(ranked, lambda p: p["c"])
+    ``clustering._probe_cells_expr``, over the coarse codebook.
+    Rendered as ONE memoized SQL string (r15): the element-wise form
+    was ~0.8 s of py4j round-trips per plan construction (measured,
+    guide §1) — see ``functions.litconst``. Arithmetic unchanged."""
+    return memo_expr(probe_cells_sql(book, nprobe))
 
 
 def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -803,7 +801,7 @@ def _ivfpq_topk_from(
         .select(
             F.col("q.vec_id").alias("query_id"),
             F.col("c.vec_id").alias("neighbor_id"),
-            F.expr(_ADC_EXPR).alias("adc_dist"),
+            memo_expr(_ADC_EXPR).alias("adc_dist"),
         )
         .withColumn("srank", F.row_number().over(w_short))
         .where(F.col("srank") <= IVFPQ_SHORTLIST)

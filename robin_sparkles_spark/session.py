@@ -52,6 +52,25 @@ def get_spark(
         .config("spark.default.parallelism", str(shuffle_partitions or cores))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # r15 (guide §2.2/§2.4): AQE's coalescing floor. The default
+        # floor (1 MB) collapses every sub-32 MB shuffle to a handful
+        # of partitions, which SERIALIZES the compute that runs after
+        # the exchange — measured on the shared unit-vector index
+        # (≈1 MB at sf0.1): 1 post-shuffle partition, so every ANN
+        # fold/argmin consumer ran on one core of 32. A 48 KB floor
+        # re-opens up-to-core-budget parallelism for small
+        # intermediates (pq_rerank_topk 3.0→2.1 s, crossmodal topk
+        # 1.8→1.0 s, semdedup 2.3→1.0 s, min-of-3) while leaving big
+        # shuffles untouched: with parallelismFirst (default true) the
+        # coalesce target is max(bytes/parallelism, floor), so any
+        # shuffle above cores·48 KB ≈ 1.5 MB picks bytes/parallelism
+        # exactly as before, and at 100 TB post-shuffle partitions are
+        # hundreds of MB — the floor is a no-op there. Env-tunable for
+        # deployments whose task-launch overhead differs.
+        .config(
+            "spark.sql.adaptive.coalescePartitions.minPartitionSize",
+            os.environ.get("SPARK_GRAFT_AQE_MIN_PARTITION", "48k"),
+        )
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         # runtime row-level pruning: build a bloom filter from the
         # small side of a shuffle join and push it into the big side's
