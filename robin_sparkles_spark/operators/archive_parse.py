@@ -44,7 +44,7 @@ import zlib
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..sources import load_table
-from ..sources.staging import is_staged, staged_path
+from ..sources.staging import is_staged, stage_width, staged_path
 
 ARCHIVE_N = 500  # rows per format (min'd with the doc count)
 
@@ -536,7 +536,7 @@ def stage_archive_corpus(spark: SparkSession, sf_dir: str) -> str:
     rows += [(i, "application/x-tar", synth_tar(i)) for i in range(n)]
     spark.createDataFrame(
         rows, "media_id long, mime string, payload binary"
-    ).coalesce(1).write.mode("overwrite").parquet(path)
+    ).repartition(stage_width(len(rows))).write.mode("overwrite").parquet(path)
     return path
 
 
@@ -560,7 +560,7 @@ def stage_tfrecord_corpus(spark: SparkSession, sf_dir: str) -> str:
     ]
     spark.createDataFrame(
         rows, "media_id long, mime string, payload binary"
-    ).coalesce(1).write.mode("overwrite").parquet(path)
+    ).repartition(stage_width(len(rows))).write.mode("overwrite").parquet(path)
     return path
 
 
@@ -926,7 +926,7 @@ def stage_warc_gz_corpus(spark: SparkSession, sf_dir: str) -> str:
     rows = [(i, "application/warc+gzip", synth_warc_gz(i)) for i in range(n)]
     spark.createDataFrame(
         rows, "media_id long, mime string, payload binary"
-    ).coalesce(1).write.mode("overwrite").parquet(path)
+    ).repartition(stage_width(len(rows))).write.mode("overwrite").parquet(path)
     return path
 
 
@@ -1032,7 +1032,7 @@ def stage_warc_zst_corpus(spark: SparkSession, sf_dir: str) -> str:
     rows = [(i, "application/warc+zstd", synth_warc_zst(i)) for i in range(n)]
     spark.createDataFrame(
         rows, "media_id long, mime string, payload binary"
-    ).coalesce(1).write.mode("overwrite").parquet(path)
+    ).repartition(stage_width(len(rows))).write.mode("overwrite").parquet(path)
     return path
 
 
@@ -1115,7 +1115,7 @@ def stage_warc_zst_real_corpus(spark: SparkSession, sf_dir: str) -> str:
     ]
     spark.createDataFrame(
         rows, "media_id long, mime string, payload binary"
-    ).coalesce(1).write.mode("overwrite").parquet(path)
+    ).repartition(stage_width(len(rows))).write.mode("overwrite").parquet(path)
     return path
 
 

@@ -46,7 +46,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..functions.barrier import barrier
 from ..sources import load_table
-from ..sources.staging import is_staged, staged_path
+from ..sources.staging import is_staged, stage_width, staged_path
 from .dedup import hamming_blocked_pairs
 
 AUDIO_N = 400
@@ -138,7 +138,7 @@ def stage_audio_corpus(spark: SparkSession, sf_dir: str) -> str:
             rows.append((i * 10 + 2, i, 2, _encode_wav(_clip_samples(i, 2))))
     spark.createDataFrame(
         rows, "aud_id long, audio_id long, variant int, payload binary"
-    ).coalesce(1).write.mode("overwrite").parquet(path)
+    ).repartition(stage_width(len(rows))).write.mode("overwrite").parquet(path)
     return path
 
 

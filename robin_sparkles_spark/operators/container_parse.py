@@ -55,7 +55,7 @@ import struct
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..sources import load_table
-from ..sources.staging import is_staged, staged_path
+from ..sources.staging import is_staged, stage_width, staged_path
 
 CONTAINER_N = 500  # rows per format (min'd with the doc count)
 
@@ -799,7 +799,7 @@ def stage_container_corpus(spark: SparkSession, sf_dir: str) -> str:
     rows += [(i, "image/jpeg", synth_jpeg(i)) for i in range(n)]
     spark.createDataFrame(
         rows, "media_id long, mime string, payload binary"
-    ).coalesce(1).write.mode("overwrite").parquet(path)
+    ).repartition(stage_width(len(rows))).write.mode("overwrite").parquet(path)
     return path
 
 
@@ -939,7 +939,7 @@ def stage_jpeg_entropy_corpus(spark: SparkSession, sf_dir: str) -> str:
     rows = [(i, "image/jpeg", synth_jpeg_baseline(i)) for i in range(n)]
     spark.createDataFrame(
         rows, "media_id long, mime string, payload binary"
-    ).coalesce(1).write.mode("overwrite").parquet(path)
+    ).repartition(stage_width(len(rows))).write.mode("overwrite").parquet(path)
     return path
 
 
@@ -1014,7 +1014,7 @@ def stage_jpeg_pixel_corpus(spark: SparkSession, sf_dir: str) -> str:
     ]
     spark.createDataFrame(
         rows, "media_id long, mime string, payload binary"
-    ).coalesce(1).write.mode("overwrite").parquet(path)
+    ).repartition(stage_width(len(rows))).write.mode("overwrite").parquet(path)
     return path
 
 
@@ -1191,7 +1191,7 @@ def stage_jpeg_prog_corpus(spark: SparkSession, sf_dir: str) -> str:
     ]
     spark.createDataFrame(
         rows, "media_id long, mime string, payload binary"
-    ).coalesce(1).write.mode("overwrite").parquet(path)
+    ).repartition(stage_width(len(rows))).write.mode("overwrite").parquet(path)
     return path
 
 
@@ -1890,7 +1890,7 @@ def stage_jpeg_prog_full_corpus(spark: SparkSession, sf_dir: str) -> str:
     ]
     spark.createDataFrame(
         rows, "media_id long, mime string, payload binary"
-    ).coalesce(1).write.mode("overwrite").parquet(path)
+    ).repartition(stage_width(len(rows))).write.mode("overwrite").parquet(path)
     return path
 
 
@@ -1944,7 +1944,7 @@ def stage_jpeg_prog_sa_corpus(spark: SparkSession, sf_dir: str) -> str:
     rows = [(i, "image/jpeg", synth_jpeg_progressive_sa(i)) for i in range(n)]
     spark.createDataFrame(
         rows, "media_id long, mime string, payload binary"
-    ).coalesce(1).write.mode("overwrite").parquet(path)
+    ).repartition(stage_width(len(rows))).write.mode("overwrite").parquet(path)
     return path
 
 

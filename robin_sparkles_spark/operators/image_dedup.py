@@ -64,7 +64,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..functions.barrier import barrier
 from ..sources import load_table
-from ..sources.staging import is_staged, staged_path
+from ..sources.staging import is_staged, stage_width, staged_path
 from .dedup import hamming_blocked_pairs
 from .media_decode import _PNG_SIG, bmp_pixels, png_pixels
 
@@ -254,7 +254,7 @@ def stage_image_corpus(spark: SparkSession, sf_dir: str) -> str:
     spark.createDataFrame(
         rows,
         "img_id long, image_id long, variant int, fmt string, payload binary",
-    ).coalesce(1).write.mode("overwrite").parquet(path)
+    ).repartition(stage_width(len(rows))).write.mode("overwrite").parquet(path)
     return path
 
 

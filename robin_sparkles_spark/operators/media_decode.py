@@ -47,7 +47,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..sources import load_table
-from ..sources.staging import is_staged, staged_path
+from ..sources.staging import is_staged, stage_width, staged_path
 
 MEDIA_N = 500  # media rows per kind (min'd with the doc count)
 
@@ -117,7 +117,7 @@ def stage_media_corpus(spark: SparkSession, sf_dir: str) -> str:
     rows += [(i, "audio/wav", synth_wav(i)) for i in range(n)]
     spark.createDataFrame(
         rows, "media_id long, mime string, payload binary"
-    ).coalesce(1).write.mode("overwrite").parquet(path)
+    ).repartition(stage_width(len(rows))).write.mode("overwrite").parquet(path)
     return path
 
 
@@ -331,7 +331,7 @@ def stage_png_corpus(spark: SparkSession, sf_dir: str) -> str:
     rows = [(i, "image/png", synth_png(i)) for i in range(n)]
     spark.createDataFrame(
         rows, "media_id long, mime string, payload binary"
-    ).coalesce(1).write.mode("overwrite").parquet(path)
+    ).repartition(stage_width(len(rows))).write.mode("overwrite").parquet(path)
     return path
 
 

@@ -38,7 +38,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..sources import load_table
-from ..sources.staging import is_staged, staged_path
+from ..sources.staging import is_staged, stage_width, staged_path
 
 VIDEO_N = 300  # clips staged (min'd with doc count)
 FRAME_STRIDE = 2  # sample frames 0, 2, 4, …
@@ -118,7 +118,7 @@ def stage_video_corpus(spark: SparkSession, sf_dir: str) -> str:
     rows = [(i, "image/tiff", synth_tiff(i)) for i in range(n)]
     spark.createDataFrame(
         rows, "media_id long, mime string, payload binary"
-    ).coalesce(1).write.mode("overwrite").parquet(path)
+    ).repartition(stage_width(len(rows))).write.mode("overwrite").parquet(path)
     return path
 
 

@@ -63,7 +63,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..functions.barrier import barrier
 from ..sources import load_table
-from ..sources.staging import is_staged, staged_path
+from ..sources.staging import is_staged, stage_width, staged_path
 from .dedup import hamming_blocked_pairs
 from .image_dedup import DHASH_BITS, dhash_of_gray
 from .video_decode import (
@@ -219,7 +219,7 @@ def stage_video_dedup_corpus(spark: SparkSession, sf_dir: str) -> str:
             rows.append((i * 10 + 2, i, 2, _encode_tiff(_clip_frames(i, 2))))
     spark.createDataFrame(
         rows, "vid_id long, video_id long, variant int, payload binary"
-    ).coalesce(1).write.mode("overwrite").parquet(path)
+    ).repartition(stage_width(len(rows))).write.mode("overwrite").parquet(path)
     return path
 
 

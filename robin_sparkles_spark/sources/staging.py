@@ -46,3 +46,26 @@ def staged_path(sf_dir: str, name: str, source_table: str) -> str:
 
 def is_staged(path: str) -> bool:
     return os.path.exists(os.path.join(path, "_SUCCESS"))
+
+
+# r15 (guide §2/§6): staged media/archive corpora used to write with
+# ``coalesce(1)`` — tidy, but a single-file single-row-group parquet
+# is UNSPLITTABLE, so every decode kernel (Arrow mapInPandas over
+# payload blobs) ran on ONE core regardless of the session's core
+# budget (measured: dedup_video_phash 2.9 s → 1.6 s at sf0.1 just by
+# re-laying the 403-clip corpus over 32 files). ``stage_width`` sizes
+# the staged layout to the corpus: ~STAGE_ROWS_PER_FILE rows per file,
+# capped at the core budget — a 300-row corpus becomes ~cores small
+# files (decode parallelism), while the cap keeps tiny corpora from
+# producing hundreds of near-empty files. This is fixture staging
+# only; corpus-cardinality production indexes follow the ≈8k
+# rows/file law in streaming/media_ingest.py.
+STAGE_ROWS_PER_FILE = 4
+
+
+def stage_width(n_rows: int) -> int:
+    from ..session import default_parallelism
+
+    return max(
+        1, min(default_parallelism(), n_rows // STAGE_ROWS_PER_FILE)
+    )
