@@ -60,6 +60,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
+from ..functions.barrier import barrier
 from ..sources import load_table
 from ..sources.staging import is_staged, staged_path
 from .dedup import (
@@ -188,7 +189,16 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _containment_full_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The direct inverted-index plan (cheapest at gate scales)."""
-    capped = _capped_rows(spark, sf_dir).drop("df")
+    # r15 (guide §2.4): the capped index feeds four consumers (both
+    # self-join sides + both size-fetch joins); without the barrier
+    # each replays scan+shingle+df-join from the staged corpus (see
+    # dedup._ngram_jaccard_full_index — same shape, same fix).
+    capped = barrier(
+        _capped_rows(spark, sf_dir).drop("df"),
+        "corpus",
+        "containment capped index",
+        eager=False,
+    )
     sizes = capped.groupBy("doc_id").agg(F.count("*").alias("sz"))
     a = capped.alias("a").hint("shuffle_hash")
     b = capped.alias("b")
@@ -226,7 +236,9 @@ def _containment_full_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _prefix_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _prefix_candidates(
+    spark: SparkSession, sf_dir: str, capped: DataFrame | None = None
+) -> DataFrame:
     """Candidate (inner_doc, outer_doc) pairs of the asymmetric
     prefix plan — factored out so probes can count candidates
     directly (the r13/r14 stage-profiling discipline).
@@ -244,7 +256,8 @@ def _prefix_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     rule. The pair groupBy replaces the former DISTINCT at the same
     shuffle cost (the ngram struct-min precedent), so the scheme's
     only added cost is one prefix row per inner doc."""
-    capped = _capped_rows(spark, sf_dir)
+    if capped is None:
+        capped = _capped_rows(spark, sf_dir)
     wd = W.partitionBy("doc_id")
     ranked = capped.withColumn(
         "rn", F.row_number().over(wd.orderBy("df", "h"))
@@ -300,12 +313,19 @@ def _containment_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     Candidates then verify EXACTLY via sorted capped-set arrays — the
     same shared/min(sz) arithmetic as the full-index form (fixture
     parity pinned in tests)."""
-    capped = _capped_rows(spark, sf_dir)
+    # r15 (guide §2.4): one barriered capped index serves the verify
+    # payload AND both candidate-join sides (see the full-index arm).
+    capped = barrier(
+        _capped_rows(spark, sf_dir),
+        "corpus",
+        "containment capped index",
+        eager=False,
+    )
     docs = capped.groupBy("doc_id").agg(
         F.sort_array(F.collect_list("h")).alias("hs"),
         F.count("*").alias("sz"),
     )
-    cands = _prefix_candidates(spark, sf_dir)
+    cands = _prefix_candidates(spark, sf_dir, capped=capped)
     d1 = docs.alias("d1").hint("shuffle_hash")
     d2 = docs.alias("d2").hint("shuffle_hash")
     shared = F.size(F.array_intersect(F.col("d1.hs"), F.col("d2.hs")))

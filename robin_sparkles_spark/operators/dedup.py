@@ -343,7 +343,18 @@ def _ngram_jaccard_full_index(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     """The direct inverted-index plan (cheapest at gate scales)."""
-    sh = _df_capped_shingle_rows(spark, sf_dir)
+    # r15 (guide §2.4): the capped index feeds FOUR consumers (both
+    # self-join sides + both size-fetch joins) and Catalyst performs
+    # no common-subtree elimination across them — without the barrier
+    # each replays scan+tokenize+df-join from parquet (8 scans in the
+    # executed plan, zero ReusedExchange, measured). Same contract as
+    # the simhash table barrier.
+    sh = barrier(
+        _df_capped_shingle_rows(spark, sf_dir),
+        "corpus",
+        "ngram capped shingle index",
+        eager=False,
+    )
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
     # corpus × corpus joins: pin SHUFFLE_HASH (see _ngram_jaccard_prefix)
     a = sh.alias("a").hint("shuffle_hash")
@@ -389,7 +400,9 @@ def _ngram_doc_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _ngram_prefix_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _ngram_prefix_candidates(
+    spark: SparkSession, sf_dir: str, doc_arrays: DataFrame | None = None
+) -> DataFrame:
     """Candidate (doc1, doc2) pairs of the prefix plan — factored out
     so probes can count candidates directly. Three LOSSLESS prunes
     compose before the exact verify:
@@ -417,7 +430,9 @@ def _ngram_prefix_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     # position because (df, h) is strictly ordered within a doc
     # (per-doc shingles are distinct), so the positional-filter
     # semantics are unchanged.
-    prefix = _ngram_doc_arrays(spark, sf_dir).select(
+    if doc_arrays is None:
+        doc_arrays = _ngram_doc_arrays(spark, sf_dir)
+    prefix = doc_arrays.select(
         "doc_id",
         "sz",
         F.posexplode(
@@ -502,14 +517,24 @@ def _ngram_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     # per-doc verify payload: the capped shingle SET as an h-sorted
     # array — a pure transform of the shared doc-array aggregation
     # (one groupBy serves payload AND prefix; r14 stage profile)
-    docs = _ngram_doc_arrays(spark, sf_dir).select(
+    # r15 (guide §2.4): ONE barriered doc-array aggregation serves the
+    # payload projection AND both prefix self-join sides — without it
+    # each of the four consumers replays scan+tokenize+df-join from
+    # parquet (no common-subtree elimination across join branches).
+    arrs = barrier(
+        _ngram_doc_arrays(spark, sf_dir),
+        "corpus",
+        "ngram doc-array index",
+        eager=False,
+    )
+    docs = arrs.select(
         "doc_id",
         F.array_sort(
             F.transform(F.col("arr"), lambda e: e["h"])
         ).alias("hs"),
         F.col("sz").cast("long").alias("sz"),
     )
-    cands = _ngram_prefix_candidates(spark, sf_dir)
+    cands = _ngram_prefix_candidates(spark, sf_dir, doc_arrays=arrs)
     d1 = docs.alias("d1").hint("shuffle_hash")
     d2 = docs.alias("d2").hint("shuffle_hash")
     inter = F.size(F.array_intersect(F.col("d1.hs"), F.col("d2.hs")))
@@ -615,7 +640,17 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle join on short keys, linear in data + candidates. Verify:
     exact Jaccard on the candidates only, keep ≥ τ.
     """
-    banded = banded_minhash(minhash_signatures(spark, sf_dir))
+    # r15 (guide §2.4): one materialized band index feeds BOTH
+    # self-join sides — the 16-min signature aggregate over the
+    # exploded shingle rows is the expensive stage and Catalyst does
+    # not reuse it across the aliased sides (measured 4.40 → 2.69 s
+    # min-of-3 in-session A/B; same contract as the simhash table).
+    banded = barrier(
+        banded_minhash(minhash_signatures(spark, sf_dir)),
+        "corpus",
+        "minhash band index",
+        eager=False,
+    )
     # Corpus × corpus joins throughout (band index self-join, then the
     # verify joins against the per-doc shingle-SET table — the worst
     # possible broadcast: one array of shingle hashes per document).

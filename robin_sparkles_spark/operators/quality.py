@@ -40,7 +40,17 @@ def referential_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     clean pipeline yields orphans=0 rows — the audit's steady-state —
     so the test plants a synthetic violation to prove the detector
     detects (the fixture itself is expected clean)."""
-    reports = [
+    # r15 (guide §2.4): lineitem carries THREE audited FKs and was
+    # scanned once per pair — the dominant pass count at 100 TB (it is
+    # the biggest fact table). One shared pass now left-joins all
+    # three parent key sets (orders shuffled, part/supplier broadcast
+    # — same per-parent strategy as before) and one aggregation emits
+    # all three orphan counts, unpivoted via stack into the identical
+    # three report rows. Non-lineitem pairs keep the per-pair
+    # single-pass detector.
+    li_pairs = [p for p in FK_PAIRS if p[0] == "lineitem"]
+    reports = [_audit_lineitem_fks(spark, sf_dir, li_pairs)]
+    reports += [
         audit_fk_pair(
             load_table(spark, sf_dir, child).select(F.col(fk).alias("k")),
             load_table(spark, sf_dir, parent).select(F.col(pk).alias("k")),
@@ -54,11 +64,64 @@ def referential_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             broadcast_parent=parent != "orders",
         )
         for child, fk, parent, pk in FK_PAIRS
+        if child != "lineitem"
     ]
     out = reports[0]
     for r in reports[1:]:
         out = out.unionByName(r)
     return out
+
+
+def _audit_lineitem_fks(
+    spark: SparkSession, sf_dir: str, pairs
+) -> DataFrame:
+    """All of lineitem's FK audits in ONE pass over lineitem: left
+    join each parent's deduped key set (orders shuffle-joined,
+    dimensions broadcast — the same per-parent strategy the per-pair
+    form used), count rows + per-parent misses in one aggregation,
+    unpivot with stack. Emits exactly the rows ``audit_fk_pair``
+    emitted for these pairs."""
+    child = load_table(spark, sf_dir, "lineitem").select(
+        *[F.col(fk).alias(f"k{i}") for i, (_, fk, _, _) in enumerate(pairs)]
+    )
+    joined = child
+    for i, (_, fk, parent, pk) in enumerate(pairs):
+        p = (
+            load_table(spark, sf_dir, parent)
+            .select(F.col(pk).alias(f"k{i}"))
+            .distinct()
+            .withColumn(f"present{i}", F.lit(1))
+        )
+        if parent != "orders":
+            p = F.broadcast(p)
+        joined = joined.join(p, f"k{i}", "left")
+    aggs = [F.count("*").alias("child_rows")] + [
+        F.sum(
+            F.when(F.col(f"present{i}").isNull(), 1).otherwise(0)
+        ).alias(f"orphans{i}")
+        for i in range(len(pairs))
+    ]
+    wide = joined.agg(*aggs)
+    stack_args: list = [F.lit(len(pairs))]
+    for i, (c, fk, parent, pk) in enumerate(pairs):
+        stack_args += [
+            F.lit(f"{c}.{fk}"),
+            F.lit(f"{parent}.{pk}"),
+            F.col(f"orphans{i}"),
+        ]
+    return wide.select(
+        F.stack(*stack_args).alias("fk", "ref_to", "orphans"),
+        "child_rows",
+    ).select(
+        "fk",
+        "ref_to",
+        "child_rows",
+        "orphans",
+        (
+            F.col("orphans").cast("double")
+            / F.col("child_rows").cast("double")
+        ).alias("orphan_rate"),
+    )
 
 
 def audit_fk_pair(

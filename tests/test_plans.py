@@ -264,6 +264,11 @@ _BNL_ALLOWED = {
     "custkey_overlap_kmv",  # scalar shape: 1-row sketch stats × 1-row exacts
     "orders_custkey_hll",  # scalar shape: 1-row registers × 1-row exact
     "ngram_lm_score",  # scalar shape: 1-row vocab size V into the smoother
+    # r15 build (inherited, fixed in the optimization round): composes
+    # ngram_lm_score, so it inherits that query's sanctioned 1-row
+    # scalar joins — the interrupted build round added the query
+    # without extending this allowlist
+    "docs_ccnet_perplexity_buckets",
     "ngram_backoff_score",  # scalar shape: 1-row token total N
     "image_text_pair_curation",  # scalar shape: 1-row n_base into pairing
     "source_waterfill_allocation",  # two 1-row scalars (k/total, j*/P_j*)
@@ -354,6 +359,15 @@ _CORPUS_BARRIER_ALLOWLIST = {
     # late r11: 8 bytes/doc — the 63-bit wide form's hash table (same
     # contract as the 32-bit simhash table)
     "wide simhash table",
+    # r15 (optimization round, guide §2.4): the df-capped shingle
+    # indexes and the LSH band index — each feeds 2–4 join branches
+    # that otherwise replay scan+tokenize from parquet (no common-
+    # subtree elimination); each is the inverted-index artifact a
+    # production pipeline persists anyway
+    "ngram capped shingle index",
+    "ngram doc-array index",
+    "minhash band index",
+    "containment capped index",
     # r11: 8 bytes/item — the persisted perceptual-hash / acoustic-
     # fingerprint indexes of image/audio/video near-dup dedup (same
     # contract as the simhash table; video is 8 B per SAMPLED frame)
