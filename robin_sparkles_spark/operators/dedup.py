@@ -1298,26 +1298,46 @@ def propagate_min_labels(
     silent partial result would mismatch the transitive-closure oracle
     downstream with no error here)."""
     labels = nodes.select("doc_id", F.col("doc_id").alias("group_id"))
-    labels = barrier(labels, "corpus", "label-propagation initial labels")
+    labels = barrier(
+        labels, "corpus", "label-propagation initial labels", eager=False
+    )
     changed = -1
     # Every join in the loop is corpus × corpus (labels has one row
     # per doc, edges one per pair-direction): pin SHUFFLE_HASH so no
     # size misestimate can broadcast a corpus-sized side (r10 audit,
     # see dedup_ngram_jaccard).
+    #
+    # r15 (guide §2.4/§5 — fewer actions, fewer replays): each round
+    # is now ONE action. The pre-r15 loop ran two jobs per round (an
+    # eager barrier materialization, then a convergence count that
+    # JOINED new labels back to old) and replayed the neighbor-min
+    # subtree twice (both sides of the pointer-doubling self-join).
+    # Now the old label rides along the round's dataframes, so
+    # convergence is a plain filter-count on the new table (no join),
+    # that count is what materializes the round's two lazy barriers,
+    # and the pointer-doubling self-join reads the barriered ``cand``
+    # instead of recomputing it. Labels and convergence semantics are
+    # unchanged (the old inner join on doc_id compared the same total
+    # doc set).
     for _ in range(max_rounds):
         nmin = (
             edges.join(labels.hint("shuffle_hash"), edges.src == labels.doc_id)
             .groupBy("dst")
             .agg(F.min("group_id").alias("nmin"))
         )
-        cand = (
-            labels.join(nmin.hint("shuffle_hash"), labels.doc_id == nmin.dst, "left")
-            .select(
+        cand = barrier(
+            labels.join(
+                nmin.hint("shuffle_hash"), labels.doc_id == nmin.dst, "left"
+            ).select(
                 "doc_id",
+                F.col("group_id").alias("old_group_id"),
                 F.least(
                     F.col("group_id"), F.coalesce(F.col("nmin"), F.col("group_id"))
                 ).alias("group_id"),
-            )
+            ),
+            "corpus",
+            "label-propagation iteration labels",
+            eager=False,
         )
         # pointer-doubling: follow my label's OWN label (labels are
         # always valid doc_ids, so the self-join is total)
@@ -1328,20 +1348,19 @@ def propagate_min_labels(
         new_labels = barrier(
             lol.select(
                 F.col("l1.doc_id").alias("doc_id"),
+                F.col("l1.old_group_id").alias("old_group_id"),
                 F.least(
                     F.col("l1.group_id"), F.col("l2.group_id")
                 ).alias("group_id"),
             ),
             "corpus",
             "label-propagation iteration labels",
+            eager=False,
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o").hint("shuffle_hash"), "doc_id")
-            .where(F.col("n.group_id") != F.col("o.group_id"))
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.where(
+            F.col("group_id") != F.col("old_group_id")
+        ).count()
+        labels = new_labels.select("doc_id", "group_id")
         if changed == 0:
             break
     if changed != 0:

@@ -40,6 +40,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
+from ..functions.barrier import barrier
 from ..sources import load_table
 
 # Fixed-point scale for probabilities: p_fp = floor(p * 10^12).
@@ -536,6 +537,12 @@ def ngram_maximal_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("pos", "g"),
     )
+    # r15 (guide §2.4): one materialized gram-position table serves
+    # the occurrence aggregate AND the join-back side — without it
+    # both replay scan+tokenize+md5-per-window (the expensive stage).
+    grams = barrier(
+        grams, "corpus", "repeated-span gram positions", eager=False
+    )
     occ = grams.groupBy("g").agg(F.count("*").alias("occ"))
     rep = grams.join(
         occ.where(F.col("occ") >= 2).hint("shuffle_hash"), "g"
@@ -638,6 +645,9 @@ def docs_scrub_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
                 f"), 1, 15), 16, 10) AS BIGINT))"
             )
         ).alias("pos", "g"),
+    )
+    grams = barrier(  # r15: same reuse contract as ngram_maximal_spans
+        grams, "corpus", "repeated-span gram positions", eager=False
     )
     occ = grams.groupBy("g").agg(
         F.count("*").alias("occ"),

@@ -368,6 +368,10 @@ _CORPUS_BARRIER_ALLOWLIST = {
     "ngram doc-array index",
     "minhash band index",
     "containment capped index",
+    # r15: the K-gram position table of the repeated-span family
+    # (ngram_maximal_spans / docs_scrub_repeated_spans) — one row per
+    # token position, feeds the occurrence aggregate + the join-back
+    "repeated-span gram positions",
     # r11: 8 bytes/item — the persisted perceptual-hash / acoustic-
     # fingerprint indexes of image/audio/video near-dup dedup (same
     # contract as the simhash table; video is 8 B per SAMPLED frame)
