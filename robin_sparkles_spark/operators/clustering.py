@@ -601,8 +601,13 @@ def _ivf_topk(spark: SparkSession, sf_dir: str, nprobe: int) -> DataFrame:
         .groupBy("vec_id", "probe")  # barrier: probe cells computed once
         .agg(F.first("v").alias("v"))
     )
-    q = probes.alias("q")
-    c = vecs.alias("c")
+    # r15 (guide §2.3): ‖v‖ per VECTOR, not per joined pair — identical
+    # single-assignment sqrt(dot(v, v)) on identical inputs, and the
+    # final divide(dot, multiply(n_q, n_c)) tree is unchanged, so
+    # doubles are bit-identical (A/B-hash-checked on the ivf pair
+    # family; same argument here).
+    q = probes.withColumn("nrm", F.sqrt(dot(F.col("v"), F.col("v")))).alias("q")
+    c = vecs.withColumn("nrm", F.sqrt(dot(F.col("v"), F.col("v")))).alias("c")
     w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
     # bounded query side — broadcast explicitly (r10 audit: never let
     # a misestimate broadcast the corpus-sized cell index instead)
@@ -618,7 +623,7 @@ def _ivf_topk(spark: SparkSession, sf_dir: str, nprobe: int) -> DataFrame:
             F.col("c.vec_id").alias("neighbor_id"),
             (
                 dot(F.col("q.v"), F.col("c.v"))
-                / (F.sqrt(dot(F.col("q.v"), F.col("q.v"))) * F.sqrt(dot(F.col("c.v"), F.col("c.v"))))
+                / (F.col("q.nrm") * F.col("c.nrm"))
             ).alias("cos_sim"),
         )
         .withColumn("rank", F.row_number().over(w))
@@ -881,19 +886,28 @@ def embedding_similar_pairs_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .dedup import COSINE_SIMILAR_THRESHOLD
 
     base, cands = ivf_pair_candidates(spark, sf_dir)
+    # r15 (guide §2.3 — move work off the pair rows): ‖v‖ is a pure
+    # per-VECTOR quantity, but the old per-pair expression recomputed
+    # both norms inside the verify join — three 64-dim folds per
+    # candidate instead of one (927,928 candidates at sf0.1, measured;
+    # the verify was 1.9 s of the 2.9 s execution). Computing
+    # sqrt(dot(v, v)) once per vector is the IDENTICAL operation on
+    # identical inputs, and the final expression keeps the exact
+    # divide(dot, multiply(n1, n2)) tree — doubles are bit-identical
+    # (A/B-hash-checked), so the oracle contract is untouched.
+    based = base.withColumn("nrm", F.sqrt(dot(F.col("v"), F.col("v"))))
     cos = dot(F.col("e1.v"), F.col("e2.v")) / (
-        F.sqrt(dot(F.col("e1.v"), F.col("e1.v")))
-        * F.sqrt(dot(F.col("e2.v"), F.col("e2.v")))
+        F.col("e1.nrm") * F.col("e2.nrm")
     )
     # Two fetch joins, SHUFFLE_HASH-pinned (C ≫ N regime — see
     # embedding_dedup's measured pair-fetch comparison)
     return (
         cands.join(
-            base.alias("e1").hint("shuffle_hash"),
+            based.alias("e1").hint("shuffle_hash"),
             F.col("vec1") == F.col("e1.vec_id"),
         )
         .join(
-            base.alias("e2").hint("shuffle_hash"),
+            based.alias("e2").hint("shuffle_hash"),
             F.col("vec2") == F.col("e2.vec_id"),
         )
         .select("vec1", "vec2", cos.alias("cos_sim"))

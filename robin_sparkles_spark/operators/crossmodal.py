@@ -115,12 +115,16 @@ def crossmodal_text_image_topk(
         .groupBy("vec_id")
         .agg(F.first("v").alias("v"), F.first("cluster").alias("cluster"))
     )
+    # r15 (guide §2.3): ‖v‖ per vector (pre-explode on the query side),
+    # not per joined pair — bit-identical doubles, see
+    # clustering.ann_ivf_topk.
     q = (
         _query_vectors(spark, sf_dir)
+        .withColumn("nrm", F.sqrt(dot(F.col("v"), F.col("v"))))
         .withColumn("probe", F.explode(_probe_cells_expr(centroids, CM_NPROBE)))
         .alias("q")
     )
-    c = imgs.alias("c")
+    c = imgs.withColumn("nrm", F.sqrt(dot(F.col("v"), F.col("v")))).alias("c")
     w = W.partitionBy("query_id").orderBy(
         F.desc("cos_sim"), F.asc("image_id")
     )
@@ -132,10 +136,7 @@ def crossmodal_text_image_topk(
             F.col("c.vec_id").alias("image_id"),
             (
                 dot(F.col("q.v"), F.col("c.v"))
-                / (
-                    F.sqrt(dot(F.col("q.v"), F.col("q.v")))
-                    * F.sqrt(dot(F.col("c.v"), F.col("c.v")))
-                )
+                / (F.col("q.nrm") * F.col("c.nrm"))
             ).alias("cos_sim"),
         )
         .withColumn("rank", F.row_number().over(w))
