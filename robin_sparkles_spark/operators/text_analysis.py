@@ -221,8 +221,19 @@ def text_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.explode(ws_tokens()).alias("word"),
     )
-    tf = words.groupBy("doc_id", "word").agg(F.count("*").alias("tf"))
-    df_ = words.groupBy("word").agg(F.countDistinct("doc_id").alias("df"))
+    # r15 (guide §2.3/§2.4): df derives from tf EXACTLY —
+    # countDistinct(doc_id) over raw word rows ≡ COUNT(*) over the
+    # (doc_id, word) term-count table — so the second scan+explode+
+    # shuffle of the raw token rows is gone; the barriered tf table
+    # feeds both the df aggregate and the scoring join (measured
+    # 1.26 → 1.09 s min-of-4, output bit-identical).
+    tf = barrier(
+        words.groupBy("doc_id", "word").agg(F.count("*").alias("tf")),
+        "corpus",
+        "top-terms tf table",
+        eager=False,
+    )
+    df_ = tf.groupBy("word").agg(F.count("*").alias("df"))
     n_docs = d.count()  # scalar; one tiny job
     from pyspark.sql import Window as W
 

@@ -372,6 +372,9 @@ _CORPUS_BARRIER_ALLOWLIST = {
     # (ngram_maximal_spans / docs_scrub_repeated_spans) — one row per
     # token position, feeds the occurrence aggregate + the join-back
     "repeated-span gram positions",
+    # r15: the (doc_id, word, tf) term-count table — feeds the df
+    # aggregate and the scoring join (df ≡ COUNT(*) over it)
+    "top-terms tf table",
     # r11: 8 bytes/item — the persisted perceptual-hash / acoustic-
     # fingerprint indexes of image/audio/video near-dup dedup (same
     # contract as the simhash table; video is 8 B per SAMPLED frame)
