@@ -640,17 +640,18 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle join on short keys, linear in data + candidates. Verify:
     exact Jaccard on the candidates only, keep ≥ τ.
     """
-    # r15 (guide §2.4): one materialized band index feeds BOTH
-    # self-join sides — the 16-min signature aggregate over the
-    # exploded shingle rows is the expensive stage and Catalyst does
-    # not reuse it across the aliased sides (measured 4.40 → 2.69 s
-    # min-of-3 in-session A/B; same contract as the simhash table).
-    banded = barrier(
-        banded_minhash(minhash_signatures(spark, sf_dir)),
-        "corpus",
-        "minhash band index",
-        eager=False,
-    )
+    # r15 negative result (measured, recorded so it stays dead): a
+    # reuse barrier on the band index LOOKS right (both self-join
+    # sides replay the 16-min signature aggregate) but an interleaved
+    # quiet-box A/B reads no-barrier FASTER (1.59/1.75 vs 1.85/1.94
+    # min/med of 5) — at fixture scale the duplicate branch hides in
+    # idle cores while the checkpoint serializes the DAG. A
+    # loaded-box A/B showed the opposite (4.40 → 2.69), so this is
+    # parallel-slack-dependent; at 100 TB the band index is the
+    # persisted LSH artifact anyway (streaming/text_ingest maintains
+    # it incrementally), so the declared plan keeps the
+    # recompute-in-parallel shape that wins on the measured bench.
+    banded = banded_minhash(minhash_signatures(spark, sf_dir))
     # Corpus × corpus joins throughout (band index self-join, then the
     # verify joins against the per-doc shingle-SET table — the worst
     # possible broadcast: one array of shingle hashes per document).

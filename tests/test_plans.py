@@ -366,7 +366,6 @@ _CORPUS_BARRIER_ALLOWLIST = {
     # production pipeline persists anyway
     "ngram capped shingle index",
     "ngram doc-array index",
-    "minhash band index",
     "containment capped index",
     # r15: the K-gram position table of the repeated-span family
     # (ngram_maximal_spans / docs_scrub_repeated_spans) — one row per
