@@ -46,6 +46,7 @@ from ..functions.hashing import MERSENNE_P, affine_params
 from ..functions.pairs import pair_payload_fetch
 from ..functions.vectors import dot as vdot, dot_sql
 from ..sources import load_table
+from ..sources.tables import fan_out_width
 
 NUM_PERM = 16
 BAND_ROWS = 4  # 16 perms → 4 bands × 4 rows
@@ -198,12 +199,33 @@ _SHINGLE_SQL = f"""
 """
 
 
-def _shingle_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _shingle_rows(
+    spark: SparkSession, sf_dir: str, *, fan_out: bool = False
+) -> DataFrame:
     """Exploded (doc_id, shingle-hash) rows -- the normalized form all
     dedup variants aggregate from. Docs with fewer than 3 words vanish
-    here (empty shingle array explodes to zero rows)."""
+    here (empty shingle array explodes to zero rows).
+
+    ``fan_out`` (r15, guide §2.5): the fixture documents table is one
+    single-row-group parquet file, so the scan -- and everything fused
+    into its stage -- is ONE task. Consumers whose map side is heavy
+    (the simhash bit-sum aggregates fuse their partial sums into this
+    stage) pass fan_out=True to round-robin the scan across the core
+    budget first (scale-adaptive: fan_out_width returns 0 for
+    naturally-splittable inputs, so the repartition disappears at
+    production scale). Measured on dedup_simhash_wide: 2.97 -> 2.63 s
+    min-of-4 interleaved; consumers whose map side is light measured
+    FLAT with the fan (ngram/minhash/overlap -- stage overlap hides
+    the single-task scan), so they deliberately do not fan.
+    Aggregation-only consumers are row-order-independent, so results
+    are identical either way."""
+    docs = load_table(spark, sf_dir, "documents")
+    if fan_out:
+        width = fan_out_width(sf_dir, "documents")
+        if width:
+            docs = docs.repartition(width)
     return (
-        load_table(spark, sf_dir, "documents")
+        docs
         .select("doc_id", F.expr(_WORD_HASH_EXPR).alias("wh"))
         .select("doc_id", F.explode(F.expr(_SHINGLES_FROM_WH)).alias("h"))
         .where(F.col("h").isNotNull())
@@ -756,7 +778,7 @@ def simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col(f"b{j}") > 0).cast("long") * F.lit(1 << j) for j in range(SIMHASH_BITS)
     )
     return (
-        _shingle_rows(spark, sf_dir)
+        _shingle_rows(spark, sf_dir, fan_out=True)
         .groupBy("doc_id")
         .agg(*bit_sums)
         .select("doc_id", packed.alias("simhash"))
@@ -1034,7 +1056,7 @@ def simhash_wide_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """63-bit SimHash over md5-rehashed shingle features — the same
     one-shuffle conditional-sum aggregate shape as
     :func:`simhash_docs`, 63 sums instead of 32."""
-    rows = _shingle_rows(spark, sf_dir).select(
+    rows = _shingle_rows(spark, sf_dir, fan_out=True).select(
         "doc_id", _wide_feature(F.col("h")).alias("hw")
     )
     bit_sums = [

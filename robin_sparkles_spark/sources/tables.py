@@ -88,3 +88,36 @@ def text_corpus_df(spark: SparkSession, lines: list[str]) -> DataFrame:
 def read_text(spark: SparkSession, path: str) -> DataFrame:
     """S1: newline-delimited text scan → ``value: string``."""
     return spark.read.text(path)
+
+
+# r15 (guide §2.5 input skew): the fixture tables are ONE parquet file
+# with ONE row group each, so any scan of them is a single
+# unsplittable task — heavy map work fused into that stage (e.g. the
+# 63-sum wide-simhash aggregate's partial sums) runs on one core of
+# the whole budget. ``fan_out_width`` says how wide to round-robin
+# such a scan AFTER the read: the session core budget for tiny inputs,
+# 0 (do not repartition) once the input is big enough to split
+# naturally — so at production scale the repartition (and its shuffle)
+# vanishes from the plan. Threshold env-tunable for deployments whose
+# row-group layout differs.
+FAN_OUT_MAX_BYTES = int(
+    os.environ.get("SPARK_GRAFT_FAN_OUT_MAX_BYTES", str(256 * 1024 * 1024))
+)
+
+
+def fan_out_width(sf_dir: str, name: str) -> int:
+    from ..session import default_parallelism
+
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    try:
+        if os.path.isdir(path):
+            size = sum(
+                os.path.getsize(os.path.join(path, f))
+                for f in os.listdir(path)
+                if f.endswith(".parquet")
+            )
+        else:
+            size = os.path.getsize(path)
+    except OSError:
+        return 0
+    return default_parallelism() if size < FAN_OUT_MAX_BYTES else 0
