@@ -32,10 +32,15 @@ N_QUERIES = 100
 
 
 def _unit_vectors_np(spark: SparkSession, sf_dir: str) -> DataFrame:
-    vn = load_table(spark, sf_dir, "embeddings").select(
+    # No groupBy barrier here, unlike similarity._unit_vectors: that
+    # barrier exists to stop Catalyst re-evaluating the normalization
+    # per PAIR inside the brute-force join. The Arrow path consumes
+    # each corpus row exactly once in mapInPandas, so the projection
+    # stays fused with the parquet scan — zero shuffles before the
+    # kernel, and the filter on vec_id (query collect) pushes down.
+    return load_table(spark, sf_dir, "embeddings").select(
         "vec_id", normalized(as_double(F.col("embedding"))).alias("v")
     )
-    return vn.groupBy("vec_id").agg(F.first("v").alias("v"))
 
 
 def ann_bruteforce_topk_fast(spark: SparkSession, sf_dir: str) -> DataFrame:

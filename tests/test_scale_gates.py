@@ -67,7 +67,15 @@ PRODUCTION_GATES = {
     "dedup_text_stream_ingest": 4.0,
     "embedding_dedup": 4.5,
     "embedding_similar_pairs_ivf": 16.0,  # secondary; primary is the candidate-count gate
-    "semdedup_dropped": 4.0,
+    # r15 recalibration: the AQE small-shuffle floor (session.py)
+    # parallelized the overhead that used to dominate semdedup's 1×
+    # wall (isolated min-of-4: 2.27 s → 0.86 s), so the SAME linear
+    # plan now reads a higher ratio — quiet-box min-of-4 pairs give
+    # 2.42/0.86 = 2.81×, and a full-suite co-loaded run read 4.27×
+    # against the old 4.0 ceiling. 5.5 keeps ≥25% headroom over the
+    # worst observed loaded reading while staying far under the 13×
+    # semdedup blow-up (r8) this gate exists to catch.
+    "semdedup_dropped": 5.5,
     "ann_ivfpq_topk": 4.0,
     "ngram_maximal_spans": 4.0,
 }
