@@ -185,6 +185,22 @@ _SHINGLES_FROM_WH = f"""
      array(CAST(NULL AS BIGINT)))
 """
 
+# array form of _SHINGLES_FROM_WH for callers that keep the shingles
+# per-doc (simhash's fold path). Degenerate docs (< 3 words) become an
+# EMPTY array, not a WHERE: any relational filter derived from this
+# projection gets predicate-pushed below it with the full md5 chain
+# substituted into the filter — measured as the whole fold evaluated
+# twice per row in the single-task scan stage. Consumers drop the
+# empty rows with an explode() guard instead (a Generate output cannot
+# be substituted into, the same property the exploded form's NULL
+# filter relied on).
+_SHINGLE_ARRAY_EXPR = f"""
+  if(size(wh) >= 3,
+     array_distinct(transform(sequence(0, size(wh) - 3),
+                    i -> ((wh[i] * 31 + wh[i+1]) * 31 + wh[i+2]) % {MERSENNE_P})),
+     cast(array() as array<bigint>))
+"""
+
 _WORD_HASHES_SQL = f"""
   list_transform(list_filter(string_split(text, ' '), w -> len(w) > 0),
                  w -> CAST(concat('0x', substr(md5(w), 1, 15)) AS BIGINT) % {MERSENNE_P})
@@ -229,6 +245,31 @@ def _shingle_rows(
         .select("doc_id", F.expr(_WORD_HASH_EXPR).alias("wh"))
         .select("doc_id", F.explode(F.expr(_SHINGLES_FROM_WH)).alias("h"))
         .where(F.col("h").isNotNull())
+    )
+
+
+def _doc_shingle_arrays(
+    spark: SparkSession, sf_dir: str, *, fan_out: bool = False
+) -> DataFrame:
+    """Per-doc DISTINCT shingle-hash arrays — the un-exploded twin of
+    :func:`_shingle_rows` (r15, guide §2.4): consumers whose
+    aggregation is per-document (simhash's bit sums) fold the array
+    in-place with the ``aggregate`` higher-order function instead of
+    explode → groupBy(doc_id) → re-aggregate, which removes the
+    explode, the hash aggregation, AND the exchange from the plan —
+    the whole signature fuses into the scan stage. Docs with fewer
+    than 3 words carry an EMPTY array here (see _SHINGLE_ARRAY_EXPR
+    for why a WHERE is a performance trap); consumers drop them with
+    an explode() guard so the declared row set matches the exploded
+    form and the DuckDB oracle exactly."""
+    docs = load_table(spark, sf_dir, "documents")
+    if fan_out:
+        width = fan_out_width(sf_dir, "documents")
+        if width:
+            docs = docs.repartition(width)
+    return (
+        docs.select("doc_id", F.expr(_WORD_HASH_EXPR).alias("wh"))
+        .select("doc_id", F.expr(_SHINGLE_ARRAY_EXPR).alias("sh"))
     )
 
 
@@ -757,6 +798,9 @@ _SIMHASH_SQL = f"""
 """
 
 
+_LANE_PAIR_MASK = (1 << 32) | 1  # two 32-bit counting lanes per BIGINT
+
+
 def simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash over the distinct 3-gram shingle hashes (the same
     feature set as MinHash): bit j set iff Σ_shingles (2·bit_j(h)−1)
@@ -765,23 +809,47 @@ def simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     unigram simhash is near permutation-invariant (measured: 29k
     false pairs at hamming ≤ 4 vs ~30 true ones).
 
-    Shape: 32 conditional SUM aggregates over the exploded shingle
-    rows (one per bit), packed into the hash by constant powers of two
-    in the post-aggregation projection — one shuffle, and the
-    Aggregate barrier keeps the hash from being re-derived per pair in
-    the downstream join (the 514 s → ~2 s fix)."""
-    bit_sums = [
-        F.sum(2 * (F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1))) - 1).alias(f"b{j}")
-        for j in range(SIMHASH_BITS)
-    ]
-    packed = sum(
-        (F.col(f"b{j}") > 0).cast("long") * F.lit(1 << j) for j in range(SIMHASH_BITS)
+    Shape (r15, guide §2.3/§2.4): the shingle array is already
+    per-document and distinct, so the former explode → groupBy(doc_id)
+    → 32 conditional SUMs re-aggregated what the projection had
+    already grouped — one ``aggregate`` fold over the array computes
+    the same bit sums with ZERO shuffles (no explode, no hash
+    aggregation, no exchange: the whole signature fuses into the scan
+    stage; measured 1.58 → 0.60 s for the wide twin's stage). The
+    per-bit counters ride two to a BIGINT — lane 0 holds Σ bit_j(h),
+    lane 1 (at bit 32) holds Σ bit_{j+16}(h). Exact by construction:
+    shingle hashes are distinct per doc and < 2³¹ of them exist (mod
+    Mersenne 2³¹−1), so a 32-bit lane can never carry into its
+    neighbour, and the bit rule 2·S_j > n is the SAME integer
+    comparison as the former SUM(2·bit−1) > 0."""
+    half = SIMHASH_BITS // 2
+    # h < 2^31, so (h >> j) never reaches bit 32 and the OR lanes are
+    # disjoint: bit 0 = bit j of h, bit 32 = bit j+16 of h. Lane
+    # `half` counts the elements (the former COUNT aggregate).
+    sums = F.expr(
+        f"aggregate(sh, array_repeat(CAST(0 AS BIGINT), {half + 1}), (acc, h) -> "
+        f"transform(acc, (a, j) -> a + (CASE WHEN j < {half} THEN "
+        f"(shiftright(h, j) | shiftleft(shiftright(h, j + {half}), 32)) "
+        f"& {_LANE_PAIR_MASK} ELSE 1 END)))"
     )
+    n = F.element_at(F.col("ps"), half + 1)
+
+    def bit(j: int) -> F.Column:
+        p = F.element_at(F.col("ps"), (j % half) + 1)
+        s = p.bitwiseAND(F.lit(0xFFFFFFFF)) if j < half else F.shiftright(p, 32)
+        return (s * 2 > n).cast("long") * F.lit(1 << j)
+
+    packed = sum(bit(j) for j in range(SIMHASH_BITS))
+    # explode-guard: zero rows for degenerate docs (n == 0) without a
+    # relational filter the optimizer could substitute into (see
+    # _SHINGLE_ARRAY_EXPR).
     return (
-        _shingle_rows(spark, sf_dir, fan_out=True)
-        .groupBy("doc_id")
-        .agg(*bit_sums)
-        .select("doc_id", packed.alias("simhash"))
+        _doc_shingle_arrays(spark, sf_dir, fan_out=True)
+        .select("doc_id", sums.alias("ps"))
+        .select(
+            "doc_id",
+            F.explode(F.filter(F.array(packed), lambda _: n > 0)).alias("simhash"),
+        )
     )
 
 
@@ -1042,37 +1110,55 @@ def _wide_simhash_block_widths(n_docs: int) -> tuple[int, ...]:
     raise AssertionError("unreachable: last config has no ceiling")
 
 
-def _wide_feature(h: F.Column) -> F.Column:
-    """63-bit md5 rehash of a shingle hash — engine-exact BIGINT."""
-    d = F.md5(h.cast("string"))
-    return (
-        F.conv(F.substring(d, 1, 15), 16, 10).cast("long")
-        + (F.conv(F.substring(d, 16, 1), 16, 10).cast("long") % 8)
-        * F.lit(_TWO_60)
-    )
-
-
 def simhash_wide_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """63-bit SimHash over md5-rehashed shingle features — the same
-    one-shuffle conditional-sum aggregate shape as
-    :func:`simhash_docs`, 63 sums instead of 32."""
-    rows = _shingle_rows(spark, sf_dir, fan_out=True).select(
-        "doc_id", _wide_feature(F.col("h")).alias("hw")
+    zero-shuffle lane-packed fold shape as :func:`simhash_docs`.
+
+    The 63-bit feature makes the packing even cheaper than the 32-bit
+    form: bits j and j+32 of ``hw`` land exactly on the two counting
+    lanes of one BIGINT with a single shift-and-mask, so the fold's
+    accumulator is 31 packed lanes + 1 plain lane (bit 31) = 32 longs
+    instead of 63 (guide §2.3 — the 32-bit counting lanes cannot
+    carry because a doc has < 2³¹ distinct shingles). Measured
+    1.58 → 0.60 s for the signature stage vs the explode + hash-agg
+    form (min-of-4, same session)."""
+    pair_bits = (SIMHASH_WIDE_BITS - 1) // 2  # 31: lanes (j, j+32)
+    # one md5 per element: inner transform renders the digest, outer
+    # builds the 63-bit feature from it (engine-exact BIGINT).
+    shw = F.expr(
+        f"transform(transform(sh, h -> md5(CAST(h AS STRING))), d -> "
+        f"CAST(conv(substring(d, 1, 15), 16, 10) AS BIGINT) + "
+        f"(CAST(conv(substring(d, 16, 1), 16, 10) AS BIGINT) % 8) * {_TWO_60})"
     )
-    bit_sums = [
-        F.sum(
-            2 * (F.shiftright(F.col("hw"), j).bitwiseAND(F.lit(1))) - 1
-        ).alias(f"b{j}")
-        for j in range(SIMHASH_WIDE_BITS)
-    ]
-    packed = sum(
-        (F.col(f"b{j}") > 0).cast("long") * F.lit(1 << j)
-        for j in range(SIMHASH_WIDE_BITS)
+    # lanes 0..30: packed bit pairs (j, j+32); lane 31: bit 31; lane
+    # 32: element count (the former COUNT aggregate).
+    sums = F.expr(
+        f"aggregate(shw, array_repeat(CAST(0 AS BIGINT), {pair_bits + 2}), "
+        f"(acc, h) -> transform(acc, (a, j) -> a + (CASE WHEN j < {pair_bits} "
+        f"THEN shiftright(h, j) & {_LANE_PAIR_MASK} "
+        f"WHEN j = {pair_bits} THEN shiftright(h, {pair_bits}) & 1 "
+        f"ELSE 1 END)))"
     )
+    n = F.element_at(F.col("ps"), pair_bits + 2)
+
+    def bit(j: int) -> F.Column:
+        if j == pair_bits:
+            s = F.element_at(F.col("ps"), pair_bits + 1)
+        elif j < pair_bits:
+            s = F.element_at(F.col("ps"), j + 1).bitwiseAND(F.lit(0xFFFFFFFF))
+        else:
+            s = F.shiftright(F.element_at(F.col("ps"), j - 32 + 1), 32)
+        return (s * 2 > n).cast("long") * F.lit(1 << j)
+
+    packed = sum(bit(j) for j in range(SIMHASH_WIDE_BITS))
     return (
-        rows.groupBy("doc_id")
-        .agg(*bit_sums)
-        .select("doc_id", packed.alias("simhash"))
+        _doc_shingle_arrays(spark, sf_dir, fan_out=True)
+        .select("doc_id", shw.alias("shw"))
+        .select("doc_id", sums.alias("ps"))
+        .select(
+            "doc_id",
+            F.explode(F.filter(F.array(packed), lambda _: n > 0)).alias("simhash"),
+        )
     )
 
 
