@@ -225,16 +225,16 @@ def _shingle_rows(
     ``fan_out`` (r15, guide §2.5): the fixture documents table is one
     single-row-group parquet file, so the scan -- and everything fused
     into its stage -- is ONE task. Consumers whose map side is heavy
-    (the simhash bit-sum aggregates fuse their partial sums into this
-    stage) pass fan_out=True to round-robin the scan across the core
-    budget first (scale-adaptive: fan_out_width returns 0 for
+    pass fan_out=True to round-robin the scan across the core budget
+    first (scale-adaptive: fan_out_width returns 0 for
     naturally-splittable inputs, so the repartition disappears at
-    production scale). Measured on dedup_simhash_wide: 2.97 -> 2.63 s
-    min-of-4 interleaved; consumers whose map side is light measured
-    FLAT with the fan (ngram/minhash/overlap -- stage overlap hides
-    the single-task scan), so they deliberately do not fan.
-    Aggregation-only consumers are row-order-independent, so results
-    are identical either way."""
+    production scale). The simhash/minhash signature folds moved to
+    :func:`_doc_shingle_arrays` (always fanned -- their whole
+    signature fuses into the scan stage); the remaining light-map
+    consumers here measured FLAT with the fan (ngram/overlap -- stage
+    overlap hides the single-task scan), so they deliberately do not
+    fan. Aggregation-only consumers are row-order-independent, so
+    results are identical either way."""
     docs = load_table(spark, sf_dir, "documents")
     if fan_out:
         width = fan_out_width(sf_dir, "documents")
@@ -274,17 +274,25 @@ def _doc_shingle_arrays(
 
 
 def _docs_with_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-doc shingle-hash sets, materialized through an AGGREGATE.
+    """Per-doc shingle-hash sets, materialized through a GENERATE.
 
-    The groupBy is load-bearing for performance, not just shape: a
-    plain projection of the shingle expression gets collapsed by
-    Catalyst into whatever consumes it — in a pair join that meant the
-    full shingle/hash pipeline re-evaluated PER PAIR (measured: 514 s
-    for the simhash pair scan at sf0.1 vs ~2 s with the barrier).
-    Expressions cannot be pushed through an Aggregate, so signatures
-    are computed exactly once per document."""
-    return _shingle_rows(spark, sf_dir).groupBy("doc_id").agg(
-        F.collect_set("h").alias("sh")
+    The shingle array is already per-document and distinct, so the
+    former explode → collect_set re-grouped what the projection
+    already had (r15, guide §2.4): this is now the array projection
+    with an explode() guard that drops degenerate docs. The guard is
+    load-bearing for performance, not just shape: a plain projection
+    of the shingle expression gets collapsed by Catalyst into whatever
+    consumes it — in a pair join that meant the full shingle/hash
+    pipeline re-evaluated PER PAIR (measured: 514 s for the simhash
+    pair scan at sf0.1 vs ~2 s materialized). Expressions cannot be
+    substituted through a Generate output (same property the old
+    Aggregate provided), so shingle sets are computed exactly once per
+    document — and with zero shuffles. Set order differs from
+    collect_set's, which no consumer observes (Jaccard is
+    intersect/union)."""
+    return _doc_shingle_arrays(spark, sf_dir, fan_out=True).select(
+        "doc_id",
+        F.explode(F.filter(F.array("sh"), lambda x: F.size(x) > 0)).alias("sh"),
     )
 
 
@@ -666,18 +674,46 @@ DEDUP_NGRAM_SQL = _ngram_sql()
 # --- MinHash + LSH (the scale path) -----------------------------------------
 
 def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-document MinHash signature: NUM_PERM conditional MIN
-    aggregates over the exploded shingle rows — one shuffle on doc_id,
-    partial+final hash aggregation, and (crucially) an Aggregate
-    barrier so the signature is never inlined into downstream join
-    predicates (see _docs_with_shingles)."""
-    aggs = []
-    for i in range(NUM_PERM):
-        a, b = affine_params(i)
-        aggs.append(
-            F.min((F.col("h") * F.lit(a) + F.lit(b)) % F.lit(MERSENNE_P)).alias(f"sig{i}")
+    """Per-document MinHash signature, folded in-place over the
+    per-doc shingle array (r15, guide §2.4): NUM_PERM running MINs +
+    one count lane in a single ``aggregate`` pass — zero shuffles
+    instead of explode → groupBy → NUM_PERM MIN aggregates, and the
+    whole signature fuses into the scan stage. The MIN lanes start at
+    MERSENNE_P (one past the affine range, so any element replaces
+    the seed); the count lane drives the explode() guard that drops
+    degenerate docs, and the Generate output blocks expression
+    substitution into downstream join predicates exactly as the old
+    Aggregate did (see _docs_with_shingles)."""
+    a_consts = ",".join(str(affine_params(i)[0]) for i in range(NUM_PERM))
+    b_consts = ",".join(str(affine_params(i)[1]) for i in range(NUM_PERM))
+    sums = F.expr(
+        f"aggregate(sh, "
+        f"concat(array_repeat(CAST({MERSENNE_P} AS BIGINT), {NUM_PERM}), "
+        f"array(CAST(0 AS BIGINT))), "
+        f"(acc, h) -> transform(acc, (a, j) -> CASE WHEN j < {NUM_PERM} THEN "
+        f"least(a, (h * element_at(array({a_consts}), j + 1) "
+        f"+ element_at(array({b_consts}), j + 1)) % {MERSENNE_P}) "
+        f"ELSE a + 1 END))"
+    )
+    return (
+        _doc_shingle_arrays(spark, sf_dir, fan_out=True)
+        .select("doc_id", sums.alias("ps"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.filter(
+                    F.array("ps"), lambda x: F.element_at(x, NUM_PERM + 1) > 0
+                )
+            ).alias("sig"),
         )
-    return _shingle_rows(spark, sf_dir).groupBy("doc_id").agg(*aggs)
+        .select(
+            "doc_id",
+            *[
+                F.element_at(F.col("sig"), i + 1).alias(f"sig{i}")
+                for i in range(NUM_PERM)
+            ],
+        )
+    )
 
 
 def banded_minhash(sigs: DataFrame) -> DataFrame:
