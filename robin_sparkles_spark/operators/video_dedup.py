@@ -338,17 +338,13 @@ def _with_min_frames(matched: DataFrame, counts: DataFrame) -> DataFrame:
     )
 
 
-def dedup_video_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup video clip pairs: frame dHash matches at hamming ≤ 6
-    covering ≥ half the shorter clip. Blocking layout adapts to the
-    FRAME count (parquet-metadata-cheap count job, same precedent as
-    simhash/image/audio)."""
-    frames = barrier(
-        video_frame_hashes(spark, sf_dir),
-        "corpus",
-        "video frame-hash table",
-        eager=False,
-    )
+def _clip_pairs_over(frames: DataFrame) -> DataFrame:
+    """Blocked frame-pair join → clip-pair rollup → min-frames rule,
+    over an already-materialized frame-hash table — split out (r15,
+    guide §2.4) so the keeper query reuses ONE frame barrier instead
+    of decoding the corpus a second time through its own
+    dedup_video_phash call. Blocking layout adapts to the FRAME count
+    (same precedent as simhash/image/audio)."""
     n_frames_total = frames.count()
     frame_pairs = hamming_blocked_pairs(
         frames,
@@ -362,6 +358,18 @@ def dedup_video_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_frames")
     )
     return _with_min_frames(_clip_pairs_from_frame_pairs(frame_pairs), counts)
+
+
+def dedup_video_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup video clip pairs: frame dHash matches at hamming ≤ 6
+    covering ≥ half the shorter clip."""
+    frames = barrier(
+        video_frame_hashes(spark, sf_dir),
+        "corpus",
+        "video frame-hash table",
+        eager=False,
+    )
+    return _clip_pairs_over(frames)
 
 
 def dedup_video_phash_bruteforce(
@@ -491,7 +499,10 @@ def video_dedup_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
         eager=False,
     )
     counts = frames.groupBy("vid_id").agg(F.count(F.lit(1)).alias("nf"))
-    pairs = dedup_video_phash(spark, sf_dir).select("vid1", "vid2")
+    # r15: the pair graph reuses THIS frame barrier — the former
+    # dedup_video_phash call built its own, so the decode kernel ran
+    # over the whole corpus twice per keeper query (guide §2.4).
+    pairs = _clip_pairs_over(frames).select("vid1", "vid2")
     edges = barrier(
         pairs.select(F.col("vid1").alias("src"), F.col("vid2").alias("dst"))
         .union(
