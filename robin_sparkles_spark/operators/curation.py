@@ -22,6 +22,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
+from ..functions.barrier import barrier
 from ..functions.hashing import poly_fingerprint, poly_fingerprint_sql
 from ..sources import load_table
 from ..functions.pairs import pair_payload_fetch
@@ -264,37 +265,46 @@ def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     (shared / min side — the "one corpus swallows the other"
     signal).
 
-    Plan shape: distinct (source, shingle) is a vocabulary-bound
-    aggregate (≤ |shingle vocab| · #sources rows); the self-join on
-    the shingle hash produces ≤ C(#sources, 2) rows per shingle
-    (sources is a small domain), so output is linear in the shingle
-    vocabulary — never in the corpus. The per-source sizes are a
-    #sources-row broadcast. At 100 TB the only big shuffle is the
-    distinct, which every dedup query already pays."""
+    Plan shape (r15, guide §2.4): ONE shuffle on the shingle hash
+    builds the per-shingle sorted source SET (bounded by #sources, a
+    small domain); per-source sizes and the s1 < s2 pair counts are
+    both generated from that set in-stage — the former distinct
+    (source, shingle) exchange and the vocab × vocab self-join (two
+    more exchanges + a join) are gone. Output is linear in the
+    shingle vocabulary — never in the corpus. At 100 TB the only big
+    shuffle is the groupBy on h, which the former distinct already
+    paid."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
-    src_sh = (
+    src_sets = (
         _shingle_rows(spark, sf_dir)
         # corpus × corpus join (docs has one row per document): pin
         # SHUFFLE_HASH against size misestimates (r10 audit)
         .join(docs.hint("shuffle_hash"), "doc_id")
-        .select("source", "h")
-        .distinct()
+        .groupBy("h")
+        .agg(F.sort_array(F.collect_set("source")).alias("ss"))
     )
-    sizes = src_sh.groupBy("source").agg(F.count("*").alias("n"))
-    # vocab × vocab self-join — sublinear in the corpus but far past
-    # any broadcast budget at 100 TB: pin SHUFFLE_HASH (r10 audit).
-    a = src_sh.alias("a").hint("shuffle_hash")
-    b = src_sh.alias("b")
+    # vocab-bound table consumed by two branches (sizes + pairs)
+    src_sets = barrier(
+        src_sets, "vocab", "per-shingle source sets", eager=False
+    )
+    sizes = (
+        src_sets.select(F.explode("ss").alias("source"))
+        .groupBy("source")
+        .agg(F.count("*").alias("n"))
+    )
+    # ascending-sorted set => (x at i) paired with every later y gives
+    # exactly the source1 < source2 pairs the old self-join produced.
     shared = (
-        a.join(
-            b,
-            (F.col("a.h") == F.col("b.h"))
-            & (F.col("a.source") < F.col("b.source")),
+        src_sets.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ss, (x, i) -> "
+                    "transform(slice(ss, i + 2, size(ss)), "
+                    "y -> struct(x AS source1, y AS source2))))"
+                )
+            ).alias("p")
         )
-        .groupBy(
-            F.col("a.source").alias("source1"),
-            F.col("b.source").alias("source2"),
-        )
+        .groupBy(F.col("p.source1").alias("source1"), F.col("p.source2").alias("source2"))
         .agg(F.count("*").alias("shared"))
     )
     n1 = sizes.select(
