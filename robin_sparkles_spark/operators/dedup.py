@@ -427,6 +427,15 @@ def _ngram_jaccard_full_index(
         eager=False,
     )
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    # r15 negative result (measured, recorded so it stays dead):
+    # generating pairs from a per-shingle groupBy(h) +
+    # sort_array(collect_list(doc_id)) + nested-transform explode —
+    # the shape that won for source_overlap_matrix — reads SLOWER
+    # here (2.83/3.39 vs 2.27/2.48 min/med of 5, same box): the
+    # df-capped index's self-join is codegen'd end to end, while the
+    # struct-pair generation is interpreted per element, and the one
+    # exchange it saves is h-partitioned small rows. Tried, REVERTED,
+    # output hash-identical both ways.
     # corpus × corpus joins: pin SHUFFLE_HASH (see _ngram_jaccard_prefix)
     a = sh.alias("a").hint("shuffle_hash")
     b = sh.alias("b")

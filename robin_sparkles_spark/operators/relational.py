@@ -88,9 +88,17 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = load_table(spark, sf_dir, "lineitem").where(
         F.col("l_shipdate") > F.to_timestamp(F.lit("1998-01-01"))
     )
+    # r15 (guide §3.2): the BUILDING filter keeps ~1/5 of customers,
+    # so joining the broadcast dimension into orders BEFORE the
+    # l ⋈ o shuffle cuts the orders-side shuffle bytes by that factor
+    # at any scale (the lineitem side is already shipdate-filtered).
+    # Project orders to the three surviving columns before the
+    # exchange (guide §2.3).
+    o = o.join(F.broadcast(c), o.o_custkey == c.c_custkey).select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
     return (
         l.join(o, l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(_dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias("revenue"))
         .select(
@@ -133,14 +141,37 @@ def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("o_orderdate") < F.to_timestamp(F.lit("1998-01-01")))
     )
     l = load_table(spark, sf_dir, "lineitem")
+    # r15 (guide §3.2): the ASIA region keeps 5 of 25 nations, so
+    # pre-reducing BOTH fact sides with their broadcast dimensions
+    # BEFORE the l ⋈ o shuffle cuts each side's shuffle bytes ~5× at
+    # any scale. Joins and filters are the same inner-join set
+    # reordered: c restricted to ASIA nations is implied by
+    # c_nationkey == s_nationkey with s already ASIA-only, so no row
+    # is lost or gained.
+    n_asia = n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey).select(
+        "n_nationkey", "n_name"
+    )
+    # supplier/customer broadcast onto the facts directly and the
+    # shared n_asia broadcast applied as the region cut on each side:
+    # all three dimension builds are independent (chain depth 1), and
+    # both fact scans shrink 5× inside their own map stage.
+    l = (
+        l.join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n_asia), F.col("s_nationkey") == n_asia.n_nationkey)
+        .select("l_orderkey", "l_extendedprice", "l_discount", "s_nationkey", "n_name")
+    )
+    o = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(
+            F.broadcast(n_asia.select(F.col("n_nationkey").alias("cn_key"))),
+            F.col("c_nationkey") == F.col("cn_key"),
+        )
+        .select("o_orderkey", "c_nationkey")
+    )
     return (
         l.join(o, l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
         # TPC-H Q5's "local supplier": customer and supplier share a nation
         .where(F.col("c_nationkey") == F.col("s_nationkey"))
-        .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
-        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy("n_name")
         .agg(_dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias("revenue"))
     )
