@@ -199,7 +199,17 @@ def _containment_full_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         "containment capped index",
         eager=False,
     )
-    sizes = capped.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    # r15: the size table itself is consumed twice (s1/s2 fetch
+    # joins) and Catalyst performs no common-subtree elimination —
+    # without this barrier the executed plan aggregates the index
+    # twice (runtime-checked on ngram's identical shape: two full
+    # partial+final count passes + two exchanges).
+    sizes = barrier(
+        capped.groupBy("doc_id").agg(F.count("*").alias("sz")),
+        "corpus",
+        "containment size table",
+        eager=False,
+    )
     a = capped.alias("a").hint("shuffle_hash")
     b = capped.alias("b")
     shared = (

@@ -426,7 +426,16 @@ def _ngram_jaccard_full_index(
         "ngram capped shingle index",
         eager=False,
     )
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    # r15: the size table is consumed twice (s1/s2 fetch joins) and
+    # the executed plan aggregated the index twice without this
+    # barrier (runtime-checked: two full partial+final count passes +
+    # two exchanges, zero ReusedExchange).
+    sizes = barrier(
+        sh.groupBy("doc_id").agg(F.count("*").alias("sz")),
+        "corpus",
+        "ngram capped size table",
+        eager=False,
+    )
     # r15 negative result (measured, recorded so it stays dead):
     # generating pairs from a per-shingle groupBy(h) +
     # sort_array(collect_list(doc_id)) + nested-transform explode —
