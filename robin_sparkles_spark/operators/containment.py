@@ -199,17 +199,11 @@ def _containment_full_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         "containment capped index",
         eager=False,
     )
-    # r15: the size table itself is consumed twice (s1/s2 fetch
-    # joins) and Catalyst performs no common-subtree elimination —
-    # without this barrier the executed plan aggregates the index
-    # twice (runtime-checked on ngram's identical shape: two full
-    # partial+final count passes + two exchanges).
-    sizes = barrier(
-        capped.groupBy("doc_id").agg(F.count("*").alias("sz")),
-        "corpus",
-        "containment size table",
-        eager=False,
-    )
+    # (a size-table barrier was tried and REVERTED here too — see the
+    # measured negative at dedup._ngram_jaccard_full_index: the
+    # duplicate count pass hides in parallel slack while the
+    # checkpoint serializes a job.)
+    sizes = capped.groupBy("doc_id").agg(F.count("*").alias("sz"))
     a = capped.alias("a").hint("shuffle_hash")
     b = capped.alias("b")
     shared = (

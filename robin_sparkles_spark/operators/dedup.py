@@ -426,16 +426,15 @@ def _ngram_jaccard_full_index(
         "ngram capped shingle index",
         eager=False,
     )
-    # r15: the size table is consumed twice (s1/s2 fetch joins) and
-    # the executed plan aggregated the index twice without this
-    # barrier (runtime-checked: two full partial+final count passes +
-    # two exchanges, zero ReusedExchange).
-    sizes = barrier(
-        sh.groupBy("doc_id").agg(F.count("*").alias("sz")),
-        "corpus",
-        "ngram capped size table",
-        eager=False,
-    )
+    # r15 negative result: the size table is consumed twice (s1/s2
+    # fetch joins) and the executed plan aggregates the checkpointed
+    # index twice (runtime-checked, zero ReusedExchange) — but a lazy
+    # barrier on it measured SLOWER (old 1.91/2.53 vs barriered
+    # 2.17/2.60 min/med of 10, quiet-box interleaved): the duplicate
+    # partial-agg pass hides in parallel slack while the checkpoint
+    # adds a serial job to the head of the headline's largest query.
+    # Same verdict as the minhash band-index barrier. Tried, REVERTED.
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
     # r15 negative result (measured, recorded so it stays dead):
     # generating pairs from a per-shingle groupBy(h) +
     # sort_array(collect_list(doc_id)) + nested-transform explode —

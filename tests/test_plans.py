@@ -367,12 +367,6 @@ _CORPUS_BARRIER_ALLOWLIST = {
     "ngram capped shingle index",
     "ngram doc-array index",
     "containment capped index",
-    # r15: the per-doc capped-set size tables — each consumed by two
-    # fetch joins that otherwise re-aggregate the whole index
-    # (runtime-checked: two full count passes, zero ReusedExchange);
-    # 16 B/doc, the same persisted-index contract as the indexes above
-    "ngram capped size table",
-    "containment size table",
     # r15: the K-gram position table of the repeated-span family
     # (ngram_maximal_spans / docs_scrub_repeated_spans) — one row per
     # token position, feeds the occurrence aggregate + the join-back
