@@ -669,20 +669,22 @@ FUNNEL_STAGES = (
 
 def curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(stage, stage_name, docs_out, tokens_out) — cumulative
-    survivors after each filter, in FUNNEL_STAGES order."""
+    survivors after each filter, in FUNNEL_STAGES order.
+
+    r15 optimization (guide §2.4): the v1 (URL blocklist) and v2
+    (Gopher quality) verdicts are pure per-row functions of the same
+    documents row the base projection already scans, so they ride the
+    base scan as map-only expressions (``web_text.url_unblocked_expr``
+    / ``text_analysis.gopher_quality_exprs`` — the same definitions
+    the declared filter queries use) instead of two more documents
+    scans reassembled through corpus×corpus doc_id shuffle joins.
+    Measured at sf0.1 (noop, min of 4): 5 joins → 3, documents scans
+    for verdicts 3 → 1, funnel output hash-identical."""
     from ..functions.text import ws_tokens
     from .gopher_repetition import docs_gopher_repetition_flags
-    from .text_analysis import docs_gopher_quality_flags
-    from .web_text import url_blocked_docs
+    from .text_analysis import gopher_quality_exprs
+    from .web_text import url_unblocked_expr
 
-    d = load_table(spark, sf_dir, "documents").select(
-        "doc_id",
-        F.size(ws_tokens()).cast("long").alias("n_tokens"),
-        F.sha2(F.col("text"), 256).alias("digest"),
-    )
-    v1 = url_blocked_docs(spark, sf_dir).select(
-        "doc_id", F.col("category").isNull().alias("v1")
-    )
     # stopword_ok is excluded from the funnel's quality verdict: the
     # fixture vocabulary contains only "the" from the canonical stop
     # set, so the full Gopher conjunction keeps ZERO synthetic docs
@@ -690,17 +692,21 @@ def curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     # text_analysis.docs_gopher_quality_flags — but it would zero
     # stages 2-4 and leave the downstream verdict logic untested;
     # FineWeb likewise re-tunes the stop-word rule per corpus).
-    q = docs_gopher_quality_flags(spark, sf_dir)
-    v2 = q.select(
+    _, _, qflags = gopher_quality_exprs()
+    v2_expr = (
+        qflags["wc_ok"]
+        & qflags["mwl_ok"]
+        & qflags["symbol_ok"]
+        & qflags["bullet_ok"]
+        & qflags["ellipsis_ok"]
+        & qflags["alpha_ok"]
+    )
+    d = load_table(spark, sf_dir, "documents").select(
         "doc_id",
-        (
-            F.col("wc_ok")
-            & F.col("mwl_ok")
-            & F.col("symbol_ok")
-            & F.col("bullet_ok")
-            & F.col("ellipsis_ok")
-            & F.col("alpha_ok")
-        ).alias("v2"),
+        F.size(ws_tokens()).cast("long").alias("n_tokens"),
+        F.sha2(F.col("text"), 256).alias("digest"),
+        url_unblocked_expr().alias("v1"),
+        v2_expr.alias("v2"),
     )
     v3 = docs_gopher_repetition_flags(spark, sf_dir).select(
         "doc_id", F.col("keep").alias("v3")
@@ -717,9 +723,7 @@ def curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.col("is_canonical").alias("v5")
     )
     j = (
-        d.join(v1.hint("shuffle_hash"), "doc_id")
-        .join(v2.hint("shuffle_hash"), "doc_id")
-        .join(v3.hint("shuffle_hash"), "doc_id")
+        d.join(v3.hint("shuffle_hash"), "doc_id")
         .join(v5.hint("shuffle_hash"), "doc_id")
         .join(canon.hint("shuffle_hash"), "digest")
         .withColumn("v4", F.col("doc_id") == F.col("canonical_doc_id"))

@@ -47,14 +47,27 @@ first line, every doc_id % 5 == 0 doc repeats its first paragraph.
 Both engines read the SAME staged parquet, so the planting is not part
 of the gated surface.
 
-Plan shape (100 TB posture): the line/paragraph battery is a pure
-per-row projection (zero shuffle). The n-gram battery is one scan →
-flatten-explode (9 tagged n-gram streams in a single pass) →
-groupBy(doc_id, n, gram) with map-side partial aggregation (keys are
-per-document, so no corpus-hot key exists by construction) →
-groupBy(doc_id, n) → groupBy(doc_id) pivot, then ONE equi-join back
-to the per-doc projection on doc_id. No self-join, no window, no
-Python.
+Plan shape (100 TB posture, r15 optimization — guide §2.3/§2.4, the
+same per-doc-fold rewrite as the simhash/minhash signatures in
+OPTIMIZATION_r15.md #10): the ENTIRE battery is per-document, so
+nothing needs a shuffle. The line/paragraph stats are per-row folds;
+the n-gram stats are, per n, a sorted-run fold — ``array_sort`` the
+n-gram array, then one ``aggregate`` pass counts runs of equal grams
+and carries (top count, top coverage, duplicate coverage) exactly as
+the old ``max(struct(cnt, cov))`` / ``sum(cov where cnt ≥ 2)``
+aggregation did (run-length over a sorted array ≡ COUNT(*) GROUP BY
+gram; the (c, v)-lexicographic top tie rule is reproduced in the
+fold's update branch). Zero exchanges, zero joins — the old shape
+(flatten-explode 9 tagged streams → groupBy(doc_id, n, gram) →
+groupBy(doc_id, n) → groupBy(doc_id) pivot → join back) paid three
+shuffles and a join to regroup by a key every row already carried.
+A/B at sf0.1 (noop sink, min of 4): n-gram stats 3.26 s → 1.12 s,
+outputs row-identical (exceptAll both ways = 0).
+
+The scan is fanned across the core budget when the staged corpus is
+small (``fan_out_width_path`` — returns 0 once the input splits
+naturally, so the repartition vanishes at production scale; the whole
+fold otherwise fuses into a 4-task scan stage at fixture scale).
 """
 
 from __future__ import annotations
@@ -149,10 +162,59 @@ def _dup_stats(arr: F.Column) -> "tuple[F.Column, F.Column, F.Column]":
     return n, n - F.size(F.array_distinct(arr)), total_chars - distinct_chars
 
 
+def _ngram_fold_sql(n: int) -> str:
+    """Zero-shuffle per-doc n-gram stats: sort the n-gram array, fold
+    runs of equal grams. Returns struct(tv = top n-gram coverage with
+    the (count, coverage)-lexicographic tie rule, dv = Σ count·len over
+    grams with count ≥ 2) — exactly the old groupBy(doc_id, n, gram) →
+    max(struct(cnt, cov)) / sum(cov WHERE cnt ≥ 2) aggregation, proven
+    row-identical on the full fixture corpus (exceptAll = 0 both ways).
+    Accumulator: p = current run's gram, r = its length so far,
+    (tc, tv) = best (count, coverage) of CLOSED runs, dv = duplicate
+    coverage of closed runs; the finish lambda closes the last run.
+    Exact integers throughout (the declared no-doubles contract)."""
+    grams = (
+        f"array_sort(transform(sequence(1, size(words) - {n} + 1), "
+        f"i -> array_join(slice(words, i, {n}), ' ')))"
+    )
+    upd_tc = (
+        "CASE WHEN a.r > a.tc OR (a.r = a.tc AND a.r*length(a.p) > a.tv) "
+        "THEN a.r ELSE a.tc END"
+    )
+    upd_tv = (
+        "CASE WHEN a.r > a.tc OR (a.r = a.tc AND a.r*length(a.p) > a.tv) "
+        "THEN a.r*length(a.p) ELSE a.tv END"
+    )
+    upd_dv = "a.dv + CASE WHEN a.r >= 2 THEN a.r*length(a.p) ELSE CAST(0 AS BIGINT) END"
+    zero = "named_struct('tv', CAST(0 AS BIGINT), 'dv', CAST(0 AS BIGINT))"
+    return (
+        f"CASE WHEN size(words) >= {n} THEN aggregate({grams}, "
+        "named_struct('p', CAST(NULL AS STRING), 'r', CAST(0 AS BIGINT), "
+        "'tc', CAST(0 AS BIGINT), 'tv', CAST(0 AS BIGINT), 'dv', CAST(0 AS BIGINT)), "
+        "(a, g) -> CASE "
+        "WHEN a.p IS NULL THEN named_struct('p', g, 'r', CAST(1 AS BIGINT), "
+        "'tc', a.tc, 'tv', a.tv, 'dv', a.dv) "
+        "WHEN g = a.p THEN named_struct('p', a.p, 'r', a.r + CAST(1 AS BIGINT), "
+        "'tc', a.tc, 'tv', a.tv, 'dv', a.dv) "
+        f"ELSE named_struct('p', g, 'r', CAST(1 AS BIGINT), "
+        f"'tc', {upd_tc}, 'tv', {upd_tv}, 'dv', {upd_dv}) END, "
+        f"a -> CASE WHEN a.p IS NULL THEN {zero} "
+        f"ELSE named_struct('tv', {upd_tv}, 'dv', {upd_dv}) END) "
+        f"ELSE {zero} END"
+    )
+
+
 def docs_gopher_repetition_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc Gopher §A1.2 repetition flags over the planted corpus
-    (see module docstring for the exact numerators/denominators)."""
-    corpus = spark.read.parquet(build_gopher_rep_corpus(spark, sf_dir))
+    (see module docstring for the exact numerators/denominators).
+    Zero-shuffle since r15: every stat is a per-row fold."""
+    from ..sources.tables import fan_out_width_path
+
+    path = build_gopher_rep_corpus(spark, sf_dir)
+    corpus = spark.read.parquet(path)
+    width = fan_out_width_path(path)
+    if width:
+        corpus = corpus.repartition(width)
     lines_arr = F.filter(F.split("text", "\n"), lambda x: F.length(x) > 0)
     paras_arr = F.filter(F.split("text", "\n\n"), lambda x: F.length(x) > 0)
     words_arr = F.filter(F.split("text", "\\s+"), lambda x: F.length(x) > 0)
@@ -184,48 +246,29 @@ def docs_gopher_repetition_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
         words_arr.alias("words"),
     )
 
-    # one tagged n-gram stream for all 9 n values in a single pass;
-    # Spark's sequence() DESCENDS when stop < start, so the short-doc
-    # case is guarded explicitly (DuckDB's generate_series is empty)
-    streams = [
-        F.expr(
-            f"CASE WHEN size(words) >= {n} THEN "
-            f"transform(sequence(1, size(words) - {n} + 1), "
-            f"i -> struct({n} AS n, array_join(slice(words, i, {n}), ' ') AS g)) "
-            "ELSE array() END"
-        )
-        for n in TOP_NS + DUP_NS
-    ]
-    ex = base.select(
-        "doc_id", F.explode(F.flatten(F.array(*streams))).alias("s")
-    ).select("doc_id", F.col("s.n").alias("n"), F.col("s.g").alias("g"))
-    grp = ex.groupBy("doc_id", "n", "g").agg(
-        F.count(F.lit(1)).alias("cnt")
-    )
-    cov = F.col("cnt") * F.length("g").cast("long")
-    per_n = grp.groupBy("doc_id", "n").agg(
-        F.max(F.struct(F.col("cnt").alias("c"), cov.alias("v")))
-        .getField("v")
-        .alias("top_cov"),
-        F.sum(F.when(F.col("cnt") >= 2, cov).otherwise(F.lit(0).cast("long")))
-        .alias("dup_cov"),
-    )
-    piv = per_n.groupBy("doc_id").agg(
+    # per-doc sorted-run folds for all 9 n values — zero shuffles; the
+    # short-doc case (size(words) < n: Spark's sequence() DESCENDS when
+    # stop < start) is guarded inside _ngram_fold_sql, yielding the
+    # same zeros the old LEFT-join + coalesce produced for absent rows
+    j = base.select(
+        "doc_id",
+        "n_lines",
+        "dup_lines",
+        "dup_line_chars",
+        "line_chars",
+        "n_paras",
+        "dup_paras",
+        "dup_para_chars",
+        "para_chars",
+        "norm_chars",
         *[
-            F.max(F.when(F.col("n") == n, F.col("top_cov")))
-            .alias(f"top{n}_chars")
-            for n in TOP_NS
-        ],
-        *[
-            F.max(F.when(F.col("n") == n, F.col("dup_cov")))
-            .alias(f"dup{n}_chars")
-            for n in DUP_NS
+            F.expr(_ngram_fold_sql(n)).alias(f"s{n}")
+            for n in TOP_NS + DUP_NS
         ],
     )
-    j = base.drop("words").join(piv, "doc_id", "left")
     vals = {
-        **{f"top{n}_chars": F.coalesce(F.col(f"top{n}_chars"), F.lit(0)).cast("long") for n in TOP_NS},
-        **{f"dup{n}_chars": F.coalesce(F.col(f"dup{n}_chars"), F.lit(0)).cast("long") for n in DUP_NS},
+        **{f"top{n}_chars": F.col(f"s{n}.tv") for n in TOP_NS},
+        **{f"dup{n}_chars": F.col(f"s{n}.dv") for n in DUP_NS},
     }
     flags = {
         "dup_line_ok": 100 * F.col("dup_lines") <= DUP_LINE_PCT * F.col("n_lines"),

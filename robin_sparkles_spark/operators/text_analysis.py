@@ -408,14 +408,13 @@ GOPHER_MIN_WORDS, GOPHER_MAX_WORDS = 50, 100_000
 GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
 
 
-def docs_gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-doc Gopher §A1.1 flags: word-count bounds, mean word length
-    in [3, 10], symbol-to-word ratio ('#'/'...') ≤ 0.1, ≤ 90 % bullet
-    lines, ≤ 30 % ellipsis-ended lines, ≥ 80 % words with an alphabetic
-    char, ≥ 2 distinct required stop words — and the conjunction as
-    ``keep``. Pure Catalyst higher-order functions, one projection —
-    map-only, no shuffle at all."""
-    d = load_table(spark, sf_dir, "documents")
+def gopher_quality_exprs() -> "tuple[F.Column, F.Column, dict[str, F.Column]]":
+    """(n_words, n_stop, flags) over an implicit ``text`` column —
+    the §A1.1 battery as reusable map-only expressions. Shared by
+    :func:`docs_gopher_quality_flags` and ``curation.curation_funnel``
+    (r15 optimization, guide §2.4: the funnel applies these on its
+    base documents scan instead of paying a second scan plus a
+    corpus×corpus doc_id join; pure code motion, one definition)."""
     words = F.filter(F.split(F.col("text"), " "), lambda w: F.length(w) > 0)
     lines = F.filter(F.split(F.col("text"), "\n"), lambda l: F.length(l) > 0)
     n_words = F.size(words)
@@ -449,6 +448,18 @@ def docs_gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
         "alpha_ok": 10 * n_alpha >= 8 * n_words,
         "stopword_ok": n_stop >= 2,
     }
+    return n_words, n_stop, flags
+
+
+def docs_gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc Gopher §A1.1 flags: word-count bounds, mean word length
+    in [3, 10], symbol-to-word ratio ('#'/'...') ≤ 0.1, ≤ 90 % bullet
+    lines, ≤ 30 % ellipsis-ended lines, ≥ 80 % words with an alphabetic
+    char, ≥ 2 distinct required stop words — and the conjunction as
+    ``keep``. Pure Catalyst higher-order functions, one projection —
+    map-only, no shuffle at all."""
+    d = load_table(spark, sf_dir, "documents")
+    n_words, n_stop, flags = gopher_quality_exprs()
     keep = None
     for c in flags.values():
         keep = c if keep is None else (keep & c)

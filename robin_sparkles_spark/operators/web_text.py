@@ -204,6 +204,29 @@ URL_BLOCKLIST: tuple[tuple[str, str], ...] = tuple(
 )
 
 
+def url_unblocked_expr() -> F.Column:
+    """Map-only per-row verdict: True iff NO host suffix matches any
+    blocklist domain — provably ``url_blocked_docs().category IS
+    NULL`` (``min(category)`` over the left-joined suffix explode is
+    NULL exactly when no suffix equi-matched a blocklist row; the
+    overlap test decides the same membership without the explode, the
+    broadcast join, or the per-doc re-aggregation). Used by
+    ``curation.curation_funnel`` to ride its base documents scan with
+    ZERO shuffle (r15 optimization, guide §2.4).
+    ``docs_url_blocklist_filter`` keeps the broadcast equi-join form,
+    which is the right shape for arbitrary-size blocklists (UT1 ~4M
+    rows) and also needs the category value, not just the verdict."""
+    url = _url_expr()
+    host = F.lower(F.regexp_extract(url, r"^https://([^/]+)/", 1))
+    labels = F.split(host, r"\.")
+    suffixes = F.transform(
+        F.sequence(F.lit(2), F.size(labels)),
+        lambda L: F.array_join(F.slice(labels, -L, L), "."),
+    )
+    blocked = F.array(*[F.lit(d) for d, _ in URL_BLOCKLIST])
+    return ~F.arrays_overlap(suffixes, blocked)
+
+
 def url_blocked_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc blocklist verdict — (doc_id, source, category) with
     category NULL for unblocked docs. The shared candidate stage of

@@ -106,9 +106,15 @@ FAN_OUT_MAX_BYTES = int(
 
 
 def fan_out_width(sf_dir: str, name: str) -> int:
+    return fan_out_width_path(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def fan_out_width_path(path: str) -> int:
+    """Path-based form of :func:`fan_out_width` for staged corpora
+    that live outside the sf_dir layout (e.g. the re-chunked Gopher
+    repetition corpus)."""
     from ..session import default_parallelism
 
-    path = os.path.join(sf_dir, f"{name}.parquet")
     try:
         if os.path.isdir(path):
             size = sum(
