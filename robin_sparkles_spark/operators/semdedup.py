@@ -239,25 +239,36 @@ def decontaminate_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .dedup import COSINE_SIMILAR_THRESHOLD
 
     base, cands = ivf_pair_candidates(spark, sf_dir)
+    ev1 = F.col("vec1") % EVAL_MOD == EVAL_REM
+    ev2 = F.col("vec2") % EVAL_MOD == EVAL_REM
+    # r15 (guide §2.3 — filter before the joins, per-vector norms):
+    # (a) the eval-cross restriction is pure id arithmetic on the
+    # candidate row, so it prunes ~2/3 of candidates BEFORE the two
+    # vector-fetch joins and the 64-dim verify instead of after them
+    # (a filter on (vec1, vec2) commutes with joins that only attach
+    # columns — output identical); (b) ‖v‖ is computed once per
+    # VECTOR, not twice per pair, exactly as in
+    # clustering.embedding_similar_pairs_ivf (same fold on the same
+    # inputs → bit-identical doubles; the cos expression keeps the
+    # exact divide(dot, multiply(n1, n2)) tree).
+    based = base.withColumn("nrm", F.sqrt(vdot(F.col("v"), F.col("v"))))
     cos = vdot(F.col("e1.v"), F.col("e2.v")) / (
-        F.sqrt(vdot(F.col("e1.v"), F.col("e1.v")))
-        * F.sqrt(vdot(F.col("e2.v"), F.col("e2.v")))
+        F.col("e1.nrm") * F.col("e2.nrm")
     )
     pairs = (
-        cands.join(
-            base.alias("e1").hint("shuffle_hash"),
+        cands.where(ev1 != ev2)
+        .join(
+            based.alias("e1").hint("shuffle_hash"),
             F.col("vec1") == F.col("e1.vec_id"),
         )
         .join(
-            base.alias("e2").hint("shuffle_hash"),
+            based.alias("e2").hint("shuffle_hash"),
             F.col("vec2") == F.col("e2.vec_id"),
         )
         .select("vec1", "vec2", cos.alias("cos_sim"))
         .where(F.col("cos_sim") >= COSINE_SIMILAR_THRESHOLD)
     )
-    ev1 = F.col("vec1") % EVAL_MOD == EVAL_REM
-    ev2 = F.col("vec2") % EVAL_MOD == EVAL_REM
-    cross = pairs.where(ev1 != ev2).select(
+    cross = pairs.select(
         F.when(ev1, F.col("vec2")).otherwise(F.col("vec1")).alias("train_id"),
         "cos_sim",
     )
