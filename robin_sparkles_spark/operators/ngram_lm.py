@@ -92,13 +92,23 @@ def ngram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     train = d.where(F.col("source").isin(*TRAIN_SOURCES))
 
-    # vocabulary-bound training aggregates (one shuffle each)
+    # vocabulary-bound training aggregates (one shuffle each).
+    # r15 (guide §2.4): the bigram count table is consumed TWICE —
+    # the scoring join and the prefix-count derivation — and without
+    # a barrier each consumer replays the full train tokenize +
+    # explode + shuffle (runtime-checked: zero ReusedExchange). The
+    # vocab-class barrier materializes it once; prefix counts then
+    # aggregate the materialized table. Outputs row-identical
+    # (exceptAll = 0 both ways), one fewer full train-corpus pass.
     tr_ws = train.select(_lc_tokens().alias("ws"))
-    bg_counts = (
+    bg_counts = barrier(
         tr_ws.select(F.explode(_bigrams()).alias("bg"))
         .select("bg.w1", "bg.w2")
         .groupBy("w1", "w2")
-        .agg(F.count("*").alias("c12"))
+        .agg(F.count("*").alias("c12")),
+        "vocab",
+        "bigram-LM count table",
+        eager=False,
     )
     prefix_counts = bg_counts.groupBy("w1").agg(F.sum("c12").alias("c1"))
     vocab_v = tr_ws.select(F.explode("ws").alias("t")).agg(
@@ -292,15 +302,27 @@ def ngram_backoff_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count("*").alias("c3"))
     )
-    c2 = (
+    # r15 (guide §2.4): c2 and c1 are each consumed by TWO scoring
+    # joins ((w1,w2)+(w2,w3) / (w2)+(w3)); without barriers each join
+    # side replays its train tokenize + explode + count (runtime
+    # check: 8 parquet scans, zero ReusedExchange). Vocab-class
+    # barriers materialize each once — train passes 6 → 4, outputs
+    # row-identical.
+    c2 = barrier(
         tr_ws.select(F.explode(_bigrams()).alias("bg"))
         .groupBy(F.col("bg.w1").alias("b1"), F.col("bg.w2").alias("b2"))
-        .agg(F.count("*").alias("c2"))
+        .agg(F.count("*").alias("c2")),
+        "vocab",
+        "backoff bigram count table",
+        eager=False,
     )
-    c1 = (
+    c1 = barrier(
         tr_ws.select(F.explode("ws").alias("t"))
         .groupBy("t")
-        .agg(F.count("*").alias("c1"))
+        .agg(F.count("*").alias("c1")),
+        "vocab",
+        "backoff unigram count table",
+        eager=False,
     )
     # Guard the unigram-tier denominator: an empty TRAIN_SOURCES slice
     # would otherwise yield NULL scores on Spark (decimal div 0) but a
