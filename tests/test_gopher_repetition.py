@@ -84,3 +84,65 @@ def test_staging_is_idempotent_and_fingerprinted(spark, sf_dir):
     p2 = G.build_gopher_rep_corpus(spark, sf_dir)
     assert p1 == p2
     assert "gopher_rep_docs" in p1
+
+
+def test_ngram_fold_matches_explode_groupby(spark, sf_dir):
+    """r15 fold-rewrite pin: the sorted-run ``aggregate`` fold
+    (_ngram_fold_sql) must reproduce the retired explode →
+    groupBy(doc_id, n, gram) → max(struct(cnt, cov)) / Σ(cov | cnt≥2)
+    pipeline EXACTLY on the full staged corpus — run-length over a
+    sorted array ≡ COUNT(*) GROUP BY gram, and the fold's update
+    branch carries the same (count, coverage)-lexicographic top tie
+    rule. Guards the rewrite against any future drift in either the
+    fold SQL or the tie rule."""
+    corpus = spark.read.parquet(G.build_gopher_rep_corpus(spark, sf_dir))
+    words_arr = F.filter(F.split("text", "\\s+"), lambda x: F.length(x) > 0)
+    base = corpus.select("doc_id", words_arr.alias("words"))
+    ns = G.TOP_NS + G.DUP_NS
+
+    fold = base.select(
+        "doc_id", *[F.expr(G._ngram_fold_sql(n)).alias(f"s{n}") for n in ns]
+    ).select(
+        "doc_id",
+        *[F.col(f"s{n}.tv").alias(f"top{n}") for n in G.TOP_NS],
+        *[F.col(f"s{n}.dv").alias(f"dup{n}") for n in G.DUP_NS],
+    )
+
+    streams = [
+        F.expr(
+            f"CASE WHEN size(words) >= {n} THEN "
+            f"transform(sequence(1, size(words) - {n} + 1), "
+            f"i -> struct({n} AS n, array_join(slice(words, i, {n}), ' ') AS g)) "
+            "ELSE array() END"
+        )
+        for n in ns
+    ]
+    ex = base.select(
+        "doc_id", F.explode(F.flatten(F.array(*streams))).alias("s")
+    ).select("doc_id", F.col("s.n").alias("n"), F.col("s.g").alias("g"))
+    grp = ex.groupBy("doc_id", "n", "g").agg(F.count(F.lit(1)).alias("cnt"))
+    cov = F.col("cnt") * F.length("g").cast("long")
+    per_n = grp.groupBy("doc_id", "n").agg(
+        F.max(F.struct(F.col("cnt").alias("c"), cov.alias("v")))
+        .getField("v")
+        .alias("top_cov"),
+        F.sum(
+            F.when(F.col("cnt") >= 2, cov).otherwise(F.lit(0).cast("long"))
+        ).alias("dup_cov"),
+    )
+    ref = per_n.groupBy("doc_id").agg(
+        *[
+            F.coalesce(F.max(F.when(F.col("n") == n, F.col("top_cov"))), F.lit(0))
+            .cast("long")
+            .alias(f"top{n}")
+            for n in G.TOP_NS
+        ],
+        *[
+            F.coalesce(F.max(F.when(F.col("n") == n, F.col("dup_cov"))), F.lit(0))
+            .cast("long")
+            .alias(f"dup{n}")
+            for n in G.DUP_NS
+        ],
+    )
+    assert fold.exceptAll(ref).count() == 0
+    assert ref.exceptAll(fold).count() == 0
