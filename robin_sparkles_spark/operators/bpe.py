@@ -277,6 +277,27 @@ def docs_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     unrolled CTE chain as the training oracle — sharing its `tok`
     scan — and joins the final vocabulary back to the documents: the
     whole train→apply path replayed in SQL."""
+    return _bpe_per_doc(spark, sf_dir).select(
+        "doc_id",
+        "n_tokens",
+        "n_subwords",
+        (
+            F.col("n_subwords").cast("double")
+            / F.col("n_tokens").cast("double")
+        ).alias("subwords_per_token"),
+    )
+
+
+def _bpe_per_doc(
+    spark: SparkSession, sf_dir: str, extra_cols: "tuple[str, ...]" = ()
+) -> DataFrame:
+    """(doc_id, *extra_cols, n_tokens, n_subwords) under the learned
+    merges — the apply pipeline of :func:`docs_bpe_tokenize`, factored
+    (r15) so consumers can ride doc-functional columns (``lang``)
+    through the explode + per-doc aggregation instead of re-scanning
+    documents and attaching them with a corpus-side doc_id shuffle
+    join (guide §2.4; grouping by (doc_id, extra) ≡ grouping by
+    doc_id when extra is functionally dependent on doc_id)."""
     merges = _fit_merges(spark, sf_dir)
     chars = F.filter(F.split(F.col("word"), ""), lambda c: F.length(c) > 0)
     seq = F.array_join(chars, SEQ_SEP)
@@ -288,7 +309,7 @@ def docs_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     # it carried was never used by the apply side)
     d = barrier(
         load_table(spark, sf_dir, "documents").select(
-            "doc_id", F.explode(ws_tokens()).alias("word")
+            "doc_id", *extra_cols, F.explode(ws_tokens()).alias("word")
         ),
         "corpus",
         "BPE-apply per-doc token explode",
@@ -299,19 +320,10 @@ def docs_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         d.join(F.broadcast(word_sub), "word")
-        .groupBy("doc_id")
+        .groupBy("doc_id", *extra_cols)
         .agg(
             F.count("*").alias("n_tokens"),
             F.sum("n_sub").alias("n_subwords"),
-        )
-        .select(
-            "doc_id",
-            "n_tokens",
-            "n_subwords",
-            (
-                F.col("n_subwords").cast("double")
-                / F.col("n_tokens").cast("double")
-            ).alias("subwords_per_token"),
         )
     )
 
@@ -353,15 +365,16 @@ def bpe_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     are near-identical — the operator is the point, exercised and
     hash-checked on real columns.
 
-    Plan: reuses the declared train→apply per-doc counts
-    (``docs_bpe_tokenize`` — vocab-sized merge application broadcast
-    onto one corpus scan), joins a thin (doc_id, lang) projection on
-    doc_id, and reduces to a |langs|-row aggregate: one extra shuffle
-    over the per-doc counts, nothing corpus-scale materialized."""
-    per_doc = docs_bpe_tokenize(spark, sf_dir)
-    langs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    Plan (r15, guide §2.4): reuses the train→apply per-doc counts
+    with ``lang`` riding the explode + per-doc aggregation
+    (``_bpe_per_doc(extra_cols=("lang",))`` — lang is functionally
+    dependent on doc_id, so grouping by (doc_id, lang) is the same
+    grouping), then reduces to a |langs|-row aggregate. The previous
+    form re-scanned documents for a thin (doc_id, lang) projection
+    and attached it with a corpus-side doc_id shuffle join; output
+    hash-identical."""
     return (
-        per_doc.join(langs, "doc_id")
+        _bpe_per_doc(spark, sf_dir, extra_cols=("lang",))
         .groupBy("lang")
         .agg(
             F.count("*").alias("n_docs"),
