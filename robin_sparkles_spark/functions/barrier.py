@@ -98,6 +98,15 @@ def barrier(
             f"(site: {note!r})"
         )
     CALLS.append((bound, note))
+    # A/B instrument (r16, guide §1): SPARK_GRAFT_BARRIER_SKIP is a
+    # comma-separated list of note substrings whose barriers become
+    # no-ops for this process — lets the cold-protocol probe measure a
+    # site with and without its materialization job from identical
+    # code. Results are unchanged either way (a barrier only controls
+    # recomputation, never values); not a production knob.
+    skip = os.environ.get("SPARK_GRAFT_BARRIER_SKIP", "")
+    if skip and any(s and s in note for s in skip.split(",")):
+        return df
     if bound == "corpus":
         stage_dir = os.environ.get("SPARK_GRAFT_BARRIER_DIR")
         if stage_dir and not eager:

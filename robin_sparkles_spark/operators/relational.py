@@ -93,8 +93,11 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     # l ⋈ o shuffle cuts the orders-side shuffle bytes by that factor
     # at any scale (the lineitem side is already shipdate-filtered).
     # Project orders to the three surviving columns before the
-    # exchange (guide §2.3).
-    o = o.join(F.broadcast(c), o.o_custkey == c.c_custkey).select(
+    # exchange (guide §2.3). r16 (VERDICT r15 #4 cost-parity): the
+    # broadcast ships ONLY the join key — the semi-join is all this
+    # probe does, so the built hash relation is a fifth of the
+    # customer columns narrower on both driver and executors.
+    o = o.join(F.broadcast(c.select("c_custkey")), o.o_custkey == c.c_custkey).select(
         "o_orderkey", "o_orderdate", "o_orderpriority"
     )
     return (
@@ -151,22 +154,32 @@ def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_asia = n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey).select(
         "n_nationkey", "n_name"
     )
-    # supplier/customer broadcast onto the facts directly and the
-    # shared n_asia broadcast applied as the region cut on each side:
-    # all three dimension builds are independent (chain depth 1), and
-    # both fact scans shrink 5× inside their own map stage.
-    l = (
-        l.join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
-        .join(F.broadcast(n_asia), F.col("s_nationkey") == n_asia.n_nationkey)
-        .select("l_orderkey", "l_extendedprice", "l_discount", "s_nationkey", "n_name")
+    # r16 (VERDICT r15 #4 — keep the §3.2 pre-reduced shape, reach cost
+    # parity at bench scale): each fact side probes ONE broadcast
+    # instead of two. The ASIA dimension sets are assembled on the
+    # broadcast side first (supplier/customer keyed into n_asia — tiny
+    # joins of broadcast-sized inputs), both referencing the SAME
+    # n_asia subtree so its exchange is built once and reused; the
+    # fact scans then do a single hash probe per row, which also drops
+    # non-ASIA rows at first touch. Probe columns pruned to the
+    # survivors (guide §2.3: s loses 5 of 7 columns, c 6 of 8). Same
+    # inner-join set reordered — no row lost or gained — and both
+    # fact sides still shrink 5× before the l ⋈ o exchange.
+    s_asia = (
+        s.select("s_suppkey", "s_nationkey")
+        .join(F.broadcast(n_asia), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", "s_nationkey", "n_name")
     )
-    o = (
-        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
-        .join(
-            F.broadcast(n_asia.select(F.col("n_nationkey").alias("cn_key"))),
-            F.col("c_nationkey") == F.col("cn_key"),
-        )
-        .select("o_orderkey", "c_nationkey")
+    c_asia = (
+        c.select("c_custkey", "c_nationkey")
+        .join(F.broadcast(n_asia), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("c_custkey", "c_nationkey")
+    )
+    l = l.join(F.broadcast(s_asia), l.l_suppkey == F.col("s_suppkey")).select(
+        "l_orderkey", "l_extendedprice", "l_discount", "s_nationkey", "n_name"
+    )
+    o = o.join(F.broadcast(c_asia), o.o_custkey == F.col("c_custkey")).select(
+        "o_orderkey", "c_nationkey"
     )
     return (
         l.join(o, l.l_orderkey == o.o_orderkey)

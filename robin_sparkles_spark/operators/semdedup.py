@@ -48,6 +48,7 @@ from .clustering import (
     kmeans_fit,
 )
 from .embedding_dedup import DEDUP_COS_THRESHOLD, build_neardup_corpus
+from ..sources.tables import fan_out_width_path
 
 
 def _fit(sf_dir: str):
@@ -116,17 +117,62 @@ def _assigned_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             # tests/test_clustering.py's table-path tests; the oracle
             # stays centroid-literal because the gate never runs here.
             assigned = fit_and_assign_table(spark, vecs, k)
-        cached = barrier(
+        idx = (
             assigned
             .select("vec_id", "cluster", normalized(F.col("v")).alias("vn"))
             .groupBy("vec_id")  # agg barrier: argmin + normalize once
-            .agg(F.first("vn").alias("vn"), F.first("cluster").alias("cluster")),
+            .agg(F.first("vn").alias("vn"), F.first("cluster").alias("cluster"))
+        )
+        cached = barrier(
+            idx,
             "corpus",
             "semdedup assigned unit-vector index",
             eager=False,
         )
         _ASSIGNED_CACHE[key] = cached
     return cached
+
+
+def semdedup_scored_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The within-cluster candidate pair scan — (keep_id, drop_id,
+    cos_sim) for every same-cluster id-ordered pair, BEFORE the cosine
+    threshold. Shared by ``semdedup_dropped`` and the scale gate
+    (tests/test_scale_gates.py): its COUNT is Σ_cells C(|cell|, 2),
+    the deterministic quantity the adaptive-k contract bounds — the
+    load-immune gate target (VERDICT r15 #6, the r14 IVF pattern)."""
+    assigned = _assigned_index(spark, sf_dir)
+    # r16 (guide §2.2/§2.4, VERDICT r15 #1/#2): repartition by the join
+    # key at the core budget ON THE CONSUMER SIDE. A lazy localCheckpoint
+    # surfaces as UnknownPartitioning (plan-verified: Scan ExistingRDD,
+    # UnknownPartitioning(0)), so the self-join must exchange either
+    # way — but an ENSURE_REQUIREMENTS exchange is AQE-coalescible and
+    # the default 1 MB floor (restored this round; the r15 session-wide
+    # 48 KB floor was the headline-regression suspect) collapses this
+    # ≈1 MB index to ONE post-shuffle partition, serializing the
+    # Σ|cluster|² dot-product stage on one core of 32. An explicit-width
+    # repartition satisfies the same ClusteredDistribution(cluster) (no
+    # extra exchange vs today) and is exempt from coalescing, so the
+    # pair scan runs up to min(w, k)-wide. Size-gated by the staged
+    # corpus: width 0 above 256 MB, where today's AQE-sized exchange
+    # returns unchanged.
+    fan = fan_out_width_path(build_neardup_corpus(spark, sf_dir))
+    if fan:
+        assigned = assigned.repartition(fan, "cluster")
+    # corpus × corpus self-join (one row per vector each side): pin
+    # SHUFFLE_HASH against size misestimates (r10 audit, see
+    # dedup.dedup_ngram_jaccard).
+    a = assigned.alias("a").hint("shuffle_hash")
+    b = assigned.alias("b")
+    cos = vdot(F.col("a.vn"), F.col("b.vn"))
+    return a.join(
+        b,
+        (F.col("a.cluster") == F.col("b.cluster"))
+        & (F.col("a.vec_id") < F.col("b.vec_id")),
+    ).select(
+        F.col("a.vec_id").alias("keep_id"),
+        F.col("b.vec_id").alias("drop_id"),
+        cos.alias("cos_sim"),
+    )
 
 
 def semdedup_dropped(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -149,25 +195,8 @@ def semdedup_dropped(spark: SparkSession, sf_dir: str) -> DataFrame:
     the fit width is ``max(K_CLUSTERS, n // SEMDEDUP_TARGET_CELL)`` —
     identical to the fixed k at every gate scale, growing with the
     corpus beyond (10× probe: k 8→78, ratio 13.0×→ see BASELINE)."""
-    assigned = _assigned_index(spark, sf_dir)
-    # corpus × corpus self-join (one row per vector each side): pin
-    # SHUFFLE_HASH against size misestimates (r10 audit, see
-    # dedup.dedup_ngram_jaccard).
-    a = assigned.alias("a").hint("shuffle_hash")
-    b = assigned.alias("b")
-    cos = vdot(F.col("a.vn"), F.col("b.vn"))
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.cluster") == F.col("b.cluster"))
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
-        )
-        .select(
-            F.col("a.vec_id").alias("keep_id"),
-            F.col("b.vec_id").alias("drop_id"),
-            cos.alias("cos_sim"),
-        )
-        .where(F.col("cos_sim") >= DEDUP_COS_THRESHOLD)
+    pairs = semdedup_scored_pairs(spark, sf_dir).where(
+        F.col("cos_sim") >= DEDUP_COS_THRESHOLD
     )
     return pairs.groupBy(F.col("drop_id").alias("vec_id")).agg(
         F.min("keep_id").alias("representative"),

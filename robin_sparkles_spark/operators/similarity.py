@@ -31,6 +31,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 from ..functions.barrier import barrier
 from ..functions.vectors import as_double, dot, dot_sql, normalized, normalized_sql
 from ..sources import load_table
+from ..sources.tables import fan_out_width
 
 TOP_K = 5
 N_QUERIES = 100  # query set: vec_id < 100
@@ -75,9 +76,25 @@ def unit_vector_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = (spark.sparkContext.applicationId, sf_dir)
     cached = _INDEX_CACHE.get(key)
     if cached is None:
-        cached = barrier(
-            _unit_vectors(spark, sf_dir), "corpus", "shared unit-vector ANN index"
-        )
+        uv = _unit_vectors(spark, sf_dir)
+        # r16 (guide §2.2, VERDICT r15 #1/#2): fan the index to the
+        # core budget BEFORE the checkpoint. Every consumer (banded
+        # LSH probe, PQ/OPQ ADC scans, rerank vector fetches) runs its
+        # per-pair compute AT THE INDEX'S PARTITIONING because the
+        # probe side is broadcast — and at Spark's default 1 MB AQE
+        # coalescing floor (restored this round; the session-wide 48 KB
+        # floor taxed every small shuffle) the ≈1 MB index collapsed to
+        # ONE post-shuffle partition, serializing all of them on one
+        # core of 32. An explicit-width repartition is exempt from AQE
+        # coalescing and localCheckpoint preserves it, so the one-time
+        # memoized build pays one tiny extra exchange and every
+        # consumer inherits full parallelism. Size-gated: fan_out_width
+        # returns 0 once the embeddings table exceeds 256 MB (it splits
+        # naturally), so the extra exchange vanishes at 100 TB.
+        fan = fan_out_width(sf_dir, "embeddings")
+        if fan:
+            uv = uv.repartition(fan, "vec_id")
+        cached = barrier(uv, "corpus", "shared unit-vector ANN index")
         _INDEX_CACHE[key] = cached
     return cached
 

