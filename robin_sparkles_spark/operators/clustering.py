@@ -850,14 +850,19 @@ def ivf_pair_candidates(
     )
     if k <= K_LITERAL_MAX:
         centroids = kmeans_fit(spark, sf_dir, k=k)
-        probed = (
-            base.withColumn(
-                "probe",
-                F.explode(_probe_cells_expr(centroids, SIMILAR_IVF_NPROBE)),
-            )
-            .select("vec_id", "probe")
-            .distinct()
-        )
+        # r16 (guide §2.4): no .distinct() here — the probe array is
+        # the top-nprobe slice of the per-cell score structs, so each
+        # cell id appears at most once per vector and (vec_id, probe)
+        # rows are unique BY CONSTRUCTION; the distinct was a no-op
+        # semantically but a real exchange + two HashAggregates per
+        # self-join side in the plan (the join re-exchanges on probe
+        # anyway). Output identical: the pair-level distinct below is
+        # unchanged. The k > K_LITERAL_MAX table path keeps its
+        # distinct (probe_via_table may emit duplicate probes).
+        probed = base.withColumn(
+            "probe",
+            F.explode(_probe_cells_expr(centroids, SIMILAR_IVF_NPROBE)),
+        ).select("vec_id", "probe")
     else:
         # k > K_LITERAL_MAX scale path (VERDICT r11 #2): probe the
         # learned cells via the centroid TABLE — no O(k) plan literal.

@@ -100,6 +100,13 @@ def ngram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     # vocab-class barrier materializes it once; prefix counts then
     # aggregate the materialized table. Outputs row-identical
     # (exceptAll = 0 both ways), one fewer full train-corpus pass.
+    # Scale caveat (ADVICE r15): distinct BIGRAM types grow far
+    # faster than unigram vocabulary on web-scale corpora (heaps-law
+    # exponent near 1 for bigrams), so the vocab bound's "plateaus,
+    # executor-local fine" contract is weakest here — if bigram
+    # tables prove large at the 100 TB posture, move this site to the
+    # 'groups' bound or the SPARK_GRAFT_BARRIER_DIR parquet staging
+    # path.
     tr_ws = train.select(_lc_tokens().alias("ws"))
     bg_counts = barrier(
         tr_ws.select(F.explode(_bigrams()).alias("bg"))

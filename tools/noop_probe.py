@@ -4,9 +4,13 @@ Usage: python tools/noop_probe.py name1,name2,... [--reps 3] [--sf DIR]
 
 Times each named declared query with the noop sink (forces every
 column, discards output) in one session, interleaved reps, and prints
-per-query min/median. This is the A/B instrument for optimization
-decisions — bench.py keeps its historical count() action for
-round-over-round comparability (see OPTIMIZATION_r15.md).
+per-query min/median. This is a WARM-session instrument for quick
+per-operator inspection; adoption decisions belong to
+tools/cold_bench.py, which replicates the driver's cold count()
+protocol (the r15 lesson: warm noop A/Bs read "neutral" for changes
+the cold protocol read 22-28% regressed). bench.py keeps its
+historical count() action for round-over-round comparability (see
+OPTIMIZATION_r15.md).
 """
 
 from __future__ import annotations
@@ -21,13 +25,20 @@ sys.path.insert(0, REPO)
 
 
 def main() -> int:
+    if len(sys.argv) < 2 or sys.argv[1].startswith("--"):
+        print(__doc__)
+        return 2
     names = sys.argv[1].split(",")
     reps = (
         int(sys.argv[sys.argv.index("--reps") + 1])
         if "--reps" in sys.argv
         else 3
     )
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf_dir = (
+        sys.argv[sys.argv.index("--sf") + 1]
+        if "--sf" in sys.argv
+        else os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    )
     from robin_sparkles_spark import registry
     from robin_sparkles_spark.session import get_spark
 
